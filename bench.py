@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs once after a shared warmup query that pays the JVM /
+codegen first-touch cost; per-query time is plan + execute to a
+count-style action (no driver-side collect of big results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "thai_filter",
+    "normalize_name",
+    "extract_core_name",
+    "regnum_validate",
+    "parse_money",
+    "project_columns",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from dbd_datawarehouse_scraper_spark import get_spark
+    from dbd_datawarehouse_scraper_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+
+    # warmup: touch every table + the codegen paths once
+    for tbl in ["lineitem", "orders", "customer", "part"]:
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    times: dict[str, float] = {}
+    for name in names:
+        builder = QUERIES[name].builder
+        start = time.perf_counter()
+        df = builder(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - start, 4)
+        assert n >= 0
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_batch_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

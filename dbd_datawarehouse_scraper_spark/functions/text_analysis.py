@@ -1,0 +1,114 @@
+"""[EXT] Text-analysis column expressions for LLM-data pipelines.
+
+Language ID, quality scoring, token counting, fingerprinting, and
+shingling — all built-in column expressions (JVM-side) so they run at
+100 TB without Python in the loop. Driver's ``documents`` table
+(doc_id, text, lang, source, n_chars) is the canonical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Distinctive high-frequency marker words per language, used by the
+# n-gram-free heuristic language identifier. Deliberately simple and
+# regex-expressible so the DuckDB oracle can replicate it exactly.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|is|was|with|that|this|for|are)\b",
+    "es": r"\b(el|la|los|las|es|y|de|que|en|una)\b",
+    "de": r"\b(der|die|das|und|ist|mit|von|ein|eine|nicht)\b",
+    "fr": r"\b(le|les|des|est|et|dans|une|que|pour|avec)\b",
+}
+CJK_RANGE = r"[一-鿿]"
+THAI_RANGE = r"[฀-๿]"
+
+# Small multilingual stopword set for the quality score's stopword ratio.
+_STOPWORDS = r"\b(the|and|of|to|in|a|is|der|die|und|le|la|et|el|los|de|que)\b"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (``len(s.split())`` parity)."""
+    return F.size(F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != ""))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: word pieces, numbers, and punctuation
+    counted separately (a cheap proxy for BPE token counts — a 100 TB
+    corpus cost estimator doesn't need the exact tokenizer)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def char_classes(col: Column):
+    """Struct of character-class counts used by quality heuristics."""
+    return F.struct(
+        F.length(col).alias("n_chars"),
+        F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace(col, r"[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace(col, r"[^\p{Punct}]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(col, r"\S", "")).alias("n_space"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] document quality heuristic: penalize extreme length,
+    punctuation-heavy and stopword-free text. Deterministic and
+    SQL-expressible (oracle-checkable)."""
+    n_tokens = token_count(col).cast("double")
+    n_chars = F.length(col).cast("double")
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+    n_stop = F.size(F.regexp_extract_all(F.lower(col), F.lit(_STOPWORDS), 0)).cast(
+        "double"
+    )
+    len_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 10, F.lit(1.0))
+    stop_score = F.least(n_stop / F.greatest(n_tokens, F.lit(1.0)) * 5, F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 6
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language identifier over {en, es, de, fr, zh}.
+
+    Scores = count of language-marker stopwords (CJK: count of CJK
+    chars / 2); argmax with a fixed priority order on ties
+    (en > es > de > fr > zh), 'und' when all scores are 0. Exactly
+    replicable in ANSI SQL for the oracle."""
+    lowered = F.lower(col)
+    scores = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))
+        for lang, pat in LANG_MARKERS.items()
+    }
+    scores["zh"] = (F.size(F.regexp_extract_all(col, F.lit(CJK_RANGE), 0)) / 2).cast(
+        "int"
+    )
+    best = F.greatest(*scores.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in ["en", "es", "de", "fr", "zh"]:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: SHA-256 of the
+    whitespace-normalized, lowercased text. Stable across engines
+    (oracle-checkable) and collision-safe at 100 TB (vs 64-bit hashes
+    where ~4B docs makes birthday collisions likely)."""
+    normalized = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.sha2(normalized, 256)
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) for Jaccard/MinHash dedup."""
+    words = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )

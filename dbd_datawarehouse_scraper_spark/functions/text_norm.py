@@ -1,0 +1,132 @@
+"""Thai company-name normalization as pure column expressions.
+
+Replicates the reference's normalization semantics (scraper_v2.py:612-734)
+with built-in Spark SQL functions only — no Python in the hot path, so
+the whole chain stays inside whole-stage codegen.
+
+Semantics notes (parity with the reference, which uses Python
+``str.replace`` — literal, all occurrences — and ``' '.join(s.split())``
+for whitespace collapse):
+
+- prefix removal is LITERAL substring removal, not word-boundary regex;
+- partnership prefixes are removed longest-first and only ONE is removed
+  (``break`` after the first hit, scraper_v2.py:643-651);
+- whitespace collapse strips leading/trailing and squeezes interior runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Ordered longest-first, exactly as the reference iterates them
+# (scraper_v2.py:643-647): only the first matching prefix is removed.
+PARTNERSHIP_PREFIXES = [
+    "ห้างหุ้นส่วนจำกัด",          # limited partnership
+    "ห้างหุ้นส่วนสามัญนิติบุคคล",  # registered ordinary partnership
+    "ห้างหุ้นส่วนสามัญ",          # ordinary partnership
+]
+
+COMPANY_PREFIX = "บริษัท"
+LIMITED = "จำกัด"
+PUBLIC = "มหาชน"
+
+# 18 filler patterns (scraper_v2.py:666-677), case-insensitive, applied as
+# one alternation. Order inside the alternation mirrors the reference's
+# sequential re.sub loop: parenthesized forms before bare forms so the
+# longest match wins at the same position.
+_FILLER_PATTERNS = [
+    r"\(ประเทศไทย\)", r"ประเทศไทย",
+    r"\(ไทยแลนด์\)", r"ไทยแลนด์",
+    r"\(Thailand\)", r"Thailand",
+    r"\(เอเชีย\)", r"เอเชีย",
+    r"\(Asia\)", r"Asia",
+    r"อินเตอร์เนชั่นแนล", r"อินเตอร์เนชันแนล",
+    r"กรุ๊ปส์", r"กรุ๊ป",
+    r"โฮลดิ้งส์", r"โฮลดิ้ง",
+    r"เอ็นเตอร์ไพรส์", r"เอ็นเตอร์ไพรซ์",
+    r"คอร์ปอเรชั่น", r"คอร์ปอเรชัน",
+]
+FILLER_REGEX = "(?i)(" + "|".join(_FILLER_PATTERNS) + ")"
+
+
+def collapse_ws(col: Column) -> Column:
+    """``' '.join(s.split())`` — trim + squeeze all whitespace runs."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _drop_literal(col: Column, literal: str) -> Column:
+    """Remove every occurrence of a literal substring (str.replace parity)."""
+    return F.replace(col, F.lit(literal), F.lit(""))
+
+
+def normalize_company_name(col: Column) -> Column:
+    """Strip บริษัท / ห้างหุ้นส่วนจำกัด / ห้างหุ้นส่วนสามัญ and collapse
+    whitespace (scraper_v2.py:612-621).
+
+    Mirrors the reference ordering: ห้างหุ้นส่วนจำกัด is removed before
+    ห้างหุ้นส่วนสามัญ, and removals are literal (all occurrences).
+    """
+    out = _drop_literal(col, COMPANY_PREFIX)
+    out = _drop_literal(out, "ห้างหุ้นส่วนจำกัด")
+    out = _drop_literal(out, "ห้างหุ้นส่วนสามัญ")
+    return collapse_ws(out)
+
+
+def strip_partnership_prefix(col: Column) -> Column:
+    """Remove the FIRST matching partnership prefix only (longest first),
+    replicating the reference's break-after-first loop
+    (scraper_v2.py:643-651)."""
+    out = col
+    # chain of whens: once a prefix matches, later ones must not also fire.
+    expr = F.when(
+        out.contains(PARTNERSHIP_PREFIXES[0]),
+        _drop_literal(out, PARTNERSHIP_PREFIXES[0]),
+    )
+    for prefix in PARTNERSHIP_PREFIXES[1:]:
+        expr = expr.when(out.contains(prefix), _drop_literal(out, prefix))
+    return F.trim(expr.otherwise(out))
+
+
+def extract_core_name(col: Column) -> Column:
+    """Core company name (before จำกัด), handling raw search-result lines
+    (scraper_v2.py:624-662).
+
+    Steps, in reference order:
+    1. If the text matches ``\\d+\\s+(0\\d{12})\\s+(.+)`` (a search-result
+       line ``rank reg name ...``), keep only the name part.
+    2. Remove ONE partnership prefix (longest first).
+    3. Remove every literal บริษัท.
+    4. If จำกัด occurs, keep the text before the first occurrence.
+    5. Collapse whitespace.
+    """
+    name_part = F.regexp_extract(col, r"\d+\s+(0\d{12})\s+(.+)", 2)
+    core = F.when(name_part != "", name_part).otherwise(F.trim(col))
+    core = strip_partnership_prefix(core)
+    core = F.trim(_drop_literal(core, COMPANY_PREFIX))
+    core = F.when(
+        core.contains(LIMITED), F.trim(F.element_at(F.split(core, LIMITED), 1))
+    ).otherwise(core)
+    return collapse_ws(core)
+
+
+def clean_filler_words(col: Column) -> Column:
+    """Remove the 18 filler patterns, case-insensitive, then collapse
+    whitespace (scraper_v2.py:666-697)."""
+    return collapse_ws(F.regexp_replace(col, FILLER_REGEX, ""))
+
+
+def remove_parentheses(col: Column) -> Column:
+    """Drop ``(...)`` and full-width ``（...）`` content
+    (scraper_v2.py:700-714)."""
+    out = F.regexp_replace(col, r"\([^)]*\)", "")
+    out = F.regexp_replace(out, r"（[^）]*）", "")
+    return collapse_ws(out)
+
+
+def remove_trailing_numbers(col: Column) -> Column:
+    """Drop ``(123)`` anywhere and a trailing numeric suffix
+    (scraper_v2.py:717-734)."""
+    out = F.regexp_replace(col, r"\(\d+\)", "")
+    out = F.regexp_replace(out, r"\s+\d+\s*$", "")
+    return collapse_ws(out)

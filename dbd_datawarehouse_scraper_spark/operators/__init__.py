@@ -1,0 +1,33 @@
+"""Relational operators (filters, dedup, joins, windows, unpivot,
+similarity search) — each a DataFrame→DataFrame transform built on
+Spark SQL primitives so Catalyst plans them."""
+
+from .filters import (  # noqa: F401
+    thai_filter,
+    nonempty_filter,
+    placeholder_filter,
+    regnum_validate_filter,
+    candidate_row_filter,
+    year_filter,
+    field_filter,
+    similarity_threshold_filter,
+)
+from .dedup import (  # noqa: F401
+    dedup_prefer_reg,
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signature,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_pairs,
+)
+from .joins import (  # noqa: F401
+    exact_core_join,
+    strategy_ranked_first_match,
+    similarity_fallback_join,
+    anti_join_not_found,
+    existing_reg_split,
+)
+from .windows import top1_per_group, topk_per_group  # noqa: F401
+from .unpivot import unpivot_financials  # noqa: F401
+from .similarity_search import cosine_topk_bruteforce, cosine_topk_lsh  # noqa: F401

@@ -1,0 +1,226 @@
+"""Deduplication operators: exact and near-dup (SURVEY §2.4 + [EXT]).
+
+- ``dedup_prefer_reg``: the reference's name-dedup that keeps a reg
+  number if ANY duplicate has one (scraper_v2.py:479, 519-520). The
+  reference's dict-overwrite tie-break is insertion-order-dependent;
+  here it is the deterministic ``max(reg)`` (documented deviation,
+  SURVEY §7c).
+- ``exact_dedup``: content-hash dedup with a deterministic survivor.
+- ``ngram_jaccard_pairs``: exact near-dup pairs via an inverted
+  shingle index (the classic "documents sharing a shingle" join).
+- ``minhash_signature`` / ``minhash_lsh_pairs``: MinHash + banded LSH,
+  built from scratch on ``xxhash64`` so signatures are deterministic
+  and the whole pipeline stays in built-in expressions. This is the
+  100 TB path: candidate generation cost is bounded by band-bucket
+  collisions instead of the shingle cross-product.
+- ``simhash64`` / ``simhash_pairs``: 64-bit SimHash with
+  block-permutation blocking (pairs within Hamming distance d share at
+  least one of d+1 blocks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import shingles
+
+
+def dedup_prefer_reg(
+    df: DataFrame,
+    name_col: str = "company_name",
+    reg_col: str = "registration_number",
+) -> DataFrame:
+    """One row per name; keep max(reg) so any non-null reg survives."""
+    return df.groupBy(name_col).agg(F.max(reg_col).alias(reg_col))
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: Sequence[str], order_col: str
+) -> DataFrame:
+    """Keep the lowest-``order_col`` row per key — deterministic,
+    unlike bare ``dropDuplicates`` whose survivor is partition-order
+    dependent (a silent bug across retries at scale)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _jaccard_arrays(a: Column, b: Column) -> Column:
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a, b)).cast("double") / union.cast("double")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard near-dup pairs via inverted shingle
+    index: only pairs sharing ≥1 shingle are scored (never a cross
+    join). ``probe_filter`` optionally restricts the left side (e.g.
+    incremental dedup of new docs against the corpus). Returns
+    (id_a, id_b, jaccard) with id_a < id_b."""
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+    )
+    left = sh.filter(probe_filter) if probe_filter is not None else sh
+    inv_l = left.select("_id", F.explode("_sh").alias("_s"))
+    inv_r = sh.select(F.col("_id").alias("_id2"), F.explode("_sh").alias("_s"))
+    pairs = (
+        inv_l.join(inv_r, "_s")
+        .filter(F.col("_id") < F.col("_id2"))
+        .select("_id", "_id2")
+        .distinct()
+    )
+    scored = (
+        pairs.join(sh, "_id")
+        .join(
+            sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2")), "_id2"
+        )
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.round(_jaccard_arrays(F.col("_sh"), F.col("_sh2")), 6).alias("jaccard"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature (array<bigint>) over word-k-gram shingles.
+
+    Hash family i is ``xxhash64(shingle, i)``; the signature element is
+    the min over shingles. Deterministic across runs/executors."""
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH candidate generation + exact Jaccard verification.
+
+    ``bands`` bands of ``num_hashes/bands`` rows: pairs agreeing on any
+    band become candidates (P[candidate] ≈ 1-(1-j^r)^b), then exact
+    shingle Jaccard filters false positives. Returns
+    (id_a, id_b, jaccard), id_a < id_b."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_sh"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("_band", "_bucket"),
+    )
+    right = banded.select(
+        F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"), "_band", "_bucket"
+    )
+    cand = (
+        banded.join(right, ["_band", "_bucket"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select("_id", "_id2", "_sh", "_sh2")
+        .dropDuplicates(["_id", "_id2"])
+    )
+    return (
+        cand.select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.round(_jaccard_arrays(F.col("_sh"), F.col("_sh2")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens: sum ±1 per bit across
+    token hashes, sign → bit. Built-in expressions only."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on (max_hamming+1) 16-bit chunks
+    (any pair within Hamming distance d matches on ≥1 of d+1 chunks),
+    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    n_blocks = max_hamming + 1
+    bits_per = 64 // n_blocks
+    sh = docs.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_h"))
+    blocked = sh.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda b: F.shiftrightunsigned(F.col("_h"), b * bits_per).bitwiseAND(
+                    F.lit((1 << bits_per) - 1)
+                ),
+            )
+        ).alias("_blk", "_val"),
+    )
+    right = blocked.select(
+        F.col("_id").alias("_id2"), F.col("_h").alias("_h2"), "_blk", "_val"
+    )
+    return (
+        blocked.join(right, ["_blk", "_val"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.bit_count(F.col("_h").bitwiseXOR(F.col("_h2"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,130 @@
+"""The matching engine: join operators (SURVEY §2.3).
+
+The reference's per-company search/match loop (scraper_v2.py:997-1067)
+decomposes into declarative joins:
+
+- ``exact_core_join``: equi-join on the derived core-name key.
+- ``strategy_ranked_first_match``: all (rank, term) pairs join at once;
+  a window picks the lowest rank per company — set-semantics equivalent
+  of the reference's sequential early-exit loop.
+- ``similarity_fallback_join``: blocked fuzzy join (block on the first
+  core token, scraper_v2.py:1034-1035), token-Jaccard score, top-1,
+  threshold gate. Blocking bounds the candidate cross-product; the
+  unblocked form is a cross join and is never acceptable at scale.
+- ``anti_join_not_found``: the not-found side output.
+- ``existing_reg_split``: rows that already carry a reg number bypass
+  the search subtree entirely (scraper_v2.py:1472-1477).
+
+Scale notes: the candidate/search-result side is joined with
+``broadcast()`` when small; otherwise both sides shuffle on the join
+key. The first-token block key is skew-prone (common first words);
+AQE skew-join handles it, and ``salt`` can be added for pathological
+corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.similarity import token_jaccard, tokenize_ws
+from ..functions.text_norm import extract_core_name
+from .windows import top1_per_group
+
+
+def exact_core_join(
+    targets: DataFrame,
+    candidates: DataFrame,
+    target_name: str = "company_name",
+    cand_name: str = "cand_text",
+    broadcast_candidates: bool = False,
+) -> DataFrame:
+    """Equi-join on ``extract_core_name`` of both sides
+    (scraper_v2.py:970-972): target core == candidate core, empty keys
+    never match (the reference compares non-empty page lines)."""
+    t = targets.withColumn("_core_key", extract_core_name(F.col(target_name)))
+    c = candidates.withColumn("_core_key", extract_core_name(F.col(cand_name)))
+    t = t.filter(F.col("_core_key") != "")
+    c = c.filter(F.col("_core_key") != "")
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    return t.join(c, "_core_key", "inner").drop("_core_key")
+
+
+def strategy_ranked_first_match(
+    matches: DataFrame,
+    key_col: str = "company_name",
+    rank_col: str = "strategy_rank",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """FIRST search term (lowest 1-based rank) that produced a match wins
+    (scraper_v2.py:1019-1028). The reference's sequential early-exit is
+    an optimization, not a semantic: joining every rank and keeping
+    ``min(rank)`` yields the same winner."""
+    order = [F.col(rank_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    return top1_per_group(matches, [key_col], order)
+
+
+def similarity_fallback_join(
+    unmatched: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    target_name: str = "company_name",
+    cand_name: str = "cand_text",
+    sim_col: str = "sim",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Blocked fuzzy join for companies with no exact hit
+    (scraper_v2.py:1030-1067):
+
+    1. block key = first token of the core name (both sides) — the
+       reference searches with just the first token and scores what
+       comes back (:1034-1035);
+    2. score = token Jaccard of core-name token sets (:1045-1052);
+    3. best candidate per company, deterministic tiebreak (:1057-1059);
+    4. threshold gate (:1062-1067).
+    """
+    t = (
+        unmatched.withColumn("_core", extract_core_name(F.col(target_name)))
+        .withColumn("_toks", tokenize_ws(F.col("_core")))
+        .withColumn("_block", F.element_at(F.col("_toks"), 1))
+        .filter(F.col("_block").isNotNull())
+    )
+    c = (
+        candidates.withColumn("_ccore", extract_core_name(F.col(cand_name)))
+        .withColumn("_ctoks", tokenize_ws(F.col("_ccore")))
+        .withColumn("_block", F.element_at(F.col("_ctoks"), 1))
+        .filter(F.col("_block").isNotNull())
+    )
+    scored = (
+        t.join(c, "_block")
+        .withColumn(sim_col, token_jaccard(F.col("_toks"), F.col("_ctoks")))
+        .drop("_block", "_core", "_toks", "_ccore", "_ctoks")
+    )
+    order = [F.col(sim_col).desc()] + [F.col(col).asc() for col in tiebreak_cols]
+    best = top1_per_group(scored, [target_name], order)
+    return best.filter(F.col(sim_col) >= F.lit(threshold))
+
+
+def anti_join_not_found(
+    inputs: DataFrame,
+    matched: DataFrame,
+    key_col: str = "company_name",
+    reason: str = "No search results",
+) -> DataFrame:
+    """Companies with no match anywhere → side output with a reason
+    (scraper_v2.py:1481-1484)."""
+    return inputs.join(matched.select(key_col), key_col, "left_anti").withColumn(
+        "reason", F.lit(reason)
+    )
+
+
+def existing_reg_split(
+    df: DataFrame, reg_col: str = "registration_number"
+) -> tuple[DataFrame, DataFrame]:
+    """(has_reg, needs_search): rows with a validated reg number skip the
+    whole search subtree (scraper_v2.py:1472-1477) — Catalyst prunes the
+    unused branch for each split."""
+    has = df.filter(F.col(reg_col).isNotNull())
+    needs = df.filter(F.col(reg_col).isNull())
+    return has, needs

@@ -1,0 +1,130 @@
+"""[EXT] Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+- ``cosine_topk_bruteforce``: exact top-k by cosine — query set joined
+  against the full corpus. Right for small probe sets / reranking; the
+  join is probe×corpus, so at 100 TB it only works with a bounded probe
+  side (broadcast the probes, stream the corpus — one scan, no shuffle
+  of the corpus).
+- ``cosine_topk_lsh``: random-hyperplane LSH (SimHash for vectors)
+  bucketing — corpus hashed once into sign-bit buckets; probes only
+  score vectors sharing a band. This is the scale path: candidate cost
+  is bucket-collision bound. Deterministic hyperplanes come from
+  xxhash64-seeded pseudo-randoms, so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from .windows import topk_per_group
+
+
+def cosine_topk_bruteforce(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    probe_vec: str = "probe_vec",
+    corpus_vec: str = "embedding",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per probe: (probe_id, vec_id, cosine_sim).
+
+    Excludes self-matches when ids collide. Cosine is rounded to 6
+    decimals for cross-engine reproducibility; ties break on vec_id."""
+    p = F.broadcast(probes) if broadcast_probes else probes
+    scored = (
+        p.crossJoin(corpus)
+        .filter(F.col(probe_id) != F.col(corpus_id))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col(probe_vec), F.col(corpus_vec)), 6),
+        )
+        .select(probe_id, corpus_id, "cosine_sim")
+    )
+    return topk_per_group(
+        scored, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane i is
+    a [-1,1] value derived from xxhash64(i, j)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.xxhash64(F.lit(plane_idx), j).cast("double") / F.lit(float(2**63))
+        ),
+    )
+
+
+def _plane_bit(vec: Column, dim: int, plane_idx: int) -> Column:
+    dot = F.aggregate(
+        F.zip_with(vec, _hyperplane(dim, plane_idx), lambda x, h: x.cast("double") * h),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return F.when(dot > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
+def _bucket_id(vec: Column, dim: int, band_idx: int, bits_per_band: int) -> Column:
+    out = F.lit(0).cast("long")
+    for b in range(bits_per_band):
+        plane = band_idx * bits_per_band + b
+        out = F.shiftleft(out, 1).bitwiseOR(_plane_bit(vec, dim, plane))
+    return out
+
+
+def cosine_topk_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    bands: int = 8,
+    bits_per_band: int = 4,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    probe_vec: str = "probe_vec",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-band random-hyperplane LSH.
+
+    Each side gets ``bands`` bucket ids (one per band of
+    ``bits_per_band`` sign bits); candidates = pairs sharing any band's
+    bucket; exact cosine reranks. Recall rises with bands, cost with
+    bits_per_band⁻¹."""
+    def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        out = df.select(
+            idc,
+            vecc,
+            F.posexplode(
+                F.array(
+                    *[
+                        _bucket_id(F.col(vecc), dim, band, bits_per_band)
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("_band", "_bucket"),
+        )
+        return out
+
+    p = banded(probes, probe_id, probe_vec)
+    c = banded(corpus, corpus_id, corpus_vec)
+    cand = (
+        p.join(c, ["_band", "_bucket"])
+        .filter(F.col(probe_id) != F.col(corpus_id))
+        .dropDuplicates([probe_id, corpus_id])
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col(probe_vec), F.col(corpus_vec)), 6),
+        )
+        .select(probe_id, corpus_id, "cosine_sim")
+    )
+    return topk_per_group(
+        cand, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
+    )

@@ -1,0 +1,4 @@
+"""Composed pipelines — the reference's query lifecycles as lazy
+DataFrame DAGs."""
+
+from .pipeline import match_companies, scrape_pipeline  # noqa: F401

@@ -1,0 +1,21 @@
+"""Sources & sinks: file ingestion (csv/text/excel/parquet), the
+UDF-shaped web-fetch source, and fault-tolerant sinks."""
+
+from .files import (  # noqa: F401
+    csv_companies_source,
+    text_companies_source,
+    excel_companies_source,
+    parquet_source,
+    COMPANIES_SCHEMA,
+)
+from .sinks import (  # noqa: F401
+    batched_sink,
+    side_output_sink,
+    combine_batches,
+    backup_on_overwrite,
+)
+from .http_fetch import (  # noqa: F401
+    fetch_search_results,
+    fetch_financial_pages,
+    FakeDbdFetcher,
+)

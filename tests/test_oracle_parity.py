@@ -1,0 +1,90 @@
+"""Local replica of the driver's t2 correctness gate: run every
+``queries()`` entry and its DuckDB ``oracle_sql()`` side by side at a
+small SF and compare row count, column names, and order-insensitive
+canonical values."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from dbd_datawarehouse_scraper_spark.queries import QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    return con
+
+
+def canon_value(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        return f"f:{float(v)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    return f"s:{v}"
+
+
+def canon_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(canon_value(row[i]) for i in order) for row in rows
+    )
+
+
+def pairs():
+    return [(n, q) for n, q in QUERIES.items() if q.sql is not None]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in pairs()])
+def test_query_matches_oracle(name, spark, sf_dir, con):
+    q = QUERIES[name]
+    sdf = q.builder(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = con.execute(q.sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    assert len(s_rows) == len(d_rows), f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    sc = canon_rows(s_cols, s_rows)
+    dc = canon_rows(d_cols, d_rows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name, q in QUERIES.items():
+        if q.sql is None:
+            df = q.builder(spark, sf_dir)
+            assert df.count() >= 0, name
