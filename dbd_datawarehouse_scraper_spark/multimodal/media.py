@@ -1,0 +1,158 @@
+"""[EXT] Multimodal columns: opaque binary payloads + typed metadata.
+
+The engine treats image/audio/video as ``binary`` columns with a typed
+metadata struct, processed by Arrow-batched pandas UDFs over
+``mapInPandas``. The Spark-side plumbing here — schemas, partitioning,
+UDF signatures, batch shapes — is real and tested; the actual codec
+calls are STUBBED: this container has no image/audio libraries, so
+``decode_media`` uses a deterministic fake parser (documented below)
+and raises ``NotImplementedError`` when asked for a real codec.
+
+At 100 TB: payloads dominate I/O, so every transform keeps column
+pruning intact (never select the payload unless the UDF needs it),
+batches flow through Arrow (zero-copy into numpy), and decode outputs
+are fixed-width so downstream columns stay columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents table (for tests and
+    the driver's hermetic runs): payload = UTF-8 bytes of the text,
+    media_type cycles by doc_id."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/fake"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/fake"))
+        .otherwise(F.lit("video/fake"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.length(F.col("text")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake codec: 'dimensions' derived from payload bytes.
+    A real deployment replaces this one function with libjpeg/ffmpeg
+    calls — the surrounding batch plumbing is unchanged."""
+    n = len(payload)
+    width = 16 + (payload[0] % 64) if n else 0
+    height = 16 + (payload[-1] % 64) if n else 0
+    return width, height, f"fake-{n % 7}"
+
+
+def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
+    """Decode payloads to typed metadata via mapInPandas (one Arrow
+    batch in, one out; per-row try/except so one corrupt payload never
+    fails the partition — the fetch-UDF fault-isolation pattern)."""
+    if real_codec:
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this environment; "
+            "plug a codec into _fake_decode's slot"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    w, h, fmt = _fake_decode(row["payload"] or b"")
+                    out.append(
+                        (row["media_id"], row["media_type"], w, h, fmt, None)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    out.append(
+                        (row["media_id"], row["media_type"], None, None, None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA]
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, DECODED_SCHEMA
+    )
+
+
+FEATURE_DIM = 16
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Byte-histogram feature vector per payload (array<float>[16]) via a
+    vectorized pandas UDF — the stand-in for an embedding model; numpy
+    does the math over the whole Arrow batch at once."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def featurize(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            if p is None or len(p) == 0:
+                out.append([0.0] * FEATURE_DIM)
+                continue
+            arr = np.frombuffer(p, dtype=np.uint8)
+            hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+                np.float64
+            )
+            norm = np.linalg.norm(hist)
+            out.append((hist / norm if norm else hist).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return media.withColumn("features", featurize(F.col("payload")))
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame offset.
+    With a real video codec the UDF would emit decoded frames; here the
+    offsets are computed columnar-only (no payload read — column
+    pruning keeps the scan narrow)."""
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_frames - 1)),
+                lambda i: (F.col("meta.n_bytes") * i / n_frames).cast("long"),
+            )
+        ).alias("frame_idx", "byte_offset"),
+    )

@@ -130,9 +130,11 @@ def minhash_lsh_pairs(
         "_id",
         "_sh",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
+            F.array(
+                *[
+                    F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band))
+                    for b in range(bands)
+                ]
             )
         ).alias("_band", "_bucket"),
     )
@@ -155,35 +157,52 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over whitespace tokens: sum ±1 per bit across
-    token hashes, sign → bit. Built-in expressions only."""
+def _pow2_long(b: int) -> int:
+    """2^b as a signed 64-bit literal (bit 63 is the sign bit)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
+def simhash_counters(text: Column) -> Column:
+    """Per-bit ±1 vote totals (array<int>[64]) across token hashes —
+    stage 1 of SimHash. Built-in expressions only (bit counts are
+    Python ints — Spark's shift functions don't take Column bit counts)."""
     toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
-    counters = F.aggregate(
+    return F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("int"), 64),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for b in range(64)
+                ]
             ),
             lambda a, d: a + d,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, b: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+
+
+def simhash_pack(counters: Column) -> Column:
+    """Stage 2: sign of each counter → bit, packed into a long. Pass a
+    MATERIALIZED column (withColumn), not the raw counters expression —
+    the 64 references here would otherwise clone the whole stage-1 tree."""
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out.bitwiseOR(
+            F.when(F.element_at(counters, b + 1) > 0, F.lit(_pow2_long(b)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash64(text: Column) -> Column:
+    """Convenience single-expression SimHash; prefer the two-stage form
+    (simhash_counters → simhash_pack) inside DataFrame pipelines."""
+    return simhash_pack(simhash_counters(text))
 
 
 def simhash_pairs(
@@ -197,16 +216,25 @@ def simhash_pairs(
     verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
     n_blocks = max_hamming + 1
     bits_per = 64 // n_blocks
-    sh = docs.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_h"))
+    sh = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            simhash_counters(F.col(text_col)).alias("_cnt"),
+        )
+        .withColumn("_h", simhash_pack(F.col("_cnt")))
+        .drop("_cnt")
+    )
     blocked = sh.select(
         "_id",
         "_h",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda b: F.shiftrightunsigned(F.col("_h"), b * bits_per).bitwiseAND(
-                    F.lit((1 << bits_per) - 1)
-                ),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("_h"), b * bits_per).bitwiseAND(
+                        F.lit((1 << bits_per) - 1)
+                    )
+                    for b in range(n_blocks)
+                ]
             )
         ).alias("_blk", "_val"),
     )

@@ -50,7 +50,19 @@ def register(name: str, sql: str | None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    which Spark's reader rejects. Read nanos as long and truncate to
+    microseconds with integer division — the same truncation DuckDB
+    applies, so event times agree across engines to the microsecond."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def dsum(col: F.Column, scale: int = 6) -> F.Column:
@@ -1256,4 +1268,464 @@ def field_year_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = year_filter(out, [2566, 2565])
     return out.select(
         "registration_number", "table_type", "field_name", "year", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] text analysis over documents
+# ---------------------------------------------------------------------------
+
+_TOKC = "len(list_filter(str_split_regex(trim(text), '\\s+'), w -> w != ''))"
+
+
+@register(
+    "token_count",
+    f"SELECT doc_id, CAST({_TOKC} AS BIGINT) AS n_tokens FROM documents",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(CAST({_TOKC} AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import token_count
+
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum(token_count(F.col("text")).cast("long")).cast("double") / F.count("*")
+        ).alias("avg_tokens"),
+    )
+
+
+_LANG_SCORES_SQL = """
+      len(regexp_extract_all(lower(text), '\\b(the|and|of|is|was|with|that|this|for|are)\\b')) AS s_en,
+      len(regexp_extract_all(lower(text), '\\b(el|la|los|las|es|y|de|que|en|una)\\b')) AS s_es,
+      len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|mit|von|ein|eine|nicht)\\b')) AS s_de,
+      len(regexp_extract_all(lower(text), '\\b(le|les|des|est|et|dans|une|que|pour|avec)\\b')) AS s_fr,
+      CAST(floor(len(regexp_extract_all(text, '[一-鿿]')) / 2) AS INT) AS s_zh
+"""
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH scored AS (SELECT doc_id, lang, {_LANG_SCORES_SQL} FROM documents),
+    best AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS top FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN top <= 0 THEN 'und'
+                WHEN s_en = top THEN 'en'
+                WHEN s_es = top THEN 'es'
+                WHEN s_de = top THEN 'de'
+                WHEN s_fr = top THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM best
+    """,
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import lang_id
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "quality_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+        CAST(len(list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '')) AS DOUBLE) AS n_tokens,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+        CAST(len(regexp_extract_all(lower(text),
+          '\\b(the|and|of|to|in|a|is|der|die|und|le|la|et|el|los|de|que)\\b')) AS DOUBLE) AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        least(n_tokens / 20.0, 1.0) AS len_score,
+        least(n_punct / greatest(n_chars, 1.0) * 10, 1.0) AS punct_penalty,
+        least(n_stop / greatest(n_tokens, 1.0) * 5, 1.0) AS stop_score
+      FROM m)
+    SELECT doc_id,
+           round(0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_penalty), 6) AS quality
+    FROM s
+    """,
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text_analysis import doc_fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "ngram_jaccard_dedup",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [array_to_string(w, ' ')] END) AS s
+      FROM words),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+             END AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE a.doc_id % 50 = 0)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE round(jaccard, 6) >= 0.2
+    """,
+)
+def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, k=3, threshold=0.2, probe_filter=(F.col("_id") % 50 == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH p AS (
+      SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 = 0),
+    pairs AS (
+      SELECT probe_id, vec_id,
+        list_sum(list_transform(range(1, len(pe) + 1),
+          i -> CAST(ROUND(CAST(pe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT))) AS qd,
+        list_sum(list_transform(range(1, len(pe) + 1),
+          i -> CAST(ROUND(CAST(pe[i] AS DOUBLE) * CAST(pe[i] AS DOUBLE) * 1e12) AS BIGINT))) AS qp,
+        list_sum(list_transform(range(1, len(embedding) + 1),
+          i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT))) AS qc
+      FROM p, embeddings WHERE probe_id != vec_id),
+    cosined AS (
+      SELECT probe_id, vec_id,
+             round(CASE WHEN qp = 0 OR qc = 0 THEN 0.0
+                        ELSE CAST(qd AS DOUBLE) / (sqrt(CAST(qp AS DOUBLE)) * sqrt(CAST(qc AS DOUBLE)))
+                   END, 6) AS cosine_sim
+      FROM pairs),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id) AS rn
+      FROM cosined)
+    SELECT probe_id, vec_id, cosine_sim FROM ranked WHERE rn <= 5
+    """,
+)
+def embedding_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.vectors import qcosine
+    from .operators.windows import topk_per_group
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(e)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(qcosine(F.col("pe"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    return topk_per_group(
+        scored, ["probe_id"], [F.col("cosine_sim").desc(), F.col("vec_id").asc()], 5
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: JSON functions + event-time windows (batch mirrors of §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_json_extract",
+    f"""
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           {DSUM.format(x='value')} AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {DSUM.format(x='value')} AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    f"""
+    WITH slid AS (
+      SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                     time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS wstart,
+             event_type, value
+      FROM events)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {DSUM.format(x='value')} AS total
+    FROM slid GROUP BY 1, 2
+    """,
+)
+def sliding_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "session_window_batch",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ms,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events, min(ms) AS start_ms, max(ms) AS end_ms
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def session_window_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch sessionization: gaps-and-islands (the streaming analog is
+    # session_window(ts, gap) — see streaming/windows.py)
+    ev = t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = ev.select(
+        "user_id",
+        "event_id",
+        ms.alias("ms"),
+        F.when(
+            F.lag(ms).over(w).isNull() | ((ms - F.lag(ms).over(w)) > 1800000), 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(wf).cast("long"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ms").alias("start_ms"),
+        F.max("ms").alias("end_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rows-only checks: hash-randomized / UDF-backed operators with no exact
+# SQL mirror (driver records the weaker rows-only check; pytest covers
+# their semantics — recall vs exact Jaccard, pipeline golden outputs)
+# ---------------------------------------------------------------------------
+
+
+@register("minhash_lsh_dedup", None)
+def minhash_lsh_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-Jaccard verified.
+    tests/test_dedup.py checks recall against ngram_jaccard_dedup."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, num_hashes=32, bands=8, k=3, threshold=0.4
+    )
+
+
+@register("simhash_dedup", None)
+def simhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+@register("cosine_topk_lsh", None)
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH; recall vs brute force
+    checked in tests/test_similarity_search.py."""
+    from .operators.similarity_search import cosine_topk_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return cosine_topk_lsh(probes, e, k=5, dim=64, bands=8, bits_per_band=4)
+
+
+@register("scrape_pipeline_hermetic", None)
+def scrape_pipeline_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E1 replay (match → extract → unpivot) over a deterministic
+    in-memory registry derived from the customer table (no network)."""
+    from .config import load_config
+    from .plans import scrape_pipeline
+    from .sources import FakeDbdFetcher
+
+    cust = t(spark, sf_dir, "customer")
+    rows = cust.select("c_custkey", "c_name").collect()
+    registry = [(f"0{r['c_custkey']:012d}", f"บริษัท {r['c_name']} จำกัด") for r in rows]
+    conf = load_config(
+        overrides={
+            "matching": {"similarity_threshold": 0.4, "max_pages": 3},
+            "extraction": {
+                "income_fields": ["รายได้รวม", "กำไรสุทธิ"],
+                "balance_fields": ["สินทรัพย์รวม", "หนี้สินรวม"],
+            },
+        }
+    )
+    k = F.col("c_custkey")
+    companies = cust.select(
+        F.when(k % 8 == 3, F.concat(F.lit("บริษัท "), F.col("c_name"), F.lit(" พิเศษ จำกัด")))
+        .when(k % 8 == 7, F.concat(F.lit("บริษัท ไม่มีจริง "), k.cast("string"), F.lit(" จำกัด")))
+        .otherwise(F.concat(F.lit("บริษัท "), F.col("c_name"), F.lit(" จำกัด")))
+        .alias("company_name"),
+        F.when(k % 4 == 1, F.concat(F.lit("0"), F.lpad(k.cast("string"), 12, "0"))).alias(
+            "registration_number"
+        ),
+    )
+    fact, _ = scrape_pipeline(companies, lambda: FakeDbdFetcher(registry), conf)
+    return fact
+
+
+@register(
+    "session_window_native",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                    OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ms,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+    SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_native_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window on batch data; oracle is the
+    gaps-and-islands construction (same sessions: start=min ts,
+    end=max ts + gap)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+            "n_events",
+        )
+    )
+
+
+@register("multimodal_pipeline", None)
+def multimodal_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → decode (stubbed codec, real Arrow
+    plumbing) → feature extraction → join back metadata."""
+    from .multimodal import decode_media, media_features, synth_media
+
+    docs = t(spark, sf_dir, "documents")
+    media = synth_media(docs)
+    decoded = decode_media(media)
+    feats = media_features(media).select("media_id", "features")
+    return decoded.join(feats, "media_id").select(
+        "media_id", "media_type", "width", "height", "format",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
     )

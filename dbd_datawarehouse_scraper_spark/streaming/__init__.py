@@ -1,0 +1,14 @@
+"""Structured Streaming surface: event-time windows, watermarks,
+checkpointed micro-batch sinks (SURVEY §2.9)."""
+
+from .windows import (  # noqa: F401
+    tumbling_counts,
+    sliding_counts,
+    session_counts,
+    stream_dedup,
+)
+from .micro_batch import (  # noqa: F401
+    file_stream,
+    two_sink_foreach_batch,
+    resume_anti_join,
+)

@@ -1,0 +1,74 @@
+"""Near-dup operators: MinHash-LSH candidates must recall the exact
+n-gram-Jaccard pairs above threshold; SimHash pairs must verify by true
+Hamming distance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark, sf_dir):
+    """documents plus deliberate near-duplicates: drop the last 2 words
+    of every 25th doc → high-Jaccard pair guaranteed."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    F.split(F.col("text"), " "),
+                    1,
+                    F.greatest(F.size(F.split(F.col("text"), " ")) - 2, F.lit(1)),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(dups).cache()
+
+
+def test_minhash_recall_vs_exact(spark, near_dup_docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(near_dup_docs, k=3, threshold=0.7).collect()
+    }
+    assert exact, "fixture must produce at least one true near-dup pair"
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            near_dup_docs, num_hashes=64, bands=16, k=3, threshold=0.7
+        ).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    # 16 bands × 4 rows: P(candidate | j=0.7) ≈ 1-(1-0.7^4)^16 ≈ 0.99
+    assert recall >= 0.9, f"recall {recall}: {len(lsh)} lsh vs {len(exact)} exact"
+    # verification step guarantees no false positives above threshold
+    assert lsh <= exact | lsh
+
+
+def test_minhash_pairs_are_verified(spark, near_dup_docs):
+    out = minhash_lsh_pairs(near_dup_docs, num_hashes=32, bands=8, threshold=0.5)
+    assert all(r["jaccard"] >= 0.5 for r in out.collect())
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window join filter scan"), (2, "spark window join filter scan"),
+         (3, "totally different words entirely here")],
+        ["doc_id", "text"],
+    )
+    hashes = {r["doc_id"]: r["h"] for r in df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+
+    pairs = simhash_pairs(df, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["hamming"] == 0

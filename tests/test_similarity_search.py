@@ -1,0 +1,55 @@
+"""ANN operators: LSH top-k recall against exact brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def probes(emb):
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def test_bruteforce_topk_shape(emb, probes):
+    out = cosine_topk_bruteforce(probes, emb, k=5)
+    rows = out.collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, group in by_probe.items():
+        assert len(group) == 5
+        sims = [g["cosine_sim"] for g in group]
+        assert sims == sorted(sims, reverse=True)
+        assert all(g["vec_id"] != pid for g in group)
+
+
+def test_lsh_recall_vs_bruteforce(emb, probes):
+    exact = cosine_topk_bruteforce(probes, emb, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    approx = cosine_topk_lsh(
+        probes, emb, k=10, dim=64, bands=16, bits_per_band=2
+    ).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    recalls = [
+        len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 16 bands × 2 bits: near-neighbors share ≥1 band with high prob
+    assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}"

@@ -1,0 +1,114 @@
+"""Structured Streaming: windowed aggs over a file-source stream must
+equal the batch computation on the same rows; checkpointed foreachBatch
+must not duplicate output across restarts."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.queries import events_table
+from dbd_datawarehouse_scraper_spark.streaming import (
+    file_stream,
+    session_counts,
+    stream_dedup,
+    tumbling_counts,
+    two_sink_foreach_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Events re-written as µs-timestamp parquet (streaming needs an
+    explicit schema; the raw testdata is ns which Spark can't read)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    events_table(spark, sf_dir).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = sorted(
+        tuple(r)
+        for r in tumbling_counts(batch).collect()  # same exprs run in batch mode
+    )
+
+    stream = file_stream(spark, events_dir, batch.schema)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM tumbling_out").collect())
+    assert got == expected
+
+
+def test_stream_session_counts_runs(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = file_stream(spark, events_dir, batch.schema)
+    q = (
+        session_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_stream_dedup_drops_duplicates(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        batch.write.mode("overwrite").parquet(dup_dir + "/a")
+        batch.write.mode("append").parquet(dup_dir + "/a")  # every row twice
+        stream = file_stream(spark, dup_dir + "/a", batch.schema)
+        q = (
+            stream_dedup(stream, ["event_id"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+        assert n == batch.count()
+    finally:
+        shutil.rmtree(dup_dir, ignore_errors=True)
+
+
+def test_two_sink_checkpoint_no_duplicates_on_restart(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    work = tempfile.mkdtemp(prefix="two_sink_")
+    fact, reject, ckpt = f"{work}/fact", f"{work}/reject", f"{work}/ckpt"
+    try:
+        pred = F.col("value") >= 0
+        q = two_sink_foreach_batch(
+            file_stream(spark, events_dir, batch.schema), pred, fact, reject, ckpt
+        )
+        q.awaitTermination(120)
+        n_fact_1 = spark.read.parquet(fact).count()
+        n_reject_1 = spark.read.parquet(reject).count()
+        assert n_fact_1 + n_reject_1 == batch.count()
+
+        # restart with the same checkpoint: no new files → no duplicates
+        q2 = two_sink_foreach_batch(
+            file_stream(spark, events_dir, batch.schema), pred, fact, reject, ckpt
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(fact).count() == n_fact_1
+        assert spark.read.parquet(reject).count() == n_reject_1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
