@@ -18,14 +18,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# scale-relevant operators across the inventory: scan+agg, string layer,
+# match-engine joins, windows, unpivot, set ops, events, text, vectors
 HEADLINE = [
     "q1_pricing_summary",
+    "broadcast_dim_join",
+    "generate_search_terms",
+    "exact_core_join",
+    "similarity_fallback_join",
     "thai_filter",
     "normalize_name",
     "extract_core_name",
     "regnum_validate",
     "parse_money",
-    "project_columns",
+    "topk_per_group",
+    "window_lag_lead_rank",
+    "running_window_frame",
+    "unpivot_lineitem",
+    "financial_unpivot",
+    "dedup_prefer_reg",
+    "rollup_aggregate",
+    "tumbling_window_agg",
+    "session_window_batch",
+    "events_json_extract",
+    "token_jaccard",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
 ]
 
 

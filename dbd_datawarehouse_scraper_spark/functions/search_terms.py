@@ -12,11 +12,23 @@ would not append it), the progressive word-trim becomes
 ``transform(sequence(n-1, 1, -1), ...)``, and the reference's
 ``if term not in search_terms`` ordered dedup is exactly
 ``array_distinct`` (Spark preserves first occurrence).
+
+Two forms:
+
+- ``generate_search_terms(name)``: single column expression. Because
+  higher-order functions are interpreted (no codegen) and interpreted
+  eval has no common-subexpression elimination, every reference to
+  ``core`` re-runs its regex chain — fine for small inputs, ~0.4ms/row
+  on long names.
+- ``add_search_terms(df, ...)``: the pipeline form. Stage 1 computes
+  the scalar variants in a persisted projection (codegen'd regexes, one
+  evaluation each); stage 2 assembles the array from plain column
+  references. ~10× faster per row; this is what plans/pipeline.py uses.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text_norm import (
@@ -30,39 +42,55 @@ from .text_norm import (
 )
 
 
-def generate_search_terms(name: Column) -> Column:
-    """array<string> of search variants in reference priority order."""
+def _variant_columns(name: Column) -> dict[str, Column]:
+    """The scalar pieces of the cascade, each as one expression."""
     # base: drop every literal บริษัท, collapse whitespace (:791-793)
     base = collapse_ws(F.replace(name, F.lit(COMPANY_PREFIX), F.lit("")))
-    is_partnership = name.contains("ห้างหุ้นส่วน")  # :788
-
-    # partnership branch (:799-819)
-    nwp = strip_partnership_prefix(base)  # one prefix only, longest first
-    short_variant = F.concat(F.lit("ห้างหุ้นส่วน "), nwp)  # :816, no re-trim
-
-    # มหาชน branch (:822-835)
-    has_public = base.contains("มหาชน")
-    no_space_variant = F.replace(
-        F.replace(base, F.lit("จำกัด (มหาชน)"), F.lit("จำกัด(มหาชน)")),
-        F.lit("จำกัด  (มหาชน)"),
-        F.lit("จำกัด(มหาชน)"),
-    )
-    just_limited = F.trim(
-        F.element_at(
-            F.split(F.trim(F.element_at(F.split(base, r"\(มหาชน\)"), 1)), "มหาชน"), 1
-        )
-    )
-
     core = extract_core_name(name)  # :837
-    cleaned = clean_filler_words(core)  # :843
-    no_parens = remove_parentheses(core)  # :848
-    no_numbers = remove_trailing_numbers(core)  # :853
+    return {
+        "_gst_base": base,
+        "_gst_is_partnership": name.contains("ห้างหุ้นส่วน"),  # :788
+        "_gst_nwp": strip_partnership_prefix(base),  # one prefix, longest first
+        "_gst_has_public": base.contains("มหาชน"),
+        "_gst_no_space": F.replace(
+            F.replace(base, F.lit("จำกัด (มหาชน)"), F.lit("จำกัด(มหาชน)")),
+            F.lit("จำกัด  (มหาชน)"),
+            F.lit("จำกัด(มหาชน)"),
+        ),
+        "_gst_just_limited": F.trim(
+            F.element_at(
+                F.split(
+                    F.trim(F.element_at(F.split(base, r"\(มหาชน\)"), 1)), "มหาชน"
+                ),
+                1,
+            )
+        ),
+        "_gst_core": core,
+        "_gst_cleaned": clean_filler_words(core),  # :843
+        "_gst_no_parens": remove_parentheses(core),  # :848
+        "_gst_no_numbers": remove_trailing_numbers(core),  # :853
+    }
+
+
+def _assemble_terms(v: dict[str, Column]) -> Column:
+    """Slots + progressive trim + ordered dedup, from variant columns."""
+    base = v["_gst_base"]
+    is_partnership = v["_gst_is_partnership"]
+    nwp = v["_gst_nwp"]
+    short_variant = F.concat(F.lit("ห้างหุ้นส่วน "), nwp)  # :816, no re-trim
+    has_public = v["_gst_has_public"]
+    no_space = v["_gst_no_space"]
+    just_limited = v["_gst_just_limited"]
+    core = v["_gst_core"]
+    cleaned = v["_gst_cleaned"]
+    no_parens = v["_gst_no_parens"]
+    no_numbers = v["_gst_no_numbers"]
 
     head = F.array(
         F.when(base != "", base),
         F.when(is_partnership & (nwp != ""), nwp),
         F.when(is_partnership, short_variant),
-        F.when(~is_partnership & has_public, no_space_variant),
+        F.when(~is_partnership & has_public, no_space),
         F.when(~is_partnership & has_public & (just_limited != ""), just_limited),
         F.when(core != "", core),
         F.when((cleaned != "") & (cleaned != core), cleaned),
@@ -85,3 +113,30 @@ def generate_search_terms(name: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
     return F.array_distinct(F.array_compact(F.concat(head, trims)))
+
+
+def generate_search_terms(name: Column) -> Column:
+    """array<string> of search variants in reference priority order
+    (single-expression form)."""
+    return _assemble_terms(_variant_columns(name))
+
+
+def add_search_terms(
+    df: DataFrame,
+    name_col: str = "company_name",
+    out_col: str = "terms",
+    persist: bool = True,
+) -> DataFrame:
+    """Pipeline form: materialize the scalar variants (stage 1, codegen'd
+    regexes evaluated once each), then assemble the array from column
+    references (stage 2). ``persist`` puts a barrier between the stages
+    so CollapseProject can't inline stage 1 back into the interpreted
+    HOF tree; the companies relation is the small side of the pipeline,
+    so persisting it is cheap at any scale."""
+    variants = _variant_columns(F.col(name_col))
+    staged = df.select("*", *[expr.alias(alias) for alias, expr in variants.items()])
+    if persist:
+        staged = staged.persist()
+    refs = {alias: F.col(alias) for alias in variants}
+    out = staged.withColumn(out_col, _assemble_terms(refs))
+    return out.drop(*variants.keys())

@@ -94,14 +94,49 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
-    """MinHash signature (array<bigint>) over word-k-gram shingles.
+    """MinHash signature (array<bigint>) over word-k-gram shingles, as a
+    single column expression.
 
     Hash family i is ``xxhash64(shingle, i)``; the signature element is
-    the min over shingles. Deterministic across runs/executors."""
+    the min over shingles. Deterministic across runs/executors.
+
+    NOTE: higher-order functions are interpreted (no whole-stage
+    codegen), so this form costs ~num_hashes × n_shingles interpreted
+    evals per row. Pipelines should prefer ``minhash_signatures`` (the
+    explode + aggregate form below): same hash family, fully codegen'd,
+    map-side partial mins."""
     sh = shingles(text, k)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """(id, _sig array<bigint>) via explode + aggregate — the scale path.
+
+    Each (doc, shingle) row is hashed ``num_hashes`` ways inside
+    whole-stage codegen; ``groupBy(id).agg(min...)`` combines partial
+    mins map-side, so the shuffle carries one row per document, not one
+    per shingle. Identical hash family (xxhash64(shingle, i)) to
+    ``minhash_signature``."""
+    ex = docs.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    )
+    agg = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        "_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -121,14 +156,16 @@ def minhash_lsh_pairs(
     shingle Jaccard filters false positives. Returns
     (id_a, id_b, jaccard), id_a < id_b."""
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("_sig"),
-    )
+    # candidate generation stays NARROW: only (id, band, bucket) rows
+    # shuffle — carrying shingle arrays through the self-join/distinct
+    # multiplies shuffle bytes by the document size (measured 5-10× slower).
+    # Signatures come from the codegen'd explode+aggregate form and are
+    # PERSISTED: the banded self-join reads them twice, and hashing the
+    # corpus once / probing the bucket index many times is the
+    # scale-correct plan anyway.
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, k).persist()
     banded = sig.select(
         "_id",
-        "_sh",
         F.posexplode(
             F.array(
                 *[
@@ -138,17 +175,23 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bucket"),
     )
-    right = banded.select(
-        F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"), "_band", "_bucket"
-    )
+    right = banded.select(F.col("_id").alias("_id2"), "_band", "_bucket")
     cand = (
         banded.join(right, ["_band", "_bucket"])
         .filter(F.col("_id") < F.col("_id2"))
-        .select("_id", "_id2", "_sh", "_sh2")
+        .select("_id", "_id2")
         .dropDuplicates(["_id", "_id2"])
     )
+    # exact verification joins the shingle sets back in (computed once
+    # per side, joined by id — not recomputed per candidate pair)
+    sh = docs.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+    ).persist()
+    sh2 = sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"))
     return (
-        cand.select(
+        cand.join(sh, "_id")
+        .join(sh2, "_id2")
+        .select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
             F.round(_jaccard_arrays(F.col("_sh"), F.col("_sh2")), 6).alias("jaccard"),

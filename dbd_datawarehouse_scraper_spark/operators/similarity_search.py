@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
 from .windows import topk_per_group
 
 
@@ -36,14 +35,30 @@ def cosine_topk_bruteforce(
     """Exact top-k neighbors per probe: (probe_id, vec_id, cosine_sim).
 
     Excludes self-matches when ids collide. Cosine is rounded to 6
-    decimals for cross-engine reproducibility; ties break on vec_id."""
-    p = F.broadcast(probes) if broadcast_probes else probes
+    decimals for cross-engine reproducibility; ties break on vec_id.
+
+    Norms are attached per SIDE before the join: the Join node blocks
+    projection collapse, so each vector's norm evaluates once (array
+    HOFs are interpreted — recomputing a norm per PAIR costs 2×|corpus|
+    extra interpreted folds per probe)."""
+    from ..functions.vectors import dot, l2_norm
+
+    p = probes.withColumn("_np", l2_norm(F.col(probe_vec)))
+    c = corpus.withColumn("_nc", l2_norm(F.col(corpus_vec)))
+    if broadcast_probes:
+        p = F.broadcast(p)
+    denom = F.col("_np") * F.col("_nc")
     scored = (
-        p.crossJoin(corpus)
+        p.crossJoin(c)
         .filter(F.col(probe_id) != F.col(corpus_id))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col(probe_vec), F.col(corpus_vec)), 6),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    dot(F.col(probe_vec), F.col(corpus_vec)) / denom
+                ),
+                6,
+            ),
         )
         .select(probe_id, corpus_id, "cosine_sim")
     )
@@ -98,10 +113,15 @@ def cosine_topk_lsh(
     ``bits_per_band`` sign bits); candidates = pairs sharing any band's
     bucket; exact cosine reranks. Recall rises with bands, cost with
     bits_per_band⁻¹."""
-    def banded(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        out = df.select(
+    from ..functions.vectors import dot, l2_norm
+
+    def banded(df: DataFrame, idc: str, vecc: str, normc: str) -> DataFrame:
+        # bucket ids + norm computed BEFORE the explode/join (HOFs are
+        # interpreted; persist keeps the hash-the-corpus-once shape)
+        return df.select(
             idc,
             vecc,
+            l2_norm(F.col(vecc)).alias(normc),
             F.posexplode(
                 F.array(
                     *[
@@ -110,18 +130,23 @@ def cosine_topk_lsh(
                     ]
                 )
             ).alias("_band", "_bucket"),
-        )
-        return out
+        ).persist()
 
-    p = banded(probes, probe_id, probe_vec)
-    c = banded(corpus, corpus_id, corpus_vec)
+    p = banded(probes, probe_id, probe_vec, "_np")
+    c = banded(corpus, corpus_id, corpus_vec, "_nc")
+    denom = F.col("_np") * F.col("_nc")
     cand = (
         p.join(c, ["_band", "_bucket"])
         .filter(F.col(probe_id) != F.col(corpus_id))
         .dropDuplicates([probe_id, corpus_id])
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col(probe_vec), F.col(corpus_vec)), 6),
+            F.round(
+                F.when(denom == 0, F.lit(0.0)).otherwise(
+                    dot(F.col(probe_vec), F.col(corpus_vec)) / denom
+                ),
+                6,
+            ),
         )
         .select(probe_id, corpus_id, "cosine_sim")
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.parsing import extract_regnum, match_type_label, parse_money
-from ..functions.search_terms import generate_search_terms
+from ..functions.search_terms import add_search_terms
 from ..operators.joins import (
     anti_join_not_found,
     existing_reg_split,
@@ -58,9 +58,7 @@ def match_companies(
         F.lit("direct").alias("search_strategy"),
     )
 
-    with_terms = needs_search.select(
-        "company_name", generate_search_terms(F.col("company_name")).alias("terms")
-    )
+    with_terms = add_search_terms(needs_search.select("company_name"))
     raw = fetch_search_results(
         with_terms,
         fetcher_factory,

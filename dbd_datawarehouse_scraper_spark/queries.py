@@ -17,6 +17,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # module-level so pandas-UDF type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -464,14 +466,14 @@ _SQL_NO_NUMBERS = _SQZ.format(
     """,
 )
 def generate_search_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.search_terms import generate_search_terms
+    from .functions.search_terms import add_search_terms
 
-    d = _decorated_parts(spark, sf_dir)
+    d = add_search_terms(
+        _decorated_parts(spark, sf_dir), name_col="company_name"
+    )
     return d.select(
         "p_partkey",
-        F.posexplode(generate_search_terms(F.col("company_name"))).alias(
-            "pos", "term"
-        ),
+        F.posexplode(F.col("terms")).alias("pos", "term"),
     ).select(
         "p_partkey", "term", (F.col("pos") + 1).cast("long").alias("strategy_rank")
     )
@@ -1455,13 +1457,23 @@ def ngram_jaccard_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.vectors import qcosine
+    from .functions.vectors import qdot
     from .operators.windows import topk_per_group
 
-    e = t(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    # norms are computed per SIDE before the join (the Join node stops
+    # projection collapse, so each row's norm evaluates once instead of
+    # once per pair — HOFs are interpreted, so this matters 2×corpus)
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        qdot(F.col("embedding"), F.col("embedding")).alias("_qc"),
     )
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("_qc").alias("_qp"),
+    )
+    qd = qdot(F.col("pe"), F.col("embedding"))
     scored = (
         F.broadcast(probes)
         .crossJoin(e)
@@ -1469,7 +1481,13 @@ def embedding_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "vec_id",
-            F.round(qcosine(F.col("pe"), F.col("embedding")), 6).alias("cosine_sim"),
+            F.round(
+                F.when((F.col("_qp") == 0) | (F.col("_qc") == 0), F.lit(0.0)).otherwise(
+                    qd.cast("double")
+                    / (F.sqrt(F.col("_qp").cast("double")) * F.sqrt(F.col("_qc").cast("double")))
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     return topk_per_group(
@@ -1728,4 +1746,150 @@ def multimodal_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(feats, "media_id").select(
         "media_id", "media_type", "width", "height", "format",
         F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# remaining §2.8 scalar parsers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parse_year_header",
+    """
+    WITH cells AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN CAST(2560 + o_orderkey % 10 AS VARCHAR)
+                  WHEN o_orderkey % 5 = 1 THEN '25' || CAST(o_orderkey % 100 AS VARCHAR)
+                  WHEN o_orderkey % 5 = 2 THEN 'ปี 2566'
+                  ELSE CAST(o_orderkey % 3000 AS VARCHAR) END AS cell
+      FROM orders)
+    SELECT o_orderkey, cell,
+           CASE WHEN regexp_full_match(cell, '25[6-7][0-9]')
+                THEN CAST(cell AS INT) END AS year
+    FROM cells
+    """,
+)
+def parse_year_header_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.parsing import parse_year_header
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cell = (
+        F.when(k % 5 == 0, (F.lit(2560) + k % 10).cast("string"))
+        .when(k % 5 == 1, F.concat(F.lit("25"), (k % 100).cast("string")))
+        .when(k % 5 == 2, F.lit("ปี 2566"))
+        .otherwise((k % 3000).cast("string"))
+    )
+    return o.select(
+        "o_orderkey", cell.alias("cell"), parse_year_header(cell).alias("year")
+    )
+
+
+@register(
+    "match_type_format",
+    """
+    SELECT o_orderkey,
+           'similarity_' || CAST(CAST(floor(CAST(o_orderkey % 101 AS DOUBLE) / 100 * 100) AS INT) AS VARCHAR) || '%' AS match_type
+    FROM orders
+    """,
+)
+def match_type_format_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.parsing import match_type_label
+
+    o = t(spark, sf_dir, "orders")
+    sim = (F.col("o_orderkey") % 101).cast("double") / 100
+    return o.select("o_orderkey", match_type_label(sim).alias("match_type"))
+
+
+@register(
+    "extract_labeled_regnum",
+    """
+    WITH pages AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'ชื่อนิติบุคคล : บริษัท ทดสอบ จำกัด' || chr(10) ||
+                       'เลขทะเบียนนิติบุคคล : 0' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                  ELSE 'ไม่พบข้อมูล หน้า 1' END AS page_text
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN regexp_matches(page_text, 'เลขทะเบียนนิติบุคคล\\s*[:\\s]\\s*(0\\d{12})')
+                THEN regexp_extract(page_text, 'เลขทะเบียนนิติบุคคล\\s*[:\\s]\\s*(0\\d{12})', 1)
+           END AS registration_number
+    FROM pages
+    """,
+)
+def extract_labeled_regnum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.parsing import extract_labeled_regnum
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    page = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("ชื่อนิติบุคคล : บริษัท ทดสอบ จำกัด\nเลขทะเบียนนิติบุคคล : 0"),
+            F.lpad(k.cast("string"), 12, "0"),
+        ),
+    ).otherwise(F.lit("ไม่พบข้อมูล หน้า 1"))
+    return o.select(
+        "o_orderkey", extract_labeled_regnum(page).alias("registration_number")
+    )
+
+
+@register(
+    "total_pages_parse",
+    """
+    WITH texts AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'หน้า 1 / ' || CAST(o_orderkey % 50 + 1 AS VARCHAR)
+                  WHEN o_orderkey % 4 = 1 THEN '/ ' || CAST(o_orderkey % 20 + 2 AS VARCHAR)
+                  ELSE 'ไม่มีเลขหน้า' END AS page_text
+      FROM orders)
+    SELECT o_orderkey,
+           CASE WHEN regexp_matches(page_text, '/\\s*(\\d+)')
+                THEN CAST(regexp_extract(page_text, '/\\s*(\\d+)', 1) AS INT)
+           END AS total_pages
+    FROM texts
+    """,
+)
+def total_pages_parse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.parsing import total_pages_parse
+
+    o = t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    txt = (
+        F.when(k % 4 == 0, F.concat(F.lit("หน้า 1 / "), (k % 50 + 1).cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("/ "), (k % 20 + 2).cast("string")))
+        .otherwise(F.lit("ไม่มีเลขหน้า"))
+    )
+    return o.select("o_orderkey", total_pages_parse(txt).alias("total_pages"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 UDAF surface: grouped-agg pandas UDF (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_agg_pandas_udaf",
+    """
+    SELECT o_orderstatus,
+           round(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                 / COUNT(*), 2) AS mean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def grouped_agg_pandas_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF via Arrow grouped-agg pandas UDF: cents-exact mean. The UDF
+    quantizes to int64 cents before summing so the result is
+    reproducible regardless of pandas' summation order."""
+
+    @F.pandas_udf("double")
+    def mean_cents(v: pd.Series) -> float:
+        cents = (v * 100).round().astype("int64")
+        return round(float(cents.sum()) / 100 / len(cents), 2)
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        mean_cents(F.col("o_totalprice")).alias("mean_price")
     )

@@ -140,3 +140,40 @@ def test_retry_then_error_row(spark, conf, companies_df):
         r["company_name"]: r["reason"] for r in not_found.collect()
     }
     assert "injected failure" in reasons.get("บริษัท ทดสอบ จำกัด", "")
+
+
+def test_page_cap_limits_fetches():
+    """max_pages caps pagination (scraper_v2.py:929-941): a term with 3
+    pages of hits but max_pages=2 fetches exactly 2 pages."""
+    from dbd_datawarehouse_scraper_spark.sources.http_fetch import _search_one
+
+    registry = [
+        (f"01055360417{i:02d}", f"บริษัท ร่วม คำ {i} จำกัด") for i in range(25)
+    ]
+    fetcher = FakeDbdFetcher(registry, redirect_singletons=False)
+    rows = _search_one(
+        fetcher, "บริษัท ไม่ตรง จำกัด", ["ร่วม คำ"],
+        max_pages=2, max_retries=1, backoff_unit=0, delay=0,
+    )
+    assert fetcher.search_calls == 2  # 3 pages exist, cap at 2
+    assert len(rows) == 20  # 10 results per fetched page
+
+
+def test_profile_prefix_fallback_order():
+    """Prefixes tried in ['5','7','6','3',''] order until one is valid
+    (scraper_v2.py:1259-1269)."""
+    import pandas as pd
+    from dbd_datawarehouse_scraper_spark.sources.http_fetch import _extract_one
+
+    reg = "0105536041713"  # last digit 3 → valid prefix index 3 % 5 → '3'
+    fetcher = FakeDbdFetcher([(reg, "บริษัท ทดสอบ จำกัด")])
+    assert fetcher._valid_prefix(reg) == "3"
+    row = pd.Series(
+        {"company_name": "บริษัท ทดสอบ จำกัด", "registration_number": reg,
+         "match_type": "exact", "search_strategy": "1"}
+    )
+    out = _extract_one(
+        fetcher, row, ("5", "7", "6", "3", ""), True, 1, 0
+    )
+    assert fetcher.profile_calls == 4  # 5,7,6 invalid then 3 hits
+    assert all(r["fetch_error"] is None for r in out)
