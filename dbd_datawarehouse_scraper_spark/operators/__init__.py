@@ -27,7 +27,12 @@ from .joins import (  # noqa: F401
     similarity_fallback_join,
     anti_join_not_found,
     existing_reg_split,
+    asof_join,
 )
 from .windows import top1_per_group, topk_per_group  # noqa: F401
 from .unpivot import unpivot_financials  # noqa: F401
-from .similarity_search import cosine_topk_bruteforce, cosine_topk_lsh  # noqa: F401
+from .similarity_search import (  # noqa: F401
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    ivf_topk,
+)

@@ -24,7 +24,7 @@ corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import token_jaccard, tokenize_ws
@@ -128,3 +128,62 @@ def existing_reg_split(
     has = df.filter(F.col(reg_col).isNotNull())
     needs = df.filter(F.col(reg_col).isNull())
     return has, needs
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` within the same key ([EXT]; Spark has no
+    native ASOF JOIN).
+
+    Implementation is the union+window trick — tag both sides, sort by
+    (key, ts, side) with right rows first on ties, and carry the last
+    non-null right payload forward — ONE shuffle on the key, no per-key
+    Python, no range cross-product. This beats ``applyInPandas`` +
+    ``pd.merge_asof`` at scale (no Arrow transfer, stays in Tungsten);
+    use the pandas form only when per-group logic grows beyond as-of.
+
+    The right side must be unique per (key, right_ts) — dedup first
+    (e.g. ``min_by``) or the carried payload is ambiguous.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of is implemented")
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    r_tagged = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        r_payload.alias("_r"),
+    )
+    l_cols = left.columns
+    unioned = l_tagged.select(
+        *l_cols, "_side", "_ts", F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r")
+    ).unionByName(
+        r_tagged.select(
+            *[
+                F.col(key) if c == key else F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in l_cols
+            ],
+            "_side",
+            "_ts",
+            "_r",
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_side") == 1).select(
+        *l_cols, *[F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in right_cols]
+    )
+    return out

@@ -1893,3 +1893,183 @@ def grouped_agg_pandas_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         mean_cents(F.col("o_totalprice")).alias("mean_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] as-of join, pivot, percentiles, heavy hitters, source round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id % 20 AS k, epoch_ms(ts) AS lms, value FROM events),
+    r AS (
+      SELECT o_custkey % 20 AS k, epoch_ms(o_orderdate) AS rms,
+             min(o_orderkey) AS ref_order,
+             min_by(o_totalprice, o_orderkey) AS ref_price
+      FROM orders GROUP BY 1, 2)
+    SELECT l.event_id, l.k, l.lms, l.value,
+           r.ref_order AS asof_ref_order, r.ref_price AS asof_ref_price
+    FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.lms >= r.rms
+    """,
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 20).alias("k"),
+        F.unix_millis("ts").alias("lms"),
+        "value",
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_custkey") % 20).alias("k"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("rms"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .groupBy("k", "rms")
+        .agg(
+            F.min("o_orderkey").alias("ref_order"),
+            F.min_by("o_totalprice", "o_orderkey").alias("ref_price"),
+        )
+    )
+    return asof_join(
+        ev, o, key="k", left_ts="lms", right_ts="rms",
+        right_cols=("ref_order", "ref_price"),
+    )
+
+
+@register(
+    "pivot_wide",
+    f"""
+    SELECT l_returnflag,
+           {DSUM.format(x="CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {DSUM.format(x="CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@register(
+    "exact_percentiles",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25) / 100 AS p25,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) / 100 AS p50,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.75) / 100 AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def exact_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles over cents-quantized values: interpolation at
+    f ∈ {0, .25, .5, .75} on integer-valued doubles is exact in both
+    engines, so results match bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.groupBy("o_orderstatus").agg(
+        (F.percentile(cents, F.lit(0.25)) / 100).alias("p25"),
+        (F.percentile(cents, F.lit(0.5)) / 100).alias("p50"),
+        (F.percentile(cents, F.lit(0.75)) / 100).alias("p75"),
+    )
+
+
+@register(
+    "heavy_hitters_tokens",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '')) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+    SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def heavy_hitters_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k token frequency (vocabulary heavy hitters): the
+    map-side-combined groupBy count keeps the shuffle at |vocab|, then a
+    single ordered limit — the scalable corpus-vocabulary pattern."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "csv_source_roundtrip",
+    """
+    SELECT 'บริษัท ' || c_name || ' จำกัด' AS company_name,
+           CASE WHEN c_custkey % 4 = 1
+                THEN '0' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') END AS registration_number
+    FROM customer
+    """,
+)
+def csv_source_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv_source operator driven end-to-end: spill the companies
+    relation to a header CSV, re-ingest through csv_companies_source
+    (autodetect, trim, thai filter, reg validation, dedup)."""
+    import tempfile
+
+    from .sources.files import csv_companies_source
+
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    companies = c.select(
+        F.concat(F.lit("บริษัท "), F.col("c_name"), F.lit(" จำกัด")).alias(
+            "company_name"
+        ),
+        F.when(k % 4 == 1, F.concat(F.lit("0"), F.lpad(k.cast("string"), 12, "0"))).alias(
+            "registration_number"
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    companies.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    return csv_companies_source(spark, tmp)
+
+
+@register("approx_aggregates", None)
+def approx_aggregates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL distinct, KLL-ish quantiles) — no
+    cross-engine oracle exists for sketch internals; rows-only."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.count("*").alias("n"),
+    )
+
+
+@register("ivf_topk", None)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, seed=42): recall vs brute force
+    checked in tests/test_similarity_search.py. Rows-only: KMeans
+    centroids have no SQL oracle."""
+    from .operators.similarity_search import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return ivf_topk(probes, e, k=5, n_lists=8, nprobe=4)

@@ -12,3 +12,4 @@ from .micro_batch import (  # noqa: F401
     two_sink_foreach_batch,
     resume_anti_join,
 )
+from .stateful import stateful_running_counts  # noqa: F401

@@ -53,3 +53,22 @@ def test_lsh_recall_vs_bruteforce(emb, probes):
     mean_recall = sum(recalls) / len(recalls)
     # 16 bands × 2 bits: near-neighbors share ≥1 band with high prob
     assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}"
+
+
+def test_ivf_recall_vs_bruteforce(emb, probes):
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import ivf_topk
+
+    exact = cosine_topk_bruteforce(probes, emb, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    approx = ivf_topk(probes, emb, k=10, n_lists=8, nprobe=4).collect()
+    got = {}
+    for r in approx:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    recalls = [len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=half the lists → most near-neighbors inside probed cells
+    assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}"

@@ -112,3 +112,39 @@ def test_two_sink_checkpoint_no_duplicates_on_restart(spark, events_dir):
         assert spark.read.parquet(reject).count() == n_reject_1
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stateful_running_counts(spark, events_dir):
+    """applyInPandasWithState: running per-user totals across batches
+    must equal the batch groupBy on the same data."""
+    from dbd_datawarehouse_scraper_spark.streaming import stateful_running_counts
+
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+
+    stream = file_stream(spark, events_dir, batch.schema)
+    q = (
+        stateful_running_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user carries the final running totals
+    rows = spark.sql(
+        """SELECT user_id, n_total, sum_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_total DESC) rn
+             FROM stateful_out) WHERE rn = 1"""
+    ).collect()
+    got = {r["user_id"]: (r["n_total"], r["sum_value"]) for r in rows}
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0]
+        assert got[u][1] == pytest.approx(expected[u][1])
