@@ -46,6 +46,11 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "embedding_cosine_topk",
+    "asof_join",
+    "exact_percentiles",
+    "heavy_hitters_tokens",
+    "pivot_wide",
+    "minhash_lsh_dedup",
 ]
 
 

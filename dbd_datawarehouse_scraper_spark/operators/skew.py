@@ -1,0 +1,42 @@
+"""Skew mitigation: salted joins (SURVEY §4 scale notes).
+
+AQE's skew-join splitting handles most skew at runtime; salting is the
+explicit fallback for pathological keys (e.g. the similarity join's
+first-token block key, where one common first word can dominate a
+corpus). The pattern: the skewed (large) side gets a random-but-
+deterministic salt in [0, n); the small side replicates each row n
+times; the join key becomes (key, salt), fanning one hot key's rows
+across n reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_by: Column | None = None,
+) -> DataFrame:
+    """Equi-join on ``key`` with the large side salted ``n_salts`` ways.
+
+    ``salt_by`` is the deterministic salt source on the large side
+    (default: xxhash64 over ALL the large side's columns — deterministic
+    across task retries, unlike ``rand()`` or
+    ``monotonically_increasing_id()``, which silently break exactly-once
+    semantics under retry). The small side is replicated n_salts×, so
+    keep it the genuinely small side."""
+    if salt_by is None:
+        salt_by = F.pmod(
+            F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)
+        )
+    lg = large.withColumn("_salt", salt_by.cast("int"))
+    sm = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return lg.join(sm, [key, "_salt"], how).drop("_salt")

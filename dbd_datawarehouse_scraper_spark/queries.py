@@ -2073,3 +2073,102 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     return ivf_topk(probes, e, k=5, n_lists=8, nprobe=4)
+
+
+@register(
+    "nonempty_filter",
+    """
+    WITH noisy AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN ''
+                  WHEN c_custkey % 10 = 1 THEN '   '
+                  WHEN c_custkey % 10 = 2 THEN NULL
+                  ELSE c_name END AS company_name
+      FROM customer)
+    SELECT c_custkey, company_name FROM noisy
+    WHERE length(trim(coalesce(company_name, ''))) > 0
+    """,
+)
+def nonempty_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.filters import nonempty_filter
+
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    noisy = c.select(
+        "c_custkey",
+        F.when(k % 10 == 0, F.lit(""))
+        .when(k % 10 == 1, F.lit("   "))
+        .when(k % 10 == 2, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("company_name"),
+    )
+    return nonempty_filter(noisy)
+
+
+@register(
+    "record_totals",
+    f"""
+    WITH wide AS ({_FINANCIAL_WIDE}),
+    long AS (
+      SELECT table_type, y2566 AS raw FROM wide
+      UNION ALL SELECT table_type, y2565 FROM wide
+      UNION ALL SELECT table_type, y2564 FROM wide)
+    SELECT table_type, COUNT(*) AS n_rows
+    FROM long WHERE raw NOT IN ('-', '', '0.00')
+    GROUP BY ROLLUP (table_type)
+    """,
+)
+def record_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel + grand-total record counts (the reference's combine
+    step reporting, scraper_v2.py:1392-1420) as one rollup."""
+    from .operators.unpivot import unpivot_financials
+
+    wide = _financial_wide(spark, sf_dir)
+    long = unpivot_financials(
+        wide,
+        id_cols=["registration_number", "table_type", "field_name"],
+        year_value_cols=[(2566, "y2566"), (2565, "y2565"), (2564, "y2564")],
+        parse=False,
+    )
+    return long.rollup("table_type").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "field_year_matrix_roundtrip",
+    f"""
+    WITH wide AS ({_FINANCIAL_WIDE}),
+    long AS (
+      SELECT registration_number, table_type, field_name, 2566 AS year, y2566 AS raw FROM wide
+      UNION ALL
+      SELECT registration_number, table_type, field_name, 2565, y2565 FROM wide
+      UNION ALL
+      SELECT registration_number, table_type, field_name, 2564, y2564 FROM wide)
+    SELECT registration_number, table_type, field_name, year,
+           CAST(replace(raw, ',', '') AS DOUBLE) AS value
+    FROM long WHERE raw NOT IN ('-', '', '0.00')
+    """,
+)
+def field_year_matrix_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's nested {field → {year → value}} matrix
+    (scraper_v2.py:1147) materialized as a MapType column and flattened
+    back — proves the nested representation round-trips losslessly; the
+    oracle is the long relation itself."""
+    from .operators.unpivot import unpivot_financials
+
+    wide = _financial_wide(spark, sf_dir)
+    long = unpivot_financials(
+        wide,
+        id_cols=["registration_number", "table_type", "field_name"],
+        year_value_cols=[(2566, "y2566"), (2565, "y2565"), (2564, "y2564")],
+    )
+    nested = long.groupBy("registration_number", "table_type", "field_name").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("year", "value")))
+        ).alias("by_year")
+    )
+    return nested.select(
+        "registration_number",
+        "table_type",
+        "field_name",
+        F.explode("by_year").alias("year", "value"),
+    )

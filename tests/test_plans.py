@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the properties that decide 100 TB behavior
+must hold in the actual executed plans, not just in intent.
+
+- filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema)
+- dimension joins broadcast (BroadcastHashJoin), fact side never does
+- aggregations are map-side partial (partial_sum before the exchange)
+- blocked similarity join contains no CartesianProduct
+"""
+
+import pytest
+
+from dbd_datawarehouse_scraper_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name):
+    df = QUERIES[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "partial_sum" in plan, "aggregation must combine map-side"
+    # column pruning: shipdate filter + 6 needed columns, not all 11
+    assert "l_comment" not in plan
+
+
+def test_thai_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "thai_filter")
+    # the contains-filter applies to a derived column so it can't push to
+    # parquet, but the scan must still prune to the two needed columns
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+
+def test_broadcast_dim_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:500]
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_core_join_broadcasts_candidates(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "exact_core_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_similarity_join_is_blocked_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "similarity_fallback_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_joins_stay_semi_anti(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "semi_join")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "anti_join_not_found")
+
+
+def test_projection_pruning_on_project_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "project_columns")
+    assert "c_acctbal" not in plan  # unprojected column never read
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan

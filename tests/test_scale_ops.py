@@ -1,0 +1,113 @@
+"""Scale-mechanism operators: salted joins, bucketed co-located joins,
+layered config."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.config import DEFAULTS, active_fields, load_config
+from dbd_datawarehouse_scraper_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_name"
+    )
+    plain = orders.join(cust, "k").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "k", n_salts=4).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A single hot key must land in multiple salt partitions."""
+    hot = spark.range(1000).select(F.lit(7).alias("k"), F.col("id"))
+    dim = spark.createDataFrame([(7, "x")], ["k", "v"])
+    out = salted_join(hot, dim, "k", n_salts=8)
+    assert out.count() == 1000
+    salts = (
+        hot.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("k"), F.col("id")), F.lit(8))
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    """bucketBy co-locates join keys: the sort-merge join over two
+    bucketed tables plans without a shuffle exchange on the join key."""
+    warehouse = tempfile.mkdtemp(prefix="warehouse_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(4, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{warehouse}/orders_b")
+            .saveAsTable("orders_b")
+        )
+        (
+            cust.write.mode("overwrite")
+            .bucketBy(4, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{warehouse}/cust_b")
+            .saveAsTable("cust_b")
+        )
+        ob = spark.table("orders_b")
+        cb = spark.table("cust_b")
+        # disable broadcast so the join must co-locate via buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = ob.join(cb, ob.o_custkey == cb.c_custkey).select(
+                "o_orderkey", "c_name"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan, (
+                "bucketed join must not reshuffle"
+            )
+            assert joined.count() == orders.count()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+def test_config_layering(tmp_path=None):
+    import json
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False, encoding="utf-8"
+    ) as fh:
+        json.dump({"matching": {"max_pages": 50}}, fh)
+        path = fh.name
+    conf = load_config(path, overrides={"matching": {"similarity_threshold": 0.8}})
+    assert conf["matching"]["max_pages"] == 50  # from file
+    assert conf["matching"]["similarity_threshold"] == 0.8  # from overrides
+    assert conf["fetch"]["max_retries"] == DEFAULTS["fetch"]["max_retries"]
+    os.unlink(path)
+
+
+def test_active_fields_revenue_only_mode():
+    conf = load_config(overrides={"extraction": {"mode": "revenue_only"}})
+    assert active_fields(conf) == ["รายได้รวม"]
+    full = load_config()
+    assert len(active_fields(full)) == 21  # 10 income + 11 balance
+    no_balance = load_config(
+        overrides={"extraction": {"include_balance_sheet": False}}
+    )
+    assert len(active_fields(no_balance)) == 10

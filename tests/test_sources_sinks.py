@@ -111,3 +111,22 @@ def test_resume_anti_join(spark, workdir):
     remaining = resume_anti_join(full, spark.read.parquet(done_path), ["k"])
     assert remaining.count() == 40
     assert remaining.agg(F.min("k")).collect()[0][0] == 60
+
+
+def test_excel_source_gated(spark, workdir):
+    """Excel ingestion works when openpyxl is present, raises the
+    documented NotImplementedError otherwise."""
+    from dbd_datawarehouse_scraper_spark.sources import excel_companies_source
+
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd
+
+        path = f"{workdir}/companies.xlsx"
+        pd.DataFrame(
+            {"company_name": ["บริษัท เอ็กเซล จำกัด"], "registration_number": [None]}
+        ).to_excel(path, index=False)
+        df = excel_companies_source(spark, path)
+        assert [r["company_name"] for r in df.collect()] == ["บริษัท เอ็กเซล จำกัด"]
+    except (ImportError, NotImplementedError):
+        pytest.skip("openpyxl not installed; gated path verified")
