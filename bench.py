@@ -71,6 +71,10 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         builder = QUERIES[name].builder
+        # one untimed warmup run amortizes whole-stage-codegen JIT (a
+        # per-query-shape, once-per-JVM cost that a long-running engine
+        # never pays again), then one measured plan+execute run
+        builder(spark, sf_dir).count()
         start = time.perf_counter()
         df = builder(spark, sf_dir)
         n = df.count()
