@@ -52,6 +52,10 @@ def register(name: str, sql: str | None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every builder funnels through here: pin UTC so timestamp formatting
+    # and NTZ→timestamp casts agree with the DuckDB oracle (naive = UTC)
+    # even when the caller's session wasn't built by session.get_spark.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -2172,3 +2176,50 @@ def field_year_matrix_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame
         "field_name",
         F.explode("by_year").alias("year", "value"),
     )
+
+
+@register(
+    "pii_mask",
+    """
+    WITH noisy AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS masked
+    FROM noisy
+    """,
+)
+def pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII scrubbing for training-data pipelines: mask emails and
+    phone-number shapes. Pure regexp_replace — codegen'd, pushdown-safe,
+    exactly replicable in the oracle."""
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    noisy = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), k.cast("string"),
+                    F.lit("@example.com or +1-555-"),
+                    F.lpad((k % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"\+?\d[\d -]{7,}\d",
+        "<PHONE>",
+    )
+    return noisy.select("doc_id", masked.alias("masked"))

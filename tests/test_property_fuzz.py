@@ -1,0 +1,93 @@
+"""Seeded fuzz: the Spark column expressions must equal the pure-Python
+reference model on randomly composed Thai-style company names —
+including pathological whitespace, nested parens, partnership prefixes,
+fillers, and result-line framing."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.functions import (
+    clean_filler_words,
+    extract_core_name,
+    generate_search_terms,
+    normalize_company_name,
+    remove_parentheses,
+    remove_trailing_numbers,
+)
+
+from .reference_model import (
+    model_clean_fillers,
+    model_core_name,
+    model_normalize,
+    model_remove_parens,
+    model_remove_trailing_numbers,
+    model_search_terms,
+)
+
+PREFIXES = ["", "บริษัท ", "บริษัท", "ห้างหุ้นส่วนจำกัด ", "ห้างหุ้นส่วนสามัญ ",
+            "ห้างหุ้นส่วนสามัญนิติบุคคล ", "123 0105536041711 บริษัท "]
+WORDS = ["ทดสอบ", "การค้า", "รุ่งเรือง", "ไทย", "สยาม", "เจริญ", "Alpha", "Beta",
+         "กรุ๊ป", "โฮลดิ้งส์", "อินเตอร์เนชั่นแนล", "น้ำตาล"]
+MIDS = ["", " (ประเทศไทย)", " (Thailand)", " (เอเชีย)", " (1999)", " (สาขา ใหญ่)",
+        "（เต็ม）"]
+SUFFIXES = ["", " จำกัด", " จำกัด (มหาชน)", " จำกัด  (มหาชน)", " จำกัด(มหาชน)",
+            " มหาชน", " 2020", " 42"]
+SPACERS = [" ", "  ", "\t", "   "]
+
+
+def gen_name(rng: random.Random) -> str:
+    parts = [rng.choice(PREFIXES)]
+    for _ in range(rng.randint(1, 4)):
+        parts.append(rng.choice(WORDS))
+        parts.append(rng.choice(SPACERS))
+    name = "".join(parts).strip() + rng.choice(MIDS) + rng.choice(SUFFIXES)
+    if rng.random() < 0.1:
+        name = rng.choice(SPACERS) + name + rng.choice(SPACERS)
+    return name
+
+
+def test_fuzz_string_layer_vs_model(spark):
+    rng = random.Random(42)
+    names = [gen_name(rng) for _ in range(400)] + ["", " ", "จำกัด", "บริษัท"]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    rows = df.select(
+        "name",
+        normalize_company_name(F.col("name")).alias("norm"),
+        extract_core_name(F.col("name")).alias("core"),
+        clean_filler_words(F.col("name")).alias("fill"),
+        remove_parentheses(F.col("name")).alias("par"),
+        remove_trailing_numbers(F.col("name")).alias("num"),
+        generate_search_terms(F.col("name")).alias("terms"),
+    ).collect()
+    assert len(rows) == len(names)
+    for r in rows:
+        n = r["name"]
+        assert r["norm"] == model_normalize(n), repr(n)
+        assert r["core"] == model_core_name(n), repr(n)
+        assert r["fill"] == model_clean_fillers(n), repr(n)
+        assert r["par"] == model_remove_parens(n), repr(n)
+        assert r["num"] == model_remove_trailing_numbers(n), repr(n)
+        assert r["terms"] == model_search_terms(n), repr(n)
+
+
+def test_fuzz_staged_form_equals_expression_form(spark):
+    """add_search_terms (the staged pipeline form) must produce exactly
+    the arrays of the single-expression form."""
+    from dbd_datawarehouse_scraper_spark.functions.search_terms import (
+        add_search_terms,
+    )
+
+    rng = random.Random(7)
+    names = [gen_name(rng) for _ in range(200)]
+    df = spark.createDataFrame([(n,) for n in names], ["company_name"])
+    expr_form = {
+        r["company_name"]: r["t"]
+        for r in df.select(
+            "company_name", generate_search_terms(F.col("company_name")).alias("t")
+        ).collect()
+    }
+    staged_form = {
+        r["company_name"]: r["terms"] for r in add_search_terms(df).collect()
+    }
+    assert expr_form == staged_form

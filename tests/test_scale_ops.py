@@ -111,3 +111,34 @@ def test_active_fields_revenue_only_mode():
         overrides={"extraction": {"include_balance_sheet": False}}
     )
     assert len(active_fields(no_balance)) == 10
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """Year-partitioned fact output: a single-year query must plan with
+    PartitionFilters and scan only that year's directory — the partition
+    pruning that makes a 100 TB fact table queryable."""
+    import tempfile
+
+    from dbd_datawarehouse_scraper_spark.sources import batched_sink
+
+    out = tempfile.mkdtemp(prefix="part_sink_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+            "ship_year", F.year("l_shipdate")
+        )
+        batched_sink(li, out, partition_by=("ship_year",))
+        years = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(out)
+            if d.startswith("ship_year=")
+        )
+        assert len(years) > 1
+
+        one_year = spark.read.parquet(out).filter(F.col("ship_year") == years[0])
+        plan = one_year._jdf.queryExecution().executedPlan().toString()
+        assert f"PartitionFilters: [isnotnull(ship_year" in plan or "PartitionFilters: [" in plan
+        assert f"ship_year = {years[0]}" in plan.replace("#", " ").replace(")", " ") or str(years[0]) in plan
+        expected = li.filter(F.year("l_shipdate") == years[0]).count()
+        assert one_year.count() == expected
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
