@@ -5,10 +5,14 @@ Conventions for cross-engine hash parity (the driver compares
 row-count + schema + order-insensitive value hash):
 
 - every computed column is aliased IDENTICALLY in Spark and SQL;
-- sums of doubles go through DECIMAL(38,10) in both engines (exact,
-  order-independent) and cast back to double;
-- averages are exact-decimal sums divided by counts in double;
-- timestamps in outputs are formatted to epoch seconds or date strings;
+- sums of doubles quantize each value to bigint (round(x·1e6)) and sum
+  integers (see ``dsum``) — decimal casts round differently per engine;
+- averages are quantized sums divided by counts in double;
+- dot products / norms quantize per-component (round(x·y·1e12));
+- percentiles interpolate over cents-quantized integers (exact at
+  f ∈ {0, .25, .5, .75});
+- timestamps in outputs are formatted to epoch millis or date strings,
+  with the session pinned to UTC at table load;
 - top-k / dedup winners always carry a deterministic tiebreaker.
 """
 
@@ -973,17 +977,23 @@ def window_lag_lead_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(ROUND(l_quantity * 1e6) AS BIGINT)) OVER (
-             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
              AS running_qty
     FROM lineitem
     """,
 )
 def running_window_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity is part of the ordering: the testdata contains a fully
+    # duplicated (suppkey, shipdate, orderkey, linenumber) row, and a
+    # ROWS frame over an ambiguous order is engine-dependent. With the
+    # measure in the sort, tied rows are identical rows, so the output
+    # multiset is order-invariant.
     li = t(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     q = F.round(F.col("l_quantity") * 1e6).cast("long")
