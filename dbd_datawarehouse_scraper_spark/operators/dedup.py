@@ -295,3 +295,27 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Stratified sampling with content-hash determinism ([EXT]).
+
+    Unlike ``sampleBy`` (whose per-partition RNG makes the sample depend
+    on physical partitioning — a silent reproducibility bug across
+    clusters/retries), membership here is a pure function of row
+    content: keep iff pmod(xxhash64(id_cols, seed), 1e6) < frac·1e6.
+    Same rows in → same sample out, on any cluster, any partitioning."""
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed)), F.lit(1_000_000)
+    )
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (bucket < int(frac * 1_000_000))
+        expr = cond if expr is None else (expr | cond)
+    return df.filter(expr if expr is not None else F.lit(False))

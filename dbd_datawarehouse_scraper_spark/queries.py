@@ -2233,3 +2233,38 @@ def pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return noisy.select("doc_id", masked.alias("masked"))
+
+
+@register(
+    "sql_frontend_q3",
+    f"""
+    SELECT o_orderkey,
+           {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the SQL front-end (spark.sql over temp
+    views) — Catalyst produces the same plan as the DataFrame API; the
+    engine exposes both surfaces."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sqlq3_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM sqlq3_customer JOIN sqlq3_orders ON c_custkey = o_custkey
+        JOIN sqlq3_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        """
+    )

@@ -72,3 +72,25 @@ def test_simhash_identical_docs_collide(spark):
     pairs = simhash_pairs(df, max_hamming=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
     assert pairs[0]["hamming"] == 0
+
+
+def test_deterministic_stratified_sample(spark, sf_dir):
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        deterministic_stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fractions = {"en": 0.5, "de": 0.2, "zh": 1.0}
+    s1 = deterministic_stratified_sample(docs, "lang", fractions, ["doc_id"])
+    # repartitioning must NOT change the sample (content-hash membership)
+    s2 = deterministic_stratified_sample(
+        docs.repartition(7), "lang", fractions, ["doc_id"]
+    )
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["zh"] == totals["zh"]          # fraction 1.0 keeps all
+    assert "fr" not in counts and "es" not in counts  # unlisted strata drop
+    assert 0.3 <= counts["en"] / totals["en"] <= 0.7  # ~0.5 of en
