@@ -27,8 +27,8 @@ HEADLINE = [
     "exact_core_join",
     "similarity_fallback_join",
     "thai_filter",
-    "normalize_name",
-    "extract_core_name",
+    "text_norm_suite",
+    "parsing_suite",
     "regnum_validate",
     "parse_money",
     "topk_per_group",
@@ -36,15 +36,13 @@ HEADLINE = [
     "running_window_frame",
     "unpivot_lineitem",
     "financial_unpivot",
-    "dedup_prefer_reg",
+    "exact_dedup",
     "rollup_aggregate",
     "tumbling_window_agg",
     "session_window_batch",
     "events_json_extract",
-    "token_jaccard",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
+    "token_set_jaccard",
+    "text_features",
     "embedding_cosine_topk",
     "asof_join",
     "exact_percentiles",

@@ -66,19 +66,35 @@ def ngram_jaccard_pairs(
     index: only pairs sharing ≥1 shingle are scored (never a cross
     join). ``probe_filter`` optionally restricts the left side (e.g.
     incremental dedup of new docs against the corpus). Returns
-    (id_a, id_b, jaccard) with id_a < id_b."""
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    With a probe_filter the candidate match is ``_id != _id2`` and the
+    pair is normalized with least/greatest afterwards — matching only
+    ``probe < other`` would silently drop every (new, old) pair when new
+    docs carry the highest ids (round-1 advisor finding)."""
     sh = docs.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
     )
     left = sh.filter(probe_filter) if probe_filter is not None else sh
     inv_l = left.select("_id", F.explode("_sh").alias("_s"))
     inv_r = sh.select(F.col("_id").alias("_id2"), F.explode("_sh").alias("_s"))
-    pairs = (
-        inv_l.join(inv_r, "_s")
-        .filter(F.col("_id") < F.col("_id2"))
-        .select("_id", "_id2")
-        .distinct()
-    )
+    if probe_filter is None:
+        pairs = (
+            inv_l.join(inv_r, "_s")
+            .filter(F.col("_id") < F.col("_id2"))
+            .select("_id", "_id2")
+            .distinct()
+        )
+    else:
+        pairs = (
+            inv_l.join(inv_r, "_s")
+            .filter(F.col("_id") != F.col("_id2"))
+            .select(
+                F.least("_id", "_id2").alias("_id"),
+                F.greatest("_id", "_id2").alias("_id2"),
+            )
+            .distinct()
+        )
     scored = (
         pairs.join(sh, "_id")
         .join(

@@ -139,24 +139,37 @@ def asof_join(
     right_cols: tuple[str, ...],
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: each left row picks the latest right row with
-    ``right_ts <= left_ts`` within the same key ([EXT]; Spark has no
-    native ASOF JOIN).
+    """As-of join ([EXT]; Spark has no native ASOF JOIN).
+
+    Directions (equality always matches, as in DuckDB ASOF):
+
+    - ``backward``: latest right row with ``right_ts <= left_ts``;
+    - ``forward``: earliest right row with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two candidates has the smaller
+      ``|left_ts - right_ts|``, ties preferring backward. Requires a
+      numeric ts column (epoch millis/micros) — timestamp subtraction
+      yields intervals, so cast first.
 
     Implementation is the union+window trick — tag both sides, sort by
-    (key, ts, side) with right rows first on ties, and carry the last
-    non-null right payload forward — ONE shuffle on the key, no per-key
-    Python, no range cross-product. This beats ``applyInPandas`` +
-    ``pd.merge_asof`` at scale (no Arrow transfer, stays in Tungsten);
-    use the pandas form only when per-group logic grows beyond as-of.
+    (key, ts, side) with right rows winning ties in the match
+    direction, and carry the adjacent right payload across — ONE
+    shuffle on the key, no per-key Python, no range cross-product
+    (``nearest`` adds a second sort over the same exchange, not a
+    second shuffle). This beats ``applyInPandas`` + ``pd.merge_asof``
+    at scale (no Arrow transfer, stays in Tungsten); use the pandas
+    form only when per-group logic grows beyond as-of.
 
     The right side must be unique per (key, right_ts) — dedup first
     (e.g. ``min_by``) or the carried payload is ambiguous.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    r_payload = F.struct(*[F.col(c) for c in right_cols])
+    # payload carries right_ts too: nearest needs both candidate
+    # distances, and it rides along free for the other directions
+    r_payload = F.struct(
+        F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
+    )
     r_tagged = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
@@ -177,13 +190,41 @@ def asof_join(
             "_r",
         )
     )
-    w = (
+    # backward: ascending scan, right rows (side 0) sort before left at
+    # equal ts so an equal-ts right row is inside the frame.
+    wb = (
         Window.partitionBy(key)
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = unioned.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+    # forward: DESCENDING scan — "last non-null up to current" is then
+    # the smallest right_ts >= left_ts; right still first on ties.
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "backward":
+        matched = unioned.withColumn("_pick", F.last("_r", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        matched = unioned.withColumn("_pick", F.last("_r", ignorenulls=True).over(wf))
+    else:  # nearest
+        matched = (
+            unioned.withColumn("_b", F.last("_r", ignorenulls=True).over(wb))
+            .withColumn("_f", F.last("_r", ignorenulls=True).over(wf))
+            .withColumn(
+                "_pick",
+                F.when(F.col("_b").isNull(), F.col("_f"))
+                .when(F.col("_f").isNull(), F.col("_b"))
+                .when(
+                    (F.col("_ts") - F.col("_b._rts"))
+                    <= (F.col("_f._rts") - F.col("_ts")),
+                    F.col("_b"),
+                )
+                .otherwise(F.col("_f")),
+            )
+        )
     out = matched.filter(F.col("_side") == 1).select(
-        *l_cols, *[F.col(f"_last_r.{c}").alias(f"asof_{c}") for c in right_cols]
+        *l_cols, *[F.col(f"_pick.{c}").alias(f"asof_{c}") for c in right_cols]
     )
     return out
