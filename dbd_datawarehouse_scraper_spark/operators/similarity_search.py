@@ -16,6 +16,7 @@ Two strategies:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -64,6 +65,89 @@ def cosine_topk_bruteforce(
     )
     return topk_per_group(
         scored, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
+    )
+
+
+def cosine_topk_bruteforce_np(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    probe_id: str = "probe_id",
+    corpus_id: str = "vec_id",
+    probe_vec: str = "probe_vec",
+    corpus_vec: str = "embedding",
+    scale: float = 1e12,
+) -> DataFrame:
+    """Exact quantized top-k by cosine, Arrow-vectorized.
+
+    Same contract and bit-identical output as ``cosine_topk_bruteforce``
+    over ``qcosine`` semantics (per-component products HALF_UP-quantized
+    to bigints at ``scale``, summed exactly, cosine rounded to 6), but
+    the scoring leg is a numpy kernel inside ``mapInPandas`` instead of
+    interpreted array HOFs — the per-pair fold was the round-1 bench's
+    one perf-weak spot (~9× the DuckDB oracle).
+
+    Shape at scale: the probe set is collected to the driver and sent as
+    a broadcast variable — the SAME bounded-build-side contract a
+    broadcast hash join makes — then the corpus streams through ONE scan
+    with no shuffle; each Arrow batch emits only its per-probe partial
+    top-k (≤ batches × |probes| × k rows), and a final tiny window picks
+    the global top-k. Quantized magnitudes stay < 2**52 for unit-ish
+    embeddings, where numpy HALF_UP (floor(v+0.5) / ceil(v-0.5)) is
+    exact."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pdf = probes.select(probe_id, probe_vec).toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame(
+            [], f"{probe_id} long, {corpus_id} long, cosine_sim double"
+        )
+    p_ids = np.asarray(pdf[probe_id].to_numpy(), dtype=np.int64)
+    p_mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf[probe_vec]]
+    )  # (p, d)
+    bc = spark.sparkContext.broadcast((p_ids, p_mat))
+
+    def _halfup(v: "np.ndarray") -> "np.ndarray":
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+    def score(batches):
+        ids, mat = bc.value
+        qp = _halfup(mat * mat * scale).sum(axis=1)  # (p,) probe self-dots
+        sqp = np.sqrt(qp)
+        for pb in batches:
+            c_ids = np.asarray(pb[corpus_id].to_numpy(), dtype=np.int64)
+            c = np.stack([np.asarray(v, dtype=np.float64) for v in pb[corpus_vec]])
+            qc = _halfup(c * c * scale).sum(axis=1)  # (b,)
+            sqc = np.sqrt(qc)
+            out_p, out_c, out_s = [], [], []
+            for j in range(len(ids)):
+                qd = _halfup(c * mat[j] * scale).sum(axis=1)  # (b,)
+                denom = sqp[j] * sqc
+                cos = np.where(denom == 0, 0.0, qd / np.where(denom == 0, 1.0, denom))
+                cos = _halfup(cos * 1e6) / 1e6
+                keep = c_ids != ids[j]
+                # partial top-k inside the batch: ties break (cos desc,
+                # corpus_id asc), same order as the global window
+                order = np.lexsort((c_ids[keep], -cos[keep]))[:k]
+                kept_ids = c_ids[keep][order]
+                out_p.append(np.full(len(kept_ids), ids[j], dtype=np.int64))
+                out_c.append(kept_ids)
+                out_s.append(cos[keep][order])
+            yield pd.DataFrame(
+                {
+                    probe_id: np.concatenate(out_p),
+                    corpus_id: np.concatenate(out_c),
+                    "cosine_sim": np.concatenate(out_s),
+                }
+            )
+
+    partial = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        score, schema=f"{probe_id} long, {corpus_id} long, cosine_sim double"
+    )
+    return topk_per_group(
+        partial, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
     )
 
 

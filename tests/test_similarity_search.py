@@ -34,6 +34,55 @@ def test_bruteforce_topk_shape(emb, probes):
         assert all(g["vec_id"] != pid for g in group)
 
 
+def test_bruteforce_np_matches_quantized_hof(emb, probes):
+    """The numpy mapInPandas kernel must be BIT-identical to the
+    interpreted qdot/qcosine HOF form it replaced (same HALF_UP
+    quantization at 1e12, same round-6, same tie-break)."""
+    from dbd_datawarehouse_scraper_spark.functions.vectors import qdot
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        cosine_topk_bruteforce_np,
+    )
+    from dbd_datawarehouse_scraper_spark.operators.windows import topk_per_group
+
+    e = emb.select(
+        "vec_id", "embedding", qdot(F.col("embedding"), F.col("embedding")).alias("_qc")
+    )
+    p = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        qdot(F.col("embedding"), F.col("embedding")).alias("_qp"),
+    )
+    qd = qdot(F.col("pe"), F.col("embedding"))
+    hof = topk_per_group(
+        F.broadcast(p)
+        .crossJoin(e)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                F.when(
+                    (F.col("_qp") == 0) | (F.col("_qc") == 0), F.lit(0.0)
+                ).otherwise(
+                    qd.cast("double")
+                    / (
+                        F.sqrt(F.col("_qp").cast("double"))
+                        * F.sqrt(F.col("_qc").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("cosine_sim"),
+        ),
+        ["probe_id"],
+        [F.col("cosine_sim").desc(), F.col("vec_id").asc()],
+        5,
+    )
+    np_out = cosine_topk_bruteforce_np(probes, emb, k=5)
+    assert sorted(map(tuple, np_out.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, hof.collect()), key=lambda t: t[:2]
+    )
+
+
 def test_lsh_recall_vs_bruteforce(emb, probes):
     exact = cosine_topk_bruteforce(probes, emb, k=10).collect()
     truth = {}
