@@ -19,3 +19,7 @@ from .http_fetch import (  # noqa: F401
     fetch_financial_pages,
     FakeDbdFetcher,
 )
+from .http_client import (  # noqa: F401
+    HttpFetcher,
+    SeleniumFetcher,
+)
