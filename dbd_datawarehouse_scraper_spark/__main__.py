@@ -1,0 +1,208 @@
+"""CLI front door: ``python -m dbd_datawarehouse_scraper_spark``.
+
+Flag-for-flag mirror of the reference's argparse surface
+(scraper_v2.py:1568-1613) over the engine's existing machinery:
+config.py (layered config), sources/files.py (csv/txt/xlsx input),
+plans/pipeline.py (the scrape DAG), sources/sinks.py (outputs, backup,
+combine) and streaming/micro_batch.py (resume). The engine remains a
+library — this module only parses flags, resolves config, and calls it.
+
+Browser-only reference flags (--visible, --debug) are accepted for
+script compatibility; they only apply when --fetcher selenium is used.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections.abc import Sequence
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dbd_datawarehouse_scraper_spark",
+        description="DBD datawarehouse scraper, PySpark engine",
+    )
+    # config (scraper_v2.py:1572-1576)
+    p.add_argument("--config", type=str, default="config.yaml")
+    p.add_argument("--generate-config", action="store_true",
+                   help="Generate default config.yaml and exit")
+    # input (1579-1589)
+    p.add_argument("--input", "-i", type=str, default="companies.csv",
+                   help="Input file (.csv, .xlsx, .xls, .txt)")
+    p.add_argument("--column", "-c", type=str, default=None,
+                   help="Company-name column (default: auto-detect)")
+    p.add_argument("--reg-column", "-r", type=str, default=None,
+                   help="Registration-number column (skips search when set)")
+    p.add_argument("--sheet", "-s", type=str, default=None,
+                   help="Excel sheet name (default: first sheet)")
+    p.add_argument("--no-filter", action="store_true",
+                   help="Include all companies, not just Thai (จำกัด/มหาชน)")
+    # output (1592-1597)
+    p.add_argument("--output", "-o", type=str, default="revenue_data.parquet")
+    p.add_argument("--not-found-output", type=str, default="not_found.parquet")
+    p.add_argument("--force", "-f", action="store_true",
+                   help="Overwrite outputs without creating backups")
+    # processing (1600-1613)
+    p.add_argument("--test", type=int, help="Test with N companies")
+    p.add_argument("--start", type=int, default=0,
+                   help="Start from Nth company (0-indexed, name order)")
+    p.add_argument("--resume", action="store_true",
+                   help="Skip companies already present in the outputs")
+    p.add_argument("--visible", action="store_true",
+                   help="Show browser window (selenium fetcher only)")
+    p.add_argument("--debug", action="store_true",
+                   help="Verbose fetch diagnostics (selenium fetcher only)")
+    p.add_argument("--batch-size", type=int, default=20,
+                   help="Target output files per write")
+    p.add_argument("--combine-only", action="store_true",
+                   help="Only combine existing batch files from --input")
+    p.add_argument("--workers", type=int, default=1,
+                   help="Fetch partitions (politeness parallelism)")
+    p.add_argument("--max-retries", type=int, default=3)
+    p.add_argument("--no-retry", action="store_true")
+    p.add_argument("--max-search-pages", type=int, default=20)
+    p.add_argument("--similarity-threshold", type=float, default=0.95)
+    # engine-specific
+    p.add_argument("--fetcher", choices=("fake", "http", "selenium"),
+                   default="http",
+                   help="Client: live HTTP, live selenium, or hermetic fake")
+    p.add_argument("--master", type=str, default=None,
+                   help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    return p
+
+
+def _load_companies(spark, args, require_thai: bool):
+    from .sources.files import (
+        csv_companies_source,
+        excel_companies_source,
+        text_companies_source,
+    )
+
+    ext = os.path.splitext(args.input)[1].lower()
+    if ext in (".xlsx", ".xls"):
+        return excel_companies_source(
+            spark, args.input, sheet_name=args.sheet or 0,
+            name_col=args.column, reg_col=args.reg_column,
+            require_thai_suffix=require_thai,
+        )
+    if ext == ".txt":
+        return text_companies_source(spark, args.input, require_thai)
+    return csv_companies_source(
+        spark, args.input, name_col=args.column, reg_col=args.reg_column,
+        require_thai_suffix=require_thai,
+    )
+
+
+def _make_fetcher_factory(args, conf):
+    if args.fetcher == "http":
+        from .sources.http_client import HttpFetcher
+
+        delay = conf["fetch"]["delay_between_requests"]
+        return lambda: HttpFetcher(delay=delay)
+    if args.fetcher == "selenium":
+        from .sources.http_client import SeleniumFetcher
+
+        return lambda: SeleniumFetcher(headless=not args.visible)
+    # hermetic demo: every input company resolves against a registry
+    # derived from the input itself (deterministic regs)
+    import zlib
+
+    def build(names: list[str]):
+        from .sources.http_fetch import FakeDbdFetcher
+
+        registry = [
+            (f"0{zlib.crc32(n.encode('utf-8')) % 10**12:012d}", n) for n in names
+        ]
+        return lambda: FakeDbdFetcher(registry)
+
+    return build
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.generate_config:
+        from .config import generate_default_config
+
+        path = generate_default_config(args.config)
+        print(f"Wrote default config to {path}")
+        return 0
+
+    from .config import load_config
+    from .session import get_spark
+
+    overrides = {
+        "matching": {
+            "similarity_threshold": args.similarity_threshold,
+            "max_pages": args.max_search_pages,
+            "require_thai_suffix": not args.no_filter,
+        },
+        "fetch": {
+            "max_retries": 0 if args.no_retry else args.max_retries,
+            "fetch_partitions": args.workers,
+        },
+    }
+    conf = load_config(
+        args.config if os.path.exists(args.config) else None, overrides
+    )
+    spark = get_spark(master=args.master)
+    fmt = "csv" if args.output.endswith(".csv") else "parquet"
+
+    if args.combine_only:
+        from .sources.sinks import backup_on_overwrite, combine_batches
+
+        backup_on_overwrite(args.output, force=args.force)
+        n = combine_batches(spark, args.input, args.output, fmt=fmt)
+        print(f"Combined {n} rows into {args.output}")
+        return 0
+
+    from .plans.pipeline import scrape_pipeline
+    from .sources.sinks import backup_on_overwrite, side_output_sink
+
+    companies = _load_companies(spark, args, conf["matching"]["require_thai_suffix"])
+    if args.start:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("company_name")
+        companies = (
+            companies.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > args.start)
+            .drop("_rn")
+        )
+    if args.test:
+        companies = companies.orderBy("company_name").limit(args.test)
+    if args.resume and os.path.exists(args.output):
+        from .streaming.micro_batch import resume_anti_join
+
+        done = (
+            spark.read.option("header", True).csv(args.output)
+            if fmt == "csv"
+            else spark.read.parquet(args.output)
+        )
+        companies = resume_anti_join(companies, done, ["company_name"])
+
+    factory = _make_fetcher_factory(args, conf)
+    if args.fetcher == "fake":
+        names = [r["company_name"] for r in companies.select("company_name").collect()]
+        factory = factory(names)
+
+    fact, not_found = scrape_pipeline(companies, factory, conf)
+
+    for path in (args.output, args.not_found_output):
+        backup_on_overwrite(path, force=args.force)
+    side_output_sink(
+        fact, not_found, args.output, args.not_found_output,
+        fmt=fmt, mode="append" if args.resume else "overwrite",
+    )
+    n_fact = spark.read.format(fmt).load(args.output).count() if fmt == "parquet" \
+        else spark.read.option("header", True).csv(args.output).count()
+    print(f"Done. Fact rows in {args.output}: {n_fact}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

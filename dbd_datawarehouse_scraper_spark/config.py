@@ -46,6 +46,10 @@ DEFAULTS: dict[str, Any] = {
         "retry_extra_wait": 0.0,       # backoff unit; 0 in tests
         "delay_between_requests": 0.0, # politeness delay per row; 0 in tests
         "profile_prefixes": ["5", "7", "6", "3", ""],  # scraper_v2.py:1259
+        # politeness parallelism: partitions × per-row delay bounds the
+        # cluster-wide request rate (the reference's --workers,
+        # scraper_v2.py:1606); None lets Spark choose
+        "fetch_partitions": None,
     },
     "io": {
         "batch_size": 20,              # micro-batch durability, scraper_v2.py:129
@@ -88,6 +92,21 @@ def load_config(
     if overrides:
         conf = _deep_merge(conf, overrides)
     return conf
+
+
+def generate_default_config(path: str) -> str:
+    """Write the default config file (the reference's --generate-config,
+    scraper_v2.py:1616-1618). YAML when available, JSON otherwise (JSON
+    is valid YAML, so ``load_config`` reads either back)."""
+    try:
+        import yaml  # type: ignore
+
+        body = yaml.safe_dump(DEFAULTS, allow_unicode=True, sort_keys=False)
+    except ImportError:
+        body = json.dumps(DEFAULTS, ensure_ascii=False, indent=2)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(body)
+    return path
 
 
 def active_fields(conf: Mapping[str, Any]) -> list[str]:

@@ -66,6 +66,7 @@ def match_companies(
         max_retries=f["max_retries"],
         backoff_unit=f["retry_extra_wait"],
         delay=f["delay_between_requests"],
+        fetch_partitions=f.get("fetch_partitions"),
     )
     raw = raw.cache()  # one fetch pass feeds exact, fuzzy and anti-join branches
 
@@ -148,6 +149,7 @@ def scrape_pipeline(
         max_retries=f["max_retries"],
         backoff_unit=f["retry_extra_wait"],
         delay=f["delay_between_requests"],
+        fetch_partitions=f.get("fetch_partitions"),
     )
     fin = fin.cache()  # feeds both the fact table and the error channel
 

@@ -28,14 +28,15 @@ _REG_CANDIDATES = ("registration_number", "เลขทะเบียน", "reg
 
 
 def _detect_columns(
-    df: DataFrame, name_col: str | None
+    df: DataFrame, name_col: str | None, reg_col: str | None = None
 ) -> tuple[str, str | None]:
     """Reference's column autodetect: explicit option → known names →
     first column; reg column optional (scraper_v2.py:492-511)."""
     cols = df.columns
     if name_col is None:
         name_col = next((c for c in cols if c in _NAME_CANDIDATES), cols[0])
-    reg_col = next((c for c in cols if c in _REG_CANDIDATES), None)
+    if reg_col is None:
+        reg_col = next((c for c in cols if c in _REG_CANDIDATES), None)
     return name_col, reg_col
 
 
@@ -63,11 +64,12 @@ def csv_companies_source(
     spark: SparkSession,
     path: str,
     name_col: str | None = None,
+    reg_col: str | None = None,
     require_thai_suffix: bool = True,
 ) -> DataFrame:
     """Header CSV → companies relation (scraper_v2.py:486-520)."""
     raw = spark.read.option("header", True).option("encoding", "UTF-8").csv(path)
-    n, r = _detect_columns(raw, name_col)
+    n, r = _detect_columns(raw, name_col, reg_col)
     return _standardize(raw, n, r, require_thai_suffix)
 
 
@@ -84,6 +86,7 @@ def excel_companies_source(
     path: str,
     sheet_name: str | int = 0,
     name_col: str | None = None,
+    reg_col: str | None = None,
     require_thai_suffix: bool = True,
 ) -> DataFrame:
     """``.xlsx/.xls`` via pandas on the driver (scraper_v2.py:522-556).
@@ -100,7 +103,7 @@ def excel_companies_source(
             "excel_companies_source needs openpyxl/xlrd installed"
         ) from exc
     raw = spark.createDataFrame(pdf.astype(object).where(pd.notnull(pdf), None))
-    n, r = _detect_columns(raw, name_col)
+    n, r = _detect_columns(raw, name_col, reg_col)
     return _standardize(raw, n, r, require_thai_suffix)
 
 
