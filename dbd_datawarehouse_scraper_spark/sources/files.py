@@ -93,18 +93,94 @@ def excel_companies_source(
 
     Excel inputs are small human-curated lists; driver-side read then
     parallelize is the right scale call (the 100 TB side is never
-    Excel). Needs openpyxl/xlrd at runtime — gated import."""
+    Excel). ``.xlsx`` falls back to a stdlib zip+XML reader when
+    openpyxl is absent; legacy binary ``.xls`` needs xlrd."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
-    except ImportError as exc:  # openpyxl missing in minimal images
-        raise NotImplementedError(
-            "excel_companies_source needs openpyxl/xlrd installed"
-        ) from exc
+    except ImportError as exc:  # openpyxl/xlrd missing in minimal images
+        if not path.lower().endswith(".xlsx"):
+            raise NotImplementedError(
+                "legacy .xls needs xlrd installed; convert to .xlsx"
+            ) from exc
+        pdf = _read_xlsx_minimal(path, sheet_name)
     raw = spark.createDataFrame(pdf.astype(object).where(pd.notnull(pdf), None))
     n, r = _detect_columns(raw, name_col, reg_col)
     return _standardize(raw, n, r, require_thai_suffix)
+
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _cell_col_index(ref: str) -> int:
+    """'B7' → 1 (0-based column)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_minimal(path: str, sheet_name):
+    """Pure-stdlib .xlsx reader (zipfile + ElementTree) for environments
+    without openpyxl. Handles shared strings, inline strings, and plain
+    values; first row is the header — the shapes the reference's Excel
+    inputs use (scraper_v2.py:522-556). Returns a string-typed pandas
+    DataFrame like ``pd.read_excel(dtype=str)``."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_SSML}t"))
+                for si in root.iter(f"{_SSML}si")
+            ]
+        # resolve sheet: name match via workbook.xml order, else index
+        sheet_paths = sorted(
+            n for n in zf.namelist()
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        target = sheet_paths[0] if sheet_paths else None
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{_SSML}sheet")]
+        if isinstance(sheet_name, int):
+            if 0 <= sheet_name < len(sheet_paths):
+                target = sheet_paths[sheet_name]
+        elif sheet_name in names:
+            target = sheet_paths[names.index(sheet_name)]
+        if target is None:
+            raise ValueError(f"no worksheet found in {path}")
+        rows: list[list[str | None]] = []
+        for row in ET.fromstring(zf.read(target)).iter(f"{_SSML}row"):
+            cells: dict[int, str | None] = {}
+            for c in row.iter(f"{_SSML}c"):
+                ci = _cell_col_index(c.get("r", "A1"))
+                ctype = c.get("t", "n")
+                if ctype == "inlineStr":
+                    cells[ci] = "".join(
+                        t.text or "" for t in c.iter(f"{_SSML}t")
+                    )
+                else:
+                    v = c.find(f"{_SSML}v")
+                    val = None if v is None else v.text
+                    if ctype == "s" and val is not None:
+                        val = shared[int(val)]
+                    cells[ci] = val
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+    if not rows:
+        return pd.DataFrame()
+    width = max(len(r) for r in rows)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    header = [h if h is not None else f"col{i}" for i, h in enumerate(rows[0])]
+    return pd.DataFrame(rows[1:], columns=header, dtype=object)
 
 
 def parquet_source(spark: SparkSession, path: str) -> DataFrame:

@@ -113,20 +113,92 @@ def test_resume_anti_join(spark, workdir):
     assert remaining.agg(F.min("k")).collect()[0][0] == 60
 
 
-def test_excel_source_gated(spark, workdir):
-    """Excel ingestion works when openpyxl is present, raises the
-    documented NotImplementedError otherwise."""
+def _write_minimal_xlsx(path, header, rows, sheet="Sheet1"):
+    """Stdlib xlsx writer (inline strings) — enough structure for both
+    openpyxl and the engine's zip+XML fallback reader."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def row_xml(rn, values):
+        cells = "".join(
+            f'<c r="{chr(65 + ci)}{rn}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
+            for ci, v in enumerate(values)
+            if v is not None
+        )
+        return f'<row r="{rn}">{cells}</row>'
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct_ns = "http://schemas.openxmlformats.org/package/2006/content-types"
+    sheet_rows = "".join(row_xml(i + 1, r) for i, r in enumerate([header] + rows))
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            f'<?xml version="1.0"?><Types xmlns="{ct_ns}">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
+            f'<Relationship Id="rId1" Type="{rel_ns}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rel_ns}">'
+            f'<sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
+            f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f"<sheetData>{sheet_rows}</sheetData></worksheet>",
+        )
+
+
+def test_excel_source(spark, workdir):
+    """Excel ingestion: pandas/openpyxl when installed, the stdlib
+    zip+XML fallback otherwise — both paths share the same semantics
+    (autodetect, trim, Thai filter, dedup)."""
     from dbd_datawarehouse_scraper_spark.sources import excel_companies_source
 
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd
+    path = f"{workdir}/companies.xlsx"
+    _write_minimal_xlsx(
+        path,
+        ["company_name", "registration_number", "extra"],
+        [
+            ["บริษัท เอ็กเซล จำกัด", None, "x"],
+            [" บริษัท ขอบ จำกัด ", "0123456789012", "y"],
+            ["Plain English Co", None, "z"],  # dropped by the Thai filter
+        ],
+    )
+    df = excel_companies_source(spark, path)
+    got = {r["company_name"]: r["registration_number"] for r in df.collect()}
+    assert got == {
+        "บริษัท เอ็กเซล จำกัด": None,
+        "บริษัท ขอบ จำกัด": "0123456789012",
+    }
 
-        path = f"{workdir}/companies.xlsx"
-        pd.DataFrame(
-            {"company_name": ["บริษัท เอ็กเซล จำกัด"], "registration_number": [None]}
-        ).to_excel(path, index=False)
-        df = excel_companies_source(spark, path)
-        assert [r["company_name"] for r in df.collect()] == ["บริษัท เอ็กเซล จำกัด"]
-    except (ImportError, NotImplementedError):
-        pytest.skip("openpyxl not installed; gated path verified")
+
+def test_excel_source_named_sheet(spark, workdir):
+    from dbd_datawarehouse_scraper_spark.sources import excel_companies_source
+
+    path = f"{workdir}/named.xlsx"
+    _write_minimal_xlsx(
+        path,
+        ["company_name"],
+        [["บริษัท ชีทเนม จำกัด"]],
+        sheet="รายชื่อ",
+    )
+    df = excel_companies_source(spark, path, sheet_name="รายชื่อ")
+    assert [r["company_name"] for r in df.collect()] == ["บริษัท ชีทเนม จำกัด"]
