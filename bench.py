@@ -2,11 +2,15 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "oracle_queries": {...}, "oracle_total": N, "ratio": N}
 
 Each query runs once after a shared warmup query that pays the JVM /
 codegen first-touch cost; per-query time is plan + execute to a
-count-style action (no driver-side collect of big results).
+count-style action (no driver-side collect of big results). The same
+headline queries' oracle SQL also runs in DuckDB (warm, same
+methodology) so every BENCH_r*.json is self-contained: `ratio` =
+spark total / oracle total over the oracle-backed subset.
 """
 
 from __future__ import annotations
@@ -79,6 +83,34 @@ def main() -> None:
         times[name] = round(time.perf_counter() - start, 4)
         assert n >= 0
     total = round(sum(times.values()), 4)
+
+    # DuckDB oracle pass: same queries, same warm-then-measure shape
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+    oracle_times: dict[str, float] = {}
+    for name in names:
+        sql = QUERIES[name].sql
+        if not sql:
+            continue
+        con.execute(sql).fetchall()  # warmup
+        start = time.perf_counter()
+        con.execute(sql).fetchall()
+        oracle_times[name] = round(time.perf_counter() - start, 4)
+    oracle_total = round(sum(oracle_times.values()), 4)
+    spark_on_oracle_subset = round(sum(times[n] for n in oracle_times), 4)
+    ratio = (
+        round(spark_on_oracle_subset / oracle_total, 3) if oracle_total else None
+    )
+
     print(
         json.dumps(
             {
@@ -87,6 +119,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "oracle_queries": oracle_times,
+                "oracle_total": oracle_total,
+                "spark_on_oracle_subset": spark_on_oracle_subset,
+                "ratio": ratio,
             }
         )
     )
