@@ -100,7 +100,24 @@ def match_companies(
         .alias("search_strategy"),
     )
 
-    # fuzzy fallback over everything the exact pass missed
+    # Fuzzy fallback over everything the exact pass missed.
+    #
+    # DEVIATION (documented per SURVEY §7c): the reference issues a
+    # FRESH one-page search per unmatched company on its first core
+    # token and scores only that page (scraper_v2.py:1033-1043). This
+    # engine instead scores the distinct candidate lines already
+    # fetched during the exact passes. That pool is a SUPERSET of the
+    # reference's per-company fallback page: the term cascade's
+    # progressive trims (scraper_v2.py:857-866) end at the first core
+    # token, and an unmatched company never early-exits, so its own
+    # first-token search already ran with FULL pagination (max_pages ≥
+    # the reference's 1 fallback page). Lines fetched for OTHER
+    # companies also enter the pool, but the similarity join blocks on
+    # first-core-token equality, so they can only match a company whose
+    # own first-token search would have returned them anyway. Net
+    # effect: recall ≥ reference with ZERO extra fetches (the reference
+    # re-fetches the first-token page it already fetched);
+    # tests/test_pipeline.py pins the superset property.
     unmatched = needs_search.join(
         exact_best.select("company_name"), "company_name", "left_anti"
     ).select("company_name")

@@ -109,6 +109,54 @@ def test_scrape_pipeline_fact_table(spark, companies_df, conf):
     assert "No search results" in reasons
 
 
+def test_fallback_pool_superset_of_reference_fallback_page(spark, companies_df, conf):
+    """DEVIATION pin (plans/pipeline.py): the engine's fuzzy-fallback
+    candidate pool (distinct exact-pass lines) must contain every
+    candidate the reference's fresh one-page first-token fallback search
+    (scraper_v2.py:1033-1043) would score for each unmatched company."""
+    import re
+
+    from dbd_datawarehouse_scraper_spark.functions.search_terms import (
+        add_search_terms,
+    )
+    from dbd_datawarehouse_scraper_spark.sources.http_fetch import (
+        fetch_search_results,
+        py_core_name,
+    )
+
+    matched, _ = match_companies(companies_df, factory, conf)
+    matched_names = {r["company_name"] for r in matched.collect()}
+    unmatched = [
+        n for (n, reg) in COMPANIES if n not in matched_names and reg is None
+    ]
+    assert unmatched, "fixture must leave at least one company unmatched"
+
+    needs_search = companies_df.filter(
+        F.col("registration_number").isNull()
+    ).select("company_name")
+    raw = fetch_search_results(
+        add_search_terms(needs_search), factory, max_pages=conf["matching"]["max_pages"]
+    )
+    pool = {
+        r["line"] for r in raw.collect() if r["line"] is not None
+    }
+
+    ref_fetcher = factory()
+    for name in unmatched:
+        core = py_core_name(name)
+        token = core.split()[0] if core.split() else None
+        if not token:
+            continue
+        page = ref_fetcher.search(token, 1)
+        ref_candidates = {
+            ln
+            for ln in page["lines"]
+            if re.search(r"0\d{12}", ln) and "จำกัด" in ln
+        }
+        missing = ref_candidates - pool
+        assert not missing, f"{name}: reference fallback candidates not in pool: {missing}"
+
+
 def test_early_exit_saves_fetches(spark, conf):
     """The in-UDF cascade must stop at the first exact hit: a company
     whose first term hits exactly generates exactly one search call in
