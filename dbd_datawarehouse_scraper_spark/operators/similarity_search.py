@@ -17,6 +17,7 @@ Two strategies:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,7 +96,6 @@ def cosine_topk_bruteforce_np(
     the global top-k. Quantized magnitudes stay < 2**52 for unit-ish
     embeddings, where numpy HALF_UP (floor(v+0.5) / ceil(v-0.5)) is
     exact."""
-    import pandas as pd
 
     spark = corpus.sparkSession
     pdf = probes.select(probe_id, probe_vec).toPandas()
@@ -237,6 +237,86 @@ def cosine_topk_lsh(
     return topk_per_group(
         cand, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
     )
+
+
+def _qcosine_pandas(vec_a: Column, vec_b: Column, scale: float = 1e12) -> Column:
+    """Quantized-exact cosine as an Arrow-vectorized pandas_udf —
+    numerically identical to ``functions.vectors.qcosine`` (per-component
+    HALF_UP quantization at ``scale``, exact integer sums) but scored
+    with numpy per batch instead of interpreted HOF folds."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+
+        def halfup(v):
+            return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+        qd = halfup(am * bm * scale).sum(axis=1)
+        qa = halfup(am * am * scale).sum(axis=1)
+        qb = halfup(bm * bm * scale).sum(axis=1)
+        denom = np.sqrt(qa) * np.sqrt(qb)
+        return pd.Series(np.where(denom == 0, 0.0, qd / np.where(denom == 0, 1.0, denom)))
+
+    return _score(vec_a, vec_b)
+
+
+def embedding_cosine_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    bands: int = 16,
+    bits_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[EXT] Embedding-cosine near-duplicate pairs: every (id_a, id_b,
+    cosine_sim) with ``cosine ≥ threshold``, id_a < id_b.
+
+    Same banded-LSH shape as ``minhash_lsh_pairs`` (operators/dedup.py),
+    hyperplane sign bits instead of minhash rows: the corpus is hashed
+    ONCE into narrow (id, band, bucket) rows, candidates are pairs
+    sharing any band bucket (never an all-pairs cross join), and only
+    candidates pay the exact quantized-cosine verify — which runs as an
+    Arrow-vectorized numpy kernel, not interpreted HOFs. Recall rises
+    with ``bands``; near-identical vectors (the dedup regime,
+    threshold ≥ ~0.9) collide in virtually every band."""
+    keyed = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    banded = keyed.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    _bucket_id(F.col("_v"), dim, band, bits_per_band)
+                    for band in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    ).persist()
+    right = banded.select(F.col("_id").alias("_id2"), "_band", "_bucket")
+    cand = (
+        banded.join(right, ["_band", "_bucket"])
+        .filter(F.col("_id") < F.col("_id2"))
+        .select("_id", "_id2")
+        .dropDuplicates(["_id", "_id2"])
+    )
+    # vectors join back by id — fetched once per side, not per band hit
+    v1 = keyed
+    v2 = keyed.select(F.col("_id").alias("_id2"), F.col("_v").alias("_v2"))
+    scored = (
+        cand.join(v1, "_id")
+        .join(v2, "_id2")
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_id2").alias("id_b"),
+            F.round(_qcosine_pandas(F.col("_v"), F.col("_v2")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    return scored.filter(F.col("cosine_sim") >= F.lit(threshold))
 
 
 def ivf_topk(

@@ -1579,6 +1579,23 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(probes, e, k=5, dim=64, bands=8, bits_per_band=4)
 
 
+@register("embedding_cosine_dedup", None)
+def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-cosine near-duplicate pairs, LSH-bucketed with
+    Arrow-vectorized quantized verify. The synthetic embeddings have no
+    natural near-dups (max pairwise cosine ≈ 0.51), so the corpus unions
+    deterministic duplicates (same vector, vec_id + 10^6) — every base
+    vector must pair with its copy at threshold 0.9 and nothing else.
+    Exactness/recall pinned in tests/test_similarity_search.py."""
+    from .operators.similarity_search import embedding_cosine_dedup
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return embedding_cosine_dedup(
+        e.unionByName(dups), threshold=0.9, dim=64
+    )
+
+
 @register("scrape_pipeline_hermetic", None)
 def scrape_pipeline_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1 replay (match → extract → unpivot) over a deterministic

@@ -104,6 +104,64 @@ def test_lsh_recall_vs_bruteforce(emb, probes):
     assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}"
 
 
+def test_embedding_cosine_dedup_exact_and_perturbed(spark, emb):
+    """Cosine near-dup dedup: exact duplicates MUST all be found
+    (identical vectors share every band bucket); perturbed near-dups
+    (one component scaled 5%) are recalled with high probability; the
+    exact verify guarantees precision — every returned pair really is
+    above threshold (checked against numpy brute force)."""
+    import numpy as np
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        embedding_cosine_dedup,
+    )
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 200)
+    exact_dups = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    perturbed = base.select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * F.lit(1.05)).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = base.unionByName(exact_dups).unionByName(perturbed)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_dedup(corpus, threshold=0.9, dim=64).collect()
+    }
+
+    # numpy brute-force truth over the same corpus
+    rows = corpus.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(ids), k=1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j, s in zip(iu[0], iu[1], sims[iu])
+        if s >= 0.9005  # margin clear of the quantized-round boundary
+    }
+    loose = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j, s in zip(iu[0], iu[1], sims[iu])
+        if s >= 0.8995
+    }
+
+    # precision: nothing below threshold survives the exact verify
+    assert got <= loose
+    # exact duplicates: guaranteed recall
+    exact_pairs = {(int(i), int(i) + 100000) for i in ids if i < 200}
+    assert exact_pairs <= got
+    # perturbed near-dups: high recall
+    assert truth, "fixture must create near-dup pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"recall {recall:.2f}"
+
+
 def test_ivf_recall_vs_bruteforce(emb, probes):
     from dbd_datawarehouse_scraper_spark.operators.similarity_search import ivf_topk
 
