@@ -50,6 +50,12 @@ def test_similarity_join_is_blocked_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_cosine_dedup_is_bucketed_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embedding_cosine_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_semi_anti_joins_stay_semi_anti(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, sf_dir, "semi_join")
     assert "LeftAnti" in plan_of(spark, sf_dir, "anti_join_not_found")
