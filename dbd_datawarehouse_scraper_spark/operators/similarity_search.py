@@ -1,17 +1,26 @@
-"""[EXT] Similarity search over embedding columns (array<float>).
+"""[EXT] Similarity search and near-dup dedup over embedding columns
+(array<float>).
 
-Two strategies:
+Strategies:
 
-- ``cosine_topk_bruteforce``: exact top-k by cosine — query set joined
-  against the full corpus. Right for small probe sets / reranking; the
-  join is probe×corpus, so at 100 TB it only works with a bounded probe
-  side (broadcast the probes, stream the corpus — one scan, no shuffle
-  of the corpus).
-- ``cosine_topk_lsh``: random-hyperplane LSH (SimHash for vectors)
-  bucketing — corpus hashed once into sign-bit buckets; probes only
-  score vectors sharing a band. This is the scale path: candidate cost
-  is bucket-collision bound. Deterministic hyperplanes come from
-  xxhash64-seeded pseudo-randoms, so results are reproducible.
+- ``cosine_topk_bruteforce`` / ``cosine_topk_bruteforce_np``: exact
+  top-k by cosine — bounded probe set against the full corpus (one
+  corpus scan, no corpus shuffle). The ``_np`` form scores each Arrow
+  batch with numpy and emits per-batch partial top-k; it is the fast
+  path and the one the registry query uses.
+- ``cosine_topk_lsh``: random-hyperplane LSH (SimHash for vectors) —
+  corpus hashed once into sign-bit band buckets; probes only score
+  vectors sharing a band. Candidate cost is bucket-collision bound.
+- ``ivf_topk``: KMeans coarse quantizer; probes score only their
+  ``nprobe`` nearest lists.
+- ``embedding_cosine_dedup``: all near-dup pairs above a cosine
+  threshold via the same banded LSH, exact-verified.
+
+Both the hashing leg (``banded_buckets_np``: one matmul per Arrow batch
+against a broadcast, seeded Gaussian hyperplane matrix — deterministic
+across runs/partitions) and the scoring leg (``_qcosine_pandas``) are
+numpy-vectorized; interpreted HOF folds survive only in the plain
+``cosine_topk_bruteforce`` reference form.
 """
 
 from __future__ import annotations
@@ -361,8 +370,6 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from ..functions.vectors import dot, l2_norm
-
     corpus_v = corpus.withColumn(
         "_v", array_to_vector(F.col(corpus_vec).cast("array<double>"))
     )
@@ -395,22 +402,18 @@ def ivf_topk(
         nprobe,
     ).drop("_d2")
 
-    cand = (
-        probe_lists.join(assigned, "_list")
-        .filter(F.col(probe_id) != F.col(corpus_id))
-        .withColumn("_np", l2_norm(F.col(probe_vec)))
-        .withColumn("_nc", l2_norm(F.col(corpus_vec)))
+    cand = probe_lists.join(assigned, "_list").filter(
+        F.col(probe_id) != F.col(corpus_id)
     )
-    denom = F.col("_np") * F.col("_nc")
-    reranked = cand.withColumn(
-        "cosine_sim",
-        F.round(
-            F.when(denom == 0, F.lit(0.0)).otherwise(
-                dot(F.col(probe_vec), F.col(corpus_vec)) / denom
-            ),
-            6,
+    # rerank with the Arrow-vectorized quantized kernel (the interpreted
+    # HOF fold costs ~10× per pair; candidates ≈ |corpus|·nprobe/n_lists)
+    reranked = cand.select(
+        probe_id,
+        corpus_id,
+        F.round(_qcosine_pandas(F.col(probe_vec), F.col(corpus_vec)), 6).alias(
+            "cosine_sim"
         ),
-    ).select(probe_id, corpus_id, "cosine_sim")
+    )
     return topk_per_group(
         reranked, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
     )
