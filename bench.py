@@ -75,13 +75,17 @@ def main() -> None:
         builder = QUERIES[name].builder
         # one untimed warmup run amortizes whole-stage-codegen JIT (a
         # per-query-shape, once-per-JVM cost that a long-running engine
-        # never pays again), then one measured plan+execute run
+        # never pays again), then min of two measured plan+execute runs
+        # (single runs made the spark/oracle ratio swing ±20% with
+        # background load; min-of-2 stabilizes it)
         builder(spark, sf_dir).count()
-        start = time.perf_counter()
-        df = builder(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - start, 4)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            n = builder(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+            assert n >= 0
+        times[name] = round(best, 4)
     total = round(sum(times.values()), 4)
 
     # DuckDB oracle pass: same queries, same warm-then-measure shape
@@ -102,9 +106,12 @@ def main() -> None:
         if not sql:
             continue
         con.execute(sql).fetchall()  # warmup
-        start = time.perf_counter()
-        con.execute(sql).fetchall()
-        oracle_times[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - start)
+        oracle_times[name] = round(best, 4)
     oracle_total = round(sum(oracle_times.values()), 4)
     spark_on_oracle_subset = round(sum(times[n] for n in oracle_times), 4)
     ratio = (
