@@ -53,6 +53,7 @@ HEADLINE = [
     "heavy_hitters_tokens",
     "pivot_wide",
     "minhash_lsh_dedup",
+    "embedding_cosine_dedup",
 ]
 
 

@@ -13,3 +13,4 @@ from .micro_batch import (  # noqa: F401
     resume_anti_join,
 )
 from .stateful import stateful_running_counts  # noqa: F401
+from .joins import interval_join  # noqa: F401

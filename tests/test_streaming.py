@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from dbd_datawarehouse_scraper_spark.queries import events_table
 from dbd_datawarehouse_scraper_spark.streaming import (
     file_stream,
+    interval_join,
     session_counts,
     stream_dedup,
     tumbling_counts,
@@ -148,3 +149,43 @@ def test_stateful_running_counts(spark, events_dir):
     for u in expected:
         assert got[u][0] == expected[u][0]
         assert got[u][1] == pytest.approx(expected[u][1])
+
+
+def test_interval_join_stream_equals_batch(spark, events_dir):
+    """Watermarked stream-stream interval join: the streaming result
+    over two event feeds must equal the same join run in batch mode
+    (watermarks are a no-op in batch)."""
+    batch = spark.read.parquet(events_dir)
+    views = batch.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined_batch = interval_join(
+        views, clicks, key="user_id", tolerance="6 hours", watermark="12 hours"
+    ).select("view_id", "click_id")
+    expected = sorted(tuple(r) for r in joined_batch.collect())
+    assert expected, "fixture must produce joined pairs"
+
+    s = file_stream(spark, events_dir, batch.schema)
+    sv = s.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    sc = s.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    q = (
+        interval_join(sv, sc, key="user_id", tolerance="6 hours", watermark="12 hours")
+        .select("view_id", "click_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_join_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM interval_join_out").collect()
+    )
+    assert got == expected
