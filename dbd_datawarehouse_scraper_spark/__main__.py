@@ -132,8 +132,26 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(f"Wrote default config to {path}")
         return 0
 
-    from .config import load_config
+    from .config import (
+        is_reference_format,
+        load_config,
+        read_config_file,
+        reference_io_settings,
+    )
     from .session import get_spark
+
+    # a reference-format config supplies input/output/processing defaults
+    # too — apply them to any flag the user left at its default, the
+    # reference's own config-vs-CLI precedence (scraper_v2.py:1627-1638)
+    if os.path.exists(args.config):
+        file_conf = read_config_file(args.config)
+        if is_reference_format(file_conf):
+            parser_defaults = {
+                a.dest: a.default for a in build_parser()._actions
+            }
+            for dest, value in reference_io_settings(file_conf).items():
+                if getattr(args, dest, None) == parser_defaults.get(dest):
+                    setattr(args, dest, value)
 
     overrides = {
         "matching": {

@@ -102,3 +102,81 @@ def test_resume_skips_done(spark, tmp_path, companies_csv):
                  for r in spark.read.parquet(out).select("company_name").collect()}
     # resume appended the remaining companies without rewriting the first
     assert first <= all_names and len(all_names) > len(first)
+
+
+def test_reference_format_config_translates(tmp_path):
+    """A config.yaml written for the REFERENCE scraper works unchanged:
+    section names (search/processing/retry/extraction/...) translate
+    onto the engine schema."""
+    import yaml
+
+    from dbd_datawarehouse_scraper_spark.config import load_config
+
+    ref_conf = {
+        "input": {"file": "my.csv", "filter_thai": False},
+        "output": {"revenue_file": "rev.csv", "force_overwrite": True},
+        "search": {"max_pages": 7, "similarity_threshold": 0.8},
+        "processing": {"workers": 3, "batch_size": 50,
+                       "delay_between_requests": 2},
+        "retry": {"max_retries": 5, "extra_wait_per_retry": 4},
+        "browser": {"page_load_wait": 10},  # no engine analog; ignored
+        "extraction": {
+            "mode": "all",
+            "income_statement_fields": ["รายได้รวม", "กำไรสุทธิ"],
+            "include_balance_sheet": True,
+            "balance_sheet_fields": ["สินทรัพย์รวม"],
+        },
+    }
+    p = tmp_path / "ref.yaml"
+    p.write_text(yaml.safe_dump(ref_conf, allow_unicode=True), encoding="utf-8")
+    conf = load_config(str(p))
+    assert conf["matching"]["max_pages"] == 7
+    assert conf["matching"]["similarity_threshold"] == 0.8
+    assert conf["matching"]["require_thai_suffix"] is False
+    assert conf["fetch"]["fetch_partitions"] == 3
+    assert conf["fetch"]["delay_between_requests"] == 2
+    assert conf["fetch"]["max_retries"] == 5
+    assert conf["fetch"]["retry_extra_wait"] == 4
+    assert conf["io"]["batch_size"] == 50
+    assert conf["io"]["backup_on_overwrite"] is False
+    assert conf["extraction"]["mode"] == "full"
+    assert conf["extraction"]["income_fields"] == ["รายได้รวม", "กำไรสุทธิ"]
+    assert conf["extraction"]["balance_fields"] == ["สินทรัพย์รวม"]
+
+
+def test_reference_shipped_config_loads():
+    """The reference repo's own config.yaml parses and translates."""
+    from dbd_datawarehouse_scraper_spark.config import load_config
+
+    conf = load_config("/root/reference/config.yaml")
+    assert conf["matching"]["max_pages"] == 100
+    assert conf["matching"]["similarity_threshold"] == 0.75
+    assert conf["fetch"]["fetch_partitions"] == 5
+    assert "รายได้รวม" in conf["extraction"]["income_fields"]
+    assert conf["extraction"]["include_balance_sheet"] is False
+
+
+def test_reference_config_feeds_cli_io_defaults(spark, tmp_path, companies_csv):
+    """input/output file settings in a reference-format config become
+    CLI defaults; explicit flags still win."""
+    import yaml
+
+    out = str(tmp_path / "from_conf.parquet")
+    nf = str(tmp_path / "nf.parquet")
+    cfg = tmp_path / "ref.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "input": {"file": companies_csv},
+                "output": {"revenue_file": out, "not_found_file": nf,
+                           "force_overwrite": True},
+                "debug": {"test_count": 1},
+            },
+            allow_unicode=True,
+        ),
+        encoding="utf-8",
+    )
+    rc = main(["--config", str(cfg), "--fetcher", "fake"])
+    assert rc == 0
+    fact = spark.read.parquet(out)
+    assert fact.select("company_name").distinct().count() == 1  # test_count
