@@ -88,3 +88,18 @@ def test_rows_only_queries_run(spark, sf_dir):
         if q.sql is None:
             df = q.builder(spark, sf_dir)
             assert df.count() >= 0, name
+
+
+def test_driver_window_invariant():
+    """The driver's correctness gate checks EXACTLY the first 50
+    registered queries — every oracle-backed entry must sit inside the
+    window and rows-only entries after it (queries.py _reorder_registry
+    tripwire; round-1 verdict)."""
+    names = list(QUERIES)
+    window = names[:50]
+    assert all(QUERIES[n].sql is not None for n in window), (
+        "rows-only query inside the driver's 50-entry window"
+    )
+    assert all(QUERIES[n].sql is None for n in names[50:]), (
+        "oracle-backed query OUTSIDE the driver window gets no driver row"
+    )
