@@ -2,3 +2,4 @@
 DataFrame DAGs."""
 
 from .pipeline import match_companies, scrape_pipeline  # noqa: F401
+from .curation import curate_documents  # noqa: F401

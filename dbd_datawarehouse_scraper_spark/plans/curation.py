@@ -1,0 +1,81 @@
+"""[EXT] End-to-end training-data curation plan over a documents table.
+
+The LLM-pipeline counterpart of plans/pipeline.py: the standard
+curation funnel composed from the engine's own operators, each stage an
+operator that is individually oracle- or recall-verified:
+
+    documents
+      → language-ID + quality scoring   (pure column exprs, codegen'd)
+      → language / quality gates        (pushdown-friendly filters)
+      → exact dedup                     (fingerprint hash, deterministic
+                                         survivor)
+      → near-dup dedup                  (MinHash + banded LSH, candidate-
+                                         bounded; greedy keep-lowest-id)
+      → deterministic stratified sample (content-hash membership)
+
+Every stage is a narrow transformation or a key-shuffle — nothing
+quadratic, nothing driver-side — so the funnel's scale ceiling is the
+near-dup candidate join, which is LSH-collision-bounded. All survivor
+choices are content-deterministic: the same corpus in gives the same
+corpus out on any cluster, partitioning, or retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import doc_fingerprint, lang_id, quality_score, token_count
+from ..operators.dedup import (
+    deterministic_stratified_sample,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.8,
+    sample_fractions: dict | None = None,
+) -> DataFrame:
+    """The curation funnel. Returns the curated documents with their
+    analysis columns (lang, quality, n_tokens) attached.
+
+    Near-dup survivor rule: a document is dropped iff it appears as the
+    HIGHER id of any verified near-dup pair — the greedy keep-lowest-id
+    policy every pair-emitting dedup here shares. (Transitive chains
+    keep only true minima; connected-component survivor selection is an
+    iterative algorithm better run as a follow-up join loop when chains
+    matter.)"""
+    analyzed = docs.select(
+        id_col,
+        text_col,
+        lang_id(F.col(text_col)).alias("lang"),
+        quality_score(F.col(text_col)).alias("quality"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        doc_fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    gated = analyzed.filter(
+        F.col("lang").isin(list(keep_langs))
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    # exact dedup on the normalized-content fingerprint, lowest id wins
+    exact = exact_dedup(gated, ["_fp"], id_col).drop("_fp")
+
+    pairs = minhash_lsh_pairs(
+        exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    near = exact.join(losers, id_col, "left_anti")
+
+    if sample_fractions:
+        near = deterministic_stratified_sample(
+            near, "lang", sample_fractions, [id_col]
+        )
+    return near

@@ -1579,6 +1579,26 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(probes, e, k=5, dim=64, bands=8, bits_per_band=4)
 
 
+@register("training_data_curation", None)
+def training_data_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The full curation funnel (plans/curation.py): lang-ID +
+    quality gates → exact dedup → MinHash near-dup dedup → deterministic
+    stratified sample. Rows-only (the MinHash stage has no SQL oracle);
+    stage-level semantics are individually oracle-/recall-verified, and
+    tests/test_curation.py pins funnel monotonicity + determinism."""
+    from .plans.curation import curate_documents
+
+    d = t(spark, sf_dir, "documents")
+    return curate_documents(
+        d,
+        keep_langs=("en",),
+        min_quality=0.3,
+        min_tokens=5,
+        near_dup_threshold=0.8,
+        sample_fractions={"en": 0.5},
+    )
+
+
 @register("embedding_cosine_dedup", None)
 def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Embedding-cosine near-duplicate pairs, LSH-bucketed with

@@ -1,0 +1,64 @@
+"""Training-data curation funnel (plans/curation.py): monotonic
+reductions, deterministic output, and stage semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.plans import curate_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_funnel_reduces_and_keeps_schema(spark, docs):
+    out = curate_documents(docs, keep_langs=("en",), sample_fractions=None)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    assert {"doc_id", "text", "lang", "quality", "n_tokens"} <= set(out.columns)
+    rows = out.collect()
+    assert all(r["lang"] == "en" for r in rows)
+    assert all(r["quality"] >= 0.3 for r in rows)
+    assert all(r["n_tokens"] >= 5 for r in rows)
+
+
+def test_funnel_deterministic_across_partitionings(spark, docs):
+    a = curate_documents(docs, keep_langs=("en",), sample_fractions={"en": 0.5})
+    b = curate_documents(
+        docs.repartition(17), keep_langs=("en",), sample_fractions={"en": 0.5}
+    )
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b
+
+
+def test_exact_dup_removed_near_dup_removed(spark, docs):
+    """Inject an exact duplicate and a near duplicate of an existing doc
+    with HIGHER ids — both must be dropped, the original kept."""
+    base = docs.filter(F.col("doc_id") < 50)
+    kept_src = curate_documents(base, keep_langs=("en",), sample_fractions=None)
+    victim = kept_src.orderBy("doc_id").limit(1).collect()[0]
+    vid, vtext = victim["doc_id"], victim["text"]
+
+    injected = base.unionByName(
+        spark.createDataFrame(
+            [
+                (900000, vtext),                      # exact duplicate
+                (900001, vtext + " extra tail"),      # near duplicate
+            ],
+            "doc_id long, text string",
+        ).select("doc_id", "text", *[
+            F.lit(None).cast(base.schema[c].dataType).alias(c)
+            for c in base.columns if c not in ("doc_id", "text")
+        ])
+    )
+    out_ids = {
+        r["doc_id"]
+        for r in curate_documents(
+            injected, keep_langs=("en",), sample_fractions=None
+        ).collect()
+    }
+    assert vid in out_ids
+    assert 900000 not in out_ids, "exact duplicate survived"
+    assert 900001 not in out_ids, "near duplicate survived"
