@@ -73,14 +73,24 @@ class _TableTextParser(HTMLParser):
         self._cell: list[str] = []
         self._text: list[str] = []
 
+    def _flush_cell(self) -> None:
+        if self._in_cell:
+            self._in_cell = False
+            if self._row is not None:
+                self._row.append("".join(self._cell).strip())
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag == "table":
+            self._flush_cell()
             self._in_table = True
             self.tables.append([])
         elif tag == "tr" and self._in_table:
+            # implicit close: real-world markup omits </td></tr>
+            self._flush_cell()
             self._row = []
             self.tables[-1].append(self._row)
         elif tag in ("td", "th") and self._row is not None:
+            self._flush_cell()
             self._in_cell = True
             self._cell = []
         elif tag in ("br", "p", "div", "tr", "li"):
@@ -88,12 +98,16 @@ class _TableTextParser(HTMLParser):
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "table":
+            self._flush_cell()
             self._in_table = False
-        elif tag in ("td", "th") and self._in_cell:
-            self._in_cell = False
-            if self._row is not None:
-                self._row.append("".join(self._cell).strip())
-        elif tag in ("p", "div", "tr", "li"):
+            self._row = None
+        elif tag in ("td", "th"):
+            self._flush_cell()
+        elif tag == "tr":
+            self._flush_cell()
+            self._row = None
+            self._text.append("\n")
+        elif tag in ("p", "div", "li"):
             self._text.append("\n")
 
     def handle_data(self, data: str) -> None:

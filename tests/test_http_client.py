@@ -183,3 +183,69 @@ def test_selenium_fetcher_import_gate():
 
     with pytest.raises(ImportError, match="selenium"):
         SeleniumFetcher()
+
+
+class TestParserRobustness:
+    """The stdlib HTML parser must survive the malformed markup a live
+    site can serve: unclosed tags, entities, rowspan-ish missing cells,
+    nested markup inside cells, tables with no year header."""
+
+    def _fetch(self, html):
+        t = FakeTransport()
+        url = f"https://datawarehouse.dbd.go.th/company/profile/5{REG_A}"
+        t.add(url, html)
+        return HttpFetcher(transport=t), url
+
+    def test_unclosed_tags_and_entities(self):
+        f, url = self._fetch(
+            "<html><body><div>ข้อมูลนิติบุคคล<div>"
+            "<table><tr><th>รายการ<th>2566<th>%"
+            "<tr><td>รายได้รวม &amp; อื่นๆ<td>1,000.00<td>5%"
+            "</table></body>"  # unclosed html, no </tr>/<td> closes
+        )
+        prof = f.profile("5" + REG_A)
+        assert prof is not None
+        income = dict(prof["tables"][INCOME_TABLE])
+        assert income["รายได้รวม"] == {2566: "1,000.00"}
+
+    def test_nested_markup_inside_cells(self):
+        f, url = self._fetch(
+            "<html><body>ข้อมูลนิติบุคคล"
+            "<table><tr><th><span>รายการ</span></th><th><b>2566</b></th><th>%</th></tr>"
+            "<tr><td><a href='#'>รายได้รวม</a></td><td><span>7.00</span></td><td></td></tr>"
+            "</table></body></html>"
+        )
+        prof = f.profile("5" + REG_A)
+        assert dict(prof["tables"][INCOME_TABLE])["รายได้รวม"] == {2566: "7.00"}
+
+    def test_short_rows_do_not_crash(self):
+        f, url = self._fetch(
+            "<html><body>ข้อมูลนิติบุคคล"
+            "<table><tr><th>รายการ</th><th>2566</th><th>%</th><th>2565</th><th>%</th></tr>"
+            "<tr><td>รายได้รวม</td><td>1.00</td></tr>"  # 2565 cell missing
+            "</table></body></html>"
+        )
+        prof = f.profile("5" + REG_A)
+        assert dict(prof["tables"][INCOME_TABLE])["รายได้รวม"] == {2566: "1.00"}
+
+    def test_no_year_table_means_no_profile(self):
+        f, url = self._fetch(
+            "<html><body>ข้อมูลนิติบุคคล"
+            "<table><tr><th>อะไรสักอย่าง</th></tr><tr><td>รายได้รวม</td></tr></table>"
+            "</body></html>"
+        )
+        assert f.profile("5" + REG_A) is None
+
+    def test_garbage_page_is_no_results(self):
+        import urllib.parse
+
+        t = FakeTransport()
+        url = (
+            "https://datawarehouse.dbd.go.th/juristic/searchInfo?keyword="
+            + urllib.parse.quote("อะไร")
+        )
+        t.add(url, "<<<not html at all>>> \x00\x01 <table><tr>")
+        f = HttpFetcher(transport=t)
+        res = f.search("อะไร", 1)
+        assert res["redirect"] is None
+        assert res["total_pages"] == 1
