@@ -66,6 +66,42 @@ def backup_on_overwrite(path: str, force: bool = False) -> str | None:
     return backup
 
 
+def compact_output(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    fmt: str = "parquet",
+) -> int:
+    """[EXT] Small-file compaction: rewrite an output directory into
+    ~``target_mb``-sized files. Incremental sinks (micro-batch appends,
+    streaming epochs) accumulate many small files; at scale that
+    degrades every downstream scan (per-file open cost, tiny row
+    groups, starved vectorized readers). Returns the new file count.
+
+    Rewrite-then-swap keeps the directory readable until the atomic-ish
+    rename; at 100 TB run this per partition directory, not per table."""
+    import glob
+
+    files = [
+        f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    reader = (
+        spark.read.option("header", True).csv(path)
+        if fmt == "csv"
+        else spark.read.parquet(path)
+    )
+    tmp = f"{path}.__compact_tmp__"
+    batched_sink(reader, tmp, fmt=fmt, target_files=int(n_files))
+    old = f"{path}.__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return int(n_files)
+
+
 def combine_batches(
     spark, batches_path: str, out_path: str, fmt: str = "parquet"
 ) -> int:

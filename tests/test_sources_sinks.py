@@ -202,3 +202,21 @@ def test_excel_source_named_sheet(spark, workdir):
     )
     df = excel_companies_source(spark, path, sheet_name="รายชื่อ")
     assert [r["company_name"] for r in df.collect()] == ["บริษัท ชีทเนม จำกัด"]
+
+
+def test_compact_output(spark, workdir):
+    """Many small files → few target-sized files, same rows."""
+    from dbd_datawarehouse_scraper_spark.sources.sinks import compact_output
+
+    path = f"{workdir}/fragmented"
+    df = spark.range(10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+    before_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before_files >= 30
+
+    n = compact_output(spark, path, target_mb=512)
+    after_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n == 1 and after_files == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 10000
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10000))
