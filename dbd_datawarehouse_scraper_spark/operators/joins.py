@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import token_jaccard, tokenize_ws
-from ..functions.text_norm import extract_core_name
+from ..functions.text_norm import add_core_name
 from .windows import top1_per_group
 
 
@@ -41,9 +41,11 @@ def exact_core_join(
 ) -> DataFrame:
     """Equi-join on ``extract_core_name`` of both sides
     (scraper_v2.py:970-972): target core == candidate core, empty keys
-    never match (the reference compares non-empty page lines)."""
-    t = targets.withColumn("_core_key", extract_core_name(F.col(target_name)))
-    c = candidates.withColumn("_core_key", extract_core_name(F.col(cand_name)))
+    never match (the reference compares non-empty page lines). The key
+    is derived via the staged ``add_core_name`` form so the chain runs
+    once per row instead of ~21× (see its docstring)."""
+    t = add_core_name(targets, target_name, "_core_key")
+    c = add_core_name(candidates, cand_name, "_core_key")
     t = t.filter(F.col("_core_key") != "")
     c = c.filter(F.col("_core_key") != "")
     if broadcast_candidates:
@@ -85,13 +87,13 @@ def similarity_fallback_join(
     4. threshold gate (:1062-1067).
     """
     t = (
-        unmatched.withColumn("_core", extract_core_name(F.col(target_name)))
+        add_core_name(unmatched, target_name, "_core")
         .withColumn("_toks", tokenize_ws(F.col("_core")))
         .withColumn("_block", F.element_at(F.col("_toks"), 1))
         .filter(F.col("_block").isNotNull())
     )
     c = (
-        candidates.withColumn("_ccore", extract_core_name(F.col(cand_name)))
+        add_core_name(candidates, cand_name, "_ccore")
         .withColumn("_ctoks", tokenize_ws(F.col("_ccore")))
         .withColumn("_block", F.element_at(F.col("_ctoks"), 1))
         .filter(F.col("_block").isNotNull())

@@ -91,3 +91,24 @@ def test_fuzz_staged_form_equals_expression_form(spark):
         r["company_name"]: r["terms"] for r in add_search_terms(df).collect()
     }
     assert expr_form == staged_form
+
+
+def test_fuzz_staged_core_name_equals_expression_form(spark):
+    """add_core_name (staged, persist-barriered) must equal the
+    single-expression extract_core_name byte-for-byte."""
+    from dbd_datawarehouse_scraper_spark.functions.text_norm import add_core_name
+
+    rng = random.Random(11)
+    names = [gen_name(rng) for _ in range(300)]
+    df = spark.createDataFrame([(n,) for n in names], ["company_name"])
+    expr_form = {
+        r["company_name"]: r["c"]
+        for r in df.select(
+            "company_name", extract_core_name(F.col("company_name")).alias("c")
+        ).collect()
+    }
+    staged_form = {
+        r["company_name"]: r["_core"]
+        for r in add_core_name(df, "company_name").collect()
+    }
+    assert expr_form == staged_form
