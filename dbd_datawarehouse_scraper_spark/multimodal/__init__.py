@@ -1,4 +1,4 @@
-"""[EXT] Multimodal binary-column plumbing (decode / featurize /
+"""[EXT] Multimodal binary-column plumbing (decode / featurize / resize /
 frame-sample as Arrow-batched UDFs; codecs stubbed, plumbing real)."""
 
 from .media import (  # noqa: F401
@@ -7,5 +7,6 @@ from .media import (  # noqa: F401
     synth_media,
     decode_media,
     media_features,
+    resize_media,
     sample_frames,
 )

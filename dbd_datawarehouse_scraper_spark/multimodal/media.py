@@ -141,6 +141,57 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.withColumn("features", featurize(F.col("payload")))
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("target_w", T.IntegerType(), True),
+        T.StructField("target_h", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("resize_error", T.StringType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: payload in, resized payload out,
+    per-row fault isolation. The stub 'codec' downsamples the raw bytes
+    to exactly ``target_w × target_h`` with a deterministic stride
+    (numpy over the Arrow batch); a real deployment swaps the two
+    numpy lines for libvips/PIL calls — schema, batching and error
+    channel are unchanged. Output payloads are fixed-size, so the
+    downstream column stays uniformly columnar."""
+    out_len = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                try:
+                    p = row["payload"] or b""
+                    arr = np.frombuffer(p, dtype=np.uint8)
+                    if len(arr) == 0:
+                        arr = np.zeros(1, dtype=np.uint8)
+                    idx = (np.arange(out_len) * len(arr) // out_len) % len(arr)
+                    resized = arr[idx].tobytes()
+                    out.append(
+                        (row["media_id"], row["media_type"], target_w,
+                         target_h, resized, None)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    out.append(
+                        (row["media_id"], row["media_type"], target_w,
+                         target_h, None, str(exc)[:200])
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: one row per sampled frame offset.
     With a real video codec the UDF would emit decoded frames; here the

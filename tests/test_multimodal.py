@@ -56,3 +56,19 @@ def test_sample_frames_offsets(media):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
     assert rows[0]["byte_offset"] == 0
     assert all(r["byte_offset"] < r["n_bytes"] for r in rows)
+
+
+def test_resize_media_fixed_output(media):
+    from dbd_datawarehouse_scraper_spark.multimodal.media import resize_media
+
+    out = resize_media(media, target_w=8, target_h=4).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert r["resize_error"] is None
+        assert (r["target_w"], r["target_h"]) == (8, 4)
+        assert len(r["payload"]) == 32  # fixed-size output, columnar-friendly
+
+    # deterministic: same payload → same resized bytes
+    again = {r["media_id"]: r["payload"]
+             for r in resize_media(media, target_w=8, target_h=4).collect()}
+    assert {r["media_id"]: r["payload"] for r in out} == again
