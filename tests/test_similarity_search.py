@@ -179,3 +179,28 @@ def test_ivf_recall_vs_bruteforce(emb, probes):
     mean_recall = sum(recalls) / len(recalls)
     # nprobe=half the lists → most near-neighbors inside probed cells
     assert mean_recall >= 0.6, f"mean recall {mean_recall:.2f}"
+
+
+def test_qcosine_pandas_matches_hof(spark):
+    """The Arrow-vectorized quantized-cosine kernel must be bit-identical
+    to functions.vectors.qcosine (the interpreted HOF form) on random
+    vectors including zero vectors."""
+    import random
+
+    from dbd_datawarehouse_scraper_spark.functions.vectors import qcosine
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        _qcosine_pandas,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        a = [rng.uniform(-1, 1) for _ in range(16)]
+        b = [rng.uniform(-1, 1) for _ in range(16)]
+        if i % 50 == 0:
+            a = [0.0] * 16  # zero-norm edge
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    hof = {r["i"]: r["c"] for r in df.select("i", qcosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    np_ = {r["i"]: r["c"] for r in df.select("i", _qcosine_pandas(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert hof == np_
