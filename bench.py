@@ -5,10 +5,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "oracle_queries": {...}, "oracle_total": N, "ratio": N}
 
-Each query runs once after a shared warmup query that pays the JVM /
-codegen first-touch cost; per-query time is plan + execute to a
-count-style action (no driver-side collect of big results). The same
-headline queries' oracle SQL also runs in DuckDB (warm, same
+Each query reports min-of-3 measured runs (plus `query_spreads` =
+max-min, so regressions are distinguishable from noise) after an
+untimed warmup that pays the JVM / codegen first-touch cost; per-query
+time is plan + execute to a count-style action (no driver-side collect
+of big results). Tracked intra-query caches are released between runs.
+The same headline queries' oracle SQL also runs in DuckDB (warm, same
 methodology) so every BENCH_r*.json is self-contained: `ratio` =
 spark total / oracle total over the oracle-backed subset.
 """
@@ -70,23 +72,33 @@ def main() -> None:
     for tbl in ["lineitem", "orders", "customer", "part"]:
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
     names = [n for n in HEADLINE if n in QUERIES]
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
         builder = QUERIES[name].builder
         # one untimed warmup run amortizes whole-stage-codegen JIT (a
         # per-query-shape, once-per-JVM cost that a long-running engine
-        # never pays again), then min of two measured plan+execute runs
-        # (single runs made the spark/oracle ratio swing ±20% with
-        # background load; min-of-2 stabilizes it)
+        # never pays again), then min of three measured plan+execute
+        # runs (single runs made the spark/oracle ratio swing ±20% with
+        # background load). `spread` = max-min over the measured runs so
+        # a future regression is distinguishable from noise.
         builder(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(2):
+        release_caches()
+        runs: list[float] = []
+        for _ in range(3):
             start = time.perf_counter()
             n = builder(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
+            runs.append(time.perf_counter() - start)
             assert n >= 0
-        times[name] = round(best, 4)
+            # operators pin intra-query caches (signatures, LSH buckets,
+            # staged projections); release between runs so measurements
+            # are independent and storage memory never accumulates
+            release_caches()
+        times[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) - min(runs), 4)
     total = round(sum(times.values()), 4)
 
     # DuckDB oracle pass: same queries, same warm-then-measure shape
@@ -108,7 +120,7 @@ def main() -> None:
             continue
         con.execute(sql).fetchall()  # warmup
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - start)
@@ -126,6 +138,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "query_spreads": spreads,
+                "runs_per_query": 3,
                 "sf": sf,
                 "oracle_queries": oracle_times,
                 "oracle_total": oracle_total,

@@ -215,7 +215,13 @@ def main(argv: Sequence[str] | None = None) -> int:
     side_output_sink(
         fact, not_found, args.output, args.not_found_output,
         fmt=fmt, mode="append" if args.resume else "overwrite",
+        target_files=args.batch_size,
     )
+    # the sinks were the consuming actions — release the pipeline's
+    # tracked persists (fetch legs) before the verification read
+    from .caching import release_caches
+
+    release_caches()
     n_fact = spark.read.format(fmt).load(args.output).count() if fmt == "parquet" \
         else spark.read.option("header", True).csv(args.output).count()
     print(f"Done. Fact rows in {args.output}: {n_fact}")

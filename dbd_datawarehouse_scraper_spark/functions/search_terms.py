@@ -132,11 +132,16 @@ def add_search_terms(
     references (stage 2). ``persist`` puts a barrier between the stages
     so CollapseProject can't inline stage 1 back into the interpreted
     HOF tree; the companies relation is the small side of the pipeline,
-    so persisting it is cheap at any scale."""
+    so persisting it is cheap at any scale. The persist is tracked
+    (caching.py) — call ``release_caches()`` after the consuming action;
+    pass ``persist=False`` for small one-shot inputs where the barrier
+    costs more than the re-evaluation it avoids."""
+    from ..caching import tracked_persist
+
     variants = _variant_columns(F.col(name_col))
     staged = df.select("*", *[expr.alias(alias) for alias, expr in variants.items()])
     if persist:
-        staged = staged.persist()
+        staged = tracked_persist(staged)
     refs = {alias: F.col(alias) for alias in variants}
     out = staged.withColumn(out_col, _assemble_terms(refs))
     return out.drop(*variants.keys())

@@ -178,8 +178,11 @@ def minhash_lsh_pairs(
     # Signatures come from the codegen'd explode+aggregate form and are
     # PERSISTED: the banded self-join reads them twice, and hashing the
     # corpus once / probing the bucket index many times is the
-    # scale-correct plan anyway.
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, k).persist()
+    # scale-correct plan anyway. Tracked — callers release via
+    # caching.release_caches() after the consuming action.
+    from ..caching import tracked_persist
+
+    sig = tracked_persist(minhash_signatures(docs, id_col, text_col, num_hashes, k))
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -200,9 +203,11 @@ def minhash_lsh_pairs(
     )
     # exact verification joins the shingle sets back in (computed once
     # per side, joined by id — not recomputed per candidate pair)
-    sh = docs.select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-    ).persist()
+    sh = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+        )
+    )
     sh2 = sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"))
     return (
         cand.join(sh, "_id")

@@ -38,14 +38,17 @@ def exact_core_join(
     target_name: str = "company_name",
     cand_name: str = "cand_text",
     broadcast_candidates: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Equi-join on ``extract_core_name`` of both sides
     (scraper_v2.py:970-972): target core == candidate core, empty keys
     never match (the reference compares non-empty page lines). The key
     is derived via the staged ``add_core_name`` form so the chain runs
-    once per row instead of ~21× (see its docstring)."""
-    t = add_core_name(targets, target_name, "_core_key")
-    c = add_core_name(candidates, cand_name, "_core_key")
+    once per row instead of ~21× (see its docstring). Pass
+    ``persist=False`` for small one-shot inputs — the staging barriers
+    cost more than they save below a few hundred thousand rows."""
+    t = add_core_name(targets, target_name, "_core_key", persist=persist)
+    c = add_core_name(candidates, cand_name, "_core_key", persist=persist)
     t = t.filter(F.col("_core_key") != "")
     c = c.filter(F.col("_core_key") != "")
     if broadcast_candidates:
@@ -75,6 +78,7 @@ def similarity_fallback_join(
     cand_name: str = "cand_text",
     sim_col: str = "sim",
     tiebreak_cols: tuple[str, ...] = (),
+    persist: bool = True,
 ) -> DataFrame:
     """Blocked fuzzy join for companies with no exact hit
     (scraper_v2.py:1030-1067):
@@ -87,13 +91,13 @@ def similarity_fallback_join(
     4. threshold gate (:1062-1067).
     """
     t = (
-        add_core_name(unmatched, target_name, "_core")
+        add_core_name(unmatched, target_name, "_core", persist=persist)
         .withColumn("_toks", tokenize_ws(F.col("_core")))
         .withColumn("_block", F.element_at(F.col("_toks"), 1))
         .filter(F.col("_block").isNotNull())
     )
     c = (
-        add_core_name(candidates, cand_name, "_ccore")
+        add_core_name(candidates, cand_name, "_ccore", persist=persist)
         .withColumn("_ctoks", tokenize_ws(F.col("_ccore")))
         .withColumn("_block", F.element_at(F.col("_ctoks"), 1))
         .filter(F.col("_block").isNotNull())

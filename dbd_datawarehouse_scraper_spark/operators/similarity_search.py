@@ -317,10 +317,13 @@ def embedding_cosine_dedup(
     kernel, not interpreted HOFs. Recall rises with ``bands``;
     near-identical vectors (the dedup regime, threshold ≥ ~0.9) collide
     in virtually every band."""
+    from ..caching import tracked_persist
+
     keyed = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    banded = banded_buckets_np(
-        keyed, "_id", "_v", dim, bands, bits_per_band
-    ).persist()
+    # tracked — release via caching.release_caches() after the action
+    banded = tracked_persist(
+        banded_buckets_np(keyed, "_id", "_v", dim, bands, bits_per_band)
+    )
     right = banded.select(F.col("_id").alias("_id2"), "_band", "_bucket")
     cand = (
         banded.join(right, ["_band", "_bucket"])
@@ -373,10 +376,13 @@ def ivf_topk(
     corpus_v = corpus.withColumn(
         "_v", array_to_vector(F.col(corpus_vec).cast("array<double>"))
     )
+    from ..caching import tracked_persist
+
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
     ).fit(corpus_v)
-    assigned = model.transform(corpus_v).drop("_v").persist()
+    # tracked — release via caching.release_caches() after the action
+    assigned = tracked_persist(model.transform(corpus_v).drop("_v"))
 
     spark = corpus.sparkSession
     centers = spark.createDataFrame(

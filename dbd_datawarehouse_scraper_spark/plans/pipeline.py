@@ -19,7 +19,9 @@ from typing import Any, Mapping
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
+from ..caching import tracked_persist
 from ..functions.parsing import extract_regnum, match_type_label, parse_money
 from ..functions.search_terms import add_search_terms
 from ..operators.joins import (
@@ -68,7 +70,12 @@ def match_companies(
         delay=f["delay_between_requests"],
         fetch_partitions=f.get("fetch_partitions"),
     )
-    raw = raw.cache()  # one fetch pass feeds exact, fuzzy and anti-join branches
+    # one fetch pass feeds exact, fuzzy and anti-join branches. Explicit
+    # MEMORY_AND_DISK + tracked: re-running the fetch UDF on cache miss
+    # would re-hit the remote site, so this leg must spill, not evict —
+    # and the pipeline's consumer (CLI / caller) releases it via
+    # caching.release_caches() once the sinks are written.
+    raw = tracked_persist(raw, StorageLevel.MEMORY_AND_DISK)
 
     redirects = raw.filter(F.col("redirect_reg").isNotNull()).select(
         "company_name",
@@ -168,7 +175,9 @@ def scrape_pipeline(
         delay=f["delay_between_requests"],
         fetch_partitions=f.get("fetch_partitions"),
     )
-    fin = fin.cache()  # feeds both the fact table and the error channel
+    # feeds both the fact table and the error channel; same
+    # spill-don't-evict + tracked-release contract as the search leg
+    fin = tracked_persist(fin, StorageLevel.MEMORY_AND_DISK)
 
     good = fin.filter(F.col("fetch_error").isNull())
     good = good.filter(~F.coalesce(F.col("raw_value"), F.lit("")).isin("-", "", "0.00"))

@@ -44,12 +44,18 @@ def side_output_sink(
     side_path: str,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    target_files: int | None = None,
 ) -> None:
     """Two-channel sink: fact table + not-found reject channel
     (scraper_v2.py:1346-1353). In streaming the same pair writes from
-    one ``foreachBatch``."""
-    batched_sink(main, main_path, fmt=fmt, mode=mode)
-    batched_sink(side, side_path, fmt=fmt, mode=mode)
+    one ``foreachBatch``. ``target_files`` bounds the file count of the
+    main channel (the CLI's --batch-size); the reject channel is small
+    and always coalesces to one file when a target is set."""
+    batched_sink(main, main_path, fmt=fmt, mode=mode, target_files=target_files)
+    batched_sink(
+        side, side_path, fmt=fmt, mode=mode,
+        target_files=1 if target_files else None,
+    )
 
 
 def backup_on_overwrite(path: str, force: bool = False) -> str | None:
@@ -78,10 +84,19 @@ def compact_output(
     degrades every downstream scan (per-file open cost, tiny row
     groups, starved vectorized readers). Returns the new file count.
 
-    Rewrite-then-swap keeps the directory readable until the atomic-ish
-    rename; at 100 TB run this per partition directory, not per table."""
+    CONSTRAINTS (explicit, not implied): this utility is for a LOCAL
+    POSIX filesystem with an exclusive writer — ``os.rename``/``glob``
+    do not exist as atomic operations on object stores, and the
+    two-rename swap below has a window where readers see no directory
+    at all. On a cluster, compact via the table format's own rewrite
+    (e.g. a transactional file-format compaction) or swap a versioned
+    directory pointer; at 100 TB run this per partition directory, not
+    per table. A crash between the two renames strands the data at
+    ``path.__compact_old__`` — call :func:`recover_compaction` at
+    startup to roll back."""
     import glob
 
+    recover_compaction(path)  # roll back any crashed prior attempt
     files = [
         f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
         if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
@@ -94,12 +109,34 @@ def compact_output(
         else spark.read.parquet(path)
     )
     tmp = f"{path}.__compact_tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale tmp from a crash before the swap
     batched_sink(reader, tmp, fmt=fmt, target_files=int(n_files))
     old = f"{path}.__compact_old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
     return int(n_files)
+
+
+def recover_compaction(path: str) -> bool:
+    """Roll back a compaction that crashed mid-swap.
+
+    ``compact_output`` renames ``path`` → ``path.__compact_old__`` then
+    ``path.__compact_tmp__`` → ``path``; a crash between the renames
+    leaves only ``__compact_old__`` (the intact original). Restore it.
+    Returns True if a recovery happened. Idempotent; called by
+    ``compact_output`` itself, and safe to call at process startup."""
+    old = f"{path}.__compact_old__"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            # swap completed; old is just debris from a crash before
+            # the final cleanup rmtree
+            shutil.rmtree(old)
+            return False
+        os.rename(old, path)
+        return True
+    return False
 
 
 def combine_batches(

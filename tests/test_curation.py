@@ -9,7 +9,9 @@ from dbd_datawarehouse_scraper_spark.plans import curate_documents
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    out = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    yield out
+    out.unpersist(blocking=True)
 
 
 def test_funnel_reduces_and_keeps_schema(spark, docs):

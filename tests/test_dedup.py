@@ -32,7 +32,9 @@ def near_dup_docs(spark, sf_dir):
             ).alias("text"),
         )
     )
-    return docs.unionByName(dups).cache()
+    out = docs.unionByName(dups).cache()
+    yield out
+    out.unpersist(blocking=True)
 
 
 def test_minhash_recall_vs_exact(spark, near_dup_docs):

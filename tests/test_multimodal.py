@@ -16,7 +16,9 @@ from dbd_datawarehouse_scraper_spark.multimodal import (
 @pytest.fixture(scope="module")
 def media(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return synth_media(docs).cache()
+    out = synth_media(docs).cache()
+    yield out
+    out.unpersist(blocking=True)
 
 
 def test_synth_media_schema(media):

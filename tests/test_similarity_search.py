@@ -11,7 +11,9 @@ from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    out = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    yield out
+    out.unpersist(blocking=True)
 
 
 @pytest.fixture(scope="module")
