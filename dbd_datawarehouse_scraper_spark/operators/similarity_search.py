@@ -90,12 +90,29 @@ def cosine_topk_bruteforce_np(
 ) -> DataFrame:
     """Exact quantized top-k by cosine, Arrow-vectorized.
 
-    Same contract and bit-identical output as ``cosine_topk_bruteforce``
-    over ``qcosine`` semantics (per-component products HALF_UP-quantized
-    to bigints at ``scale``, summed exactly, cosine rounded to 6), but
-    the scoring leg is a numpy kernel inside ``mapInPandas`` instead of
-    interpreted array HOFs — the per-pair fold was the round-1 bench's
-    one perf-weak spot (~9× the DuckDB oracle).
+    Same contract as ``cosine_topk_bruteforce`` over ``qcosine``
+    semantics (per-component products HALF_UP-quantized to bigints at
+    ``scale``, summed exactly, cosine rounded to 6), but the scoring leg
+    is a numpy kernel inside ``mapInPandas`` instead of interpreted
+    array HOFs — the per-pair fold was the round-1 bench's one perf-weak
+    spot (~9× the DuckDB oracle).
+
+    Equivalence to the HOF form is exact up to HALF_UP representation
+    boundaries: the kernel rounds via ``floor(v + 0.5)`` on binary
+    doubles while Spark's ``F.round`` applies BigDecimal HALF_UP to the
+    double's shortest decimal representation, and those diverge on
+    adversarial inputs sitting exactly on a .5 boundary after the float
+    product (the ``0.49999999999999994`` pathology). For unit-ish
+    embeddings and scale=1e12 no such boundary is reachable from the
+    test corpora (fuzz-pinned in tests), but the guarantee is
+    "equivalent up to 1-ulp quantization boundaries", not bit-identity
+    on arbitrary doubles.
+
+    Null hygiene: rows with a null id, null vector, or a vector of the
+    wrong dimensionality are excluded from scoring. (The HOF form
+    yields null cosine for such rows and the descending sort puts nulls
+    last, so they are never selected there either unless a probe has
+    fewer than k valid candidates.)
 
     Shape at scale: the probe set is collected to the driver and sent as
     a broadcast variable — the SAME bounded-build-side contract a
@@ -108,6 +125,10 @@ def cosine_topk_bruteforce_np(
 
     spark = corpus.sparkSession
     pdf = probes.select(probe_id, probe_vec).toPandas()
+    pdf = pdf[pdf[probe_id].notna() & pdf[probe_vec].notna()]
+    if len(pdf):
+        dim = len(pdf[probe_vec].iloc[0])
+        pdf = pdf[pdf[probe_vec].map(len) == dim]
     if len(pdf) == 0:
         return spark.createDataFrame(
             [], f"{probe_id} long, {corpus_id} long, cosine_sim double"
@@ -123,11 +144,28 @@ def cosine_topk_bruteforce_np(
 
     def score(batches):
         ids, mat = bc.value
+        d = mat.shape[1]
         qp = _halfup(mat * mat * scale).sum(axis=1)  # (p,) probe self-dots
         sqp = np.sqrt(qp)
         for pb in batches:
-            c_ids = np.asarray(pb[corpus_id].to_numpy(), dtype=np.int64)
-            c = np.stack([np.asarray(v, dtype=np.float64) for v in pb[corpus_vec]])
+            if len(pb) == 0:
+                continue
+            # drop null ids and null/ragged vectors BEFORE np.stack —
+            # an all-null batch would raise, a ragged one would produce
+            # an object array (see docstring's null-hygiene contract)
+            raw_ids = pb[corpus_id].to_numpy()
+            raw_vecs = pb[corpus_vec].to_numpy()
+            good = np.array(
+                [
+                    i is not None and i == i and v is not None and len(v) == d
+                    for i, v in zip(raw_ids, raw_vecs)
+                ],
+                dtype=bool,
+            )
+            if not good.any():
+                continue
+            c_ids = np.asarray(raw_ids[good], dtype=np.int64)
+            c = np.stack([np.asarray(v, dtype=np.float64) for v in raw_vecs[good]])
             qc = _halfup(c * c * scale).sum(axis=1)  # (b,)
             sqc = np.sqrt(qc)
             out_p, out_c, out_s = [], [], []

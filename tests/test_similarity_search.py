@@ -37,9 +37,12 @@ def test_bruteforce_topk_shape(emb, probes):
 
 
 def test_bruteforce_np_matches_quantized_hof(emb, probes):
-    """The numpy mapInPandas kernel must be BIT-identical to the
-    interpreted qdot/qcosine HOF form it replaced (same HALF_UP
-    quantization at 1e12, same round-6, same tie-break)."""
+    """The numpy mapInPandas kernel matches the interpreted
+    qdot/qcosine HOF form it replaced (same HALF_UP quantization at
+    1e12, same round-6, same tie-break) on the test corpus. The formal
+    guarantee is equivalence up to HALF_UP representation boundaries
+    (floor(v+0.5) on binary doubles vs BigDecimal HALF_UP on decimal
+    representations) — see the kernel docstring."""
     from dbd_datawarehouse_scraper_spark.functions.vectors import qdot
     from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
         cosine_topk_bruteforce_np,
@@ -83,6 +86,41 @@ def test_bruteforce_np_matches_quantized_hof(emb, probes):
     assert sorted(map(tuple, np_out.collect()), key=lambda t: t[:2]) == sorted(
         map(tuple, hof.collect()), key=lambda t: t[:2]
     )
+
+
+def test_bruteforce_np_null_hygiene(spark, emb, probes):
+    """Null ids, null vectors, ragged vectors and empty partitions must
+    not kill the kernel (ADVICE r2: np.stack raises on an empty batch
+    and produces an object array on ragged input). Bad rows are
+    excluded; results on the clean subset are unchanged."""
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        cosine_topk_bruteforce_np,
+    )
+
+    clean = cosine_topk_bruteforce_np(probes, emb, k=3).collect()
+
+    dim = len(emb.select("embedding").first()[0])
+    base = emb.select("vec_id", "embedding")
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [
+                (None, [0.5] * dim),          # null id
+                (900001, None),               # null vector
+                (900002, [0.5] * (dim - 3)),  # ragged vector
+            ],
+            "vec_id long, embedding array<float>",
+        )
+    ).repartition(64)  # force some empty partitions (rows << partitions)
+    dirty_out = cosine_topk_bruteforce_np(probes, dirty, k=3).collect()
+    key = lambda t: (t[0], t[1])
+    assert sorted(map(tuple, dirty_out), key=key) == sorted(map(tuple, clean), key=key)
+
+    # null/ragged probes are likewise dropped, not fatal
+    bad_probes = spark.createDataFrame(
+        [(1, None), (2, [0.1] * (dim - 1)), (None, [0.1] * dim)],
+        "probe_id long, probe_vec array<float>",
+    )
+    assert cosine_topk_bruteforce_np(bad_probes, emb, k=3).count() == 0
 
 
 def test_lsh_recall_vs_bruteforce(emb, probes):
