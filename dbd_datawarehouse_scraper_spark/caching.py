@@ -66,6 +66,25 @@ def release_caches(blocking: bool = False) -> int:
     return released
 
 
+def release_these(dfs: list[DataFrame], blocking: bool = False) -> int:
+    """Unpersist specific tracked DataFrames early (iterative operators
+    release round N-1's state inside the loop so peak storage stays
+    constant). DataFrames not in the pool are unpersisted anyway —
+    unpersist on a non-persisted plan is a no-op."""
+    released = 0
+    for df in dfs:
+        try:
+            df.unpersist(blocking=blocking)
+            released += 1
+        except Exception:
+            pass
+        try:
+            _LIVE.remove(df)
+        except ValueError:
+            pass
+    return released
+
+
 def live_persist_count() -> int:
     """Number of currently tracked (not yet released) persists."""
     return len(_LIVE)

@@ -29,6 +29,7 @@ from .joins import (  # noqa: F401
     existing_reg_split,
     asof_join,
 )
+from .graph import component_survivors, connected_components  # noqa: F401
 from .windows import top1_per_group, topk_per_group  # noqa: F401
 from .unpivot import unpivot_financials  # noqa: F401
 from .similarity_search import (  # noqa: F401

@@ -10,7 +10,8 @@ operator that is individually oracle- or recall-verified:
       → exact dedup                     (fingerprint hash, deterministic
                                          survivor)
       → near-dup dedup                  (MinHash + banded LSH, candidate-
-                                         bounded; greedy keep-lowest-id)
+                                         bounded; one survivor per
+                                         connected component)
       → deterministic stratified sample (content-hash membership)
 
 Every stage is a narrow transformation or a key-shuffle — nothing
@@ -31,6 +32,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
+from ..operators.graph import component_survivors
 
 
 def curate_documents(
@@ -46,12 +48,14 @@ def curate_documents(
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
 
-    Near-dup survivor rule: a document is dropped iff it appears as the
-    HIGHER id of any verified near-dup pair — the greedy keep-lowest-id
-    policy every pair-emitting dedup here shares. (Transitive chains
-    keep only true minima; connected-component survivor selection is an
-    iterative algorithm better run as a follow-up join loop when chains
-    matter.)"""
+    Near-dup survivor rule: ONE document per connected component of the
+    verified near-dup pair graph — the component's minimum id
+    (operators/graph.py min-label propagation). This replaces round 2's
+    greedy "drop every id_b" rule, which over-kept hub shapes (pairs
+    (3,9),(5,9) kept both 3 and 5) and whose survivors depended on pair
+    orientation rather than graph structure. Component-min is
+    deterministic, partition-invariant, and conservative: transitive
+    chains collapse to exactly one survivor."""
     analyzed = docs.select(
         id_col,
         text_col,
@@ -71,7 +75,7 @@ def curate_documents(
     pairs = minhash_lsh_pairs(
         exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    losers = component_survivors(pairs).withColumnRenamed("id", id_col)
     near = exact.join(losers, id_col, "left_anti")
 
     if sample_fractions:

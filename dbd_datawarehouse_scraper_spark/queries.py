@@ -1584,13 +1584,31 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(probes, e, k=5, dim=64, bands=8, bits_per_band=4)
 
 
+@register("connected_components_dedup", None)
+def connected_components_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Connected components of the exact n-gram-Jaccard near-dup
+    graph over documents (operators/graph.py min-label propagation) —
+    the survivor-selection primitive behind the curation funnel.
+    Rows-only here (iterative checkpointed loop, not one SQL
+    statement); tests/test_graph.py pins it against a DuckDB recursive-
+    CTE transitive-closure oracle, plus chain/hub/path-shape units."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.4)
+    return connected_components(pairs).orderBy("id")
+
+
 @register("training_data_curation", None)
 def training_data_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] The full curation funnel (plans/curation.py): lang-ID +
-    quality gates → exact dedup → MinHash near-dup dedup → deterministic
+    quality gates → exact dedup → MinHash near-dup dedup (one survivor
+    per connected component of the verified pair graph) → deterministic
     stratified sample. Rows-only (the MinHash stage has no SQL oracle);
     stage-level semantics are individually oracle-/recall-verified, and
-    tests/test_curation.py pins funnel monotonicity + determinism."""
+    tests/test_curation.py + tests/test_graph.py pin funnel
+    monotonicity, determinism and component-survivor selection."""
     from .plans.curation import curate_documents
 
     d = t(spark, sf_dir, "documents")

