@@ -1,0 +1,312 @@
+"""SeleniumFetcher conformance against a stubbed selenium module.
+
+The container has no selenium, so the fetcher's WebDriver logic —
+anti-detection options (scraper_v2.py:412-455), cookie-banner accept
+(585-609), redirect detection (893-921), input-box pagination
+(944-958), financial tab clicks + table walk (1136-1231, 1270-1320) —
+was import-gated and untested in round 2. A fake ``selenium`` package
+injected into sys.modules pins all of it without a browser.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+REG = "0105536001234"
+
+
+# --- fake selenium -----------------------------------------------------------
+
+
+class _By:
+    TAG_NAME = "tag name"
+    CSS_SELECTOR = "css selector"
+    XPATH = "xpath"
+
+
+class _Options:
+    def __init__(self):
+        self.arguments = []
+        self.experimental = {}
+
+    def add_argument(self, arg):
+        self.arguments.append(arg)
+
+    def add_experimental_option(self, key, value):
+        self.experimental[key] = value
+
+
+class _El:
+    def __init__(self, text="", onclick=None):
+        self.text = text
+        self._onclick = onclick
+        self.clicked = False
+        self.cleared = False
+        self.sent = []
+
+    def click(self):
+        self.clicked = True
+        if self._onclick:
+            self._onclick()
+
+    def clear(self):
+        self.cleared = True
+
+    def send_keys(self, keys):
+        self.sent.append(keys)
+        if keys == "\n" and self._onclick:
+            self._onclick()
+
+    def find_elements(self, by, sel):  # table rows / cells
+        return []
+
+
+class _RowEl:
+    def __init__(self, cells):
+        self._cells = cells
+
+    def find_elements(self, by, sel):
+        assert sel == "./th|./td"
+        return [_El(c) for c in self._cells]
+
+
+class _TableEl:
+    def __init__(self, grid):
+        self._grid = grid
+
+    def find_elements(self, by, sel):
+        assert sel == "tr"
+        return [_RowEl(r) for r in self._grid]
+
+
+class _Page:
+    def __init__(self, body="", url="", buttons=(), inputs=(), grids=()):
+        self.body = body
+        self.url = url  # final URL after any redirect
+        self.buttons = list(buttons)
+        self.inputs = list(inputs)
+        self.grids = list(grids)
+
+
+class _FakeDriver:
+    def __init__(self, pages):
+        self._pages = pages  # requested-url -> _Page
+        self.page = _Page()
+        self.current_url = ""
+        self.visited = []
+        self.scripts = []
+        self.quit_called = False
+
+    def load(self, page):
+        self.page = page
+        self.current_url = page.url
+
+    def get(self, url):
+        self.visited.append(url)
+        self.load(self._pages.get(url, _Page(body="ไม่พบข้อมูล", url=url)))
+
+    def execute_script(self, js):
+        self.scripts.append(js)
+
+    def find_element(self, by, sel):
+        assert (by, sel) == (_By.TAG_NAME, "body")
+        return _El(self.page.body)
+
+    def find_elements(self, by, sel):
+        if (by, sel) == (_By.TAG_NAME, "button"):
+            return self.page.buttons
+        if (by, sel) == (_By.CSS_SELECTOR, 'input[type="number"]'):
+            return self.page.inputs
+        if (by, sel) == (_By.TAG_NAME, "table"):
+            return [_TableEl(g) for g in self.page.grids]
+        if by == _By.XPATH and sel.startswith("//*[contains(text()"):
+            label = sel.split("'")[1]
+            return [b for b in self.page.buttons if label in b.text]
+        raise AssertionError(f"unexpected lookup: {by} {sel}")
+
+    def quit(self):
+        self.quit_called = True
+
+
+@pytest.fixture()
+def fake_selenium(monkeypatch):
+    """Install a fake selenium package; yields a dict whose 'driver'
+    key the test sets by assigning pages before building the fetcher."""
+    state = {"driver": None, "options": None}
+
+    sel = types.ModuleType("selenium")
+    wd = types.ModuleType("selenium.webdriver")
+    chrome = types.ModuleType("selenium.webdriver.chrome")
+    chrome_options = types.ModuleType("selenium.webdriver.chrome.options")
+    common = types.ModuleType("selenium.webdriver.common")
+    common_by = types.ModuleType("selenium.webdriver.common.by")
+
+    def _chrome(options=None):
+        state["options"] = options
+        assert state["driver"] is not None, "test must create a driver first"
+        return state["driver"]
+
+    wd.Chrome = _chrome
+    sel.webdriver = wd
+    chrome_options.Options = _Options
+    common_by.By = _By
+    for name, mod in {
+        "selenium": sel,
+        "selenium.webdriver": wd,
+        "selenium.webdriver.chrome": chrome,
+        "selenium.webdriver.chrome.options": chrome_options,
+        "selenium.webdriver.common": common,
+        "selenium.webdriver.common.by": common_by,
+    }.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+    yield state
+
+
+def _fetcher(state, pages):
+    from dbd_datawarehouse_scraper_spark.sources.http_client import SeleniumFetcher
+
+    state["driver"] = _FakeDriver(pages)
+    f = SeleniumFetcher(page_load_wait=0.0)
+    return f, state["driver"]
+
+
+BASE = "https://datawarehouse.dbd.go.th"
+
+
+# --- tests -------------------------------------------------------------------
+
+
+def test_anti_detection_options(fake_selenium):
+    f, drv = _fetcher(fake_selenium, {})
+    opts = fake_selenium["options"]
+    # scraper_v2.py:418-443 anti-detection set
+    for flag in (
+        "--headless=new",
+        "--no-sandbox",
+        "--disable-dev-shm-usage",
+        "--disable-blink-features=AutomationControlled",
+        "--window-size=1920,1080",
+    ):
+        assert flag in opts.arguments
+    assert opts.experimental["excludeSwitches"] == ["enable-automation"]
+    assert opts.experimental["useAutomationExtension"] is False
+    assert any("navigator" in js and "webdriver" in js for js in drv.scripts)
+    f.close()
+    assert drv.quit_called
+
+
+def test_headed_mode_omits_headless(fake_selenium):
+    from dbd_datawarehouse_scraper_spark.sources.http_client import SeleniumFetcher
+
+    fake_selenium["driver"] = _FakeDriver({})
+    SeleniumFetcher(page_load_wait=0.0, headless=False)
+    assert "--headless=new" not in fake_selenium["options"].arguments
+
+
+def test_search_page1_cookie_banner_and_results(fake_selenium):
+    banner = _El(text="ยอมรับ")
+    page1 = _Page(
+        body=f"1 {REG} บริษัท รวมมิตร จำกัด\nหน้า 1 / 2",
+        url=f"{BASE}/juristic/searchInfo?keyword=%E0%B8%A3%E0%B8%A7%E0%B8%A1",
+        buttons=[banner],
+    )
+    f, drv = _fetcher(
+        fake_selenium,
+        {f"{BASE}/juristic/searchInfo?keyword=%E0%B8%A3%E0%B8%A7%E0%B8%A1": page1},
+    )
+    out = f.search("รวม", 1)
+    # URL-quoted keyword (scraper_v2.py search URL shape)
+    assert drv.visited == [
+        f"{BASE}/juristic/searchInfo?keyword=%E0%B8%A3%E0%B8%A7%E0%B8%A1"
+    ]
+    assert banner.clicked, "cookie banner must be dismissed on page 1"
+    assert out["redirect"] is None
+    assert f"1 {REG} บริษัท รวมมิตร จำกัด" in out["lines"]
+    assert out["total_pages"] == 2
+
+
+def test_pagination_types_into_number_input(fake_selenium):
+    f, drv = _fetcher(fake_selenium, {})
+    page2 = _Page(body=f"11 {REG} บริษัท รวมค้า จำกัด\nหน้า 2 / 2", url="x")
+    box = _El(onclick=lambda: drv.load(page2))
+    drv.load(_Page(body="1 ... หน้า 1 / 2", url="x", inputs=[box]))
+
+    out = f.search("รวม", 2)
+    # scraper_v2.py:944-958: clear, type the page number, press Enter —
+    # no fresh driver.get
+    assert drv.visited == []
+    assert box.cleared and box.sent == ["2", "\n"]
+    assert out["total_pages"] == 2
+    assert f"11 {REG} บริษัท รวมค้า จำกัด" in out["lines"]
+
+
+def test_pagination_without_input_returns_empty(fake_selenium):
+    f, drv = _fetcher(fake_selenium, {})
+    drv.load(_Page(body="anything", url="x"))
+    assert f.search("รวม", 3) == {"redirect": None, "lines": [], "total_pages": 1}
+
+
+def test_unique_hit_redirects_to_profile(fake_selenium):
+    url = f"{BASE}/juristic/searchInfo?keyword=x"
+    prof = _Page(
+        body=f"ข้อมูลนิติบุคคล\nเลขทะเบียนนิติบุคคล : {REG}\nชื่อนิติบุคคล : บริษัท เดียว จำกัด",
+        url=f"{BASE}/company/profile/5/{REG}",
+    )
+    f, drv = _fetcher(fake_selenium, {url: prof})
+    out = f.search("x", 1)
+    assert out == {
+        "redirect": (REG, "บริษัท เดียว จำกัด"),
+        "lines": [],
+        "total_pages": 1,
+    }
+
+
+def test_no_results_marker(fake_selenium):
+    f, drv = _fetcher(fake_selenium, {})
+    out = f.search("ไม่มีทาง", 1)  # unmapped URL serves the no-results body
+    assert out == {"redirect": None, "lines": [], "total_pages": 1}
+
+
+def test_profile_clicks_tabs_and_walks_tables(fake_selenium):
+    url = f"{BASE}/company/profile/5/{REG}"
+    fin_tab = _El(text="ข้อมูลงบการเงิน")
+    income_btn = _El(text="งบกำไรขาดทุน")
+    page = _Page(
+        body=f"ข้อมูลนิติบุคคล\nชื่อนิติบุคคล : บริษัท เดียว จำกัด",
+        url=url,
+        buttons=[fin_tab, income_btn],
+        grids=[
+            [
+                ["รายการ", "2566", "%", "2565", "%"],
+                ["รายได้รวม", "1,234.50", "5%", "1,000.00", "2%"],
+                ["กำไรสุทธิ", "-", "", "99.25", "1%"],
+            ],
+            [
+                ["รายการ", "2566", "%", "2565", "%"],
+                ["สินทรัพย์รวม", "8,888.00", "3%", "0.00", ""],
+            ],
+        ],
+    )
+    f, drv = _fetcher(fake_selenium, {url: page})
+    out = f.profile(f"5/{REG}")
+    assert fin_tab.clicked and income_btn.clicked
+    assert out == {
+        "tables": {
+            "งบกำไรขาดทุน": [
+                ("รายได้รวม", {2566: "1,234.50", 2565: "1,000.00"}),
+                ("กำไรสุทธิ", {2565: "99.25"}),
+            ],
+            "งบแสดงฐานะการเงิน": [("สินทรัพย์รวม", {2566: "8,888.00"})],
+        }
+    }
+
+
+def test_profile_without_markers_is_none(fake_selenium):
+    url = f"{BASE}/company/profile/5/{REG}"
+    f, drv = _fetcher(
+        fake_selenium, {url: _Page(body="ไม่พบข้อมูล", url=url)}
+    )
+    assert f.profile(f"5/{REG}") is None
