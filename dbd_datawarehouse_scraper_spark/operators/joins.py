@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import token_jaccard, tokenize_ws
 from ..functions.text_norm import add_core_name
+from .skew import salted_join
 from .windows import top1_per_group
 
 
@@ -79,6 +80,7 @@ def similarity_fallback_join(
     sim_col: str = "sim",
     tiebreak_cols: tuple[str, ...] = (),
     persist: bool = True,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Blocked fuzzy join for companies with no exact hit
     (scraper_v2.py:1030-1067):
@@ -89,6 +91,17 @@ def similarity_fallback_join(
     2. score = token Jaccard of core-name token sets (:1045-1052);
     3. best candidate per company, deterministic tiebreak (:1057-1059);
     4. threshold gate (:1062-1067).
+
+    The first-token block key is this engine's one acknowledged skew
+    risk: one common first word ("บริษัท"-like tokens survive core-name
+    stripping in degenerate corpora) can put most of the candidate side
+    on a single reducer. ``n_salts > 1`` spreads it: the candidate
+    (large) side gets a deterministic xxhash64 salt, the unmatched
+    (small) side is replicated n_salts×, and the join key becomes
+    (block, salt) — identical results (every qualifying pair still
+    meets exactly once), per-reducer candidate rows bounded by
+    hot_key_rows / n_salts. Leave at 1 when AQE's runtime skew split is
+    enough; salt when a known-degenerate corpus needs a static bound.
     """
     t = (
         add_core_name(unmatched, target_name, "_core", persist=persist)
@@ -102,11 +115,13 @@ def similarity_fallback_join(
         .withColumn("_block", F.element_at(F.col("_ctoks"), 1))
         .filter(F.col("_block").isNotNull())
     )
-    scored = (
-        t.join(c, "_block")
-        .withColumn(sim_col, token_jaccard(F.col("_toks"), F.col("_ctoks")))
-        .drop("_block", "_core", "_toks", "_ccore", "_ctoks")
-    )
+    if n_salts > 1:
+        joined = salted_join(c, t, "_block", n_salts=n_salts)
+    else:
+        joined = t.join(c, "_block")
+    scored = joined.withColumn(
+        sim_col, token_jaccard(F.col("_toks"), F.col("_ctoks"))
+    ).drop("_block", "_core", "_toks", "_ccore", "_ctoks")
     order = [F.col(sim_col).desc()] + [F.col(col).asc() for col in tiebreak_cols]
     best = top1_per_group(scored, [target_name], order)
     return best.filter(F.col(sim_col) >= F.lit(threshold))
