@@ -3,10 +3,16 @@
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``. The Spark-side plumbing here — schemas, partitioning,
-UDF signatures, batch shapes — is real and tested; the actual codec
-calls are STUBBED: this container has no image/audio libraries, so
-``decode_media`` uses a deterministic fake parser (documented below)
-and raises ``NotImplementedError`` when asked for a real codec.
+UDF signatures, batch shapes — is real and tested. Codecs are layered:
+
+- ``codec="fake"`` (default): deterministic stub parser — no image
+  libraries needed, output reproducible for tests/CI;
+- ``codec="pil"``: real Pillow decode/resize, import-gated — raises
+  ``NotImplementedError`` with guidance when Pillow is absent;
+- ``codec="auto"``: Pillow if importable, else the stub.
+
+Both paths share schemas, batching, and the per-row error channel, so
+swapping the codec never changes the plan shape.
 
 At 100 TB: payloads dominate I/O, so every transform keeps column
 pruning intact (never select the payload unless the UDF needs it),
@@ -72,6 +78,33 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pil_importable() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _resolve_codec(codec: str) -> str:
+    """'auto' → 'pil' when Pillow imports, else 'fake'; 'pil' demands
+    Pillow on the DRIVER too (fail fast before tasks launch — workers
+    re-import, and a worker-only miss surfaces per-row in the error
+    channel rather than killing the partition)."""
+    if codec == "auto":
+        return "pil" if _pil_importable() else "fake"
+    if codec == "pil" and not _pil_importable():
+        raise NotImplementedError(
+            "codec='pil' needs the Pillow package (pip install pillow); "
+            "use codec='fake' for the deterministic stub or codec='auto' "
+            "to fall back automatically"
+        )
+    if codec not in ("fake", "pil"):
+        raise ValueError(f"unknown codec {codec!r}: use 'fake', 'pil' or 'auto'")
+    return codec
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     """Deterministic fake codec: 'dimensions' derived from payload bytes.
     A real deployment replaces this one function with libjpeg/ffmpeg
@@ -82,22 +115,35 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
     return width, height, f"fake-{n % 7}"
 
 
-def decode_media(media: DataFrame, real_codec: bool = False) -> DataFrame:
+def _pil_decode(payload: bytes) -> tuple[int, int, str]:
+    """Pillow decode: real width/height/format. Imported inside the
+    call so only the 'pil' codec path needs the package on workers."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.width, img.height, (img.format or "unknown").lower()
+
+
+def decode_media(
+    media: DataFrame, codec: str = "fake", real_codec: bool = False
+) -> DataFrame:
     """Decode payloads to typed metadata via mapInPandas (one Arrow
     batch in, one out; per-row try/except so one corrupt payload never
-    fails the partition — the fetch-UDF fault-isolation pattern)."""
-    if real_codec:
-        raise NotImplementedError(
-            "real image/audio codecs are not available in this environment; "
-            "plug a codec into _fake_decode's slot"
-        )
+    fails the partition — the fetch-UDF fault-isolation pattern).
+    ``codec``: 'fake' (deterministic stub), 'pil' (Pillow,
+    import-gated), or 'auto'. ``real_codec=True`` is the round-2
+    spelling of ``codec='pil'``."""
+    chosen = _resolve_codec("pil" if real_codec else codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pil_decode if chosen == "pil" else _fake_decode
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 try:
-                    w, h, fmt = _fake_decode(row["payload"] or b"")
+                    w, h, fmt = decode(row["payload"] or b"")
                     out.append(
                         (row["media_id"], row["media_type"], w, h, fmt, None)
                     )
@@ -153,29 +199,46 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _fake_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Stub resize: stride-downsample raw bytes to exactly w×h."""
+    out_len = target_w * target_h
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    idx = (np.arange(out_len) * len(arr) // out_len) % len(arr)
+    return arr[idx].tobytes()
+
+
+def _pil_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Pillow resize: decode, grayscale, resize — returns exactly
+    ``target_w × target_h`` bytes so the output column stays fixed-width
+    like the stub's."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return img.resize((target_w, target_h)).tobytes()
+
+
 def resize_media(
-    media: DataFrame, target_w: int = 32, target_h: int = 32
+    media: DataFrame, target_w: int = 32, target_h: int = 32, codec: str = "fake"
 ) -> DataFrame:
     """Resize plumbing via mapInPandas: payload in, resized payload out,
-    per-row fault isolation. The stub 'codec' downsamples the raw bytes
-    to exactly ``target_w × target_h`` with a deterministic stride
-    (numpy over the Arrow batch); a real deployment swaps the two
-    numpy lines for libvips/PIL calls — schema, batching and error
-    channel are unchanged. Output payloads are fixed-size, so the
-    downstream column stays uniformly columnar."""
-    out_len = target_w * target_h
+    per-row fault isolation. ``codec='fake'`` stride-downsamples raw
+    bytes; ``codec='pil'`` does a real Pillow grayscale resize
+    (import-gated); ``codec='auto'`` picks. Both emit exactly
+    ``target_w × target_h`` bytes — schema, batching and error channel
+    identical, so the downstream column stays uniformly columnar."""
+    chosen = _resolve_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = _pil_resize if chosen == "pil" else _fake_resize
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 try:
-                    p = row["payload"] or b""
-                    arr = np.frombuffer(p, dtype=np.uint8)
-                    if len(arr) == 0:
-                        arr = np.zeros(1, dtype=np.uint8)
-                    idx = (np.arange(out_len) * len(arr) // out_len) % len(arr)
-                    resized = arr[idx].tobytes()
+                    resized = resize(row["payload"] or b"", target_w, target_h)
                     out.append(
                         (row["media_id"], row["media_type"], target_w,
                          target_h, resized, None)

@@ -39,9 +39,98 @@ def test_decode_media_deterministic(media):
     assert first == again
 
 
-def test_decode_media_real_codec_stubbed(media):
-    with pytest.raises(NotImplementedError):
+def test_decode_media_pil_gated_when_absent(media):
+    """codec='pil' (and the legacy real_codec=True spelling) must fail
+    fast with install guidance when Pillow isn't importable; 'auto'
+    must fall back to the stub instead of raising."""
+    from dbd_datawarehouse_scraper_spark.multimodal.media import _pil_importable
+
+    if _pil_importable():
+        pytest.skip("Pillow installed: the gate doesn't trigger here")
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
         decode_media(media, real_codec=True)
+    with pytest.raises(NotImplementedError, match="[Pp]illow"):
+        decode_media(media, codec="pil")
+    # auto falls back silently; result identical to the stub
+    auto = decode_media(media, codec="auto").collect()
+    fake = decode_media(media).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, fake))
+
+
+def test_decode_media_unknown_codec(media):
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_media(media, codec="ffmpeg")
+
+
+def test_pil_codec_functions(monkeypatch):
+    """Driver-side unit for the Pillow branch with a fake PIL module:
+    pins the decode/resize call shapes (BytesIO open, width/height/
+    format read, grayscale convert + resize + tobytes) without needing
+    Pillow in the container."""
+    import sys
+    import types
+
+    class _FakeImg:
+        width, height, format = 64, 48, "PNG"
+
+        def __init__(self):
+            self.converted = None
+            self.size = None
+
+        def convert(self, mode):
+            self.converted = mode
+            return self
+
+        def resize(self, wh):
+            self.size = wh
+            return self
+
+        def tobytes(self):
+            return bytes(self.size[0] * self.size[1])
+
+    state = {}
+
+    def _open(buf):
+        state["opened"] = buf.read()
+        state["img"] = _FakeImg()
+        return state["img"]
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    from dbd_datawarehouse_scraper_spark.multimodal.media import (
+        _pil_decode,
+        _pil_resize,
+        _resolve_codec,
+    )
+
+    assert _resolve_codec("auto") == "pil"  # fake PIL imports fine
+    assert _pil_decode(b"\x89PNG...") == (64, 48, "png")
+    assert state["opened"] == b"\x89PNG..."
+
+    out = _pil_resize(b"imgbytes", 8, 4)
+    assert len(out) == 32
+    assert state["img"].converted == "L"
+    assert state["img"].size == (8, 4)
+
+
+def test_decode_media_pil_real(spark, media):
+    """Real-Pillow end-to-end (skipped with reason when absent)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    one = spark.createDataFrame(
+        [(1, "image/png", buf.getvalue(), None)], media.schema
+    )
+    row = decode_media(one, codec="pil").collect()[0]
+    assert (row["width"], row["height"], row["format"]) == (20, 10, "png")
+    assert row["decode_error"] is None
 
 
 def test_media_features_unit_norm(media):
