@@ -93,24 +93,40 @@ def excel_companies_source(
 
     Excel inputs are small human-curated lists; driver-side read then
     parallelize is the right scale call (the 100 TB side is never
-    Excel). ``.xlsx`` falls back to a stdlib zip+XML reader when
-    openpyxl is absent; legacy binary ``.xls`` needs xlrd."""
+    Excel). When openpyxl/xlrd are absent, ``.xlsx`` falls back to a
+    stdlib zip+XML reader and legacy binary ``.xls`` to a minimal
+    BIFF8 reader (xls_biff.py); a structurally unreadable ``.xls``
+    raises ``NotImplementedError`` naming the conversion path."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
-    except ImportError as exc:  # openpyxl/xlrd missing in minimal images
-        if not path.lower().endswith(".xlsx"):
-            raise NotImplementedError(
-                "legacy .xls needs xlrd installed; convert to .xlsx"
-            ) from exc
-        pdf = _read_xlsx_minimal(path, sheet_name)
+    # ImportError: openpyxl/xlrd missing in minimal images. ValueError:
+    # pandas could not even determine the format (it needs an engine to
+    # look inside) — let the fallback readers make the call.
+    except (ImportError, ValueError) as exc:
+        if path.lower().endswith(".xlsx"):
+            pdf = _read_xlsx_minimal(path, sheet_name)
+        else:
+            from .xls_biff import read_xls
+
+            try:
+                pdf = read_xls(path, sheet_name)
+            except ValueError as biff_exc:
+                raise NotImplementedError(
+                    f"could not read {path!r} as BIFF8 ({biff_exc}); "
+                    "install xlrd, or convert the file to .xlsx "
+                    "(Excel / LibreOffice 'Save As', or "
+                    "`libreoffice --convert-to xlsx`)"
+                ) from exc
     raw = spark.createDataFrame(pdf.astype(object).where(pd.notnull(pdf), None))
     n, r = _detect_columns(raw, name_col, reg_col)
     return _standardize(raw, n, r, require_thai_suffix)
 
 
 _SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKGNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
 def _cell_col_index(ref: str) -> int:
@@ -142,19 +158,45 @@ def _read_xlsx_minimal(path: str, sheet_name):
                 "".join(t.text or "" for t in si.iter(f"{_SSML}t"))
                 for si in root.iter(f"{_SSML}si")
             ]
-        # resolve sheet: name match via workbook.xml order, else index
-        sheet_paths = sorted(
-            n for n in zf.namelist()
-            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
-        )
-        target = sheet_paths[0] if sheet_paths else None
+        # resolve sheet name/index → r:id → worksheet part via the
+        # workbook rels (NOT filename sort: sheet10.xml sorts before
+        # sheet2.xml, and workbook order maps to parts via r:id)
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
-        names = [s.get("name") for s in wb.iter(f"{_SSML}sheet")]
+        sheets = [
+            (s.get("name"), s.get(f"{_RELNS}id"))
+            for s in wb.iter(f"{_SSML}sheet")
+        ]
+        rels: dict[str, str] = {}
+        if "xl/_rels/workbook.xml.rels" in zf.namelist():
+            rel_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+            for rel in rel_root.iter(f"{_PKGNS}Relationship"):
+                t = rel.get("Target") or ""
+                rels[rel.get("Id")] = (
+                    t.lstrip("/") if t.startswith("/") else f"xl/{t}"
+                )
+
+        def _sheet_part(entry):
+            name, rid = entry
+            part = rels.get(rid)
+            if part is not None and part in zf.namelist():
+                return part
+            # rels missing/odd: numeric-suffix order, not lexicographic
+            numbered = sorted(
+                (n for n in zf.namelist()
+                 if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")),
+                key=lambda n: int("".join(ch for ch in n if ch.isdigit()) or 0),
+            )
+            idx = sheets.index(entry)
+            return numbered[idx] if idx < len(numbered) else None
+
+        target = None
         if isinstance(sheet_name, int):
-            if 0 <= sheet_name < len(sheet_paths):
-                target = sheet_paths[sheet_name]
-        elif sheet_name in names:
-            target = sheet_paths[names.index(sheet_name)]
+            if 0 <= sheet_name < len(sheets):
+                target = _sheet_part(sheets[sheet_name])
+        else:
+            entry = next((s for s in sheets if s[0] == sheet_name), None)
+            if entry is not None:
+                target = _sheet_part(entry)
         if target is None:
             raise ValueError(f"no worksheet found in {path}")
         rows: list[list[str | None]] = []
