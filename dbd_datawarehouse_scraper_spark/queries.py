@@ -1639,6 +1639,55 @@ def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_near_dedup_hermetic", None)
+def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental near-dup dedup through the signature store
+    (streaming/near_dedup.py): two file-stream epochs over documents
+    with injected cross-epoch duplicates; returns the survivor rows.
+    Rows-only (foreachBatch + streaming trigger, not one SQL
+    statement); stream==batch equivalence vs minhash pairs +
+    component-min survivors is pinned in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from .streaming import file_stream, stream_near_dedup
+
+    work = tempfile.mkdtemp(prefix="near_dedup_q_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    try:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < 60
+        )
+        docs.coalesce(1).write.mode("append").parquet(src)
+        # epoch 2 re-sends a third of epoch 1 under new ids + fresh rows
+        dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+        fresh = docs.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.lit("entirely different content "),
+                     F.col("doc_id").cast("string")).alias("text"),
+        )
+        q = stream_near_dedup(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, store, ckpt, threshold=0.6,
+        )
+        q.awaitTermination(180)
+        dups.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+        q2 = stream_near_dedup(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, store, ckpt, threshold=0.6,
+        )
+        q2.awaitTermination(180)
+        survivors = spark.read.parquet(f"{out}/epoch=*").select("doc_id", "text")
+        # materialize before the temp dirs vanish
+        return spark.createDataFrame(survivors.collect(), survivors.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("scrape_pipeline_hermetic", None)
 def scrape_pipeline_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1 replay (match → extract → unpivot) over a deterministic

@@ -189,3 +189,81 @@ def test_interval_join_stream_equals_batch(spark, events_dir):
         tuple(r) for r in spark.sql("SELECT * FROM interval_join_out").collect()
     )
     assert got == expected
+
+
+def test_stream_near_dedup_across_epochs(spark, sf_dir):
+    """Incremental near-dup dedup (signature store): injected exact and
+    near duplicates arriving in LATER epochs are dropped against the
+    store; fresh docs survive; the final survivor set equals the batch
+    computation (minhash pairs + component-min survivors) over the
+    union of all epochs."""
+    from dbd_datawarehouse_scraper_spark.operators.dedup import minhash_lsh_pairs
+    from dbd_datawarehouse_scraper_spark.operators.graph import component_survivors
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_near_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="near_dedup_stream_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter(F.col("doc_id") < 80)
+        )
+        # epoch 1: originals + one in-batch exact dup (id 5000 of doc 3)
+        base = docs.collect()
+        by_id = {r["doc_id"]: r["text"] for r in base}
+        e1 = docs.unionByName(
+            spark.createDataFrame([(5000, by_id[3])], "doc_id long, text string")
+        )
+        # epoch 2: exact dup of doc 7, near dup of doc 11 (small tail
+        # edit), and two genuinely fresh docs
+        e2 = spark.createDataFrame(
+            [
+                (6000, by_id[7]),
+                (6001, by_id[11] + " tail"),
+                (6002, "a genuinely fresh document about nothing else"),
+                (6003, "another unrelated fresh document entirely new"),
+            ],
+            "doc_id long, text string",
+        )
+        e1.coalesce(1).write.mode("append").parquet(src)
+        # stream epoch boundaries = file arrival: write e1 first, run,
+        # then e2, run again with the same checkpoint/store
+        stream = file_stream(
+            spark, src, e1.schema, max_files_per_trigger=1
+        )
+        q = stream_near_dedup(stream, out, store, ckpt, threshold=0.6)
+        q.awaitTermination(180)
+        e2.coalesce(1).write.mode("append").parquet(src)
+        q2 = stream_near_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, threshold=0.6,
+        )
+        q2.awaitTermination(180)
+
+        got = {
+            r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        # cross-epoch dups dropped, fresh docs kept
+        assert 5000 not in got and 6000 not in got and 6001 not in got
+        assert {6002, 6003} <= got
+
+        # batch reference over the union: pairs + component-min
+        union = e1.unionByName(e2)
+        pairs = minhash_lsh_pairs(union, threshold=0.6)
+        losers = component_survivors(pairs).withColumnRenamed("id", "doc_id")
+        expected = {
+            r["doc_id"]
+            for r in union.join(losers, "doc_id", "left_anti").collect()
+        }
+        from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+        release_caches()
+        assert got == expected
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
