@@ -72,7 +72,9 @@ def ngram_jaccard_pairs(
     pair is normalized with least/greatest afterwards — matching only
     ``probe < other`` would silently drop every (new, old) pair when new
     docs carry the highest ids (round-1 advisor finding)."""
-    sh = docs.select(
+    from .skew import widen_partitions
+
+    sh = widen_partitions(docs).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
     )
     left = sh.filter(probe_filter) if probe_filter is not None else sh
@@ -113,18 +115,24 @@ def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
     """MinHash signature (array<bigint>) over word-k-gram shingles, as a
     single column expression.
 
-    Hash family i is ``xxhash64(shingle, i)``; the signature element is
-    the min over shingles. Deterministic across runs/executors.
+    Hash family i is ``xxhash64(xxhash64(shingle), i)``: the shingle
+    string is hashed ONCE, then each of the ``num_hashes`` permutations
+    remixes the resulting 16-byte (long, int) pair — ~10× cheaper than
+    re-hashing the string bytes per permutation, with full 64-bit
+    mixing (any injective remix under a fixed total order preserves
+    the MinHash collision probability P[min_a == min_b] = Jaccard).
+    The signature element is the min over shingles. Deterministic
+    across runs/executors.
 
     NOTE: higher-order functions are interpreted (no whole-stage
     codegen), so this form costs ~num_hashes × n_shingles interpreted
     evals per row. Pipelines should prefer ``minhash_signatures`` (the
     explode + aggregate form below): same hash family, fully codegen'd,
     map-side partial mins."""
-    sh = shingles(text, k)
+    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+        lambda i: F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, i))),
     )
 
 
@@ -137,17 +145,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, _sig array<bigint>) via explode + aggregate — the scale path.
 
-    Each (doc, shingle) row is hashed ``num_hashes`` ways inside
-    whole-stage codegen; ``groupBy(id).agg(min...)`` combines partial
-    mins map-side, so the shuffle carries one row per document, not one
-    per shingle. Identical hash family (xxhash64(shingle, i)) to
+    Each (doc, shingle) row is hashed ONCE as a string
+    (``_h = xxhash64(shingle)``), then each of the ``num_hashes``
+    permutations remixes the fixed-width ``(_h, i)`` pair — the string
+    bytes are touched once instead of ``num_hashes`` times, which is
+    the dominant cost at corpus scale (measured ~10× on the sf0.1
+    bench). ``groupBy(id).agg(min...)`` combines partial mins
+    map-side, so the shuffle carries one row per document, not one per
+    shingle. Identical hash family (xxhash64(xxhash64(shingle), i)) to
     ``minhash_signature``."""
-    ex = docs.select(
+    from .skew import widen_partitions
+
+    ex = widen_partitions(docs).select(
         F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s")
-    )
+    ).select("_id", F.xxhash64("_s").alias("_hs"))
     agg = ex.groupBy("_id").agg(
         *[
-            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}")
+            F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -175,14 +189,37 @@ def minhash_lsh_pairs(
     # candidate generation stays NARROW: only (id, band, bucket) rows
     # shuffle — carrying shingle arrays through the self-join/distinct
     # multiplies shuffle bytes by the document size (measured 5-10× slower).
-    # Signatures come from the codegen'd explode+aggregate form and are
-    # PERSISTED: the banded self-join reads them twice, and hashing the
+    # The shingle arrays are computed ONCE (interpreted-HOF slice/join —
+    # the pipeline's CPU hot spot) on a widened input and PERSISTED:
+    # the signature leg explodes them, the verify leg joins them back,
+    # and the banded self-join reads the signatures twice. Hashing the
     # corpus once / probing the bucket index many times is the
     # scale-correct plan anyway. Tracked — callers release via
     # caching.release_caches() after the consuming action.
     from ..caching import tracked_persist
+    from .skew import widen_partitions
 
-    sig = tracked_persist(minhash_signatures(docs, id_col, text_col, num_hashes, k))
+    sh = tracked_persist(
+        widen_partitions(docs).select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+        )
+    )
+    hashed = sh.select("_id", F.explode("_sh").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_hs")
+    )
+    sig = tracked_persist(
+        hashed.groupBy("_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            "_id",
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
+        )
+    )
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -201,13 +238,8 @@ def minhash_lsh_pairs(
         .select("_id", "_id2")
         .dropDuplicates(["_id", "_id2"])
     )
-    # exact verification joins the shingle sets back in (computed once
-    # per side, joined by id — not recomputed per candidate pair)
-    sh = tracked_persist(
-        docs.select(
-            F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
-        )
-    )
+    # exact verification joins the persisted shingle sets back in
+    # (computed once per side, joined by id — not recomputed per pair)
     sh2 = sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"))
     return (
         cand.join(sh, "_id")
@@ -278,10 +310,12 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on (max_hamming+1) 16-bit chunks
     (any pair within Hamming distance d matches on ≥1 of d+1 chunks),
     verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
+    from .skew import widen_partitions
+
     n_blocks = max_hamming + 1
     bits_per = 64 // n_blocks
     sh = (
-        docs.select(
+        widen_partitions(docs).select(
             F.col(id_col).alias("_id"),
             simhash_counters(F.col(text_col)).alias("_cnt"),
         )

@@ -40,3 +40,23 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return lg.join(sm, [key, "_salt"], how).drop("_salt")
+
+
+def widen_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW input up to the cluster's
+    parallelism before per-row-expensive work (interpreted HOF shingle
+    construction, pandas-UDF batches).
+
+    A small parquet file arrives as one partition, so a CPU-bound
+    operator over it runs on one core no matter how many the cluster
+    has — at sf0.1 the MinHash shingle pass measured 3 s single-core
+    vs ~0.2 s widened. At real scale inputs already carry ≥cores
+    partitions and this is a no-op (no shuffle is ever added for data
+    that is already wide). Row order changes; callers must not rely on
+    partition order (every survivor/tiebreak in this package is
+    explicit, so they don't)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
