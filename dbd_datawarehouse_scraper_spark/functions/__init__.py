@@ -35,6 +35,7 @@ from .text_analysis import (  # noqa: F401
     lang_id,
     doc_fingerprint,
     shingles,
+    shingles_vec,
 )
 from .vectors import (  # noqa: F401
     dot,

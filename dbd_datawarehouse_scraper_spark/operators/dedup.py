@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text_analysis import shingles
+from ..functions.text_analysis import shingles, shingles_vec
 
 
 def dedup_prefer_reg(
@@ -71,42 +71,68 @@ def ngram_jaccard_pairs(
     With a probe_filter the candidate match is ``_id != _id2`` and the
     pair is normalized with least/greatest afterwards — matching only
     ``probe < other`` would silently drop every (new, old) pair when new
-    docs carry the highest ids (round-1 advisor finding)."""
+    docs carry the highest ids (round-1 advisor finding).
+
+    Scoring never touches the shingle arrays again: each doc's DISTINCT
+    shingle count ``n`` rides along the inverted index, so after the
+    shingle join ``|A∩B|`` is a plain ``groupBy(pair).count()`` and
+    ``J = c / (n_a + n_b - c)`` exactly. That keeps every shuffle narrow
+    — (id, n, shingle) rows in, (pair, count) rows out — instead of
+    re-joining full shingle arrays per candidate (the round-2 form's
+    verify leg, which shuffled array<string> payloads and recomputed the
+    interpreted shingle expression per consumer). The ``groupBy`` also
+    subsumes the old ``distinct()`` dedup of candidate rows."""
+    from ..caching import tracked_persist
     from .skew import widen_partitions
 
-    sh = widen_partitions(docs).select(
-        F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+    # One Arrow-vectorized shingle pass (shingles_vec: the HOF form is
+    # interpreted, ~6× slower — the query's measured hot spot), persisted
+    # because the inverted index is both sides of the self-join.
+    sh = tracked_persist(
+        widen_partitions(docs).select(
+            F.col(id_col).alias("_id"), shingles_vec(F.col(text_col), k).alias("_sh")
+        )
     )
-    left = sh.filter(probe_filter) if probe_filter is not None else sh
-    inv_l = left.select("_id", F.explode("_sh").alias("_s"))
-    inv_r = sh.select(F.col("_id").alias("_id2"), F.explode("_sh").alias("_s"))
+    ex = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
     if probe_filter is None:
-        pairs = (
-            inv_l.join(inv_r, "_s")
-            .filter(F.col("_id") < F.col("_id2"))
-            .select("_id", "_id2")
-            .distinct()
-        )
+        joined = ex.join(
+            ex.select(F.col("_id").alias("_id2"), F.col("_n").alias("_n2"), "_s"),
+            "_s",
+        ).filter(F.col("_id") < F.col("_id2"))
     else:
-        pairs = (
-            inv_l.join(inv_r, "_s")
-            .filter(F.col("_id") != F.col("_id2"))
-            .select(
-                F.least("_id", "_id2").alias("_id"),
-                F.greatest("_id", "_id2").alias("_id2"),
+        # a (probe, probe) pair joins in BOTH directions; keep exactly
+        # one or the groupBy count below doubles |A∩B| for those pairs
+        # (the round-2 form's distinct() absorbed this silently).
+        right = ex.withColumn("_isp2", probe_filter).select(
+            F.col("_id").alias("_id2"), F.col("_n").alias("_n2"), "_s", "_isp2"
+        )
+        joined = (
+            ex.filter(probe_filter)
+            .join(right, "_s")
+            .filter(
+                (F.col("_id") != F.col("_id2"))
+                & (~F.col("_isp2") | (F.col("_id") < F.col("_id2")))
             )
-            .distinct()
         )
-    scored = (
-        pairs.join(sh, "_id")
-        .join(
-            sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2")), "_id2"
-        )
-        .select(
-            F.col("_id").alias("id_a"),
-            F.col("_id2").alias("id_b"),
-            F.round(_jaccard_arrays(F.col("_sh"), F.col("_sh2")), 6).alias("jaccard"),
-        )
+    # normalize pair order id_a < id_b, keeping each id's n attached:
+    # struct comparison is lexicographic on (i, n), and i is unique.
+    pa = F.struct(F.col("_id").alias("i"), F.col("_n").alias("n"))
+    pb = F.struct(F.col("_id2").alias("i"), F.col("_n2").alias("n"))
+    inter = (
+        joined.select(F.least(pa, pb).alias("_a"), F.greatest(pa, pb).alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").alias("_c"))
+    )
+    union = F.col("_a.n") + F.col("_b.n") - F.col("_c")
+    scored = inter.select(
+        F.col("_a.i").alias("id_a"),
+        F.col("_b.i").alias("id_b"),
+        F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(
+                F.col("_c").cast("double") / union.cast("double")
+            ),
+            6,
+        ).alias("jaccard"),
     )
     return scored.filter(F.col("jaccard") >= threshold)
 
@@ -157,7 +183,7 @@ def minhash_signatures(
     from .skew import widen_partitions
 
     ex = widen_partitions(docs).select(
-        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+        F.col(id_col).alias("_id"), F.explode(shingles_vec(F.col(text_col), k)).alias("_s")
     ).select("_id", F.xxhash64("_s").alias("_hs"))
     agg = ex.groupBy("_id").agg(
         *[
@@ -201,7 +227,7 @@ def minhash_lsh_pairs(
 
     sh = tracked_persist(
         widen_partitions(docs).select(
-            F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
+            F.col(id_col).alias("_id"), shingles_vec(F.col(text_col), k).alias("_sh")
         )
     )
     hashed = sh.select("_id", F.explode("_sh").alias("_s")).select(

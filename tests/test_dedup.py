@@ -96,3 +96,41 @@ def test_deterministic_stratified_sample(spark, sf_dir):
     assert counts["zh"] == totals["zh"]          # fraction 1.0 keeps all
     assert "fr" not in counts and "es" not in counts  # unlisted strata drop
     assert 0.3 <= counts["en"] / totals["en"] <= 0.7  # ~0.5 of en
+
+
+def test_shingles_vec_bit_identical_to_hof(spark, sf_dir):
+    """The Arrow-vectorized shingle kernel must produce exactly the HOF
+    expression's output — same tokens (Java ASCII-only \\s semantics),
+    same first-occurrence distinct order, same [''] / [NULL] edge
+    behavior — on real docs plus adversarial whitespace/unicode rows."""
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        shingles,
+        shingles_vec,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (10_000_001, ""),
+            (10_000_002, "   \t\n  "),
+            (10_000_003, "one"),
+            (10_000_004, "one two"),
+            (10_000_005, "a b c a b c a b c"),        # duplicate shingles
+            (10_000_006, "x y z w"),             # NBSP is NOT Java \s
+            (10_000_007, " thin space pad"),  # U+2009 not Java \s
+            (10_000_008, "ไทย การค้า รุ่งเรือง สยาม"),
+            (10_000_009, "tab\tsep\nnewline\x0bvt\x0cff\rcr end"),
+            (10_000_010, None),
+        ],
+        "doc_id long, text string",
+    )
+    for k in (2, 3, 5):
+        df = docs.unionByName(edge).select(
+            "doc_id",
+            shingles(F.col("text"), k).alias("hof"),
+            shingles_vec(F.col("text"), k).alias("vec"),
+        )
+        bad = df.filter(
+            ~(F.col("hof").eqNullSafe(F.col("vec")))
+        ).limit(5).collect()
+        assert not bad, f"k={k}: {[(r['doc_id'], r['hof'], r['vec']) for r in bad]}"
