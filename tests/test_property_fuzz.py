@@ -93,13 +93,40 @@ def test_fuzz_staged_form_equals_expression_form(spark):
     assert expr_form == staged_form
 
 
+# Rows where Java and Python regex semantics diverge unless the Arrow
+# kernel reproduces Java's exactly: Unicode digits (Python \d matches
+# ๑๒๓, Java's doesn't), non-ASCII whitespace (NBSP/thin space are
+# Python \s but not Java \s), Java-dot exclusions (\r, U+0085, U+2028),
+# and trim-vs-strip differences (Spark trim strips U+0020 only).
+ADVERSARIAL_NAMES = [
+    "",
+    " ",
+    " \u0e1a\u0e23\u0e34\u0e29\u0e31\u0e17 \u0e17\u0e14\u0e2a\u0e2d\u0e1a \u0e08\u0e33\u0e01\u0e31\u0e14 ",
+    # Thai digits: Python \d matches them, Java \d must not
+    "\u0e51\u0e52\u0e53 0105536041711 \u0e1a\u0e23\u0e34\u0e29\u0e31\u0e17 \u0e44\u0e17\u0e22 \u0e08\u0e33\u0e01\u0e31\u0e14",
+    # \r, NEL, LS all end Java's dot; Python's dot only stops at \n
+    "42 0105536041711 \u0e0a\u0e37\u0e48\u0e2d\r\u0e1a\u0e23\u0e23\u0e17\u0e31\u0e14 \u0e08\u0e33\u0e01\u0e31\u0e14",
+    "42 0105536041711 \u0e0a\u0e37\u0e48\u0e2d\u0085\u0e16\u0e31\u0e14\u0e44\u0e1b \u0e08\u0e33\u0e01\u0e31\u0e14",
+    "42 0105536041711 \u0e0a\u0e37\u0e48\u0e2d\u2028\u0e41\u0e22\u0e01 \u0e08\u0e33\u0e01\u0e31\u0e14",
+    # NBSP / thin space: Python \s matches them, Java \s must not
+    "42\u00a00105536041711\u00a0\u0e17\u0e14\u0e2a\u0e2d\u0e1a \u0e08\u0e33\u0e01\u0e31\u0e14",
+    "\u0e1a\u0e23\u0e34\u0e29\u0e31\u0e17\u2009\u0e40\u0e27\u0e49\u0e19\u0e27\u0e23\u0e23\u0e04 \u0e08\u0e33\u0e01\u0e31\u0e14",
+    # tabs survive Spark trim (space-only) but collapse via \s+
+    "\t\u0e1a\u0e23\u0e34\u0e29\u0e31\u0e17 \u0e41\u0e17\u0e47\u0e1a \u0e08\u0e33\u0e01\u0e31\u0e14\t",
+    "7 0105536041711 ",
+    "123 0105536041711 x",
+]
+
+
 def test_fuzz_staged_core_name_equals_expression_form(spark):
-    """add_core_name (staged, persist-barriered) must equal the
-    single-expression extract_core_name byte-for-byte."""
+    """add_core_name (the Arrow-kernel pipeline form) must equal the
+    single-expression extract_core_name byte-for-byte — including on
+    rows built to expose Java-vs-Python regex divergence."""
     from dbd_datawarehouse_scraper_spark.functions.text_norm import add_core_name
 
     rng = random.Random(11)
-    names = [gen_name(rng) for _ in range(300)]
+    names = [gen_name(rng) for _ in range(300)] + ADVERSARIAL_NAMES
+    names = list(dict.fromkeys(names))
     df = spark.createDataFrame([(n,) for n in names], ["company_name"])
     expr_form = {
         r["company_name"]: r["c"]
