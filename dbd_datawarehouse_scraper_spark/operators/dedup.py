@@ -210,40 +210,40 @@ def minhash_lsh_pairs(
     ``bands`` bands of ``num_hashes/bands`` rows: pairs agreeing on any
     band become candidates (P[candidate] ≈ 1-(1-j^r)^b), then exact
     shingle Jaccard filters false positives. Returns
-    (id_a, id_b, jaccard), id_a < id_b."""
+    (id_a, id_b, jaccard), id_a < id_b.
+
+    Everything that shuffles or persists is NARROW. The one persisted
+    relation is the hashed-shingle inverted index (_id, _hs long) from a
+    single Arrow-vectorized shingle pass: the signature leg aggregates
+    it (map-side partial mins, one shuffled row per doc — the per-doc
+    shingle count falls out of the same agg for free), the banded
+    self-join carries only (id, band, bucket), and verification counts
+    shared _hs values per candidate pair — |A∩B| via a
+    groupBy(pair).count(), J = c/(nA+nB-c) — instead of re-joining full
+    shingle arrays per pair (the round-2 form persisted and shuffled
+    array<string> payloads). Jaccard is exact up to 64-bit xxhash64
+    shingle collisions (~n²/2⁶⁴ per doc — negligible; the round-2 form
+    had the identical exposure inside its MinHash signatures). Persists
+    are tracked — callers release via caching.release_caches()."""
     rows_per_band = num_hashes // bands
-    # candidate generation stays NARROW: only (id, band, bucket) rows
-    # shuffle — carrying shingle arrays through the self-join/distinct
-    # multiplies shuffle bytes by the document size (measured 5-10× slower).
-    # The shingle arrays are computed ONCE (interpreted-HOF slice/join —
-    # the pipeline's CPU hot spot) on a widened input and PERSISTED:
-    # the signature leg explodes them, the verify leg joins them back,
-    # and the banded self-join reads the signatures twice. Hashing the
-    # corpus once / probing the bucket index many times is the
-    # scale-correct plan anyway. Tracked — callers release via
-    # caching.release_caches() after the consuming action.
     from ..caching import tracked_persist
     from .skew import widen_partitions
 
-    sh = tracked_persist(
-        widen_partitions(docs).select(
-            F.col(id_col).alias("_id"), shingles_vec(F.col(text_col), k).alias("_sh")
+    ex = tracked_persist(
+        widen_partitions(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles_vec(F.col(text_col), k)).alias("_s"),
         )
-    )
-    hashed = sh.select("_id", F.explode("_sh").alias("_s")).select(
-        "_id", F.xxhash64("_s").alias("_hs")
+        .select("_id", F.xxhash64("_s").alias("_hs"))
     )
     sig = tracked_persist(
-        hashed.groupBy("_id")
-        .agg(
+        ex.groupBy("_id").agg(
+            F.count("*").alias("_n"),
             *[
                 F.min(F.xxhash64(F.col("_hs"), F.lit(i))).alias(f"_h{i}")
                 for i in range(num_hashes)
-            ]
-        )
-        .select(
-            "_id",
-            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("_sig"),
+            ],
         )
     )
     banded = sig.select(
@@ -251,7 +251,12 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.hash(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band))
+                    F.hash(
+                        *[
+                            F.col(f"_h{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ]
+                    )
                     for b in range(bands)
                 ]
             )
@@ -264,16 +269,27 @@ def minhash_lsh_pairs(
         .select("_id", "_id2")
         .dropDuplicates(["_id", "_id2"])
     )
-    # exact verification joins the persisted shingle sets back in
-    # (computed once per side, joined by id — not recomputed per pair)
-    sh2 = sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"))
+    # verify: count shared hashed shingles per candidate pair, then
+    # attach per-doc shingle counts from the (already aggregated)
+    # signature relation — no extra pass over the corpus, no arrays.
+    inter = (
+        cand.join(ex, "_id")
+        .join(ex.select(F.col("_id").alias("_id2"), "_hs"), ["_id2", "_hs"])
+        .groupBy("_id", "_id2")
+        .agg(F.count("*").alias("_c"))
+    )
+    n_a = sig.select("_id", F.col("_n").alias("_na"))
+    n_b = sig.select(F.col("_id").alias("_id2"), F.col("_n").alias("_nb"))
+    union = F.col("_na") + F.col("_nb") - F.col("_c")
     return (
-        cand.join(sh, "_id")
-        .join(sh2, "_id2")
+        inter.join(n_a, "_id")
+        .join(n_b, "_id2")
         .select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
-            F.round(_jaccard_arrays(F.col("_sh"), F.col("_sh2")), 6).alias("jaccard"),
+            F.round(F.col("_c").cast("double") / union.cast("double"), 6).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
