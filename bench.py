@@ -1,17 +1,29 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "oracle_queries": {...}, "oracle_total": N, "ratio": N}
+Output contract (round 4): the FULL detail record (per-query times,
+spreads, oracle times) is written to BENCH_DETAIL.json next to this
+file and also printed as the first JSON line; the LAST line printed is
+a COMPACT (<1 KB) summary
+  {"metric": "headline_batch_runtime", "value": N, "unit": "sec",
+   "sf": N, "ratio": N, "oracle_total": N, ...}
+so a bounded tail capture of stdout always contains one complete,
+parseable record (round 3's single ~2.6 KB line was truncated
+mid-object by the capture and the headline number was lost).
 
 Each query reports min-of-3 measured runs (plus `query_spreads` =
 max-min, so regressions are distinguishable from noise) after an
 untimed warmup that pays the JVM / codegen first-touch cost; per-query
 time is plan + execute to a count-style action (no driver-side collect
 of big results). Tracked intra-query caches are released between runs.
+The Python worker pool is warmed once up front (a trivial pandas-UDF
+touch) so the first Arrow-kernel query doesn't pay worker fork/start.
+A query whose 3-run spread exceeds 50% of its min is escalated to 5
+runs and reported as median-of-5 (spread then = max-min of the central
+3 runs, which is what the median's stability depends on); escalated
+queries are listed in `escalated`.
 The same headline queries' oracle SQL also runs in DuckDB (warm, same
-methodology) so every BENCH_r*.json is self-contained: `ratio` =
+methodology) so every BENCH record is self-contained: `ratio` =
 spark total / oracle total over the oracle-backed subset.
 """
 
@@ -72,11 +84,40 @@ def main() -> None:
     for tbl in ["lineitem", "orders", "customer", "part"]:
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
+    # warm the Python worker pool once: the Arrow-kernel queries
+    # (minhash_lsh_dedup's shingle kernel, core-name) otherwise pay
+    # worker fork/start on their first measured run, which showed up as
+    # a 0.7-1.5 s spread on minhash_lsh_dedup in round 3. Workers are
+    # reused across queries (spark.python.worker.reuse), so one touch
+    # across all local cores amortizes it for the whole bench.
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    ncores = spark.sparkContext.defaultParallelism
+    spark.range(0, ncores * 64, 1, ncores).select(_warm("id")).count()
+
     from dbd_datawarehouse_scraper_spark.caching import release_caches
 
     names = [n for n in HEADLINE if n in QUERIES]
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    escalated: list[str] = []
+
+    def timed_run(builder) -> float:
+        start = time.perf_counter()
+        n = builder(spark, sf_dir).count()
+        elapsed = time.perf_counter() - start
+        assert n >= 0
+        # operators pin intra-query caches (signatures, LSH buckets,
+        # staged projections); release between runs so measurements
+        # are independent and storage memory never accumulates
+        release_caches()
+        return elapsed
+
     for name in names:
         builder = QUERIES[name].builder
         # one untimed warmup run amortizes whole-stage-codegen JIT (a
@@ -87,18 +128,19 @@ def main() -> None:
         # a future regression is distinguishable from noise.
         builder(spark, sf_dir).count()
         release_caches()
-        runs: list[float] = []
-        for _ in range(3):
-            start = time.perf_counter()
-            n = builder(spark, sf_dir).count()
-            runs.append(time.perf_counter() - start)
-            assert n >= 0
-            # operators pin intra-query caches (signatures, LSH buckets,
-            # staged projections); release between runs so measurements
-            # are independent and storage memory never accumulates
-            release_caches()
-        times[name] = round(min(runs), 4)
-        spreads[name] = round(max(runs) - min(runs), 4)
+        runs = [timed_run(builder) for _ in range(3)]
+        if max(runs) - min(runs) > 0.5 * min(runs):
+            # noisy query: escalate to 5 runs, report median-of-5; the
+            # robust spread is over the central 3 runs (the extremes
+            # don't move a median, so they shouldn't move its error bar)
+            escalated.append(name)
+            runs += [timed_run(builder) for _ in range(2)]
+            runs.sort()
+            times[name] = round(runs[2], 4)
+            spreads[name] = round(runs[3] - runs[1], 4)
+        else:
+            times[name] = round(min(runs), 4)
+            spreads[name] = round(max(runs) - min(runs), 4)
     total = round(sum(times.values()), 4)
 
     # DuckDB oracle pass: same queries, same warm-then-measure shape
@@ -131,20 +173,41 @@ def main() -> None:
         round(spark_on_oracle_subset / oracle_total, 3) if oracle_total else None
     )
 
+    detail = {
+        "metric": "headline_batch_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "query_spreads": spreads,
+        "runs_per_query": 3,
+        "escalated": escalated,
+        "sf": sf,
+        "oracle_queries": oracle_times,
+        "oracle_total": oracle_total,
+        "spark_on_oracle_subset": spark_on_oracle_subset,
+        "ratio": ratio,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=2)
+    # detail first, COMPACT summary LAST: a bounded tail capture of
+    # stdout always ends with one complete parseable JSON record
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_batch_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "query_spreads": spreads,
-                "runs_per_query": 3,
                 "sf": sf,
-                "oracle_queries": oracle_times,
+                "ratio": ratio,
                 "oracle_total": oracle_total,
                 "spark_on_oracle_subset": spark_on_oracle_subset,
-                "ratio": ratio,
+                "queries_n": len(times),
+                "runs_per_query": 3,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -187,26 +187,37 @@ def add_core_name(
     out_col: str = "_core",
     persist: bool = True,
 ) -> DataFrame:
-    """Pipeline form of ``extract_core_name``, computed via the Arrow
-    kernel (:func:`extract_core_name_vec`) — one Python pass per row
-    instead of the column chain's ~21 regex/trim re-evaluations (the
-    round-2 form staged the chain behind two persist barriers to cap the
-    re-evaluation; the kernel makes the barrier itself unnecessary:
-    measured ~5× faster than the staged form on the match-engine legs,
-    byte-identical output, fuzz-pinned in tests/test_property_fuzz.py).
+    """Pipeline form of ``extract_core_name`` — size-aware form
+    selection (round 4):
 
-    ``persist=True`` keeps one tracked cache barrier AFTER the kernel for
-    pipeline legs that re-read the result across several join branches
-    (each re-read would otherwise re-run the Python workers); pass
-    ``persist=False`` for small one-shot relations. Persists are tracked
+    - ``persist=True`` (big pipeline legs, re-read across join
+      branches): the Arrow kernel (:func:`extract_core_name_vec`) —
+      one Python pass per row instead of the column chain's ~21
+      regex/trim re-evaluations (measured ~5× faster than the r2
+      staged-chain form on the match-engine legs, byte-identical
+      output, fuzz-pinned in tests/test_property_fuzz.py) — followed
+      by one tracked cache barrier so re-reads don't re-run the
+      Python workers.
+    - ``persist=False`` (small one-shot relations, the caller's
+      explicit signal that barriers aren't worth paying): the pure
+      column-expression chain, which stays inside whole-stage codegen
+      with zero Python-worker stages. Below ~10⁵ rows the two
+      Arrow worker round-trips dominate the per-row savings (the r3
+      kernel-everywhere form cost 0.77 s on a 1.5k-row broadcast join
+      whose oracle runs in 0.04 s); the codegen chain is effectively
+      free there, and its re-evaluation toll only matters on inputs
+      big enough that callers persist anyway.
+
+    Both forms are semantically identical (the chain IS the semantic
+    reference; the kernel is fuzz-pinned to it). Persists are tracked
     (caching.py) — call ``release_caches()`` after the consuming
     action."""
     from ..caching import tracked_persist
 
+    if not persist:
+        return df.select("*", extract_core_name(F.col(src_col)).alias(out_col))
     out = df.select("*", extract_core_name_vec(F.col(src_col)).alias(out_col))
-    if persist:
-        out = tracked_persist(out)
-    return out
+    return tracked_persist(out)
 
 
 def clean_filler_words(col: Column) -> Column:

@@ -44,10 +44,11 @@ def exact_core_join(
     """Equi-join on ``extract_core_name`` of both sides
     (scraper_v2.py:970-972): target core == candidate core, empty keys
     never match (the reference compares non-empty page lines). The key
-    is derived via the staged ``add_core_name`` form so the chain runs
-    once per row instead of ~21× (see its docstring). Pass
-    ``persist=False`` for small one-shot inputs — the staging barriers
-    cost more than they save below a few hundred thousand rows."""
+    is derived via ``add_core_name``, which picks its form by size
+    signal: pass ``persist=False`` for small one-shot inputs (codegen
+    column chain, no Python workers, no barriers) and ``persist=True``
+    for big pipeline legs (Arrow kernel + tracked cache barrier) — see
+    its docstring for the break-even."""
     t = add_core_name(targets, target_name, "_core_key", persist=persist)
     c = add_core_name(candidates, cand_name, "_core_key", persist=persist)
     t = t.filter(F.col("_core_key") != "")
