@@ -66,13 +66,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    which Spark's reader rejects. Read nanos as long and truncate to
-    microseconds with integer division — the same truncation DuckDB
-    applies, so event times agree across engines to the microsecond."""
+    """Read events with ``ts`` normalized to a session-TZ TIMESTAMP
+    regardless of how the generator encoded it — the physical type has
+    changed across testdata rounds, so this adapts by inspected type:
+
+    - TIMESTAMP(NANOS): Spark's reader rejects nanos; read as long
+      (``nanosAsLong``) and truncate to micros with integer division —
+      the same truncation DuckDB applies;
+    - timestamp[us] (NTZ): cast NTZ→TIMESTAMP, which under the UTC
+      session timezone set in :func:`t` is a no-op relabeling that
+      agrees with DuckDB's naive TIMESTAMP.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes).get("ts", "")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dsum(col: F.Column, scale: int = 6) -> F.Column:
