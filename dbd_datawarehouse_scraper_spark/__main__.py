@@ -7,8 +7,10 @@ plans/pipeline.py (the scrape DAG), sources/sinks.py (outputs, backup,
 combine) and streaming/micro_batch.py (resume). The engine remains a
 library — this module only parses flags, resolves config, and calls it.
 
-Browser-only reference flags (--visible, --debug) are accepted for
-script compatibility; they only apply when --fetcher selenium is used.
+Browser-only reference flags (--visible, --debug) only apply when
+--fetcher selenium is used: --visible disables headless mode, --debug
+saves per-profile screenshots to the system temp dir (the reference's
+scraper_v2.py:1508-1510 behavior).
 """
 
 from __future__ import annotations
@@ -55,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--visible", action="store_true",
                    help="Show browser window (selenium fetcher only)")
     p.add_argument("--debug", action="store_true",
-                   help="Verbose fetch diagnostics (selenium fetcher only)")
+                   help="Save per-profile debug screenshots to the temp "
+                        "dir (selenium fetcher only)")
     p.add_argument("--batch-size", type=int, default=20,
                    help="Target output files per write")
     p.add_argument("--combine-only", action="store_true",
@@ -104,9 +107,16 @@ def _make_fetcher_factory(args, conf):
         delay = conf["fetch"]["delay_between_requests"]
         return lambda: HttpFetcher(delay=delay)
     if args.fetcher == "selenium":
+        import tempfile
+
         from .sources.http_client import SeleniumFetcher
 
-        return lambda: SeleniumFetcher(headless=not args.visible)
+        # --debug parity (scraper_v2.py:1508-1510, 1602): per-profile
+        # screenshots into the system temp dir, like the reference
+        debug_dir = tempfile.gettempdir() if args.debug else None
+        return lambda: SeleniumFetcher(
+            headless=not args.visible, debug_dir=debug_dir
+        )
     # hermetic demo: every input company resolves against a registry
     # derived from the input itself (deterministic regs)
     import zlib

@@ -24,6 +24,7 @@ tests/test_http_client.py against a mocked transport.
 
 from __future__ import annotations
 
+import os
 import re
 import time
 import urllib.parse
@@ -307,6 +308,7 @@ class SeleniumFetcher:
         balance_fields: tuple[str, ...] = ("สินทรัพย์รวม", "หนี้สินรวม"),
         page_load_wait: float = 3.0,
         headless: bool = True,
+        debug_dir: str | None = None,
     ):
         try:
             from selenium import webdriver
@@ -320,6 +322,10 @@ class SeleniumFetcher:
         self.income_fields = income_fields
         self.balance_fields = balance_fields
         self.page_load_wait = page_load_wait
+        # --debug parity (scraper_v2.py:1508-1510): when set, every
+        # profile fetch saves a post-extraction screenshot here
+        self.debug_dir = debug_dir
+        self._debug_seq = 0
         opts = Options()
         if headless:
             opts.add_argument("--headless=new")
@@ -409,6 +415,7 @@ class SeleniumFetcher:
         self._accept_cookies()
         text = self._body_text()
         if not any(m in text for m in PROFILE_MARKERS):
+            self._debug_screenshot(prefixed_reg)
             return None
         # financial tab then statement buttons (scraper_v2.py:1273-1320)
         for label in ("ข้อมูลงบการเงิน", INCOME_TABLE):
@@ -429,7 +436,22 @@ class SeleniumFetcher:
         tables = extract_financial_tables(
             grids, self.income_fields, self.balance_fields
         )
+        self._debug_screenshot(prefixed_reg)
         return {"tables": tables} if tables else None
+
+    def _debug_screenshot(self, prefixed_reg: str) -> None:
+        """--debug hook: save a post-extraction screenshot per profile
+        fetch (scraper_v2.py:1508-1510 saves one per company when debug
+        is on). Screenshot failures never fail the fetch — the capture
+        is a diagnostic side channel."""
+        if not self.debug_dir:
+            return
+        self._debug_seq += 1
+        name = f"debug_{self._debug_seq:04d}_{prefixed_reg.replace('/', '_')}.png"
+        try:
+            self.driver.save_screenshot(os.path.join(self.debug_dir, name))
+        except Exception:  # noqa: BLE001 - diagnostics must not mask fetches
+            pass
 
     def close(self) -> None:
         try:
