@@ -112,8 +112,8 @@ def shingles(col: Column, k: int = 3) -> Column:
     the measured CPU hot spot of every shingle-based dedup at sf0.1.
     Hot paths should use :func:`shingles_vec` (Arrow-vectorized, same
     output bit-for-bit — equivalence fuzz-pinned in
-    tests/test_text_analysis.py); this form remains the oracle-shaped
-    definition and the fallback."""
+    tests/test_dedup.py::test_shingles_vec_bit_identical_to_hof); this
+    form remains the oracle-shaped definition and the fallback."""
     words = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
     n = F.size(words)
     return F.array_distinct(

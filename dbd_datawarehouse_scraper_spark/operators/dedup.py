@@ -81,7 +81,11 @@ def ngram_jaccard_pairs(
     re-joining full shingle arrays per candidate (the round-2 form's
     verify leg, which shuffled array<string> payloads and recomputed the
     interpreted shingle expression per consumer). The ``groupBy`` also
-    subsumes the old ``distinct()`` dedup of candidate rows."""
+    subsumes the old ``distinct()`` dedup of candidate rows.
+
+    The inverted index is a tracked persist (it is both sides of the
+    self-join) — call ``caching.release_caches()`` after the consuming
+    action, like every other persisting operator in this package."""
     from ..caching import tracked_persist
     from .skew import widen_partitions
 
@@ -102,8 +106,13 @@ def ngram_jaccard_pairs(
     else:
         # a (probe, probe) pair joins in BOTH directions; keep exactly
         # one or the groupBy count below doubles |A∩B| for those pairs
-        # (the round-2 form's distinct() absorbed this silently).
-        right = ex.withColumn("_isp2", probe_filter).select(
+        # (the round-2 form's distinct() absorbed this silently). The
+        # flag is null-coalesced: a predicate over a nullable column
+        # yields NULL rows, and `~NULL | (a < b)` is NULL when a > b —
+        # those (probe, non-probe) pairs would be silently dropped.
+        right = ex.withColumn(
+            "_isp2", F.coalesce(probe_filter, F.lit(False))
+        ).select(
             F.col("_id").alias("_id2"), F.col("_n").alias("_n2"), "_s", "_isp2"
         )
         joined = (

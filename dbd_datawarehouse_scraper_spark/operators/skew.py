@@ -54,9 +54,21 @@ def widen_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFr
     partitions and this is a no-op (no shuffle is ever added for data
     that is already wide). Row order changes; callers must not rely on
     partition order (every survivor/tiebreak in this package is
-    explicit, so they don't)."""
+    explicit, so they don't).
+
+    COST (advisor note): the partition-count probe forces analysis +
+    physical planning of ``df`` on the driver — one extra planning
+    pass (~tens of ms), paid once per operator invocation, never per
+    row. It reads the JVM dataset's RDD directly rather than ``df.rdd``
+    (which would additionally build a Python-conversion plan), and the
+    pre-execution count can differ from AQE's runtime count — the
+    probe is a sizing heuristic, not an invariant."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = df._jdf.rdd().getNumPartitions()
+    except Exception:  # non-classic backends: fall back to the public API
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df

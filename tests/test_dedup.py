@@ -134,3 +134,29 @@ def test_shingles_vec_bit_identical_to_hof(spark, sf_dir):
             ~(F.col("hof").eqNullSafe(F.col("vec")))
         ).limit(5).collect()
         assert not bad, f"k={k}: {[(r['doc_id'], r['hof'], r['vec']) for r in bad]}"
+
+
+def test_ngram_probe_filter_null_flag_pairs_kept(spark):
+    """Advisor (r3): a probe_filter that evaluates to NULL on a
+    non-probe row made `~NULL | (id < id2)` NULL when id > id2, so
+    (probe, non-probe) pairs with NULL flags were silently dropped
+    whenever the probe carried the higher id — the standard incremental
+    shape (new docs get the highest ids). The flag is now
+    null-coalesced to False on the right side."""
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(7, text), (9000, text + " eleven")], "doc_id long, text string"
+    )
+    # NULL (not False) for the old doc — e.g. a predicate over a
+    # nullable marker column: WHEN id >= 9000 THEN true (ELSE NULL)
+    probe = F.when(F.col("_id") >= 9000, F.lit(True))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, probe_filter=probe)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    assert got == [(7, 9000)]
