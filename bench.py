@@ -116,6 +116,13 @@ def main() -> None:
         # staged projections); release between runs so measurements
         # are independent and storage memory never accumulates
         release_caches()
+        # JMH-style forced GC between measurements: ContextCleaner only
+        # reclaims shuffle/broadcast state after driver-side handles are
+        # GC'd, and a big mostly-idle heap can defer that long enough
+        # for accumulated state to poison later queries (measured: the
+        # heaviest query degraded 2 s -> 13 s across a 29-query session
+        # and recovered fully after one System.gc()). Untimed.
+        spark.sparkContext._jvm.System.gc()
         return elapsed
 
     for name in names:
@@ -128,6 +135,7 @@ def main() -> None:
         # a future regression is distinguishable from noise.
         builder(spark, sf_dir).count()
         release_caches()
+        spark.sparkContext._jvm.System.gc()
         runs = [timed_run(builder) for _ in range(3)]
         if max(runs) - min(runs) > 0.5 * min(runs):
             # noisy query: escalate to 5 runs, report median-of-5; the

@@ -28,6 +28,8 @@ Two forms:
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,7 +45,12 @@ from .text_norm import (
 
 
 def _variant_columns(name: Column) -> dict[str, Column]:
-    """The scalar pieces of the cascade, each as one expression."""
+    """The scalar pieces of the cascade, each as one expression.
+
+    Construction cost: four of the variants embed the full core-name
+    chain, so building this dict is hundreds of py4j round-trips
+    (~0.3 s of driver time). Columns are immutable plan fragments —
+    pipeline callers go through :func:`_variant_items_cached`."""
     # base: drop every literal บริษัท, collapse whitespace (:791-793)
     base = collapse_ws(F.replace(name, F.lit(COMPANY_PREFIX), F.lit("")))
     core = extract_core_name(name)  # :837
@@ -115,6 +122,13 @@ def _assemble_terms(v: dict[str, Column]) -> Column:
     return F.array_distinct(F.array_compact(F.concat(head, trims)))
 
 
+@lru_cache(maxsize=64)
+def _variant_items_cached(col_name: str):
+    """Memoized :func:`_variant_columns` over a named column, as an
+    immutable (alias, Column) tuple so cache entries are never mutated."""
+    return tuple(_variant_columns(F.col(col_name)).items())
+
+
 def generate_search_terms(name: Column) -> Column:
     """array<string> of search variants in reference priority order
     (single-expression form)."""
@@ -138,7 +152,7 @@ def add_search_terms(
     costs more than the re-evaluation it avoids."""
     from ..caching import tracked_persist
 
-    variants = _variant_columns(F.col(name_col))
+    variants = dict(_variant_items_cached(name_col))
     staged = df.select("*", *[expr.alias(alias) for alias, expr in variants.items()])
     if persist:
         staged = tracked_persist(staged)

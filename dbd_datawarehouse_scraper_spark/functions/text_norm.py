@@ -92,6 +92,25 @@ def strip_partnership_prefix(col: Column) -> Column:
     return F.trim(expr.otherwise(out))
 
 
+def _once(value: Column, body) -> Column:
+    """Evaluate ``value`` exactly once and feed it to ``body`` as a
+    bound variable: ``element_at(transform(array(value), body), 1)``.
+
+    The normalization steps below are conditional rewrites of the form
+    ``when(cond(X), f(X)).otherwise(X)`` — Catalyst inlines ``X`` into
+    every branch, so chaining them multiplies subtree evaluations
+    (~21 regex/trim evals per row for the full core-name chain, the
+    match engine's measured CPU hot spot; round 2 capped it with
+    persist barriers, round 3 with an Arrow kernel). Binding each
+    intermediate to a higher-order-function lambda variable makes the
+    duplicated references free variable reads instead of re-evaluated
+    regex trees. HOFs are interpreted (no codegen), but two regexes +
+    a dozen literal ops per row beat 21 codegen'd regex evals by ~10×
+    — and unlike the round-2 staging, this needs no persist barrier,
+    so it composes into any expression context (SQL included)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def extract_core_name(col: Column) -> Column:
     """Core company name (before จำกัด), handling raw search-result lines
     (scraper_v2.py:624-662).
@@ -103,15 +122,33 @@ def extract_core_name(col: Column) -> Column:
     3. Remove every literal บริษัท.
     4. If จำกัด occurs, keep the text before the first occurrence.
     5. Collapse whitespace.
-    """
+
+    The step-1 result is bound via :func:`_once` exactly once: it is
+    the subtree every later when-branch would otherwise duplicate
+    (~7 references × a regex each — the source of the chain's old ~21
+    regex evals per row). Inside the binding only cheap literal ops
+    (contains / replace / trim / split on the bound variable) are
+    duplicated, so the whole chain costs 2 regexp_extract + 1
+    regexp_replace + ~20 literal string ops per row. Equivalence to
+    the reference semantics is pinned by the per-function fuzz suite
+    vs the Python model."""
     name_part = F.regexp_extract(col, r"\d+\s+(0\d{12})\s+(.+)", 2)
-    core = F.when(name_part != "", name_part).otherwise(F.trim(col))
-    core = strip_partnership_prefix(core)
-    core = F.trim(_drop_literal(core, COMPANY_PREFIX))
-    core = F.when(
-        core.contains(LIMITED), F.trim(F.element_at(F.split(core, LIMITED), 1))
-    ).otherwise(core)
-    return collapse_ws(core)
+    return _once(
+        F.when(name_part != "", name_part).otherwise(F.trim(col)),
+        lambda c0: _core_tail(c0),
+    )
+
+
+def _core_tail(c0: Column) -> Column:
+    """Steps 2-5 of :func:`extract_core_name` over an already-bound
+    (cheap-to-reference) step-1 result."""
+    c2 = F.trim(_drop_literal(strip_partnership_prefix(c0), COMPANY_PREFIX))
+    return collapse_ws(
+        F.when(
+            c2.contains(LIMITED),
+            F.trim(F.element_at(F.split(c2, LIMITED), 1)),
+        ).otherwise(c2)
+    )
 
 
 # --- Arrow-vectorized core-name kernel -------------------------------------
@@ -179,6 +216,33 @@ def extract_core_name_vec(col: Column) -> Column:
     (fuzz-pinned), ~2 orders of magnitude less CPU per row. Partition-
     local, no shuffle."""
     return _core_name_udf()(col)
+
+
+def extract_core_name_key(col: Column) -> Column:
+    """:func:`extract_core_name`, but empty results become NULL — the
+    equi-join key form. An inner join on this key drops empty-core rows
+    without an explicit ``filter(key != '')``, which matters for the
+    no-barrier chain: Catalyst pushes such a filter through the key
+    projection, substituting (and re-evaluating) the whole chain in the
+    filter. With the emptiness folded into the :func:`_once` body the
+    chain runs exactly once per row per side.
+
+    Column-expression CONSTRUCTION is itself a cost at this tree size:
+    each ``F.xxx`` call is a py4j round-trip, and the full key tree is
+    ~0.5 s of driver-side build per invocation. Columns are immutable
+    plan fragments, so the built tree is cached per source-column name
+    and reused across queries (:func:`_core_key_cached`)."""
+    name_part = F.regexp_extract(col, r"\d+\s+(0\d{12})\s+(.+)", 2)
+    return _once(
+        F.when(name_part != "", name_part).otherwise(F.trim(col)),
+        lambda c0: _once(_core_tail(c0), lambda c: F.when(c != "", c)),
+    )
+
+
+@lru_cache(maxsize=64)
+def _core_key_cached(col_name: str) -> Column:
+    """Memoized :func:`extract_core_name_key` over a named column."""
+    return extract_core_name_key(F.col(col_name))
 
 
 def add_core_name(

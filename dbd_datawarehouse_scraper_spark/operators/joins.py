@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import token_jaccard, tokenize_ws
-from ..functions.text_norm import add_core_name
+from ..functions.text_norm import _core_key_cached, add_core_name
 from .skew import salted_join
 from .windows import top1_per_group
 
@@ -44,15 +44,34 @@ def exact_core_join(
     """Equi-join on ``extract_core_name`` of both sides
     (scraper_v2.py:970-972): target core == candidate core, empty keys
     never match (the reference compares non-empty page lines). The key
-    is derived via ``add_core_name``, which picks its form by size
-    signal: pass ``persist=False`` for small one-shot inputs (codegen
-    column chain, no Python workers, no barriers) and ``persist=True``
-    for big pipeline legs (Arrow kernel + tracked cache barrier) — see
-    its docstring for the break-even."""
-    t = add_core_name(targets, target_name, "_core_key", persist=persist)
-    c = add_core_name(candidates, cand_name, "_core_key", persist=persist)
-    t = t.filter(F.col("_core_key") != "")
-    c = c.filter(F.col("_core_key") != "")
+    is derived by size signal: ``persist=False`` (small one-shot
+    inputs) uses the single-evaluation column chain with empty keys
+    mapped to NULL, so the inner join itself drops them — no filter to
+    push through the projection, no Python workers, no barriers;
+    ``persist=True`` (big pipeline legs) uses the Arrow kernel + a
+    tracked cache barrier via ``add_core_name`` (see its docstring for
+    the break-even)."""
+    if persist:
+        t = add_core_name(targets, target_name, "_core_key", persist=True)
+        c = add_core_name(candidates, cand_name, "_core_key", persist=True)
+        t = t.filter(F.col("_core_key") != "")
+        c = c.filter(F.col("_core_key") != "")
+    else:
+        # explode(array(key)) emits exactly one row (a [NULL] array
+        # explodes to a NULL element) but interposes a Generate node:
+        # the isnotnull(_core_key) filter Catalyst infers from the
+        # inner join then stays ABOVE the key projection as a cheap
+        # attribute test instead of being pushed through it with the
+        # whole chain substituted in — one chain evaluation per row
+        # per side, verified in the plan.
+        t = targets.select(
+            "*",
+            F.explode(F.array(_core_key_cached(target_name))).alias("_core_key"),
+        )
+        c = candidates.select(
+            "*",
+            F.explode(F.array(_core_key_cached(cand_name))).alias("_core_key"),
+        )
     if broadcast_candidates:
         c = F.broadcast(c)
     return t.join(c, "_core_key", "inner").drop("_core_key")

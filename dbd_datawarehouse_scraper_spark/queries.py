@@ -60,9 +60,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and NTZ→timestamp casts agree with the DuckDB oracle (naive = UTC)
     # even when the caller's session wasn't built by session.get_spark.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return events_table(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Each spark.read.parquet pays ~0.1 s of driver-side file listing +
+    # footer schema read, and builders re-read their tables on every
+    # invocation — a fixed toll on EVERY query. DataFrames are
+    # immutable plan fragments, so cache the unresolved reader per
+    # (sf_dir, table) ON the session object (the cache dies with the
+    # session, so stopped-session references can never leak into a new
+    # one). The testdata files are immutable for the process lifetime.
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    key = (sf_dir, name)
+    if key not in cache:
+        cache[key] = (
+            events_table(spark, sf_dir)
+            if name == "events"
+            else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
+    return cache[key]
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,15 @@ _DEFAULTS = {
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # ContextCleaner only reclaims shuffle files / broadcast blocks after
+    # their driver-side handles are GARBAGE-COLLECTED — and on a large
+    # heap a long-running driver may not GC for ages, so state from
+    # completed queries accumulates until throughput collapses (measured
+    # locally: the same query 1.8 s on a fresh session, 13 s after 28
+    # queries, 1.8 s again after one System.gc()). The default periodic
+    # GC is 30min; 5min bounds the accumulation window for long-running
+    # multi-query sessions at negligible GC cost.
+    "spark.cleaner.periodicGC.interval": "5min",
 }
 
 
