@@ -55,7 +55,7 @@ HEADLINE = [
     "unpivot_lineitem",
     "financial_unpivot",
     "exact_dedup",
-    "rollup_aggregate",
+    "rollup_cube_agg",
     "tumbling_window_agg",
     "session_window_batch",
     "events_json_extract",
@@ -68,6 +68,9 @@ HEADLINE = [
     "pivot_wide",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
+    "pack_shards",
+    "contamination_check",
+    "token_rarity",
 ]
 
 
@@ -84,12 +87,14 @@ def main() -> None:
     for tbl in ["lineitem", "orders", "customer", "part"]:
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
-    # warm the Python worker pool once: the Arrow-kernel queries
+    # warm the Python worker pool: the Arrow-kernel queries
     # (minhash_lsh_dedup's shingle kernel, core-name) otherwise pay
     # worker fork/start on their first measured run, which showed up as
     # a 0.7-1.5 s spread on minhash_lsh_dedup in round 3. Workers are
-    # reused across queries (spark.python.worker.reuse), so one touch
-    # across all local cores amortizes it for the whole bench.
+    # reused across queries (spark.python.worker.reuse), but the forced
+    # GC between measurements can collect idle worker handles and shut
+    # them down — so the pool is re-warmed after every GC (untimed,
+    # ~50 ms), not just once up front.
     import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
@@ -98,7 +103,11 @@ def main() -> None:
         return s
 
     ncores = spark.sparkContext.defaultParallelism
-    spark.range(0, ncores * 64, 1, ncores).select(_warm("id")).count()
+
+    def warm_python_workers() -> None:
+        spark.range(0, ncores * 64, 1, ncores).select(_warm("id")).count()
+
+    warm_python_workers()
 
     from dbd_datawarehouse_scraper_spark.caching import release_caches
 
@@ -121,8 +130,11 @@ def main() -> None:
         # GC'd, and a big mostly-idle heap can defer that long enough
         # for accumulated state to poison later queries (measured: the
         # heaviest query degraded 2 s -> 13 s across a 29-query session
-        # and recovered fully after one System.gc()). Untimed.
+        # and recovered fully after one System.gc()). Untimed; the
+        # worker pool is re-warmed because the GC can reap idle Python
+        # workers, which would bill fork/start to the next run.
         spark.sparkContext._jvm.System.gc()
+        warm_python_workers()
         return elapsed
 
     for name in names:
@@ -136,6 +148,7 @@ def main() -> None:
         builder(spark, sf_dir).count()
         release_caches()
         spark.sparkContext._jvm.System.gc()
+        warm_python_workers()
         runs = [timed_run(builder) for _ in range(3)]
         if max(runs) - min(runs) > 0.5 * min(runs):
             # noisy query: escalate to 5 runs, report median-of-5; the

@@ -12,7 +12,7 @@ import re as _re
 from functools import lru_cache
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Distinctive high-frequency marker words per language, used by the
@@ -167,3 +167,43 @@ def shingles_vec(col: Column, k: int = 3) -> Column:
     batch instead of interpreted Catalyst HOFs. Linear, partition-local,
     no shuffle — safe at corpus scale."""
     return _shingles_pandas_udf(k)(col)
+
+
+def token_rarity_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[EXT] Corpus-statistics document scoring: for every document,
+    the mean corpus frequency of its tokens — a two-pass quality
+    signal (boilerplate and template text score high, gibberish and
+    OCR noise score low) that, unlike :func:`quality_score`, is
+    grounded in the corpus itself rather than per-document surface
+    features. The standard cheap stand-in for unigram-LM perplexity
+    filtering; deliberately integer-based (sum of counts / token
+    count) so the score is cross-engine exact — a log-prob variant
+    would hang correctness on libm ULP agreement between engines.
+
+    Plan shape at scale: explode to (doc, token), ONE map-side-combined
+    groupBy for the vocabulary (shuffle = |vocab|), a key-shuffle join
+    of tokens against it (AQE broadcasts the vocab side when small),
+    and a final groupBy per document. Nothing quadratic; every shuffle
+    is on a single key column.
+
+    Returns (id_col, n_tokens, mean_token_freq DOUBLE).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("_tok"),
+    )
+    vocab = toks.groupBy("_tok").agg(F.count("*").alias("_freq"))
+    return (
+        toks.join(vocab, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.sum("_freq").cast("double") / F.count("*")).alias("mean_token_freq"),
+        )
+    )

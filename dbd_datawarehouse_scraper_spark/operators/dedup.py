@@ -146,6 +146,66 @@ def ngram_jaccard_pairs(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def contamination_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """[EXT] Benchmark-contamination probe: every (document, benchmark
+    item) pair whose word-``k``-gram Jaccard is ≥ ``threshold`` —
+    training corpora must be screened against evaluation sets before
+    use, and n-gram overlap is the standard first-line check (the same
+    family of tests GPT-3/PaLM/Llama report for eval decontamination).
+
+    Same inverted-shingle-index shape as :func:`ngram_jaccard_pairs`
+    but across TWO relations, so candidate generation is bounded by
+    shared shingles between corpus and benchmark — never a cross join
+    — and the shuffle carries (id, n, shingle-hash) rows only. The
+    benchmark side is typically tiny (eval sets); the corpus side
+    streams through one shuffle. Returns (id_col, bench_id_col,
+    jaccard), exact up to 64-bit shingle-hash collisions.
+    """
+    from ..caching import tracked_persist
+    from .skew import widen_partitions
+
+    def indexed(df, idc, txc, ida):
+        sh = df.select(
+            F.col(idc).alias(ida), shingles_vec(F.col(txc), k).alias("_sh")
+        )
+        return sh.select(
+            ida,
+            F.size("_sh").alias(f"{ida}_n"),
+            F.explode("_sh").alias("_s"),
+        ).select(ida, f"{ida}_n", F.xxhash64("_s").alias("_hs"))
+
+    corpus = indexed(widen_partitions(docs), id_col, text_col, "_id")
+    bench = tracked_persist(
+        indexed(benchmark, bench_id_col, bench_text_col, "_bid")
+    )
+    inter = (
+        corpus.join(bench, "_hs")
+        .groupBy("_id", "_id_n", "_bid", "_bid_n")
+        .agg(F.count("*").alias("_c"))
+    )
+    union = F.col("_id_n") + F.col("_bid_n") - F.col("_c")
+    scored = inter.select(
+        F.col("_id").alias(id_col),
+        F.col("_bid").alias(bench_id_col),
+        F.round(
+            F.when(union == 0, F.lit(0.0)).otherwise(
+                F.col("_c").cast("double") / union.cast("double")
+            ),
+            6,
+        ).alias("jaccard"),
+    )
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
     """MinHash signature (array<bigint>) over word-k-gram shingles, as a
     single column expression.

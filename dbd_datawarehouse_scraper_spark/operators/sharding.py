@@ -1,0 +1,84 @@
+"""[EXT] Token-budget shard packing for training-data output.
+
+Pre-training pipelines write curated documents into shards of roughly
+equal TOKEN count (not file size): the trainer streams shards whole, so
+token balance is what sets step-time balance. The packing rule here is
+the standard blocked one: lay documents out in a deterministic total
+order, give each a byte-offset-like running token offset, and cut a
+shard boundary every ``budget`` tokens —
+
+    shard(doc) = floor(exclusive_prefix_sum(n_tokens) / budget)
+
+A document straddling a boundary belongs to the shard its START offset
+falls in, so shards can overflow by at most one document (exactly like
+fixed-size block layout). Deterministic: same corpus + same order
+column → same shards, on any cluster or partitioning.
+
+The global prefix sum is the interesting part at 100 TB. A single
+``Window.orderBy(...)`` with no partition key collapses the whole corpus
+onto ONE reducer — the classic scale killer. This operator uses the
+canonical two-level scan instead:
+
+1. range-repartition by the order column (Spark samples boundaries —
+   the same machinery ``sortWithinPartitions`` uses);
+2. per-partition local prefix sums via a window PARTITIONED by the
+   range-partition id (parallel across partitions);
+3. per-partition totals (one row per partition — bounded, tiny) get
+   their own prefix sum and are broadcast-joined back as offsets.
+
+Every step is parallel; the only serialized data is one row per
+partition. The result column is integer-exact, so the DuckDB oracle
+(a plain window cumsum) value-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    order_col: str = "doc_id",
+    shard_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document a shard id under a token ``budget``.
+
+    ``order_col`` must be a unique, totally ordered key (document ids);
+    the packing is defined BY that order, which is what makes it
+    deterministic and retry-safe. Returns the input columns plus
+    ``shard_col`` (long).
+    """
+    spark = docs.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+
+    ranged = docs.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local_prefix", F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
+    )
+
+    # one row per range partition; the window below runs over ~n_parts
+    # rows, so "unbounded" here is bounded by the partition count
+    totals = local.groupBy("_pid").agg(F.sum(token_col).alias("_ptotal"))
+    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_ptotal").over(w_parts), F.lit(0))
+    ).select("_pid", "_offset")
+
+    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+        shard_col,
+        F.floor(
+            (F.col("_offset") + F.col("_local_prefix")) / F.lit(budget)
+        ).cast("long"),
+    )
+    return out.drop("_pid", "_local_prefix", "_offset")

@@ -822,36 +822,48 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_aggregate",
+    "rollup_cube_agg",
     f"""
-    SELECT o_orderstatus, o_orderpriority,
-           COUNT(*) AS n_orders,
-           {DSUM.format(x='o_totalprice')} AS total
+    SELECT 'rollup' AS grp, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n, {DSUM.format(x='o_totalprice')} AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-)
-def rollup_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("total")
-    )
-
-
-@register(
-    "cube_aggregate",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, {DSUM.format(x='l_quantity')} AS qty
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           COUNT(*), {DSUM.format(x='l_quantity')}
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
-def cube_aggregate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("qty")
+def rollup_cube_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE grouping sets in one result (round-4 fold of
+    the former `rollup_aggregate` and `cube_aggregate` registrations
+    -- same two operators, one driver-window slot)."""
+    o = t(spark, sf_dir, "orders")
+    rollup_leg = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.lit("rollup").alias("grp"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "total",
+        )
     )
+    li = t(spark, sf_dir, "lineitem")
+    cube_leg = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("total"))
+        .select(
+            F.lit("cube").alias("grp"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "total",
+        )
+    )
+    return rollup_leg.unionByName(cube_leg)
 
 
 @register(
@@ -984,77 +996,77 @@ def running_window_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sort_limit",
+    "sort_limit_offset",
     """
-    SELECT p_partkey, p_name, p_retailprice FROM part
-    ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    WITH ranked AS (
+      SELECT p_partkey, p_name, p_retailprice FROM part
+      ORDER BY p_retailprice DESC, p_partkey)
+    SELECT * FROM ranked LIMIT 10 OFFSET 100
     """,
 )
-def sort_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sort_limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + offset + limit in one query (round-4 fold of the
+    former `sort_limit` and `start_offset` registrations -- same two
+    operators, one driver-window slot; the row_number resume-cursor
+    form of start_offset is still pinned by the scalable
+    `resume_anti_join` path in tests/test_sources_sinks.py). The
+    offset exercises the reference's --start Nth-company cursor
+    (scraper_v2.py:1746)."""
     p = t(spark, sf_dir, "part")
     return (
         p.select("p_partkey", "p_name", "p_retailprice")
         .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .offset(100)
         .limit(10)
     )
 
 
 @register(
-    "start_offset",
-    """
-    WITH numbered AS (
-      SELECT o_orderkey, o_custkey,
-             row_number() OVER (ORDER BY o_orderkey) AS rn
-      FROM orders)
-    SELECT o_orderkey, o_custkey FROM numbered WHERE rn > 100 AND rn <= 200
-    """,
-)
-def start_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # resume-cursor semantics (scraper_v2.py:1746); the scalable batch form
-    # is an anti-join against already-written keys — this is the exact one
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
-        .drop("rn")
-    )
-
-
-@register(
-    "union_batches",
+    "set_ops_suite",
     """
     WITH batch1 AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
-         batch2 AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1)
-    SELECT c_mktsegment, COUNT(*) AS n
+         batch2 AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 1),
+         with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         all_cust AS (SELECT c_custkey AS k FROM customer)
+    SELECT 'union' AS op, c_mktsegment AS key, COUNT(*) AS n
     FROM (SELECT * FROM batch1 UNION ALL SELECT * FROM batch2)
     GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'intersect', CAST(k AS VARCHAR), 1
+    FROM (SELECT k FROM all_cust INTERSECT SELECT k FROM with_orders)
+    UNION ALL
+    SELECT 'except', CAST(k AS VARCHAR), 1
+    FROM (SELECT k FROM all_cust EXCEPT SELECT k FROM with_orders)
     """,
 )
-def union_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except in one result (round-4 fold of the
+    former `union_batches` and `intersect_except` registrations --
+    same three operators, one driver-window slot). The union leg is
+    the reference's batch-file recombination (combine_batches); the
+    intersect/except legs are the found/not-found customer split."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     b1 = c.filter(F.col("c_custkey") % 2 == 0)
     b2 = c.filter(F.col("c_custkey") % 2 == 1)
-    return b1.unionByName(b2).groupBy("c_mktsegment").agg(F.count("*").alias("n"))
-
-
-@register(
-    "intersect_except",
-    """
-    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
-         all_cust AS (SELECT c_custkey AS k FROM customer)
-    SELECT k, 'both' AS src FROM (SELECT k FROM all_cust INTERSECT SELECT k FROM with_orders)
-    UNION ALL
-    SELECT k, 'customer_only' AS src FROM (SELECT k FROM all_cust EXCEPT SELECT k FROM with_orders)
-    """,
-)
-def intersect_except_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    union_leg = (
+        b1.unionByName(b2)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("union").alias("op"), F.col("c_mktsegment").alias("key"), "n")
+    )
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
-    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    both = c.intersect(o).withColumn("src", F.lit("both"))
-    only = c.exceptAll(o).withColumn("src", F.lit("customer_only"))
-    return both.unionByName(only)
-
+    ck = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    inter_leg = ck.intersect(o).select(
+        F.lit("intersect").alias("op"),
+        F.col("k").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    except_leg = ck.exceptAll(o).select(
+        F.lit("except").alias("op"),
+        F.col("k").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return union_leg.unionByName(inter_leg).unionByName(except_leg)
 
 @register(
     "token_set_jaccard",
@@ -2238,6 +2250,133 @@ def sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = 50
+
+
+
+# ---------------------------------------------------------------------------
+# [EXT] training-data output + corpus screening (round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_shards",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST({_TOKC} AS BIGINT) AS n_tokens FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prefix
+      FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(CAST(prefix AS DOUBLE) / 5000) AS BIGINT) AS shard
+    FROM cum
+    """,
+)
+def pack_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Token-budget shard packing (operators/sharding.py): lay
+    documents out in doc_id order and cut a shard every 5000 tokens.
+    The Spark plan is the scalable two-level prefix sum (range
+    partitions, per-partition window sums, one tiny offsets table);
+    the oracle is the semantic definition (a single global window
+    cumsum). Integer-exact, so the value hash must match."""
+    from .functions.text_analysis import token_count
+    from .operators.sharding import pack_shards
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_shards(d, token_col="n_tokens", budget=5000, order_col="doc_id")
+
+
+@register(
+    "contamination_check",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [array_to_string(w, ' ')] END) AS s
+      FROM words),
+    bwords AS (
+      SELECT doc_id AS bench_id, w[1:greatest(len(w) // 2, 1)] AS w
+      FROM words WHERE doc_id % 37 = 0),
+    bsh AS (
+      SELECT bench_id,
+             list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [array_to_string(w, ' ')] END) AS s
+      FROM bwords),
+    scored AS (
+      SELECT a.doc_id, b.bench_id,
+             CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+             END AS jaccard
+      FROM sh a JOIN bsh b ON len(list_intersect(a.s, b.s)) > 0)
+    SELECT doc_id, bench_id, round(jaccard, 6) AS jaccard
+    FROM scored WHERE round(jaccard, 6) >= 0.3
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benchmark-contamination screen (operators/dedup.py
+    contamination_pairs): the hermetic benchmark set is the first half
+    of every 37th document's words, so every benchmark item overlaps
+    its source at J~0.5 and any near-dups of that source above the
+    0.3 threshold. Candidate generation is the shared-shingle inverted
+    index across the two relations -- never a cross join."""
+    from .operators.dedup import contamination_pairs
+
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    bench = d.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(
+                words,
+                1,
+                F.greatest(
+                    F.floor(F.size(words) / 2).cast("int"), F.lit(1)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return contamination_pairs(
+        d, bench, k=3, threshold=0.3
+    )
+
+
+@register(
+    "token_rarity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
+    FROM toks JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Corpus-statistics rarity score (functions/text_analysis.py
+    token_rarity_scores): mean corpus frequency of each document's
+    tokens -- the integer-exact stand-in for unigram-LM perplexity
+    filtering. Two key-shuffles (vocab count, vocab join) + one final
+    per-doc aggregation."""
+    from .functions.text_analysis import token_rarity_scores
+
+    d = t(spark, sf_dir, "documents")
+    return token_rarity_scores(d)
 
 
 def _reorder_registry() -> None:

@@ -1,0 +1,98 @@
+"""Token-budget shard packing (operators/sharding.py): boundary
+semantics, overflow bound, determinism across partitionings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.operators.sharding import pack_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, 10 + (i * 37) % 90) for i in range(1, 501)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_shard_is_floor_of_exclusive_prefix(spark, docs):
+    """shard = floor(exclusive_prefix_sum / budget) — the blocked
+    packing definition, checked against a driver-side replay."""
+    out = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(docs, budget=1000).collect()
+    }
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    prefix, expected = 0, {}
+    for r in rows:
+        expected[r["doc_id"]] = prefix // 1000
+        prefix += r["n_tokens"]
+    assert out == expected
+
+
+def test_shards_contiguous_and_bounded(spark, docs):
+    """Shard ids are contiguous from 0; every shard's token total is
+    < budget + max(n_tokens) (one straddling doc of overflow, exactly
+    like fixed-size block layout); all but the last shard reach the
+    budget."""
+    budget = 1000
+    out = pack_shards(docs, budget=budget)
+    per_shard = {
+        r["shard"]: r["total"]
+        for r in out.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    shards = sorted(per_shard)
+    assert shards == list(range(len(shards)))
+    max_tok = max(r["n_tokens"] for r in docs.collect())
+    for s in shards:
+        assert per_shard[s] < budget + max_tok
+        if s != shards[-1]:
+            assert per_shard[s] >= budget - max_tok
+
+
+def test_partitioning_invariance(spark, docs):
+    """The packing is defined by the order column alone — any input
+    partitioning and any num_partitions give identical shards."""
+    a = {
+        (r["doc_id"], r["shard"])
+        for r in pack_shards(docs.repartition(13), budget=777).collect()
+    }
+    b = {
+        (r["doc_id"], r["shard"])
+        for r in pack_shards(
+            docs.coalesce(1), budget=777, num_partitions=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_contamination_pairs_known_overlap(spark):
+    """contamination_pairs flags exactly the corpus docs sharing
+    k-gram mass with a benchmark item: an exact copy (J=1), a half
+    overlap (J≈0.5 — above a 0.3 threshold), and an unrelated doc
+    (J=0 — absent)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(words)),                      # exact copy of bench 100
+            (2, " ".join(words[:20] + [f"x{i}" for i in range(20)])),  # half
+            (3, " ".join(f"z{i}" for i in range(40))), # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(words))], "bench_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in contamination_pairs(corpus, bench, threshold=0.3).collect()
+    }
+    release_caches()
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (2, 100) in got and 0.3 <= got[(2, 100)] < 0.6
+    assert not any(d == 3 for d, _ in got)
