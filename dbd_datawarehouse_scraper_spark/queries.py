@@ -2313,13 +2313,20 @@ def pack_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                ELSE [array_to_string(w, ' ')] END) AS s
       FROM bwords),
+    ce AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+    be AS (SELECT bench_id, len(s) AS bn, unnest(s) AS g FROM bsh),
+    inter AS (
+      SELECT ce.doc_id, be.bench_id,
+             any_value(ce.n) AS n, any_value(be.bn) AS bn,
+             COUNT(*) AS c
+      FROM ce JOIN be USING (g)
+      GROUP BY ce.doc_id, be.bench_id),
     scored AS (
-      SELECT a.doc_id, b.bench_id,
-             CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
-                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                     / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+      SELECT doc_id, bench_id,
+             CASE WHEN n + bn - c = 0 THEN 0.0
+                  ELSE CAST(c AS DOUBLE) / CAST(n + bn - c AS DOUBLE)
              END AS jaccard
-      FROM sh a JOIN bsh b ON len(list_intersect(a.s, b.s)) > 0)
+      FROM inter)
     SELECT doc_id, bench_id, round(jaccard, 6) AS jaccard
     FROM scored WHERE round(jaccard, 6) >= 0.3
     """,

@@ -79,3 +79,44 @@ def test_persist_false_skips_barriers(spark):
     assert out.count() == 1
     assert live_persist_count() == 0
     assert _jvm_persisted(spark) == 0
+
+
+def test_pool_mark_release_since_scoped(spark, tmp_path):
+    """pool_mark/release_since drain exactly what was registered after
+    the mark — a caller's live barriers survive an operator's internal
+    consume-and-release (the curation-funnel contract)."""
+    import os
+
+    from dbd_datawarehouse_scraper_spark.caching import (
+        live_persist_count,
+        live_scratch_count,
+        pool_mark,
+        release_caches,
+        release_since,
+        tracked_persist,
+        tracked_scratch_dir,
+    )
+
+    release_caches()
+    outer = tracked_persist(spark.range(10))
+    outer.count()
+    outer_dir = str(tmp_path / "outer")
+    os.makedirs(outer_dir)
+    tracked_scratch_dir(spark, outer_dir)
+
+    mark = pool_mark()
+    inner = tracked_persist(spark.range(5))
+    inner.count()
+    inner_dir = str(tmp_path / "inner")
+    os.makedirs(inner_dir)
+    tracked_scratch_dir(spark, inner_dir)
+    assert live_persist_count() == 2 and live_scratch_count() == 2
+
+    released = release_since(mark, blocking=True)
+    assert released == 2
+    assert live_persist_count() == 1 and live_scratch_count() == 1
+    assert os.path.exists(outer_dir) and not os.path.exists(inner_dir)
+
+    release_caches(blocking=True)
+    assert live_persist_count() == 0 and live_scratch_count() == 0
+    assert not os.path.exists(outer_dir)
