@@ -44,13 +44,17 @@ def pack_shards(
     order_col: str = "doc_id",
     shard_col: str = "shard",
     num_partitions: int | None = None,
+    start_offset: int = 0,
 ) -> DataFrame:
     """Assign every document a shard id under a token ``budget``.
 
     ``order_col`` must be a unique, totally ordered key (document ids);
     the packing is defined BY that order, which is what makes it
-    deterministic and retry-safe. Returns the input columns plus
-    ``shard_col`` (long).
+    deterministic and retry-safe. ``start_offset`` shifts the global
+    token offset — the incremental packer
+    (streaming/sharding.py) passes the cursor from previous epochs so
+    shard ids continue instead of restarting at 0. Returns the input
+    columns plus ``shard_col`` (long).
     """
     spark = docs.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
@@ -78,7 +82,8 @@ def pack_shards(
     out = local.join(F.broadcast(offsets), "_pid").withColumn(
         shard_col,
         F.floor(
-            (F.col("_offset") + F.col("_local_prefix")) / F.lit(budget)
+            (F.lit(start_offset) + F.col("_offset") + F.col("_local_prefix"))
+            / F.lit(budget)
         ).cast("long"),
     )
     return out.drop("_pid", "_local_prefix", "_offset")

@@ -1726,6 +1726,52 @@ def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+
+@register("stream_pack_shards_hermetic", None)
+def stream_pack_shards_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental shard packing (streaming/sharding.py): two
+    file-stream epochs over documents; shard ids continue across the
+    epoch boundary via the persisted token cursor. Rows-only
+    (foreachBatch + cursor state, not one SQL statement); equality
+    with the batch pack over the concatenation is pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from .functions.text_analysis import token_count
+    from .streaming import file_stream, stream_pack_shards
+
+    work = tempfile.mkdtemp(prefix="stream_shards_q_")
+    src_dir, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        d = t(spark, sf_dir, "documents").select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+        )
+        e1 = d.filter(F.col("doc_id") % 2 == 0)
+        e2 = d.filter(F.col("doc_id") % 2 == 1)
+        e1.coalesce(1).write.mode("append").parquet(src_dir)
+        q = stream_pack_shards(
+            file_stream(spark, src_dir, e1.schema, max_files_per_trigger=1),
+            out, state, ckpt, budget=5000,
+        )
+        q.awaitTermination(180)
+        e2.coalesce(1).write.mode("append").parquet(src_dir)
+        q2 = stream_pack_shards(
+            file_stream(spark, src_dir, e1.schema, max_files_per_trigger=1),
+            out, state, ckpt, budget=5000,
+        )
+        q2.awaitTermination(180)
+        packed = spark.read.parquet(f"{out}/epoch=*").select(
+            "doc_id", "n_tokens", "shard"
+        )
+        # materialize before the temp dirs vanish
+        return spark.createDataFrame(packed.collect(), packed.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("scrape_pipeline_hermetic", None)
 def scrape_pipeline_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full E1 replay (match → extract → unpivot) over a deterministic

@@ -1,0 +1,102 @@
+"""[EXT] Incremental token-budget shard packing under ``foreachBatch``.
+
+The streaming counterpart of :func:`operators.sharding.pack_shards`:
+curated documents arrive in epochs, and each epoch's shard layout must
+CONTINUE the global token offset where the previous epoch stopped —
+otherwise every epoch restarts at shard 0 and the trainer sees
+colliding shard ids. The cursor (one row: the running token offset) is
+the only cross-epoch state, persisted next to the output the same way
+the near-dup signature store keeps its band index:
+
+- epoch N reads the cursor (explicit Hadoop-FS existence check — a
+  corrupted cursor FAILS the epoch, it never silently restarts at 0,
+  the same loud-failure contract as streaming/near_dedup.py);
+- packs its batch with the batch-local two-level prefix sum PLUS the
+  cursor offset (the batch plan is identical to the batch operator —
+  range partitions, per-partition window sums, tiny offsets table);
+- writes survivor rows to ``out_path/epoch=N`` (epoch-suffixed
+  overwrite: replays rewrite themselves, so a crashed epoch stays
+  idempotent) and the advanced cursor to an epoch-suffixed cursor
+  file, promoting it to ``cursor`` last — the promotion is the commit
+  point, so a crash between data write and promotion replays cleanly.
+
+A batch run of pack_shards over the concatenation of all epochs (in
+epoch, then order-column order) produces the same shard for every
+document — pinned by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..fsutil import fs_exists
+from ..operators.sharding import pack_shards
+
+_CURSOR_SCHEMA = "next_offset LONG, budget LONG"
+
+
+def _read_cursor(spark, path: str) -> tuple[int, int] | None:
+    if not fs_exists(spark, f"{path}/cursor"):
+        return None
+    row = spark.read.schema(_CURSOR_SCHEMA).json(f"{path}/cursor").head()
+    return (row["next_offset"], row["budget"])
+
+
+def stream_pack_shards(
+    stream_docs: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    token_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    order_col: str = "doc_id",
+    shard_col: str = "shard",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental packer. Rows land in ``out_path/epoch=N``
+    with ``shard_col`` continuing across epochs; the cursor lives under
+    ``state_path``. The budget is pinned by the cursor — restarting
+    with a different budget raises (shards packed under two budgets
+    interleave nonsensically)."""
+    spark = stream_docs.sparkSession
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        state = _read_cursor(spark, state_path)
+        if state is None:
+            offset = 0
+        else:
+            offset, stored_budget = state
+            if stored_budget != budget:
+                raise ValueError(
+                    f"shard cursor at {state_path} was written with "
+                    f"budget={stored_budget}, this run uses {budget}; "
+                    "shards packed under two budgets interleave — wipe "
+                    "the output and cursor or rerun with the stored "
+                    "budget."
+                )
+        batch_total = batch_df.agg(
+            F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
+        packed = pack_shards(
+            batch_df, token_col=token_col, budget=budget,
+            order_col=order_col, shard_col=shard_col, start_offset=offset,
+        )
+        packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        # advance + promote the cursor (promotion = commit point)
+        spark.createDataFrame(
+            [(int(offset + batch_total), int(budget))], _CURSOR_SCHEMA
+        ).coalesce(1).write.mode("overwrite").json(
+            f"{state_path}/cursor-epoch-{epoch_id}"
+        )
+        spark.read.schema(_CURSOR_SCHEMA).json(
+            f"{state_path}/cursor-epoch-{epoch_id}"
+        ).coalesce(1).write.mode("overwrite").json(f"{state_path}/cursor")
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

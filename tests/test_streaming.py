@@ -403,3 +403,64 @@ def test_stream_near_dedup_near_threshold_cross_epoch(spark):
         assert all(i in got for i, _ in low), "J≈0.72 must be kept"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_pack_shards_continues_across_epochs(spark):
+    """Incremental shard packing (streaming/sharding.py): epoch 2's
+    shard ids continue from epoch 1's final token offset, the combined
+    output equals a batch pack_shards over the concatenated corpus,
+    and restarting with a different budget is refused."""
+    from dbd_datawarehouse_scraper_spark.operators.sharding import pack_shards
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_pack_shards,
+    )
+
+    schema = "doc_id long, n_tokens long"
+    e1 = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 40) for i in range(1, 101)], schema
+    )
+    e2 = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 40) for i in range(101, 181)], schema
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_shards_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        e1.coalesce(1).write.mode("append").parquet(src)
+        q = stream_pack_shards(
+            file_stream(spark, src, e1.schema), out, state, ckpt, budget=500
+        )
+        q.awaitTermination(120)
+        e2.coalesce(1).write.mode("append").parquet(src)
+        q2 = stream_pack_shards(
+            file_stream(spark, src, e1.schema), out, state, ckpt, budget=500
+        )
+        q2.awaitTermination(120)
+
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        # batch reference over the concatenation (epoch order == id
+        # order here, which is the operator's documented contract)
+        expected = {
+            r["doc_id"]: r["shard"]
+            for r in pack_shards(e1.unionByName(e2), budget=500).collect()
+        }
+        assert got == expected
+        # epoch 2 genuinely continued: its lowest shard is the batch
+        # shard of doc 101, not 0
+        assert got[101] == expected[101] > 0
+
+        with pytest.raises(Exception, match="budget"):
+            q3 = stream_pack_shards(
+                file_stream(spark, src, e1.schema), out, state,
+                f"{work}/ckpt2", budget=999,
+            )
+            q3.awaitTermination(120)
+            q3.processAllAvailable()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
