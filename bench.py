@@ -48,7 +48,7 @@ HEADLINE = [
     "text_norm_suite",
     "parsing_suite",
     "regnum_validate",
-    "parse_money",
+    "repetition_stats",
     "topk_per_group",
     "window_lag_lead_rank",
     "running_window_frame",

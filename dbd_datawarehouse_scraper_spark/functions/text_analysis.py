@@ -207,3 +207,75 @@ def token_rarity_scores(
             (F.sum("_freq").cast("double") / F.count("*")).alias("mean_token_freq"),
         )
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """[EXT] Gopher-style repetition signals per document: the share of
+    repeated words (1 - distinct/total) and the share of word-bigram
+    mass held by the single most frequent bigram — the standard cheap
+    detectors for template/boilerplate text and degenerate repetition
+    loops that survive per-document quality scoring. Both are integer
+    ratios (counts over counts), so the DuckDB oracle value-matches
+    exactly.
+
+    Plan shape at scale: one explode to (doc, bigram) — NON-distinct,
+    unlike the dedup shingles, because repetition is the signal here —
+    one map-side-combined groupBy (doc, bigram), one per-doc
+    aggregation. The bigram construction is the interpreted-HOF form;
+    corpora where this is the measured hot spot should lift it into a
+    shingles_vec-style Arrow kernel (same pattern, k=2, keep
+    duplicates).
+
+    Returns (id_col, n_words, dup_word_frac, top_bigram_frac); both
+    fractions are 0.0 for docs too short to measure.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    base = docs.select(
+        F.col(id_col),
+        words.alias("_w"),
+        n.cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("_n_uniq"),
+    )
+    grams = base.filter(F.col("n_words") >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), F.col("n_words") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("_w"), i.cast("int")),
+                    F.element_at(F.col("_w"), (i + 1).cast("int")),
+                ),
+            )
+        ).alias("_g"),
+    )
+    gstats = (
+        grams.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_ngrams"))
+    )
+    out = base.join(gstats, id_col, "left")
+    return out.select(
+        id_col,
+        "n_words",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                (F.col("n_words") - F.col("_n_uniq")).cast("double")
+                / F.col("n_words"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(
+                F.col("_top").cast("double") / F.col("_ngrams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )

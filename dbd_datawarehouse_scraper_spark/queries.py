@@ -257,45 +257,6 @@ def regnum_validate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "parse_money",
-    f"""
-    WITH m AS (
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 11 = 0 THEN '-'
-                    WHEN o_orderkey % 13 = 0 THEN ''
-                    ELSE CAST(o_custkey AS VARCHAR) || ',' ||
-                         lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.' ||
-                         lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS raw_value
-        FROM orders)
-    SELECT o_orderkey, CAST(replace(raw_value, ',', '') AS DOUBLE) AS value
-    FROM m
-    WHERE raw_value NOT IN ('-', '', '0.00')
-    """,
-)
-def parse_money_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    k = F.col("o_orderkey")
-    raw = (
-        F.when(k % 11 == 0, F.lit("-"))
-        .when(k % 13 == 0, F.lit(""))
-        .otherwise(
-            F.concat(
-                F.col("o_custkey").cast("string"),
-                F.lit(","),
-                F.lpad((k % 1000).cast("string"), 3, "0"),
-                F.lit("."),
-                F.lpad((k % 100).cast("string"), 2, "0"),
-            )
-        )
-    )
-    return (
-        o.select("o_orderkey", raw.alias("raw_value"))
-        .filter(~F.col("raw_value").isin("-", "", "0.00"))
-        .select("o_orderkey", parse_money(F.col("raw_value")).alias("value"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # §2.8 scalar string layer over Thai-decorated driver names
 # ---------------------------------------------------------------------------
@@ -1880,7 +1841,12 @@ def multimodal_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'ไม่พบข้อมูล หน้า 1' END AS reg_page,
              CASE WHEN o_orderkey % 4 = 0 THEN 'หน้า 1 / ' || CAST(o_orderkey % 50 + 1 AS VARCHAR)
                   WHEN o_orderkey % 4 = 1 THEN '/ ' || CAST(o_orderkey % 20 + 2 AS VARCHAR)
-                  ELSE 'ไม่มีเลขหน้า' END AS pages_text
+                  ELSE 'ไม่มีเลขหน้า' END AS pages_text,
+             CASE WHEN o_orderkey % 11 = 0 THEN '-'
+                  WHEN o_orderkey % 13 = 0 THEN ''
+                  ELSE CAST(o_custkey AS VARCHAR) || ',' ||
+                       lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '.' ||
+                       lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') END AS raw_value
       FROM orders)
     SELECT o_orderkey, cell,
            CASE WHEN regexp_full_match(cell, '25[6-7][0-9]')
@@ -1891,19 +1857,24 @@ def multimodal_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS registration_number,
            CASE WHEN regexp_matches(pages_text, '/\\s*(\\d+)')
                 THEN CAST(regexp_extract(pages_text, '/\\s*(\\d+)', 1) AS INT)
-           END AS total_pages
+           END AS total_pages,
+           CASE WHEN raw_value NOT IN ('-', '', '0.00')
+                THEN CAST(replace(raw_value, ',', '') AS DOUBLE)
+           END AS money_value
     FROM cells
     """,
 )
 def parsing_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 parsing quartet in ONE projection (folded per round-1
-    verdict): parse_year_header (scraper_v2.py:1160-1176),
-    match_type_label (:1064), extract_labeled_regnum (:901-908),
-    total_pages_parse (:944-951). Each stays individually unit-tested in
-    tests/test_text_functions.py."""
+    """§2.8 parsing quintet in ONE projection (folded per round-1
+    verdict; parse_money joined the fold in round 4): parse_year_header
+    (scraper_v2.py:1160-1176), match_type_label (:1064),
+    extract_labeled_regnum (:901-908), total_pages_parse (:944-951),
+    parse_money + placeholder predicate (:1217-1228). Each stays
+    individually unit-tested in tests/test_text_functions.py."""
     from .functions.parsing import (
         extract_labeled_regnum,
         match_type_label,
+        parse_money,
         parse_year_header,
         total_pages_parse,
     )
@@ -1929,6 +1900,19 @@ def parsing_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ไม่มีเลขหน้า"))
     )
     sim = (k % 101).cast("double") / 100
+    raw_value = (
+        F.when(k % 11 == 0, F.lit("-"))
+        .when(k % 13 == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.col("o_custkey").cast("string"),
+                F.lit(","),
+                F.lpad((k % 1000).cast("string"), 3, "0"),
+                F.lit("."),
+                F.lpad((k % 100).cast("string"), 2, "0"),
+            )
+        )
+    )
     return o.select(
         "o_orderkey",
         cell.alias("cell"),
@@ -1936,6 +1920,9 @@ def parsing_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         match_type_label(sim).alias("match_type"),
         extract_labeled_regnum(reg_page).alias("registration_number"),
         total_pages_parse(pages_text).alias("total_pages"),
+        F.when(
+            ~raw_value.isin("-", "", "0.00"), parse_money(raw_value)
+        ).alias("money_value"),
     )
 
 
@@ -2430,6 +2417,39 @@ def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return token_rarity_scores(d)
+
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '') AS w
+      FROM documents),
+    wstats AS (
+      SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq FROM words),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM words WHERE len(w) >= 2),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    gstats AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams FROM gc GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+           round(CASE WHEN s.n_words > 0
+                 THEN CAST(s.n_words - s.n_uniq AS DOUBLE) / s.n_words
+                 ELSE 0.0 END, 6) AS dup_word_frac,
+           round(COALESCE(CAST(g.top_c AS DOUBLE) / g.n_grams, 0.0), 6) AS top_bigram_frac
+    FROM wstats s LEFT JOIN gstats g USING (doc_id)
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher-style repetition signals (functions/text_analysis.py
+    repetition_stats): repeated-word share and top-bigram mass share --
+    the standard template/degenerate-repetition detectors a curation
+    funnel runs alongside quality scoring. Integer ratios, so the
+    oracle value-matches exactly."""
+    from .functions.text_analysis import repetition_stats
+
+    return repetition_stats(t(spark, sf_dir, "documents"))
 
 
 def _reorder_registry() -> None:
