@@ -55,7 +55,14 @@ def pack_shards(
     (streaming/sharding.py) passes the cursor from previous epochs so
     shard ids continue instead of restarting at 0. Returns the input
     columns plus ``shard_col`` (long).
+
+    Pins ONE tracked persist (the ranged, prefix-summed relation —
+    both the totals aggregate and the final join consume it; see the
+    inline note). Call ``caching.release_caches()`` after the
+    consuming action, like every persisting operator here.
     """
+    from ..caching import tracked_persist
+
     spark = docs.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
 
@@ -67,8 +74,18 @@ def pack_shards(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = ranged.withColumn(
-        "_local_prefix", F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
+    # Persisted because BOTH consumers need it (the totals aggregate
+    # and the final join) and Spark cannot reuse the range exchange
+    # between them: repartitionByRange samples its boundaries with a
+    # per-instance seed, so the two exchanges are not recognized as
+    # identical and the totals branch would re-scan, re-shuffle, and
+    # re-sort the whole corpus (verified: ReusedExchange never fires).
+    # One cache write/read beats a second full scan+sort at any scale.
+    # Tracked — callers release_caches() after the consuming action.
+    local = tracked_persist(
+        ranged.withColumn(
+            "_local_prefix", F.coalesce(F.sum(token_col).over(w_local), F.lit(0))
+        )
     )
 
     # one row per range partition; the window below runs over ~n_parts

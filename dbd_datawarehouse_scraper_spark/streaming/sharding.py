@@ -63,6 +63,9 @@ def stream_pack_shards(
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..caching import pool_mark, release_since
+
+        mark = pool_mark()
         state = _read_cursor(spark, state_path)
         if state is None:
             offset = 0
@@ -84,6 +87,9 @@ def stream_pack_shards(
             order_col=order_col, shard_col=shard_col, start_offset=offset,
         )
         packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        # pack_shards pins the ranged+prefixed relation; the epoch
+        # write was its consuming action (scoped: never a caller's pin)
+        release_since(mark)
         # advance + promote the cursor (promotion = commit point)
         spark.createDataFrame(
             [(int(offset + batch_total), int(budget))], _CURSOR_SCHEMA

@@ -4,6 +4,7 @@ semantics, overflow bound, determinism across partitionings."""
 import pytest
 from pyspark.sql import functions as F
 
+from dbd_datawarehouse_scraper_spark.caching import release_caches
 from dbd_datawarehouse_scraper_spark.operators.sharding import pack_shards
 
 
@@ -20,6 +21,7 @@ def test_shard_is_floor_of_exclusive_prefix(spark, docs):
         r["doc_id"]: r["shard"]
         for r in pack_shards(docs, budget=1000).collect()
     }
+    release_caches()
     rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
     prefix, expected = 0, {}
     for r in rows:
@@ -41,6 +43,7 @@ def test_shards_contiguous_and_bounded(spark, docs):
         .agg(F.sum("n_tokens").alias("total"))
         .collect()
     }
+    release_caches()
     shards = sorted(per_shard)
     assert shards == list(range(len(shards)))
     max_tok = max(r["n_tokens"] for r in docs.collect())
@@ -63,6 +66,7 @@ def test_partitioning_invariance(spark, docs):
             docs.coalesce(1), budget=777, num_partitions=3
         ).collect()
     }
+    release_caches()
     assert a == b
 
 
