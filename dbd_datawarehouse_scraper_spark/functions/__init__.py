@@ -36,6 +36,8 @@ from .text_analysis import (  # noqa: F401
     doc_fingerprint,
     shingles,
     shingles_vec,
+    token_rarity_scores,
+    repetition_stats,
 )
 from .vectors import (  # noqa: F401
     dot,

@@ -15,6 +15,7 @@ from .filters import (  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_prefer_reg,
     exact_dedup,
+    contamination_pairs,
     ngram_jaccard_pairs,
     minhash_signature,
     minhash_lsh_pairs,
@@ -30,6 +31,7 @@ from .joins import (  # noqa: F401
     asof_join,
 )
 from .graph import component_survivors, connected_components  # noqa: F401
+from .sharding import pack_shards  # noqa: F401
 from .windows import top1_per_group, topk_per_group  # noqa: F401
 from .unpivot import unpivot_financials  # noqa: F401
 from .similarity_search import (  # noqa: F401
