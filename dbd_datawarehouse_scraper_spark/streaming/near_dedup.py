@@ -82,6 +82,14 @@ def _validate_or_init_store(
     marker = f"{store_path}/format"
     if fs_exists(spark, marker):
         row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
+        if row is None or row["format_version"] is None:
+            # marker dir exists but holds no readable row (torn write,
+            # tampering) — refuse, same as an unversioned store
+            raise ValueError(
+                f"signature store marker at {marker} exists but is "
+                "unreadable — wipe the store (and re-ingest) before "
+                "continuing."
+            )
         found = (row["format_version"], row["num_hashes"], row["bands"], row["k"])
         want = (STORE_FORMAT_VERSION, num_hashes, bands, k)
         if found != want:

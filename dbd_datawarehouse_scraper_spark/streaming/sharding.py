@@ -41,6 +41,15 @@ def _read_cursor(spark, path: str) -> tuple[int, int] | None:
     if not fs_exists(spark, f"{path}/cursor"):
         return None
     row = spark.read.schema(_CURSOR_SCHEMA).json(f"{path}/cursor").head()
+    if row is None or row["next_offset"] is None or row["budget"] is None:
+        # the cursor dir exists but holds no readable row (torn write,
+        # manual tampering): restarting silently at offset 0 would
+        # renumber every shard — fail the epoch instead
+        raise ValueError(
+            f"shard cursor at {path}/cursor exists but is unreadable — "
+            "restore it from the latest cursor-epoch-N snapshot next to "
+            "it (or wipe cursor AND output to restart packing from 0)."
+        )
     return (row["next_offset"], row["budget"])
 
 

@@ -464,3 +464,31 @@ def test_stream_pack_shards_continues_across_epochs(spark):
             q3.processAllAvailable()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_pack_shards_corrupt_cursor_is_loud(spark):
+    """A cursor directory that exists but holds no readable row (torn
+    write, tampering) must fail the epoch — silently restarting at
+    offset 0 would renumber every shard."""
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_pack_shards,
+    )
+
+    schema = "doc_id long, n_tokens long"
+    e1 = spark.createDataFrame([(1, 100), (2, 200)], schema)
+    work = tempfile.mkdtemp(prefix="stream_shards_bad_")
+    try:
+        e1.coalesce(1).write.mode("append").parquet(f"{work}/src")
+        os.makedirs(f"{work}/state/cursor")
+        with open(f"{work}/state/cursor/part-00000.json", "w") as f:
+            f.write("{not json")
+        q = stream_pack_shards(
+            file_stream(spark, f"{work}/src", e1.schema),
+            f"{work}/out", f"{work}/state", f"{work}/ckpt", budget=500,
+        )
+        with pytest.raises(Exception, match="unreadable"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
