@@ -65,3 +65,37 @@ def test_projection_pruning_on_project_columns(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "project_columns")
     assert "c_acctbal" not in plan  # unprojected column never read
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan
+
+
+def test_exact_core_join_single_chain_eval_per_side(spark, sf_dir):
+    """Round-4 perf property: the core-name chain appears exactly once
+    per join side in the physical plan. Catalyst used to push the
+    join-inferred isnotnull filter through the key projection,
+    substituting (and re-evaluating) the whole chain; the
+    explode(array(key)) Generate barrier stops that. The chain's
+    _once bindings show as lambdafunction nodes — 2 nested bindings
+    per key (step-1 result, then the NULL-for-empty fold) × 2 sides."""
+    plan = plan_of(spark, sf_dir, "exact_core_join")
+    # each chain instance contributes exactly 2 lambdafunction nodes
+    # (the nested _once bodies); 2 sides -> 4. A pushed-through
+    # duplicate doubles a side's count.
+    assert plan.count("lambdafunction") == 4, plan.count("lambdafunction")
+    assert plan.count("Generate explode") == 2
+
+
+def test_pack_shards_no_corpus_scale_single_partition(spark, sf_dir):
+    """Round-4 scale property: the only SinglePartition exchange in
+    the packing plan sits over the per-partition TOTALS aggregate (one
+    row per range partition), never over corpus-scale data, and the
+    corpus is scanned once (the ranged relation is persisted because
+    range exchanges are never reused — sampled boundaries)."""
+    plan = plan_of(spark, sf_dir, "pack_shards")
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    # the totals leg: aggregate BELOW the single-partition exchange
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "ranged relation must be persisted (no exchange reuse for "
+        "range partitioning)"
+    )
