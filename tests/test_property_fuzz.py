@@ -139,3 +139,26 @@ def test_fuzz_staged_core_name_equals_expression_form(spark):
         for r in add_core_name(df, "company_name").collect()
     }
     assert expr_form == staged_form
+
+
+def test_fuzz_core_name_key_is_chain_plus_nullif(spark):
+    """extract_core_name_key (the round-4 equi-join key form) must
+    equal NULLIF(extract_core_name(x), '') on every row — including
+    the Java-vs-Python regex adversarial set. The key form re-derives
+    the chain inside its own _once bindings, so this pins the two
+    constructions against drift."""
+    from dbd_datawarehouse_scraper_spark.functions.text_norm import (
+        extract_core_name_key,
+    )
+
+    rng = random.Random(13)
+    names = [gen_name(rng) for _ in range(300)] + ADVERSARIAL_NAMES
+    names = list(dict.fromkeys(names))
+    df = spark.createDataFrame([(n,) for n in names], ["company_name"])
+    rows = df.select(
+        "company_name",
+        extract_core_name_key(F.col("company_name")).alias("k"),
+        F.nullif(extract_core_name(F.col("company_name")), F.lit("")).alias("e"),
+    ).collect()
+    for r in rows:
+        assert r["k"] == r["e"], repr(r["company_name"])
