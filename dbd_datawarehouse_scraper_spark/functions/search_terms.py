@@ -129,10 +129,42 @@ def _variant_items_cached(col_name: str):
     return tuple(_variant_columns(F.col(col_name)).items())
 
 
+@lru_cache(maxsize=64)
+def _terms_column_cached(col_name: str) -> Column:
+    """Memoized :func:`generate_search_terms` over a named column —
+    the tree is large (~0.3 s of py4j build) and immutable."""
+    return generate_search_terms(F.col(col_name))
+
+
 def generate_search_terms(name: Column) -> Column:
-    """array<string> of search variants in reference priority order
-    (single-expression form)."""
-    return _assemble_terms(_variant_columns(name))
+    """array<string> of search variants in reference priority order —
+    single-expression form, usable in any expression context.
+
+    The assembly references every variant several times (head-array
+    slots, their guards, and the trim base), and four of the variants
+    embed the full core-name chain — inlined naively that multiplies
+    regex evaluations exactly like the core-name chain did (the reason
+    round 2 staged this behind persist barriers). Binding the variants
+    ONCE as a struct through text_norm's ``_once`` combinator makes
+    every downstream reference a free field read on a bound lambda
+    variable: one evaluation per variant per row, no barrier, no
+    Python workers (same fix as ``extract_core_name``, round 4).
+
+    TRADE: the binding drags the variant expressions into the HOF
+    INTERPRETER (codegen can't cross transform), so each single
+    evaluation is slower than a codegen'd one — measured ~2× slower
+    than the staged ``add_search_terms(persist=True)`` form on a
+    one-consumer 27k-row leg. Use this form where an expression is
+    required or barriers are unacceptable; use the staged pipeline
+    form for hot legs."""
+    from .text_norm import _once
+
+    variants = _variant_columns(name)
+    fields = list(variants.keys())
+    return _once(
+        F.struct(*[expr.alias(alias) for alias, expr in variants.items()]),
+        lambda v: _assemble_terms({alias: v[alias] for alias in fields}),
+    )
 
 
 def add_search_terms(
@@ -141,21 +173,29 @@ def add_search_terms(
     out_col: str = "terms",
     persist: bool = True,
 ) -> DataFrame:
-    """Pipeline form: materialize the scalar variants (stage 1, codegen'd
-    regexes evaluated once each), then assemble the array from column
-    references (stage 2). ``persist`` puts a barrier between the stages
-    so CollapseProject can't inline stage 1 back into the interpreted
-    HOF tree; the companies relation is the small side of the pipeline,
-    so persisting it is cheap at any scale. The persist is tracked
-    (caching.py) — call ``release_caches()`` after the consuming action;
-    pass ``persist=False`` for small one-shot inputs where the barrier
-    costs more than the re-evaluation it avoids."""
+    """Pipeline form of :func:`generate_search_terms` — size-aware like
+    ``add_core_name``:
+
+    - ``persist=True`` (pipeline legs re-read across several join
+      branches): materialize the scalar variants behind a tracked cache
+      barrier (stage 1, codegen'd regexes evaluated once each), then
+      assemble the array from column references (stage 2) — re-reads
+      never re-run the variant regexes. Call ``release_caches()`` after
+      the consuming action.
+    - ``persist=False`` (small one-shot relations): the single
+      expression, whose ``_once`` struct binding already evaluates each
+      variant exactly once per row — no barrier to pay, nothing pinned.
+      Interpreted, so per-row cost is higher than the staged form's
+      (see :func:`generate_search_terms`); below ~10⁴ rows the saved
+      barrier dominates.
+    """
+    if not persist:
+        return df.withColumn(out_col, _terms_column_cached(name_col))
     from ..caching import tracked_persist
 
     variants = dict(_variant_items_cached(name_col))
     staged = df.select("*", *[expr.alias(alias) for alias, expr in variants.items()])
-    if persist:
-        staged = tracked_persist(staged)
+    staged = tracked_persist(staged)
     refs = {alias: F.col(alias) for alias in variants}
     out = staged.withColumn(out_col, _assemble_terms(refs))
     return out.drop(*variants.keys())
