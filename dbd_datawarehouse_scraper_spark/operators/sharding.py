@@ -60,6 +60,20 @@ def pack_shards(
     both the totals aggregate and the final join consume it; see the
     inline note). Call ``caching.release_caches()`` after the
     consuming action, like every persisting operator here.
+
+    ``_pid`` (``spark_partition_id()`` after the range exchange) is a
+    SEMANTIC grouping key here, which is safe against
+    recompute-after-eviction: the range boundaries come from
+    ``RangePartitioner``'s reservoir sample, whose seed is derived from
+    the sampled RDD's id and partition index — recomputing the same
+    persisted lineage replays the same RDD ids over the same source
+    rows, so the boundaries, each row's partition, and therefore
+    ``_pid`` are bit-identical on recompute. (A RE-BUILT plan over the
+    same data may sample different boundaries, but then BOTH the local
+    prefixes and the offsets table shift consistently, and the final
+    ``offset + local_prefix`` sum — hence the shard id — is unchanged;
+    pinned by ``tests/test_sharding.py`` recompute/partitioning
+    invariance.)
     """
     from ..caching import tracked_persist
 
@@ -96,11 +110,20 @@ def pack_shards(
         "_offset", F.coalesce(F.sum("_ptotal").over(w_parts), F.lit(0))
     ).select("_pid", "_offset")
 
-    out = local.join(F.broadcast(offsets), "_pid").withColumn(
-        shard_col,
-        F.floor(
-            (F.lit(start_offset) + F.col("_offset") + F.col("_local_prefix"))
-            / F.lit(budget)
-        ).cast("long"),
+    # 64-bit integer division (SQL `div`), NOT floor(double /): every
+    # operand is a long, and past ~2^53 cumulative tokens the double
+    # rounding of `/` could misplace a shard boundary — at 100 TB the
+    # running token offset crosses 2^53 (~9e15) within ~20T documents
+    # of 500 tokens, so the integer path is a scale requirement, not
+    # pedantry.
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "_tot_off",
+            F.lit(start_offset).cast("long")
+            + F.col("_offset")
+            + F.col("_local_prefix"),
+        )
+        .withColumn(shard_col, F.expr(f"_tot_off div {int(budget)}L"))
     )
-    return out.drop("_pid", "_local_prefix", "_offset")
+    return out.drop("_pid", "_local_prefix", "_offset", "_tot_off")

@@ -92,13 +92,19 @@ def curate_documents(
     pairs = minhash_lsh_pairs(
         exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
     )
-    losers_path = scratch_base(spark) + "/curation-losers"
+    losers_base = scratch_base(spark)
+    losers_path = losers_base + "/curation-losers"
     component_survivors(pairs).withColumnRenamed("id", id_col).write.mode(
         "overwrite"
     ).parquet(losers_path)
     release_since(mark)
     losers = spark.read.parquet(losers_path)
-    tracked_scratch_dir(spark, losers_path)
+    # register the BASE dir, not just the child: scratch_base() may
+    # mkdtemp a fresh directory, and releasing only the child would
+    # leak one empty temp dir per call (registered AFTER release_since
+    # so the funnel's own release doesn't reclaim it — it backs the
+    # returned plan until the caller's release_caches())
+    tracked_scratch_dir(spark, losers_base)
     near = exact.join(losers, id_col, "left_anti")
 
     if sample_fractions:

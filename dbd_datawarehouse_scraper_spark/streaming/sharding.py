@@ -20,6 +20,24 @@ the near-dup signature store keeps its band index:
   file, promoting it to ``cursor`` last — the promotion is the commit
   point, so a crash between data write and promotion replays cleanly.
 
+``foreachBatch`` is at-least-once, so BOTH replay windows must be
+idempotent, and the cursor is keyed by epoch to make them so:
+
+- crash BEFORE promotion: the replayed epoch reads the previous
+  epoch's cursor, repacks from the same start offset, and rewrites
+  ``out_path/epoch=N`` identically — plain overwrite idempotency;
+- crash AFTER promotion but before Spark's streaming commit-log write
+  (or an ``availableNow`` restart whose last batch promoted but never
+  committed): the cursor now records ``(epoch_id=N, start_offset,
+  next_offset)``, so the replay of epoch N detects its own promotion
+  and repacks from ``start_offset`` — NOT from the already-advanced
+  ``next_offset`` — then re-promotes the identical cursor. Without
+  the epoch key this replay would shift every shard id in epoch N and
+  double-advance the offset for every later epoch.
+A cursor whose recorded epoch is AHEAD of the replayed epoch by more
+than the replay window (``cursor.epoch_id > epoch_id``) means history
+was lost; that fails loudly rather than guessing an offset.
+
 A batch run of pack_shards over the concatenation of all epochs (in
 epoch, then order-column order) produces the same shard for every
 document — pinned by tests/test_streaming.py.
@@ -34,10 +52,20 @@ from pyspark.sql.streaming import StreamingQuery
 from ..fsutil import fs_exists
 from ..operators.sharding import pack_shards
 
-_CURSOR_SCHEMA = "next_offset LONG, budget LONG"
+_CURSOR_SCHEMA = (
+    "epoch_id LONG, start_offset LONG, next_offset LONG, budget LONG"
+)
 
 
-def _read_cursor(spark, path: str) -> tuple[int, int] | None:
+def _read_cursor(spark, path: str):
+    """Return the promoted cursor row, or ``None`` if no cursor exists.
+
+    Cursors written before the epoch-keyed format (``next_offset`` +
+    ``budget`` only) read back with ``epoch_id`` null; they are
+    accepted (``epoch_id`` treated as "unknown, never matches a replay")
+    so an existing store keeps working — the first new-format promotion
+    upgrades it in place.
+    """
     if not fs_exists(spark, f"{path}/cursor"):
         return None
     row = spark.read.schema(_CURSOR_SCHEMA).json(f"{path}/cursor").head()
@@ -50,7 +78,7 @@ def _read_cursor(spark, path: str) -> tuple[int, int] | None:
             "restore it from the latest cursor-epoch-N snapshot next to "
             "it (or wipe cursor AND output to restart packing from 0)."
         )
-    return (row["next_offset"], row["budget"])
+    return row
 
 
 def stream_pack_shards(
@@ -79,29 +107,57 @@ def stream_pack_shards(
         if state is None:
             offset = 0
         else:
-            offset, stored_budget = state
-            if stored_budget != budget:
+            if state["budget"] != budget:
                 raise ValueError(
                     f"shard cursor at {state_path} was written with "
-                    f"budget={stored_budget}, this run uses {budget}; "
+                    f"budget={state['budget']}, this run uses {budget}; "
                     "shards packed under two budgets interleave — wipe "
                     "the output and cursor or rerun with the stored "
                     "budget."
                 )
-        batch_total = batch_df.agg(
-            F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
-        ).collect()[0]["s"]
+            if state["epoch_id"] is not None and state["epoch_id"] == epoch_id:
+                # foreachBatch is at-least-once: this epoch already ran
+                # to completion (its cursor was promoted) but Spark's
+                # commit log missed the commit, so it is replaying.
+                # Repack from the epoch's ORIGINAL start offset — using
+                # the promoted next_offset would shift this epoch's
+                # shard ids and double-advance every later epoch.
+                offset = state["start_offset"]
+            elif state["epoch_id"] is not None and state["epoch_id"] > epoch_id:
+                raise ValueError(
+                    f"shard cursor at {state_path} records epoch "
+                    f"{state['epoch_id']} but epoch {epoch_id} is "
+                    "replaying — either the checkpoint was reset "
+                    "against an existing cursor (which would re-pack "
+                    "already-packed documents) or more than the "
+                    "one-epoch replay window was lost; restore the "
+                    f"matching cursor-epoch-{max(epoch_id - 1, 0)} "
+                    "snapshot to cursor, or wipe cursor AND output to "
+                    "restart packing from 0."
+                )
+            else:
+                offset = state["next_offset"]
         packed = pack_shards(
             batch_df, token_col=token_col, budget=budget,
             order_col=order_col, shard_col=shard_col, start_offset=offset,
         )
         packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        # the batch total comes from the relation pack_shards already
+        # persisted (the write above was its first consumer) — NOT from
+        # a second scan of the source batch
+        batch_total = packed.agg(
+            F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
         # pack_shards pins the ranged+prefixed relation; the epoch
-        # write was its consuming action (scoped: never a caller's pin)
+        # write + total agg were its consuming actions (scoped: never a
+        # caller's pin)
         release_since(mark)
-        # advance + promote the cursor (promotion = commit point)
+        # advance + promote the cursor (promotion = commit point); the
+        # epoch key makes re-promotion on replay a no-op rewrite
         spark.createDataFrame(
-            [(int(offset + batch_total), int(budget))], _CURSOR_SCHEMA
+            [(int(epoch_id), int(offset), int(offset + batch_total),
+              int(budget))],
+            _CURSOR_SCHEMA,
         ).coalesce(1).write.mode("overwrite").json(
             f"{state_path}/cursor-epoch-{epoch_id}"
         )

@@ -100,3 +100,44 @@ def test_contamination_pairs_known_overlap(spark):
     assert (1, 100) in got and got[(1, 100)] == 1.0
     assert (2, 100) in got and 0.3 <= got[(2, 100)] < 0.6
     assert not any(d == 3 for d, _ in got)
+
+
+def test_recompute_after_eviction_is_deterministic(spark, docs):
+    """`_pid` (spark_partition_id after the range exchange) is a
+    semantic grouping key inside pack_shards; this pins that evicting
+    the pinned relation and re-evaluating the SAME returned plan — the
+    recompute-after-eviction corner — yields identical shard
+    assignments (RangePartitioner's sample seed derives from the RDD
+    id, so a recompute of the same lineage resamples identically)."""
+    out = pack_shards(docs, budget=777)
+    first = {(r["doc_id"], r["shard"]) for r in out.collect()}
+    # evict the internal persist, then re-run the same plan from scratch
+    release_caches(blocking=True)
+    second = {(r["doc_id"], r["shard"]) for r in out.collect()}
+    release_caches()
+    assert first == second
+
+
+def test_shard_div_is_integer_exact_past_double_precision(spark):
+    """The shard id uses 64-bit integer division, not floor(double /):
+    at offsets past 2^53 a double cannot represent the running token
+    offset exactly and floor(/) can misplace a boundary. Start the
+    cursor just past 2^53 at a point where the double rounding of
+    (start+prefix)/budget provably disagrees with integer div."""
+    start = (1 << 53) + 1          # not representable as a double
+    budget = 3
+    docs = spark.createDataFrame(
+        [(i, 1) for i in range(1, 7)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r["shard"]
+        for r in pack_shards(
+            docs, budget=budget, start_offset=start
+        ).collect()
+    }
+    release_caches()
+    prefix, expected = 0, {}
+    for i in range(1, 7):
+        expected[i] = (start + prefix) // budget
+        prefix += 1
+    assert out == expected

@@ -492,3 +492,128 @@ def test_stream_pack_shards_corrupt_cursor_is_loud(spark):
             q.processAllAvailable()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_pack_shards_replay_after_promotion_is_idempotent(spark):
+    """foreachBatch is at-least-once: an epoch can replay AFTER its
+    cursor was promoted (crash between promotion and Spark's streaming
+    commit-log write). The epoch-keyed cursor must make the replay
+    repack from the epoch's ORIGINAL start offset — not the promoted
+    next_offset — so shard ids and the cursor are bit-identical.
+    Simulated faithfully: run epoch 0 to completion, delete the
+    checkpoint's commits/0 entry, restart — Spark replays epoch 0."""
+    import json
+
+    from dbd_datawarehouse_scraper_spark.operators.sharding import pack_shards
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_pack_shards,
+    )
+
+    schema = "doc_id long, n_tokens long"
+    e1 = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 40) for i in range(1, 101)], schema
+    )
+    e2 = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 40) for i in range(101, 181)], schema
+    )
+    work = tempfile.mkdtemp(prefix="stream_shards_replay_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+
+    def read_cursor():
+        d = f"{state}/cursor"
+        rows = [
+            json.load(open(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".json")
+        ]
+        assert len(rows) == 1
+        return rows[0]
+
+    try:
+        e1.coalesce(1).write.mode("append").parquet(src)
+        q = stream_pack_shards(
+            file_stream(spark, src, e1.schema), out, state, ckpt, budget=500
+        )
+        q.awaitTermination(120)
+        cursor_before = read_cursor()
+        assert cursor_before["epoch_id"] == 0
+        assert cursor_before["start_offset"] == 0
+        shards_before = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+
+        # kill-and-restart INSIDE the replay window: the promotion
+        # happened but the streaming commit never landed
+        os.remove(f"{ckpt}/commits/0")
+        if os.path.exists(f"{ckpt}/commits/.0.crc"):
+            os.remove(f"{ckpt}/commits/.0.crc")
+        q = stream_pack_shards(
+            file_stream(spark, src, e1.schema), out, state, ckpt, budget=500
+        )
+        q.awaitTermination(120)
+
+        # replay repacked from offset 0: identical shards, identical
+        # cursor (no double-advance)
+        assert read_cursor() == cursor_before
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        assert got == shards_before
+
+        # and the NEXT epoch still continues correctly after the replay
+        e2.coalesce(1).write.mode("append").parquet(src)
+        q = stream_pack_shards(
+            file_stream(spark, src, e1.schema), out, state, ckpt, budget=500
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        expected = {
+            r["doc_id"]: r["shard"]
+            for r in pack_shards(e1.unionByName(e2), budget=500).collect()
+        }
+        assert got == expected
+        assert read_cursor()["epoch_id"] == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_pack_shards_checkpoint_reset_is_loud(spark):
+    """A fresh checkpoint pointed at an existing cursor would re-pack
+    every already-packed document at the advanced offset — the cursor's
+    epoch key detects the mismatch (cursor epoch ahead of the replayed
+    epoch) and fails loudly instead."""
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_pack_shards,
+    )
+
+    schema = "doc_id long, n_tokens long"
+    e1 = spark.createDataFrame([(i, 50) for i in range(1, 21)], schema)
+    work = tempfile.mkdtemp(prefix="stream_shards_reset_")
+    src, out, state = f"{work}/src", f"{work}/out", f"{work}/state"
+    try:
+        e1.coalesce(1).write.mode("append").parquet(src)
+        for ck in (f"{work}/ckpt_a", f"{work}/ckpt_a"):  # run two epochs
+            q = stream_pack_shards(
+                file_stream(spark, src, e1.schema), out, state, ck, budget=500
+            )
+            q.awaitTermination(120)
+            e1.limit(5).coalesce(1).write.mode("append").parquet(src)
+        # now cursor.epoch_id >= 1; a FRESH checkpoint restarts epochs at 0
+        q = stream_pack_shards(
+            file_stream(spark, src, e1.schema), out, state,
+            f"{work}/ckpt_fresh", budget=500,
+        )
+        with pytest.raises(Exception, match="checkpoint was reset"):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
