@@ -199,3 +199,49 @@ def add_search_terms(
     refs = {alias: F.col(alias) for alias in variants}
     out = staged.withColumn(out_col, _assemble_terms(refs))
     return out.drop(*variants.keys())
+
+
+def explode_search_terms(
+    df: DataFrame,
+    name_col: str = "company_name",
+    key_cols: tuple[str, ...] = ("p_partkey",),
+    term_col: str = "term",
+    rank_col: str = "strategy_rank",
+) -> DataFrame:
+    """One row per (key, search term) with the 1-based strategy rank —
+    the exploded form of the cascade, with the fastest single-consumer
+    plan: NO barrier and NO persist.
+
+    Two plan facts make the barrier unnecessary (both pinned by
+    tests/test_plans.py):
+
+    - CollapseProject refuses to inline a lower-projection output that
+      a consumer references more than once unless it is cheap, so the
+      variant columns stay a separate codegen'd projection (each regex
+      chain evaluated once per row) with the interpreted assembly
+      reading plain attributes above it — the same shape the persist
+      barrier buys, without the cache write.
+    - ``posexplode`` (inner) would trigger Catalyst's
+      InferFiltersFromGenerate, which infers ``size(terms) > 0`` and
+      pushes it through BOTH projections, substituting the entire
+      assembly tree — ~200 regex evaluations per input row in an
+      interpreted Filter (measured 4-5× the whole query). The OUTER
+      explode infers nothing; the null row an empty array emits is
+      dropped by a post-Generate filter on the OUTPUT attribute, which
+      cannot be pushed below the Generate.
+    """
+    variants = dict(_variant_items_cached(name_col))
+    staged = df.select(
+        *key_cols, *[expr.alias(alias) for alias, expr in variants.items()]
+    )
+    refs = {alias: F.col(alias) for alias in variants}
+    out = staged.withColumn("_terms", _assemble_terms(refs))
+    return (
+        out.select(*key_cols, F.posexplode_outer("_terms").alias("_pos", term_col))
+        .filter(F.col(term_col).isNotNull())
+        .select(
+            *key_cols,
+            term_col,
+            (F.col("_pos") + 1).cast("long").alias(rank_col),
+        )
+    )

@@ -416,22 +416,15 @@ _SQL_NO_NUMBERS = _SQZ.format(
     """,
 )
 def generate_search_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.search_terms import add_search_terms
+    from .functions.search_terms import explode_search_terms
 
-    # persist=True (staged): the variants must evaluate in a CODEGEN'd
-    # projection — the barrier-free _once struct form evaluates each
-    # variant once but INTERPRETED (the binding drags the whole tree
-    # into the HOF interpreter), measured 2.5-2.9 s vs 1.0-1.7 s staged
-    # at sf0.1. Staging = codegen'd variants + barrier + interpreted
-    # assembly over plain attributes: the best of both.
-    d = add_search_terms(
+    # no barrier and no persist: the staged variants projection stays
+    # separate (CollapseProject's multi-reference guard), and OUTER
+    # posexplode avoids InferFiltersFromGenerate pushing the whole
+    # ~200-regex assembly tree into a per-input-row Filter — the round-4
+    # regression's root cause. Plan pinned in tests/test_plans.py.
+    return explode_search_terms(
         _decorated_parts(spark, sf_dir), name_col="company_name"
-    )
-    return d.select(
-        "p_partkey",
-        F.posexplode(F.col("terms")).alias("pos", "term"),
-    ).select(
-        "p_partkey", "term", (F.col("pos") + 1).cast("long").alias("strategy_rank")
     )
 
 

@@ -99,3 +99,27 @@ def test_pack_shards_no_corpus_scale_single_partition(spark, sf_dir):
         "ranged relation must be persisted (no exchange reuse for "
         "range partitioning)"
     )
+
+
+def test_generate_search_terms_no_inferred_filter_no_barrier(spark, sf_dir):
+    """Round-5 perf property (the round-4 regression's root cause):
+    the exploded search-terms plan must contain
+
+    - NO Filter node evaluating regex chains: inner posexplode lets
+      InferFiltersFromGenerate push `size(terms) > 0` — with the whole
+      ~200-regex assembly tree substituted in — below the projections,
+      evaluated per input row, interpreted (measured 4-5x the query).
+      The OUTER explode + post-Generate null filter avoids it.
+    - the variants staged as a SEPARATE projection (CollapseProject's
+      multi-reference guard), so each regex chain evaluates once per
+      row in codegen — no persist barrier needed: no InMemoryRelation.
+    """
+    plan = plan_of(spark, sf_dir, "generate_search_terms")
+    for line in plan.splitlines():
+        if "Filter" in line and "regexp" in line:
+            raise AssertionError(f"regex filter leaked into plan: {line[:200]}")
+    # one staged evaluation per variant: the regex population of the
+    # whole plan stays at the staged projection's ~23 (blowup was >200)
+    assert plan.count("regexp_replace") < 40, plan.count("regexp_replace")
+    assert "Generate posexplode" in plan
+    assert "InMemoryRelation" not in plan, "no persist barrier expected"
