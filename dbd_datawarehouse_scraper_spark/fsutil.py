@@ -68,3 +68,14 @@ def fs_list_names(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(jpath):
         return []
     return [status.getPath().getName() for status in fs.listStatus(jpath)]
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` → ``dst`` on their filesystem. Raises if the
+    filesystem reports failure (e.g. ``dst`` exists on local/HDFS).
+    Atomic on POSIX and HDFS; NOT atomic on object stores (S3A renames
+    are copy+delete) — callers doing swap dances must say so."""
+    fs, jsrc = _fs(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")

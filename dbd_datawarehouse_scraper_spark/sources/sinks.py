@@ -153,3 +153,88 @@ def combine_batches(
     )
     batched_sink(df, out_path, fmt=fmt, target_files=1)
     return df.count()
+
+
+def recover_epoch_fold(spark, path: str) -> bool:
+    """Roll back an epoch fold (:func:`fold_epoch_dirs`) that crashed
+    mid-swap — same contract as :func:`recover_compaction`, but over
+    the Hadoop FS API so streaming stores on any filesystem recover.
+    Returns True if a rollback happened. Idempotent."""
+    from ..fsutil import fs_delete, fs_exists, fs_rename
+
+    old, tmp = f"{path}.__fold_old__", f"{path}.__fold_tmp__"
+    rolled = False
+    if fs_exists(spark, old):
+        if fs_exists(spark, path):
+            # swap completed; old is debris from a crash before cleanup
+            fs_delete(spark, old)
+        else:
+            fs_rename(spark, old, path)
+            rolled = True
+    # a tmp left behind (crash before or during the swap) is always
+    # safe to drop: the fold re-runs from the restored epoch dirs
+    if fs_exists(spark, tmp):
+        fs_delete(spark, tmp)
+    return rolled
+
+
+def fold_epoch_dirs(
+    spark,
+    path: str,
+    below_epoch: int,
+    min_dirs: int = 8,
+    target_files: int = 8,
+) -> bool:
+    """[EXT] Fold committed ``epoch=K`` generations of a streaming
+    store into ONE — the store-lifecycle counterpart of
+    :func:`compact_output`. Incremental stores (the near-dup signature
+    store, the shard packer's output) append one parquet directory per
+    epoch; after thousands of epochs every history probe is a
+    small-files scan. This folds all ``epoch=K`` dirs with
+    ``K < below_epoch`` into a single ``epoch=<max folded K>``
+    directory of ~``target_files`` files, preserving rows exactly.
+
+    Replay safety: ``foreachBatch`` can replay at most the CURRENT
+    epoch, so callers pass ``below_epoch=<current epoch_id>`` — a
+    replayed epoch's own (uncommitted, about-to-be-rewritten) dir is
+    never folded, and re-folding on replay is a no-op-shaped rewrite
+    of already-folded generations. No-op below ``min_dirs`` eligible
+    dirs so steady-state epochs don't pay a rewrite.
+
+    Crash safety mirrors :func:`compact_output`'s two-rename swap
+    (write tmp → move aside → move in → drop old) with
+    :func:`recover_epoch_fold` run first; on POSIX/HDFS the renames
+    are atomic, on object stores use the table format's own compaction
+    instead. A crash mid-fold can drop a REPLAYING current epoch's
+    leftover dir with the tmp — harmless by the replay contract: that
+    dir was uncommitted and the replay rewrites it with overwrite.
+    Committed generations are never exposed to that window (they move
+    in one rename). Returns True iff a fold happened."""
+    from ..fsutil import fs_delete, fs_exists, fs_list_names, fs_rename
+
+    recover_epoch_fold(spark, path)
+    if not fs_exists(spark, path):
+        return False
+    epochs = sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_names(spark, path)
+        if n.startswith("epoch=")
+    )
+    eligible = [e for e in epochs if e < below_epoch]
+    if len(eligible) < min_dirs:
+        return False
+    kmax = max(eligible)
+    tmp, old = f"{path}.__fold_tmp__", f"{path}.__fold_old__"
+    folded = spark.read.parquet(
+        *[f"{path}/epoch={e}" for e in eligible]
+    ).coalesce(target_files)
+    folded.write.mode("overwrite").parquet(f"{tmp}/epoch={kmax}")
+    # carry any NOT-eligible live dirs (a replaying current epoch's
+    # leftover) across the swap untouched
+    for e in epochs:
+        if e >= below_epoch:
+            fs_rename(spark, f"{path}/epoch={e}", f"{tmp}/epoch={e}")
+    fs_rename(spark, path, old)
+    fs_rename(spark, tmp, path)
+    fs_delete(spark, old)
+    return True

@@ -156,6 +156,7 @@ def stream_near_dedup(
     k: int = 3,
     threshold: float = 0.8,
     available_now: bool = True,
+    fold_store_after: int | None = 16,
 ) -> StreamingQuery:
     """Start the incremental near-dedup stream. Survivor rows land in
     ``out_path/epoch=N``; the signature store grows under
@@ -174,11 +175,27 @@ def stream_near_dedup(
     J=0.8 (round 3's 32 hashes gave σ≈0.07; judge item #7). Band math
     (1/b)^(1/r) = (1/32)^(1/4) ≈ 0.42 keeps candidate recall at
     J≥0.8 effectively 1. The store marker pins these parameters —
-    changing them (or the hash family) on an existing store raises."""
+    changing them (or the hash family) on an existing store raises.
+
+    ``fold_store_after``: once the store accumulates that many
+    committed ``epoch=K`` generations, they are folded into one
+    (sources/sinks.py fold_epoch_dirs) at the top of the next epoch —
+    the history probe stays a bounded-file-count scan instead of
+    degrading into a thousands-of-small-files read. Only epochs below
+    the current one fold (the replay window is never touched); ``None``
+    disables folding."""
     spark = stream_docs.sparkSession
     _validate_or_init_store(spark, store_path, num_hashes, bands, k)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if fold_store_after:
+            from ..sources.sinks import fold_epoch_dirs
+
+            for sub in ("sigs", "bands"):
+                fold_epoch_dirs(
+                    spark, f"{store_path}/{sub}",
+                    below_epoch=epoch_id, min_dirs=fold_store_after,
+                )
         batch = tracked_persist(batch_df.select(id_col, text_col))
         if batch.count() == 0:
             release_caches()

@@ -91,17 +91,44 @@ def stream_pack_shards(
     order_col: str = "doc_id",
     shard_col: str = "shard",
     available_now: bool = True,
+    fold_output_after: int | None = 16,
+    keep_cursor_snapshots: int = 4,
 ) -> StreamingQuery:
     """Start the incremental packer. Rows land in ``out_path/epoch=N``
     with ``shard_col`` continuing across epochs; the cursor lives under
     ``state_path``. The budget is pinned by the cursor — restarting
     with a different budget raises (shards packed under two budgets
-    interleave nonsensically)."""
+    interleave nonsensically).
+
+    Store lifecycle: once ``fold_output_after`` committed ``epoch=N``
+    output generations accumulate they are folded into one
+    (sources/sinks.py fold_epoch_dirs — shard ids live in the rows, so
+    folding is consumer-invisible), and cursor snapshots older than the
+    ``keep_cursor_snapshots`` most recent are pruned; both touch only
+    epochs below the current one, so the replay window is preserved."""
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         from ..caching import pool_mark, release_since
 
+        if fold_output_after:
+            from ..sources.sinks import fold_epoch_dirs
+
+            fold_epoch_dirs(
+                spark, out_path,
+                below_epoch=epoch_id, min_dirs=fold_output_after,
+            )
+        if keep_cursor_snapshots is not None:
+            from ..fsutil import fs_delete, fs_list_names
+
+            snaps = sorted(
+                int(n.rsplit("-", 1)[1])
+                for n in fs_list_names(spark, state_path)
+                if n.startswith("cursor-epoch-")
+            )
+            for e in snaps[:-keep_cursor_snapshots or None]:
+                if e < epoch_id:
+                    fs_delete(spark, f"{state_path}/cursor-epoch-{e}")
         mark = pool_mark()
         state = _read_cursor(spark, state_path)
         if state is None:

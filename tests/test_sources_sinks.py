@@ -492,3 +492,45 @@ def test_compact_output(spark, workdir):
     out = spark.read.parquet(path)
     assert out.count() == 10000
     assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10000))
+
+
+def test_fold_epoch_dirs_preserves_rows_and_bounds_generations(spark):
+    """K committed epoch dirs fold into ONE epoch=<max> generation with
+    identical rows; dirs at/above below_epoch (the replay window) are
+    carried untouched; under min_dirs nothing happens."""
+    from dbd_datawarehouse_scraper_spark.sources.sinks import (
+        fold_epoch_dirs,
+        recover_epoch_fold,
+    )
+
+    base = tempfile.mkdtemp(prefix="fold_")
+    store = f"{base}/store"
+    try:
+        for e in range(5):
+            spark.createDataFrame(
+                [(e * 10 + i, f"doc{e}_{i}") for i in range(3)],
+                "id long, txt string",
+            ).coalesce(1).write.parquet(f"{store}/epoch={e}")
+        before = {(r["id"], r["txt"]) for r in spark.read.parquet(store).collect()}
+
+        # below threshold: no-op
+        assert not fold_epoch_dirs(spark, store, below_epoch=5, min_dirs=10)
+        assert len(os.listdir(store)) >= 5
+
+        # fold epochs < 4 (epoch 4 = the simulated replay window)
+        assert fold_epoch_dirs(spark, store, below_epoch=4, min_dirs=2)
+        names = sorted(n for n in os.listdir(store) if n.startswith("epoch="))
+        assert names == ["epoch=3", "epoch=4"], names
+        after = {(r["id"], r["txt"]) for r in spark.read.parquet(store).collect()}
+        assert after == before
+
+        # idempotent: re-fold with the same cutoff is a no-op-shaped pass
+        fold_epoch_dirs(spark, store, below_epoch=4, min_dirs=2)
+        assert {(r["id"], r["txt"]) for r in spark.read.parquet(store).collect()} == before
+
+        # crash rollback: simulate a crash between the two swap renames
+        os.rename(store, f"{store}.__fold_old__")
+        assert recover_epoch_fold(spark, store)
+        assert {(r["id"], r["txt"]) for r in spark.read.parquet(store).collect()} == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
