@@ -155,12 +155,23 @@ def contamination_pairs(
     bench_text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    containment_threshold: float | None = None,
 ) -> DataFrame:
     """[EXT] Benchmark-contamination probe: every (document, benchmark
-    item) pair whose word-``k``-gram Jaccard is ≥ ``threshold`` —
+    item) pair whose word-``k``-gram Jaccard is ≥ ``threshold`` OR
+    whose benchmark-side containment ≥ ``containment_threshold`` —
     training corpora must be screened against evaluation sets before
     use, and n-gram overlap is the standard first-line check (the same
     family of tests GPT-3/PaLM/Llama report for eval decontamination).
+
+    Jaccard alone under-scores the canonical contamination shape — a
+    LONG document that embeds a whole benchmark item (|A∩B|/|A∪B| is
+    dragged down by the document's size). Standard decontamination
+    therefore gates on containment = |A∩B|/|B| (share of the BENCHMARK
+    item's k-grams present in the document), which is 1.0 for a
+    verbatim inclusion regardless of document length. Both scores are
+    emitted; ``containment_threshold=None`` keeps the Jaccard-only
+    gate.
 
     Same inverted-shingle-index shape as :func:`ngram_jaccard_pairs`
     but across TWO relations, so candidate generation is bounded by
@@ -168,7 +179,7 @@ def contamination_pairs(
     — and the shuffle carries (id, n, shingle-hash) rows only. The
     benchmark side is typically tiny (eval sets); the corpus side
     streams through one shuffle. Returns (id_col, bench_id_col,
-    jaccard), exact up to 64-bit shingle-hash collisions.
+    jaccard, containment), exact up to 64-bit shingle-hash collisions.
     """
     from ..caching import tracked_persist
     from .skew import widen_partitions
@@ -202,8 +213,19 @@ def contamination_pairs(
             ),
             6,
         ).alias("jaccard"),
+        # |A∩B| / |B|: the grouped intersection already carries both
+        # cardinalities, so containment is free
+        F.round(
+            F.when(F.col("_bid_n") == 0, F.lit(0.0)).otherwise(
+                F.col("_c").cast("double") / F.col("_bid_n").cast("double")
+            ),
+            6,
+        ).alias("containment"),
     )
-    return scored.filter(F.col("jaccard") >= threshold)
+    gate = F.col("jaccard") >= threshold
+    if containment_threshold is not None:
+        gate = gate | (F.col("containment") >= containment_threshold)
+    return scored.filter(gate)
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:

@@ -2357,10 +2357,15 @@ def pack_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bench_id,
              CASE WHEN n + bn - c = 0 THEN 0.0
                   ELSE CAST(c AS DOUBLE) / CAST(n + bn - c AS DOUBLE)
-             END AS jaccard
+             END AS jaccard,
+             CASE WHEN bn = 0 THEN 0.0
+                  ELSE CAST(c AS DOUBLE) / CAST(bn AS DOUBLE)
+             END AS containment
       FROM inter)
-    SELECT doc_id, bench_id, round(jaccard, 6) AS jaccard
-    FROM scored WHERE round(jaccard, 6) >= 0.3
+    SELECT doc_id, bench_id, round(jaccard, 6) AS jaccard,
+           round(containment, 6) AS containment
+    FROM scored
+    WHERE round(jaccard, 6) >= 0.3 OR round(containment, 6) >= 0.8
     """,
 )
 def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2368,8 +2373,12 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_pairs): the hermetic benchmark set is the first half
     of every 37th document's words, so every benchmark item overlaps
     its source at J~0.5 and any near-dups of that source above the
-    0.3 threshold. Candidate generation is the shared-shingle inverted
-    index across the two relations -- never a cross join."""
+    0.3 threshold; each source doc also CONTAINS its benchmark item
+    verbatim (containment 1.0), exercising the GPT-3/PaLM-style
+    containment gate that catches long documents embedding a whole
+    benchmark item which Jaccard under-scores. Candidate generation is
+    the shared-shingle inverted index across the two relations --
+    never a cross join."""
     from .operators.dedup import contamination_pairs
 
     d = t(spark, sf_dir, "documents")
@@ -2388,7 +2397,7 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return contamination_pairs(
-        d, bench, k=3, threshold=0.3
+        d, bench, k=3, threshold=0.3, containment_threshold=0.8
     )
 
 

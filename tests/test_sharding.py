@@ -141,3 +141,44 @@ def test_shard_div_is_integer_exact_past_double_precision(spark):
         expected[i] = (start + prefix) // budget
         prefix += 1
     assert out == expected
+
+
+def test_contamination_containment_catches_embedded_benchmark(spark):
+    """Round-5: a LONG document embedding a whole benchmark item
+    verbatim has containment 1.0 but Jaccard well under the threshold
+    (the document's size drags |A∩B|/|A∪B| down) — the containment
+    gate flags it, the Jaccard-only gate provably misses it."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    bench_words = [f"b{i}" for i in range(20)]
+    filler = [f"f{i}" for i in range(400)]
+    corpus = spark.createDataFrame(
+        [
+            # benchmark item embedded whole inside 400 filler words
+            (1, " ".join(filler[:200] + bench_words + filler[200:])),
+            (2, " ".join(f"z{i}" for i in range(50))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join(bench_words))], "bench_id long, text string"
+    )
+
+    jaccard_only = contamination_pairs(corpus, bench, threshold=0.3).collect()
+    release_caches()
+    assert jaccard_only == [], "Jaccard-only gate must miss the embedding"
+
+    got = {
+        (r["doc_id"], r["bench_id"]): (r["jaccard"], r["containment"])
+        for r in contamination_pairs(
+            corpus, bench, threshold=0.3, containment_threshold=0.8
+        ).collect()
+    }
+    release_caches()
+    assert (1, 100) in got
+    j, c = got[(1, 100)]
+    assert c == 1.0 and j < 0.3
+    assert not any(d == 2 for d, _ in got)
