@@ -100,7 +100,8 @@ def similarity_fallback_join(
     sim_col: str = "sim",
     tiebreak_cols: tuple[str, ...] = (),
     persist: bool = True,
-    n_salts: int = 1,
+    n_salts: int | str = 1,
+    target_block_rows: int = 100_000,
 ) -> DataFrame:
     """Blocked fuzzy join for companies with no exact hit
     (scraper_v2.py:1030-1067):
@@ -122,6 +123,12 @@ def similarity_fallback_join(
     meets exactly once), per-reducer candidate rows bounded by
     hot_key_rows / n_salts. Leave at 1 when AQE's runtime skew split is
     enough; salt when a known-degenerate corpus needs a static bound.
+    ``n_salts="auto"`` sizes the salt from the data instead of caller
+    guesswork: an exact map-side-combined frequency probe of the
+    candidate side's block key picks
+    ``ceil(hottest_block_rows / target_block_rows)`` (skew.py
+    auto_salt_count), so the hot block's per-reducer rows are bounded
+    at ~``target_block_rows`` whatever the corpus looks like.
     """
     t = (
         add_core_name(unmatched, target_name, "_core", persist=persist)
@@ -135,6 +142,10 @@ def similarity_fallback_join(
         .withColumn("_block", F.element_at(F.col("_ctoks"), 1))
         .filter(F.col("_block").isNotNull())
     )
+    if n_salts == "auto":
+        from .skew import auto_salt_count
+
+        n_salts = auto_salt_count(c, "_block", target_block_rows)
     if n_salts > 1:
         joined = salted_join(c, t, "_block", n_salts=n_salts)
     else:

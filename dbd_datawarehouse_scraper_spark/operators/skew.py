@@ -72,3 +72,32 @@ def widen_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFr
     if n < target:
         return df.repartition(target)
     return df
+
+
+def auto_salt_count(
+    df: DataFrame,
+    key,
+    target_rows_per_reducer: int = 100_000,
+    max_salts: int = 256,
+) -> int:
+    """Derive a salt count from the hottest key's frequency:
+    ``ceil(top_key_rows / target_rows_per_reducer)``, clamped to
+    [1, max_salts].
+
+    The probe is one map-side-combined count per distinct key plus a
+    single-row max — the shuffle carries one (key, count) row per
+    distinct key per input partition, negligible next to the join the
+    salt protects (and the count is exact, so the bound it implies is
+    a guarantee, not an estimate). One scalar is collected to the
+    driver. Callers pass the LARGE side; the salt count bounds that
+    side's per-reducer rows for the hot key at ~target_rows_per_reducer.
+    """
+    top = (
+        df.groupBy(key)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    if top is None:
+        return 1
+    return max(1, min(max_salts, -(-int(top) // target_rows_per_reducer)))

@@ -208,3 +208,56 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
         assert one_year.count() == expected
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_auto_salt_count_scales_with_hot_key(spark):
+    """auto_salt_count = ceil(hottest key rows / target), clamped."""
+    from dbd_datawarehouse_scraper_spark.operators.skew import auto_salt_count
+
+    df = spark.createDataFrame(
+        [("hot",)] * 950 + [("cold%d" % i,) for i in range(50)], "k string"
+    )
+    assert auto_salt_count(df, "k", target_rows_per_reducer=100) == 10
+    assert auto_salt_count(df, "k", target_rows_per_reducer=1000) == 1
+    assert auto_salt_count(df, "k", target_rows_per_reducer=1, max_salts=16) == 16
+    empty = spark.createDataFrame([], "k string")
+    assert auto_salt_count(empty, "k") == 1
+
+
+def test_similarity_fallback_join_auto_salts(spark):
+    """n_salts='auto' sizes the salt from the candidate side's hottest
+    block: on a corpus where one first token dominates, the auto value
+    bounds the hot block's per-reducer rows at ~target_block_rows, and
+    the matches equal the unsalted join exactly."""
+    from dbd_datawarehouse_scraper_spark.operators.joins import (
+        similarity_fallback_join,
+    )
+    from dbd_datawarehouse_scraper_spark.operators.skew import auto_salt_count
+
+    # candidate corpus: 900 names sharing the first core token, 100 not
+    cands = spark.createDataFrame(
+        [(f"บริษัท ฮอต คอมพานี {i} จำกัด",) for i in range(900)]
+        + [(f"บริษัท อื่น{i} เทรดดิ้ง จำกัด",) for i in range(100)],
+        "cand_text string",
+    )
+    targets = spark.createDataFrame(
+        [("บริษัท ฮอต คอมพานี 7 จำกัด",), ("บริษัท อื่น5 เทรดดิ้ง จำกัด",)],
+        "company_name string",
+    )
+    kw = dict(threshold=0.3, tiebreak_cols=("cand_text",), persist=False)
+    plain = similarity_fallback_join(targets, cands, **kw)
+    auto = similarity_fallback_join(
+        targets, cands, n_salts="auto", target_block_rows=100, **kw
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, auto.collect())
+    )
+    # the probe itself: hottest block (ฮอต, 900 rows) / 100 -> 9 salts
+    from dbd_datawarehouse_scraper_spark.functions.similarity import tokenize_ws
+    from dbd_datawarehouse_scraper_spark.functions.text_norm import add_core_name
+
+    c = (
+        add_core_name(cands, "cand_text", "_ccore", persist=False)
+        .withColumn("_block", F.element_at(tokenize_ws(F.col("_ccore")), 1))
+    )
+    assert auto_salt_count(c, "_block", target_rows_per_reducer=100) == 9
