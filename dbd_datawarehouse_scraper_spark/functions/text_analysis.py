@@ -192,12 +192,18 @@ def token_rarity_scores(
 
     Returns (id_col, n_tokens, mean_token_freq DOUBLE).
     """
+    # outer explode + null filter on the OUTPUT attribute: the inner
+    # form lets InferFiltersFromGenerate push `size(tokens) > 0` — with
+    # the whole split/filter tree substituted — below the projection,
+    # tokenizing every document twice. The token array never contains
+    # nulls (the HOF filter keeps non-empty strings), so dropping the
+    # null rows outer emits for empty docs is exactly inner semantics.
     toks = docs.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("_tok"),
-    )
+    ).filter(F.col("_tok").isNotNull())
     vocab = toks.groupBy("_tok").agg(F.count("*").alias("_freq"))
     return (
         toks.join(vocab, "_tok")
@@ -233,34 +239,51 @@ def repetition_stats(
     Returns (id_col, n_words, dup_word_frac, top_bigram_frac); both
     fractions are 0.0 for docs too short to measure.
     """
+    # Tokenize ONCE per leg: `_w` is staged in its own projection and
+    # every later expression references the attribute. CollapseProject
+    # keeps the stage (multi-reference, non-cheap producer), so the
+    # split/filter tree is not re-inlined per consumer expression —
+    # the pre-round-5 form evaluated it up to 4× per row (n_words,
+    # _n_uniq, the short-doc predicate pushed into the scan with the
+    # tree substituted, and the bigram lambda).
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-    n = F.size(words)
-    base = docs.select(
-        F.col(id_col),
-        words.alias("_w"),
-        n.cast("long").alias("n_words"),
-        F.size(F.array_distinct(words)).cast("long").alias("_n_uniq"),
-    )
-    grams = base.filter(F.col("n_words") >= 2).select(
+    staged = docs.select(F.col(id_col), words.alias("_w"))
+    base = staged.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1).cast("long"), F.col("n_words") - 1),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("_w"), i.cast("int")),
-                    F.element_at(F.col("_w"), (i + 1).cast("int")),
+        "_w",
+        F.size("_w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_w")).cast("long").alias("_n_uniq"),
+    )
+    # Short docs are excluded via a NULL bigram array + outer explode +
+    # output-attribute null filter instead of a `n_words >= 2`
+    # predicate: a predicate would be pushed below the staged
+    # projection with the tokenize tree substituted, and an INNER
+    # explode would let InferFiltersFromGenerate do the same with the
+    # whole bigram tree (round-5 plan audit). concat_ws never yields
+    # null, so the null filter drops exactly the short-doc marker rows.
+    grams = base.select(
+        id_col,
+        F.explode_outer(
+            F.when(
+                F.col("n_words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), F.col("n_words") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("_w"), i.cast("int")),
+                        F.element_at(F.col("_w"), (i + 1).cast("int")),
+                    ),
                 ),
             )
         ).alias("_g"),
-    )
+    ).filter(F.col("_g").isNotNull())
     gstats = (
         grams.groupBy(id_col, "_g")
         .agg(F.count("*").alias("_c"))
         .groupBy(id_col)
         .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_ngrams"))
     )
-    out = base.join(gstats, id_col, "left")
+    out = base.drop("_w").join(gstats, id_col, "left")
     return out.select(
         id_col,
         "n_words",

@@ -188,10 +188,16 @@ def contamination_pairs(
         sh = df.select(
             F.col(idc).alias(ida), shingles_vec(F.col(txc), k).alias("_sh")
         )
+        # OUTER explode: the inner form lets InferFiltersFromGenerate
+        # push `size(_sh) > 0` below this projection, duplicating the
+        # Arrow shingle UDF into a second ArrowEvalPython stage — the
+        # whole corpus shingled TWICE (verified in the round-5 plan
+        # audit). shingles_vec never returns a null or empty array, so
+        # outer == inner row-for-row and nothing is inferred.
         return sh.select(
             ida,
             F.size("_sh").alias(f"{ida}_n"),
-            F.explode("_sh").alias("_s"),
+            F.explode_outer("_sh").alias("_s"),
         ).select(ida, f"{ida}_n", F.xxhash64("_s").alias("_hs"))
 
     corpus = indexed(widen_partitions(docs), id_col, text_col, "_id")
@@ -273,8 +279,13 @@ def minhash_signatures(
     ``minhash_signature``."""
     from .skew import widen_partitions
 
+    # explode_outer: inner explode would make InferFiltersFromGenerate
+    # duplicate the shingle UDF into an inferred size()>0 filter (a
+    # second full Arrow pass over the corpus); shingles_vec never
+    # returns null/empty arrays, so outer is row-identical.
     ex = widen_partitions(docs).select(
-        F.col(id_col).alias("_id"), F.explode(shingles_vec(F.col(text_col), k)).alias("_s")
+        F.col(id_col).alias("_id"),
+        F.explode_outer(shingles_vec(F.col(text_col), k)).alias("_s"),
     ).select("_id", F.xxhash64("_s").alias("_hs"))
     agg = ex.groupBy("_id").agg(
         *[
@@ -320,11 +331,15 @@ def minhash_lsh_pairs(
     from ..caching import tracked_persist
     from .skew import widen_partitions
 
+    # explode_outer, not explode: the inferred size()>0 filter of the
+    # inner form would run the shingle UDF twice while materializing
+    # this cache (round-5 plan audit); shingles_vec never returns
+    # null/empty arrays, so outer is row-identical.
     ex = tracked_persist(
         widen_partitions(docs)
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(shingles_vec(F.col(text_col), k)).alias("_s"),
+            F.explode_outer(shingles_vec(F.col(text_col), k)).alias("_s"),
         )
         .select("_id", F.xxhash64("_s").alias("_hs"))
     )

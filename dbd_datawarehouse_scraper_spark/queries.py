@@ -2098,11 +2098,14 @@ def heavy_hitters_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy count keeps the shuffle at |vocab|, then a
     single ordered limit — the scalable corpus-vocabulary pattern."""
     d = t(spark, sf_dir, "documents")
+    # outer explode + output-attribute null filter == inner explode
+    # here (token arrays never hold nulls), without the inferred
+    # size()>0 filter re-tokenizing every document (round-5 audit)
     toks = d.select(
-        F.explode(
+        F.explode_outer(
             F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
         ).alias("token")
-    )
+    ).filter(F.col("token").isNotNull())
     return (
         toks.groupBy("token")
         .agg(F.count("*").alias("n"))
