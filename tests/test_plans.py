@@ -123,3 +123,41 @@ def test_generate_search_terms_no_inferred_filter_no_barrier(spark, sf_dir):
     assert plan.count("regexp_replace") < 40, plan.count("regexp_replace")
     assert "Generate posexplode" in plan
     assert "InMemoryRelation" not in plan, "no persist barrier expected"
+
+
+def test_no_inferred_filter_duplicates_expensive_generators(spark, sf_dir):
+    """Round-5 perf property, generalized: no query plan may contain a
+    Filter that re-evaluates an Arrow UDF's or a tokenize tree's
+    producing expression below its Generate (InferFiltersFromGenerate
+    poison — it doubled the corpus shingle pass in contamination_check
+    and the tokenize pass in repetition_stats). Outer explodes + output
+    -attribute null filters keep these plans single-evaluation."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    for name in [
+        "contamination_check",
+        "minhash_lsh_dedup",
+        "token_rarity",
+        "repetition_stats",
+        "heavy_hitters_tokens",
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        release_caches()
+        for line in plan.splitlines():
+            if "Filter" not in line:
+                continue
+            assert "pythonUDF" not in line, f"{name}: UDF in Filter: {line[:160]}"
+            assert not ("size(filter(split(" in line), (
+                f"{name}: tokenize tree in Filter: {line[:160]}"
+            )
+
+
+def test_contamination_single_arrow_pass_per_side(spark, sf_dir):
+    """The corpus and benchmark sides each shingle EXACTLY once: two
+    ArrowEvalPython stages in the whole plan (round-4's inner explode
+    had four — a second full corpus pass for the inferred filter)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    plan = plan_of(spark, sf_dir, "contamination_check")
+    release_caches()
+    assert plan.count("ArrowEvalPython") == 2, plan.count("ArrowEvalPython")
