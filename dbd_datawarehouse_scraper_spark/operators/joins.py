@@ -130,18 +130,27 @@ def similarity_fallback_join(
     auto_salt_count), so the hot block's per-reducer rows are bounded
     at ~``target_block_rows`` whatever the corpus looks like.
     """
-    t = (
-        add_core_name(unmatched, target_name, "_core", persist=persist)
-        .withColumn("_toks", tokenize_ws(F.col("_core")))
-        .withColumn("_block", F.element_at(F.col("_toks"), 1))
-        .filter(F.col("_block").isNotNull())
-    )
-    c = (
-        add_core_name(candidates, cand_name, "_ccore", persist=persist)
-        .withColumn("_ctoks", tokenize_ws(F.col("_ccore")))
-        .withColumn("_block", F.element_at(F.col("_ctoks"), 1))
-        .filter(F.col("_block").isNotNull())
-    )
+    # The token arrays go through an explode_outer(array(...)) Generate
+    # barrier: `_block`'s isnotnull filter (explicit here, and inferred
+    # again by the join) would otherwise be PUSHED below the projection
+    # with the whole core-name chain substituted — the interpreted
+    # chain evaluated twice per row per side (round-5 plan audit; the
+    # same mechanism exact_core_join guards against). Above the
+    # Generate the filters reference its output attribute, which
+    # cannot be pushed below it. array(x) is never empty, so outer is
+    # row-identical to the plain projection.
+    def _with_tokens(df, name_col, core_col, toks_col):
+        cored = add_core_name(df, name_col, core_col, persist=persist)
+        return (
+            cored.select(
+                "*", F.explode_outer(F.array(tokenize_ws(F.col(core_col)))).alias(toks_col)
+            )
+            .withColumn("_block", F.element_at(F.col(toks_col), 1))
+            .filter(F.col("_block").isNotNull())
+        )
+
+    t = _with_tokens(unmatched, target_name, "_core", "_toks")
+    c = _with_tokens(candidates, cand_name, "_ccore", "_ctoks")
     if n_salts == "auto":
         from .skew import auto_salt_count
 

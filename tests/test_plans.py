@@ -140,15 +140,23 @@ def test_no_inferred_filter_duplicates_expensive_generators(spark, sf_dir):
         "token_rarity",
         "repetition_stats",
         "heavy_hitters_tokens",
+        "similarity_fallback_join",
     ]:
         plan = plan_of(spark, sf_dir, name)
         release_caches()
         for line in plan.splitlines():
-            if "Filter" not in line:
+            if "Filter" not in line and "FileScan" not in line:
                 continue
             assert "pythonUDF" not in line, f"{name}: UDF in Filter: {line[:160]}"
             assert not ("size(filter(split(" in line), (
                 f"{name}: tokenize tree in Filter: {line[:160]}"
+            )
+            # the interpreted _once chain (lambdafunction markers) must
+            # never be substituted into a pushed-down predicate — the
+            # similarity join's block-key isnotnull did exactly that
+            # before its Generate barrier (round 5)
+            assert "lambdafunction" not in line, (
+                f"{name}: _once chain in Filter/Scan: {line[:160]}"
             )
 
 
