@@ -28,6 +28,10 @@ from .similarity import (  # noqa: F401
     token_jaccard,
 )
 from .search_terms import generate_search_terms  # noqa: F401
+from .pii import (  # noqa: F401
+    pii_counts,
+    redact_pii,
+)
 from .text_analysis import (  # noqa: F401
     token_count,
     char_classes,

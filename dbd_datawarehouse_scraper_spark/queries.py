@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.parsing import parse_money, validate_regnum
+from .functions.pii import counts_sql as _pii_counts_sql
+from .functions.pii import redact_sql as _pii_redact_sql
 from .functions.text_norm import (
     clean_filler_words,
     extract_core_name,
@@ -1272,7 +1274,9 @@ _LANG_SCORES_SQL = """
                 WHEN s_fr = top THEN 'fr'
                 ELSE 'zh' END AS lang_pred,
            round(0.5 * s.len_score + 0.3 * s.stop_score + 0.2 * (1.0 - s.punct_penalty), 6) AS quality,
-           sha256(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))) AS fingerprint
+           sha256(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))) AS fingerprint,
+           {_pii_counts_sql("b.text")},
+           sha256({_pii_redact_sql("b.text")}) AS redacted_fingerprint
     FROM best b JOIN s ON b.doc_id = s.doc_id
     """,
 )
@@ -1280,8 +1284,12 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] per-document text-analysis suite in ONE projection (folded
     per round-1 verdict): token_count, lang_id (n-gram heuristic),
     quality_score (length/punct/stopword ratios), doc_fingerprint
-    (normalized sha256). Each function stays individually unit-tested in
+    (normalized sha256), and (round 5) the PII screen — per-category
+    match counts plus a fingerprint of the redacted text
+    (functions/pii.py: email -> IPv4 -> phone, cross-engine-identical
+    regex family). Each function stays individually unit-tested in
     tests/test_text_functions.py."""
+    from .functions.pii import pii_counts, redact_pii
     from .functions.text_analysis import (
         doc_fingerprint,
         lang_id,
@@ -1297,6 +1305,8 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id(F.col("text")).alias("lang_pred"),
         quality_score(F.col("text")).alias("quality"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
+        *pii_counts(F.col("text")),
+        F.sha2(redact_pii(F.col("text")), 256).alias("redacted_fingerprint"),
     )
 
 

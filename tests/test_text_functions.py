@@ -101,3 +101,79 @@ def test_similarity(spark):
     rows = df.select("a", "b", name_similarity(F.col("a"), F.col("b")).alias("s")).collect()
     for r in rows:
         assert r["s"] == pytest.approx(model_jaccard(r["a"], r["b"])), (r["a"], r["b"])
+
+
+PII_ROWS = [
+    (1, "contact me at john.doe+spam@example.co.uk or call +1 (555) 123-4567 now"),
+    (2, "server at 192.168.0.1 and backup at 10.0.0.255, port 8080"),
+    (3, "user12345678@host.org has digits; raw run 123456789012 too"),
+    (4, "no pii here, just words and the number 42"),
+    (5, "edge: 999.999.999.999 and 1.2.3.4.5 and a+b@c.de"),
+    (6, "phones: 0812 345 678, 555-123-4567, (02) 123 4567"),
+    (7, None),
+    (8, ""),
+    (9, "อีเมล thai@บริษัท.com กับ 081-234-5678 ครับ"),
+    (10, "v1.2.3.4 version string and semver 10.20.30.40-beta"),
+]
+
+
+def test_pii_counts_and_redaction_semantics(spark):
+    """PII screen (functions/pii.py): category counts over adversarial
+    rows, and redaction order (email before IPv4 before phone) so an
+    email's digit run or an IP's fragments never leak into <PHONE>."""
+    from dbd_datawarehouse_scraper_spark.functions.pii import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(PII_ROWS, "id long, text string")
+    got = {
+        r["id"]: (
+            r["n_pii_emails"], r["n_pii_ipv4"], r["n_pii_phones"], r["red"]
+        )
+        for r in df.select(
+            "id", *pii_counts(F.col("text")),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert got[1] == (1, 0, 1, "contact me at <EMAIL> or call <PHONE> now")
+    assert got[2][1] == 2 and "<IP>" in got[2][3] and "8080" in got[2][3]
+    # digit-run inside an email is redacted AS the email, not as phone
+    assert got[3][0] == 1 and got[3][3].startswith("<EMAIL> has digits")
+    assert got[4] == (0, 0, 0, "no pii here, just words and the number 42")
+    assert got[6][2] == 3
+    assert got[7] == (None, None, None, None)
+    assert got[8] == (0, 0, 0, "")
+    # non-ASCII domain is NOT an email per the ASCII pattern; Thai
+    # phone still caught
+    assert got[9][0] == 0 and got[9][2] == 1
+
+
+def test_pii_matches_duckdb_oracle_exactly(spark):
+    """The SQL mirrors (pii.counts_sql / redact_sql) are byte-identical
+    pattern strings; Spark's Java regex and DuckDB's RE2 must produce
+    identical counts AND identical redacted text on the adversarial
+    set — this is what makes the text_features oracle fold safe."""
+    import duckdb
+    import pandas as pd
+
+    from dbd_datawarehouse_scraper_spark.functions.pii import (
+        counts_sql,
+        pii_counts,
+        redact_pii,
+        redact_sql,
+    )
+
+    df = spark.createDataFrame(PII_ROWS, "id long, text string")
+    got = {
+        r["id"]: (r["n_pii_emails"], r["n_pii_ipv4"], r["n_pii_phones"], r["red"])
+        for r in df.select(
+            "id", *pii_counts(F.col("text")),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(PII_ROWS, columns=["id", "text"]))
+    sql = f"SELECT id, {counts_sql('text')}, {redact_sql('text')} AS red FROM t"
+    exp = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
+    assert got == exp
