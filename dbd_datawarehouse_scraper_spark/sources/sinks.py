@@ -238,3 +238,27 @@ def fold_epoch_dirs(
     fs_rename(spark, tmp, path)
     fs_delete(spark, old)
     return True
+
+
+def jsonl_sink(
+    df,
+    path: str,
+    mode: str = "overwrite",
+    target_files: int | None = None,
+    compression: str | None = "gzip",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """[EXT] JSONL export — the shard format training loaders consume.
+    Defaults to gzip (the public corpora ship .jsonl.gz); pass
+    ``compression=None`` for plain text. ``partition_by`` pairs with
+    pack_shards' shard column so each token-budget shard lands in its
+    own directory; ``target_files`` is for small outputs only — at
+    scale leave it None and let the upstream partitioning (range
+    exchange, AQE) decide file counts."""
+    out = df.coalesce(target_files) if target_files else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

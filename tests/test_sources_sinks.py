@@ -534,3 +534,60 @@ def test_fold_epoch_dirs_preserves_rows_and_bounds_generations(spark):
         assert {(r["id"], r["txt"]) for r in spark.read.parquet(store).collect()} == before
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_jsonl_source_quarantines_corrupt_lines_and_round_trips(spark):
+    """JSONL source/sink (round 5): good lines parse against the
+    explicit schema, corrupt lines land on the quarantine side with
+    the raw text (never killing the read), fail_on_corrupt raises, and
+    a jsonl_sink -> jsonl_documents_source round-trip (gzip) preserves
+    rows exactly, partitioned by pack_shards' shard column."""
+    from dbd_datawarehouse_scraper_spark.operators.sharding import pack_shards
+    from dbd_datawarehouse_scraper_spark.sources.files import (
+        jsonl_documents_source,
+    )
+    from dbd_datawarehouse_scraper_spark.sources.sinks import jsonl_sink
+
+    work = tempfile.mkdtemp(prefix="jsonl_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        with open(f"{src}/part-0.jsonl", "w", encoding="utf-8") as f:
+            f.write('{"doc_id": 1, "text": "hello world"}\n')
+            f.write('{"doc_id": 2, "text": "ไทย ครับ"}\n')
+            f.write("{torn line not json\n")
+            f.write('{"doc_id": 4, "text": "fourth"}\n')
+        good, corrupt = jsonl_documents_source(spark, src)
+        rows = {r["doc_id"]: r["text"] for r in good.collect()}
+        assert rows == {1: "hello world", 2: "ไทย ครับ", 4: "fourth"}
+        bad = [r["raw_line"] for r in corrupt.collect()]
+        assert bad == ["{torn line not json"]
+
+        with pytest.raises(ValueError, match="corrupt JSONL"):
+            jsonl_documents_source(spark, src, fail_on_corrupt=True)
+
+        # round-trip with token-budget shards as the partition dirs
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} with words", 10 + i % 7) for i in range(50)],
+            "doc_id long, text string, n_tokens long",
+        )
+        packed = pack_shards(docs, budget=100)
+        jsonl_sink(packed, f"{work}/out", partition_by=("shard",))
+        from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+        release_caches()
+        back, bad2 = jsonl_documents_source(
+            spark, f"{work}/out",
+            schema="doc_id LONG, text STRING, n_tokens LONG",
+        )
+        assert bad2.count() == 0
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in packed.drop("shard").collect()
+        }
+        release_caches()
+        # gzip actually applied
+        import glob
+
+        assert glob.glob(f"{work}/out/shard=*/*.gz")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
