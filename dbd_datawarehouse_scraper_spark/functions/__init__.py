@@ -32,6 +32,7 @@ from .pii import (  # noqa: F401
     pii_counts,
     redact_pii,
 )
+from .splits import content_split  # noqa: F401
 from .text_analysis import (  # noqa: F401
     token_count,
     char_classes,

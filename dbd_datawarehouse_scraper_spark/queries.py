@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from .functions.parsing import parse_money, validate_regnum
 from .functions.pii import counts_sql as _pii_counts_sql
 from .functions.pii import redact_sql as _pii_redact_sql
+from .functions.splits import split_sql as _split_sql
 from .functions.text_norm import (
     clean_filler_words,
     extract_core_name,
@@ -1246,6 +1247,9 @@ _LANG_SCORES_SQL = """
 """
 
 
+_FP_OF_DOC_SQL = "sha256(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g'))))"
+
+
 @register(
     "text_features",
     f"""
@@ -1276,7 +1280,8 @@ _LANG_SCORES_SQL = """
            round(0.5 * s.len_score + 0.3 * s.stop_score + 0.2 * (1.0 - s.punct_penalty), 6) AS quality,
            sha256(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))) AS fingerprint,
            {_pii_counts_sql("b.text")},
-           sha256({_pii_redact_sql("b.text")}) AS redacted_fingerprint
+           sha256({_pii_redact_sql("b.text")}) AS redacted_fingerprint,
+           {_split_sql(_FP_OF_DOC_SQL)} AS split
     FROM best b JOIN s ON b.doc_id = s.doc_id
     """,
 )
@@ -1290,6 +1295,7 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex family). Each function stays individually unit-tested in
     tests/test_text_functions.py."""
     from .functions.pii import pii_counts, redact_pii
+    from .functions.splits import content_split
     from .functions.text_analysis import (
         doc_fingerprint,
         lang_id,
@@ -1307,6 +1313,9 @@ def text_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(F.col("text")).alias("fingerprint"),
         *pii_counts(F.col("text")),
         F.sha2(redact_pii(F.col("text")), 256).alias("redacted_fingerprint"),
+        # leakage-safe content-keyed split; the duplicated fingerprint
+        # subtree is CSE'd by whole-stage codegen
+        content_split(doc_fingerprint(F.col("text"))).alias("split"),
     )
 
 

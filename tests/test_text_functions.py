@@ -177,3 +177,74 @@ def test_pii_matches_duckdb_oracle_exactly(spark):
     sql = f"SELECT id, {counts_sql('text')}, {redact_sql('text')} AS red FROM t"
     exp = {row[0]: tuple(row[1:]) for row in con.execute(sql).fetchall()}
     assert got == exp
+
+
+def test_content_split_deterministic_and_proportional(spark):
+    """Content-hash splitting (functions/splits.py): assignment is a
+    pure function of the fingerprint (rerun- and partition-invariant),
+    identical content always gets the same split, the realized
+    fractions track the requested ones, and the SQL mirror agrees
+    byte-for-byte with the column form."""
+    import duckdb
+    import pandas as pd
+
+    from dbd_datawarehouse_scraper_spark.functions.splits import (
+        content_split,
+        split_sql,
+    )
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        doc_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} some words") for i in range(2000)]
+        + [(9001, "document body number 7 some words")],  # exact dup of 7
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        content_split(doc_fingerprint(F.col("text"))).alias("split"),
+    )
+    rows = {r["doc_id"]: (r["fp"], r["split"]) for r in out.collect()}
+    # identical content -> identical split, whatever the ids
+    assert rows[9001] == rows[7]
+    # rerun + different partitioning -> identical assignment
+    rows2 = {
+        r["doc_id"]: (r["fp"], r["split"])
+        for r in docs.repartition(13)
+        .select(
+            "doc_id",
+            doc_fingerprint(F.col("text")).alias("fp"),
+            content_split(doc_fingerprint(F.col("text"))).alias("split"),
+        )
+        .collect()
+    }
+    assert rows == rows2
+    # proportions: 90/5/5 within a few points on 2001 docs
+    from collections import Counter
+
+    c = Counter(v[1] for v in rows.values())
+    n = sum(c.values())
+    assert 0.85 < c["train"] / n < 0.95
+    assert 0.02 < c["val"] / n < 0.08
+    assert 0.02 < c["test"] / n < 0.08
+
+    # SQL mirror equivalence on the same fingerprints
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame([(k, v[0]) for k, v in rows.items()], columns=["id", "fp"])
+    )
+    sql_split = {
+        row[0]: row[1]
+        for row in con.execute(
+            f"SELECT id, {split_sql('fp')} FROM t"
+        ).fetchall()
+    }
+    assert sql_split == {k: v[1] for k, v in rows.items()}
+
+    # bad fractions refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        content_split(F.lit("ab"), {"train": 0.5})
