@@ -30,8 +30,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: Single-branch patterns, identical semantics under Java regex and RE2.
+#: NO \b anywhere: Java's \b is ALWAYS Unicode-aware (independent of
+#: UNICODE_CHARACTER_CLASS — a long-standing JDK quirk) while RE2's is
+#: ASCII-only, so the two engines disagree whenever a digit adjoins a
+#: Thai/CJK/accented letter (caught by the seeded cross-engine fuzz:
+#: 'ไทย1.2.3.4' matched in DuckDB, not in Spark). A boundary-free
+#: 4-octet pattern is evaluated identically by both engines; the cost —
+#: matching the leading 4 octets inside longer dotted runs or version
+#: strings — is acceptable for a screen and, crucially, DETERMINISTIC
+#: AND EQUAL across engines.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+IPV4_PATTERN = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 #: >= 8 chars total, starts/ends on a digit, optional leading +; the
 #: interior may use spaces, parens, dashes (covers +1 (555) 123-4567,
 #: 0812 345 678, 555-123-4567 without attempting full E.164 parsing).

@@ -162,3 +162,57 @@ def test_fuzz_core_name_key_is_chain_plus_nullif(spark):
     ).collect()
     for r in rows:
         assert r["k"] == r["e"], repr(r["company_name"])
+
+
+def test_pii_cross_engine_fuzz(spark):
+    """Seeded fuzz: PII counts AND redacted text must agree between
+    Spark (Java regex) and DuckDB (RE2) on randomly composed strings
+    mixing emails, phones, IPs, near-miss fragments, Unicode, and
+    pathological punctuation — the single-branch pattern family's
+    engine-equivalence claim, stress-tested."""
+    import duckdb
+    import pandas as pd
+
+    from dbd_datawarehouse_scraper_spark.functions.pii import (
+        counts_sql,
+        pii_counts,
+        redact_pii,
+        redact_sql,
+    )
+
+    rng = random.Random(20260814)
+    atoms = [
+        "john.doe@example.com", "a+b@c.de", "x@y",  # last is not an email
+        "+1 (555) 123-4567", "0812 345 678", "12345", "123-45",
+        "192.168.0.1", "999.999.999.999", "1.2.3.4.5", "1.2.3",
+        "user{n}@host{n}.org", "call {n}{n}{n}-{n}{n}{n}-{n}{n}{n}{n}",
+        "ไทย", "คำ", "naïve", "木漢字", "", "...", "@@", "()", "-",
+        "word", "anti-spam", "semver 1.2.3.4-beta", "v10.20.30.40",
+        "(02) 123 4567", "+66", "e.g.", "a.b.c@d.e.fg",
+    ]
+    rows = []
+    for i in range(400):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            a = rng.choice(atoms).replace("{n}", str(rng.randint(0, 9)))
+            parts.append(a)
+        sep = rng.choice([" ", "  ", ", ", "\n", "\t", ""])
+        rows.append((i, sep.join(parts)))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["n_pii_emails"], r["n_pii_ipv4"], r["n_pii_phones"], r["red"])
+        for r in df.select(
+            "id", *pii_counts(F.col("text")),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "text"]))
+    exp = {
+        row[0]: tuple(row[1:])
+        for row in con.execute(
+            f"SELECT id, {counts_sql('text')}, {redact_sql('text')} AS red FROM t"
+        ).fetchall()
+    }
+    diffs = {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
+    assert not diffs, f"{len(diffs)} diverging rows, first: {next(iter(diffs.items()))}"

@@ -147,6 +147,11 @@ def test_pii_counts_and_redaction_semantics(spark):
     # non-ASCII domain is NOT an email per the ASCII pattern; Thai
     # phone still caught
     assert got[9][0] == 0 and got[9][2] == 1
+    # boundary-free IPv4: version strings match their 4 leading octets
+    # in BOTH engines (the \b the pattern deliberately omits would make
+    # Java and RE2 disagree next to non-ASCII letters)
+    assert got[10][1] == 2
+    assert got[10][3] == "v<IP> version string and semver <IP>-beta"
 
 
 def test_pii_matches_duckdb_oracle_exactly(spark):
