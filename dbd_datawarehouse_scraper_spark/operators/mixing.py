@@ -1,0 +1,102 @@
+"""[EXT] Deterministic corpus mixing for training-data assembly.
+
+Pre-training sets are MIXTURES: N source corpora combined at target
+proportions (e.g. 60% web, 30% code, 10% reference). The operator here
+downsamples each source deterministically so the output's per-source
+token (or document) proportions match the requested weights, WITHOUT
+upsampling (no row is ever duplicated — repetition policy belongs to
+the training loader, not the data layer):
+
+- per-source totals come from one map-side-combined aggregate (the
+  only shuffle; the result is ≤ |sources| rows, collected as scalars);
+- ``scale = min_s(total_s / weight_s)`` finds the binding source — the
+  one that is fully kept — and every other source keeps
+  ``rate_s = weight_s * scale / total_s`` of its mass;
+- selection is by CONTENT hash threshold (first 8 hex chars of
+  sha256('mix:' || text), bucketed to [0, 10000)): rerun-stable,
+  partition-invariant, and independent of the ``content_split``
+  assignment (different hash prefix salt — otherwise "drop 10% of a
+  source" would correlate with "the 10% val+test slice").
+
+Everything after the totals aggregate is a stateless per-row filter —
+no second shuffle, no driver-side data beyond one scalar per source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+_SALT = "mix:"
+
+
+def mix_rates(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    token_col: str | None = None,
+) -> dict[str, float]:
+    """The per-source keep rates the mix implies: ``weight * scale /
+    total`` with ``scale = min(total/weight)`` over the weighted
+    sources. Exposed separately so callers can inspect/log the realized
+    rates (and tests can assert the arithmetic)."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
+    measure = (
+        F.coalesce(F.sum(token_col), F.lit(0)) if token_col else F.count("*")
+    )
+    totals = {
+        r[source_col]: r["_t"]
+        for r in docs.filter(
+            F.col(source_col).isin([s for s, w in weights.items() if w > 0])
+        )
+        .groupBy(source_col)
+        .agg(measure.alias("_t"))
+        .collect()
+    }
+    missing = [s for s, w in weights.items() if w > 0 and not totals.get(s)]
+    if missing:
+        raise ValueError(
+            f"sources {missing} have weight > 0 but no rows/tokens — a "
+            "mix that silently omits a requested source is a corrupted "
+            "training set; drop them from weights explicitly."
+        )
+    scale = min(totals[s] / w for s, w in weights.items() if w > 0)
+    return {
+        s: (w * scale / totals[s] if w > 0 else 0.0)
+        for s, w in weights.items()
+    }
+
+
+def mix_corpora(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Downsample ``docs`` so per-source proportions (by ``token_col``
+    mass when given, else by document count) match ``weights``.
+    Sources absent from ``weights`` are dropped — a mix is an explicit
+    allowlist. Returns the input columns unchanged."""
+    rates = mix_rates(docs, weights, source_col, token_col)
+    bucket = (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(_SALT), F.col(text_col)), 256), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    rate_expr = None
+    for s, r in rates.items():
+        cond = F.col(source_col) == s
+        rate_expr = (
+            F.when(cond, F.lit(r)) if rate_expr is None else rate_expr.when(cond, F.lit(r))
+        )
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    return docs.filter(bucket < rate_expr * _BUCKETS)

@@ -2482,6 +2482,23 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(t(spark, sf_dir, "documents"))
 
 
+@register("corpus_mix", None)
+def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic corpus mixing (operators/mixing.py): the
+    documents table's sources downsampled to 50/30/20 proportions by
+    character mass, selection keyed on a salted content hash. Rows-only
+    (the keep rates come from a driver-side totals collect, not one SQL
+    statement); rate arithmetic, determinism, proportions, and the
+    cross-engine selection predicate are pinned in
+    tests/test_scale_ops.py."""
+    from .operators.mixing import mix_corpora
+
+    d = t(spark, sf_dir, "documents")
+    srcs = sorted(r["source"] for r in d.select("source").distinct().collect())
+    weights = dict(zip(srcs, [0.5, 0.3, 0.2] + [0.0] * max(0, len(srcs) - 3)))
+    return mix_corpora(d, weights, token_col="n_chars")
+
+
 def _reorder_registry() -> None:
     oracle = {k: v for k, v in QUERIES.items() if v.sql is not None}
     rows_only = {k: v for k, v in QUERIES.items() if v.sql is None}

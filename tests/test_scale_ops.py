@@ -261,3 +261,86 @@ def test_similarity_fallback_join_auto_salts(spark):
         .withColumn("_block", F.element_at(tokenize_ws(F.col("_ccore")), 1))
     )
     assert auto_salt_count(c, "_block", target_rows_per_reducer=100) == 9
+
+
+def test_mix_rates_arithmetic(spark):
+    """mix_rates: binding source keeps 100%, others keep
+    weight*scale/total; zero-weight excluded; missing source raises."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.operators.mixing import mix_rates
+
+    docs = spark.createDataFrame(
+        [("a", i, 10) for i in range(100)]        # 1000 tokens
+        + [("b", i, 10) for i in range(100, 130)] # 300 tokens
+        + [("c", i, 10) for i in range(200, 210)],  # 100 tokens
+        "source string, doc_id long, n_tokens long",
+    )
+    # weights 0.5/0.3/0.2 -> totals/weight = 2000/1000/500 -> scale 500
+    # (c binds); rates: a = .5*500/1000 = .25, b = .3*500/300 = .5, c = 1
+    rates = mix_rates(docs, {"a": 0.5, "b": 0.3, "c": 0.2}, token_col="n_tokens")
+    assert rates == {"a": 0.25, "b": 0.5, "c": 1.0}
+    # by document count instead of tokens: same counts here / same rates
+    assert mix_rates(docs, {"a": 0.5, "b": 0.3, "c": 0.2})["c"] == 1.0
+    assert mix_rates(docs, {"a": 1.0, "b": 0.0})["b"] == 0.0
+    with _pytest.raises(ValueError, match="no rows"):
+        mix_rates(docs, {"a": 0.5, "zz": 0.5})
+
+
+def test_mix_corpora_deterministic_and_proportional(spark):
+    """mix_corpora: selection is content-keyed (partition- and
+    rerun-invariant), the binding source is fully kept, unlisted
+    sources are dropped, and realized token proportions track the
+    weights. The selection predicate itself is replicated in DuckDB
+    and must agree row-for-row (sha256 is engine-identical)."""
+    import duckdb
+    import pandas as pd
+
+    from dbd_datawarehouse_scraper_spark.operators.mixing import (
+        _BUCKETS,
+        _SALT,
+        mix_corpora,
+        mix_rates,
+    )
+
+    rows = (
+        [("a", i, f"alpha document {i} body", 10) for i in range(3000)]
+        + [("b", i, f"beta text {i} words", 10) for i in range(3000, 4000)]
+        + [("c", i, f"gamma item {i}", 10) for i in range(5000, 5200)]
+        + [("zz", i, f"unlisted {i}", 10) for i in range(9000, 9100)]
+    )
+    docs = spark.createDataFrame(
+        rows, "source string, doc_id long, text string, n_tokens long"
+    )
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    out = mix_corpora(docs, weights, token_col="n_tokens")
+    got = {r["doc_id"] for r in out.collect()}
+    got2 = {r["doc_id"] for r in mix_corpora(
+        docs.repartition(17), weights, token_col="n_tokens").collect()}
+    assert got == got2
+    # binding source (c: 200 docs * 10 tokens / 0.2 largest ratio
+    # denominator) fully kept; unlisted dropped
+    assert all(i in got for i in range(5000, 5200))
+    assert not any(i in got for i in range(9000, 9100))
+    # realized proportions near 50/30/20 (hash sampling variance)
+    kept = [r for r in rows if r[1] in got]
+    mass = {s: sum(r[3] for r in kept if r[0] == s) for s in weights}
+    total = sum(mass.values())
+    for s, w in weights.items():
+        assert abs(mass[s] / total - w) < 0.05, (s, mass[s] / total)
+
+    # cross-engine: DuckDB replicating bucket < rate*BUCKETS selects
+    # exactly the same rows
+    rates = mix_rates(docs, weights, token_col="n_tokens")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["source", "doc_id", "text", "n_tokens"]))
+    case = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in rates.items()
+    )
+    sql = f"""
+      SELECT doc_id FROM t
+      WHERE (CAST(('0x' || substr(sha256('{_SALT}' || text), 1, 8)) AS UBIGINT)
+             % {_BUCKETS}) < CAST(CASE source {case} ELSE 0.0 END AS DOUBLE) * {_BUCKETS}
+    """
+    exp = {row[0] for row in con.execute(sql).fetchall()}
+    assert got == exp
