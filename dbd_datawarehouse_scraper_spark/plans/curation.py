@@ -44,9 +44,13 @@ def curate_documents(
     min_tokens: int = 5,
     near_dup_threshold: float = 0.8,
     sample_fractions: dict | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
+    ``carry_cols`` names extra input columns (source tags, URLs,
+    licenses) to pass through the funnel unchanged — downstream stages
+    like corpus mixing key on them.
 
     Near-dup survivor rule: ONE document per connected component of the
     verified near-dup pair graph — the component's minimum id
@@ -59,6 +63,7 @@ def curate_documents(
     analyzed = docs.select(
         id_col,
         text_col,
+        *carry_cols,
         lang_id(F.col(text_col)).alias("lang"),
         quality_score(F.col(text_col)).alias("quality"),
         token_count(F.col(text_col)).alias("n_tokens"),

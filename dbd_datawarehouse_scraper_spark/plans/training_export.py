@@ -1,0 +1,109 @@
+"""[EXT] Curated corpus → trainer-ready sharded JSONL, end to end.
+
+The last mile of the training-data story: everything after curation is
+deterministic layout, and each stage is one of this engine's own
+verified operators —
+
+    documents
+      → curation funnel              (plans/curation.py: lang/quality
+                                      gates, exact + near dedup)
+      → corpus mixing                (operators/mixing.py: per-source
+                                      token proportions, never upsample)
+      → content-hash split           (functions/splits.py: leakage-safe
+                                      train/val/test, rerun-stable)
+      → PII redaction                (functions/pii.py, optional)
+      → token-budget shard packing   (operators/sharding.py: two-level
+                                      prefix sum, per split)
+      → gzip JSONL shards            (sources/sinks.py jsonl_sink,
+                                      partitioned by shard id)
+
+Layout: ``out/split=<label>/shard=<n>/part-*.json.gz`` — exactly the
+directory shape training loaders glob. Shard ids restart per split (a
+trainer never mixes splits in one stream).
+
+Determinism end to end: every stage keys its decisions on content
+(fingerprints, salted content hashes, the order column), so the same
+corpus produces byte-stable membership on any cluster, partitioning,
+or rerun — the property that makes a 100 TB export auditable.
+
+The per-split loop is a driver-side loop over ≤ a handful of labels,
+each iteration one independent distributed job (packing + write); the
+splits could equally run concurrently from separate threads — they
+share no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.pii import redact_pii
+from ..functions.splits import DEFAULT_FRACTIONS, content_split
+from ..functions.text_analysis import doc_fingerprint, token_count
+from ..operators.mixing import mix_corpora
+from ..operators.sharding import pack_shards
+from ..sources.sinks import jsonl_sink
+from .curation import curate_documents
+
+
+def export_training_set(
+    docs: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mix_weights: dict[str, float] | None = None,
+    source_col: str = "source",
+    split_fractions: dict[str, float] | None = None,
+    shard_token_budget: int = 1_000_000,
+    redact: bool = True,
+    curate_kwargs: dict | None = None,
+) -> dict[str, int]:
+    """Run the full export; returns {split label: document count}.
+
+    ``mix_weights=None`` skips mixing (single-source corpora);
+    ``redact=False`` keeps original text. The curation funnel's knobs
+    pass through ``curate_kwargs``. Consumes its own intermediate
+    persists (the funnel's) via the standard pool discipline — callers
+    still call ``caching.release_caches()`` after, like any consuming
+    action in this package.
+    """
+    curated = curate_documents(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=(source_col,) if mix_weights else (),
+        **(curate_kwargs or {}),
+    )
+    if mix_weights:
+        # mixing AFTER curation: the proportions are over the mass that
+        # actually survives dedup/gating, which is what the trainer sees
+        curated = mix_corpora(
+            curated, mix_weights, source_col=source_col, text_col=text_col
+        ).drop(source_col)
+    prepared = curated.withColumn(
+        "split", content_split(doc_fingerprint(F.col(text_col)), split_fractions)
+    ).withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    if redact:
+        prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    from ..caching import tracked_persist
+
+    # one pass computes curation + split for every label; each split's
+    # packing job then reads the cached relation instead of re-running
+    # the funnel per label
+    prepared = tracked_persist(prepared)
+
+    counts: dict[str, int] = {}
+    for label in (split_fractions or DEFAULT_FRACTIONS):
+        subset = prepared.filter(F.col("split") == label).drop("split")
+        packed = pack_shards(
+            subset,
+            token_col="n_tokens",
+            budget=shard_token_budget,
+            order_col=id_col,
+        )
+        jsonl_sink(
+            packed, f"{out_path}/split={label}", partition_by=("shard",)
+        )
+        counts[label] = subset.count()
+    return counts

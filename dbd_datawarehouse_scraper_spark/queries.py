@@ -2482,6 +2482,41 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(t(spark, sf_dir, "documents"))
 
 
+@register("training_export_hermetic", None)
+def training_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The full last-mile export (plans/training_export.py):
+    curate → mix → content-hash split → PII-redact → token-budget pack
+    → gzip JSONL, run hermetically into a temp dir; returns the
+    read-back train split (doc_id, n_tokens, shard). Rows-only (the
+    plan writes files and loops splits); layout, split disjointness,
+    shard budgets, and rerun determinism are pinned in
+    tests/test_curation.py."""
+    import shutil
+    import tempfile
+
+    from .plans.training_export import export_training_set
+
+    d = t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="train_export_q_")
+    try:
+        export_training_set(
+            d,
+            work,
+            mix_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            shard_token_budget=2000,
+            curate_kwargs={"keep_langs": ("en", "de", "fr", "es", "zh", "und")},
+        )
+        out = spark.read.json(f"{work}/split=train").select(
+            "doc_id", "n_tokens", "shard"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        from .caching import release_caches
+
+        release_caches()
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("corpus_mix", None)
 def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Deterministic corpus mixing (operators/mixing.py): the

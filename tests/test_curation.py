@@ -86,3 +86,83 @@ def test_funnel_drains_its_own_pool(spark, docs):
     assert out.count() > 0
     release_caches()
     assert live_scratch_count() == 0
+
+
+def test_export_training_set_end_to_end(spark, sf_dir, tmp_path):
+    """The full last-mile plan (plans/training_export.py): curate →
+    mix → split → redact → pack → gzip JSONL. Asserts the on-disk
+    layout (split=<label>/shard=<n>/*.gz), split disjointness, shard
+    budgets, JSONL readability, and rerun determinism."""
+    import glob
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans import export_training_set
+    from dbd_datawarehouse_scraper_spark.sources.files import (
+        jsonl_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "export")
+    counts = export_training_set(
+        docs,
+        out,
+        mix_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        shard_token_budget=2000,
+        curate_kwargs={"keep_langs": ("en", "de", "fr", "es", "zh", "und")},
+    )
+    release_caches()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] >= 0
+
+    seen: dict[int, str] = {}
+    for label in counts:
+        files = glob.glob(f"{out}/split={label}/shard=*/*.gz")
+        if counts[label] == 0:
+            continue
+        assert files, f"no gzip shards for {label}"
+        good, bad = jsonl_documents_source(
+            spark, f"{out}/split={label}",
+            schema="doc_id LONG, text STRING, n_tokens LONG",
+        )
+        assert bad.count() == 0
+        rows = good.collect()
+        assert len(rows) == counts[label]
+        for r in rows:
+            assert r["doc_id"] not in seen, "doc in two splits"
+            seen[r["doc_id"]] = label
+        # shard budgets: every shard's token total < budget + max doc
+        # (one straddling doc of overflow, the pack_shards contract),
+        # and shard ids are contiguous from 0 within the split
+        sharded = spark.read.json(f"{out}/split={label}").collect()
+        release_caches()
+        by_shard: dict[int, int] = {}
+        for r in sharded:
+            by_shard[r["shard"]] = by_shard.get(r["shard"], 0) + r["n_tokens"]
+        max_doc = max(r["n_tokens"] for r in sharded)
+        assert sorted(by_shard) == list(range(len(by_shard)))
+        for shard, total in by_shard.items():
+            assert total < 2000 + max_doc, (label, shard, total)
+
+    # rerun → identical membership
+    out2 = str(tmp_path / "export2")
+    counts2 = export_training_set(
+        docs,
+        out2,
+        mix_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        shard_token_budget=2000,
+        curate_kwargs={"keep_langs": ("en", "de", "fr", "es", "zh", "und")},
+    )
+    release_caches()
+    assert counts2 == counts
+    for label in counts:
+        if counts[label] == 0:
+            continue
+        a = {
+            (r["doc_id"], r["shard"])
+            for r in spark.read.json(f"{out}/split={label}").collect()
+        }
+        b = {
+            (r["doc_id"], r["shard"])
+            for r in spark.read.json(f"{out2}/split={label}").collect()
+        }
+        assert a == b
