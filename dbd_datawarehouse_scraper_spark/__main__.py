@@ -75,6 +75,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Client: live HTTP, live selenium, or hermetic fake")
     p.add_argument("--master", type=str, default=None,
                    help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    # [EXT] training-data export mode (plans/training_export.py)
+    p.add_argument("--export-training-set", action="store_true",
+                   help="Run the training-set export over --input (a "
+                        "documents parquet dir: doc_id, text, source) "
+                        "into --output (split=<label>/shard=<n>/ gzip "
+                        "JSONL), then exit")
+    p.add_argument("--mix-weights", type=str, default=None,
+                   help='JSON {"source": weight} corpus-mix proportions '
+                        "(default: no mixing)")
+    p.add_argument("--split-fractions", type=str, default=None,
+                   help='JSON {"label": fraction} summing to 1 '
+                        "(default: train .9 / val .05 / test .05)")
+    p.add_argument("--shard-token-budget", type=int, default=1_000_000,
+                   help="Tokens per output shard")
+    p.add_argument("--no-redact", action="store_true",
+                   help="Skip PII redaction of the exported text")
     return p
 
 
@@ -179,6 +195,29 @@ def main(argv: Sequence[str] | None = None) -> int:
     )
     spark = get_spark(master=args.master)
     fmt = "csv" if args.output.endswith(".csv") else "parquet"
+
+    if args.export_training_set:
+        import json as _json
+
+        from .caching import release_caches
+        from .plans.training_export import export_training_set
+
+        counts = export_training_set(
+            spark.read.parquet(args.input),
+            args.output,
+            mix_weights=_json.loads(args.mix_weights)
+            if args.mix_weights
+            else None,
+            split_fractions=_json.loads(args.split_fractions)
+            if args.split_fractions
+            else None,
+            shard_token_budget=args.shard_token_budget,
+            redact=not args.no_redact,
+        )
+        release_caches()
+        for label, n in counts.items():
+            print(f"split={label}: {n} documents")
+        return 0
 
     if args.combine_only:
         from .sources.sinks import backup_on_overwrite, combine_batches

@@ -180,3 +180,36 @@ def test_reference_config_feeds_cli_io_defaults(spark, tmp_path, companies_csv):
     assert rc == 0
     fact = spark.read.parquet(out)
     assert fact.select("company_name").distinct().count() == 1  # test_count
+
+
+def test_export_training_set_cli(spark, tmp_path):
+    """--export-training-set runs the last-mile plan from the CLI:
+    documents parquet in, split=<label>/shard=<n>/ gzip JSONL out."""
+    import glob
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox and the lazy dog number %d" % i,
+             f"src{i % 2}")
+            for i in range(300)
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "export")
+    rc = main([
+        "--export-training-set",
+        "--input", src,
+        "--output", out,
+        "--mix-weights", json.dumps({"src0": 0.6, "src1": 0.4}),
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    shards = glob.glob(f"{out}/split=train/shard=*/*.gz")
+    assert shards, "no train shards written"
+    back = spark.read.json(f"{out}/split=train")
+    assert back.count() > 0
+    assert {"doc_id", "text", "n_tokens", "shard"} <= set(back.columns)
