@@ -109,88 +109,12 @@ def stream_pack_shards(
     spark = stream_docs.sparkSession
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        from ..caching import pool_mark, release_since
-
-        if fold_output_after:
-            from ..sources.sinks import fold_epoch_dirs
-
-            fold_epoch_dirs(
-                spark, out_path,
-                below_epoch=epoch_id, min_dirs=fold_output_after,
-            )
-        if keep_cursor_snapshots is not None:
-            from ..fsutil import fs_delete, fs_list_names
-
-            snaps = sorted(
-                int(n.rsplit("-", 1)[1])
-                for n in fs_list_names(spark, state_path)
-                if n.startswith("cursor-epoch-")
-            )
-            for e in snaps[:-keep_cursor_snapshots or None]:
-                if e < epoch_id:
-                    fs_delete(spark, f"{state_path}/cursor-epoch-{e}")
-        mark = pool_mark()
-        state = _read_cursor(spark, state_path)
-        if state is None:
-            offset = 0
-        else:
-            if state["budget"] != budget:
-                raise ValueError(
-                    f"shard cursor at {state_path} was written with "
-                    f"budget={state['budget']}, this run uses {budget}; "
-                    "shards packed under two budgets interleave — wipe "
-                    "the output and cursor or rerun with the stored "
-                    "budget."
-                )
-            if state["epoch_id"] is not None and state["epoch_id"] == epoch_id:
-                # foreachBatch is at-least-once: this epoch already ran
-                # to completion (its cursor was promoted) but Spark's
-                # commit log missed the commit, so it is replaying.
-                # Repack from the epoch's ORIGINAL start offset — using
-                # the promoted next_offset would shift this epoch's
-                # shard ids and double-advance every later epoch.
-                offset = state["start_offset"]
-            elif state["epoch_id"] is not None and state["epoch_id"] > epoch_id:
-                raise ValueError(
-                    f"shard cursor at {state_path} records epoch "
-                    f"{state['epoch_id']} but epoch {epoch_id} is "
-                    "replaying — either the checkpoint was reset "
-                    "against an existing cursor (which would re-pack "
-                    "already-packed documents) or more than the "
-                    "one-epoch replay window was lost; restore the "
-                    f"matching cursor-epoch-{max(epoch_id - 1, 0)} "
-                    "snapshot to cursor, or wipe cursor AND output to "
-                    "restart packing from 0."
-                )
-            else:
-                offset = state["next_offset"]
-        packed = pack_shards(
-            batch_df, token_col=token_col, budget=budget,
-            order_col=order_col, shard_col=shard_col, start_offset=offset,
+        pack_epoch(
+            spark, batch_df, epoch_id, out_path, state_path,
+            token_col=token_col, budget=budget, order_col=order_col,
+            shard_col=shard_col, fold_output_after=fold_output_after,
+            keep_cursor_snapshots=keep_cursor_snapshots,
         )
-        packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-        # the batch total comes from the relation pack_shards already
-        # persisted (the write above was its first consumer) — NOT from
-        # a second scan of the source batch
-        batch_total = packed.agg(
-            F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
-        ).collect()[0]["s"]
-        # pack_shards pins the ranged+prefixed relation; the epoch
-        # write + total agg were its consuming actions (scoped: never a
-        # caller's pin)
-        release_since(mark)
-        # advance + promote the cursor (promotion = commit point); the
-        # epoch key makes re-promotion on replay a no-op rewrite
-        spark.createDataFrame(
-            [(int(epoch_id), int(offset), int(offset + batch_total),
-              int(budget))],
-            _CURSOR_SCHEMA,
-        ).coalesce(1).write.mode("overwrite").json(
-            f"{state_path}/cursor-epoch-{epoch_id}"
-        )
-        spark.read.schema(_CURSOR_SCHEMA).json(
-            f"{state_path}/cursor-epoch-{epoch_id}"
-        ).coalesce(1).write.mode("overwrite").json(f"{state_path}/cursor")
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
@@ -198,3 +122,105 @@ def stream_pack_shards(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def pack_epoch(
+    spark,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    state_path: str,
+    token_col: str = "n_tokens",
+    budget: int = 1_000_000,
+    order_col: str = "doc_id",
+    shard_col: str = "shard",
+    fold_output_after: int | None = 16,
+    keep_cursor_snapshots: int = 4,
+) -> None:
+    """One epoch of the incremental packer, as a plain function so
+    composed incremental pipelines (streaming/export.py) can run it —
+    once per split — inside their own ``foreachBatch``. Same cursor,
+    replay, folding, and promotion-last semantics as the stream
+    wrapper."""
+    from ..caching import pool_mark, release_since
+
+    if fold_output_after:
+        from ..sources.sinks import fold_epoch_dirs
+
+        fold_epoch_dirs(
+            spark, out_path,
+            below_epoch=epoch_id, min_dirs=fold_output_after,
+        )
+    if keep_cursor_snapshots is not None:
+        from ..fsutil import fs_delete, fs_list_names
+
+        snaps = sorted(
+            int(n.rsplit("-", 1)[1])
+            for n in fs_list_names(spark, state_path)
+            if n.startswith("cursor-epoch-")
+        )
+        for e in snaps[:-keep_cursor_snapshots or None]:
+            if e < epoch_id:
+                fs_delete(spark, f"{state_path}/cursor-epoch-{e}")
+    mark = pool_mark()
+    state = _read_cursor(spark, state_path)
+    if state is None:
+        offset = 0
+    else:
+        if state["budget"] != budget:
+            raise ValueError(
+                f"shard cursor at {state_path} was written with "
+                f"budget={state['budget']}, this run uses {budget}; "
+                "shards packed under two budgets interleave — wipe "
+                "the output and cursor or rerun with the stored "
+                "budget."
+            )
+        if state["epoch_id"] is not None and state["epoch_id"] == epoch_id:
+            # foreachBatch is at-least-once: this epoch already ran
+            # to completion (its cursor was promoted) but Spark's
+            # commit log missed the commit, so it is replaying.
+            # Repack from the epoch's ORIGINAL start offset — using
+            # the promoted next_offset would shift this epoch's
+            # shard ids and double-advance every later epoch.
+            offset = state["start_offset"]
+        elif state["epoch_id"] is not None and state["epoch_id"] > epoch_id:
+            raise ValueError(
+                f"shard cursor at {state_path} records epoch "
+                f"{state['epoch_id']} but epoch {epoch_id} is "
+                "replaying — either the checkpoint was reset "
+                "against an existing cursor (which would re-pack "
+                "already-packed documents) or more than the "
+                "one-epoch replay window was lost; restore the "
+                f"matching cursor-epoch-{max(epoch_id - 1, 0)} "
+                "snapshot to cursor, or wipe cursor AND output to "
+                "restart packing from 0."
+            )
+        else:
+            offset = state["next_offset"]
+    packed = pack_shards(
+        batch_df, token_col=token_col, budget=budget,
+        order_col=order_col, shard_col=shard_col, start_offset=offset,
+    )
+    packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+    # the batch total comes from the relation pack_shards already
+    # persisted (the write above was its first consumer) — NOT from
+    # a second scan of the source batch
+    batch_total = packed.agg(
+        F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
+    ).collect()[0]["s"]
+    # pack_shards pins the ranged+prefixed relation; the epoch
+    # write + total agg were its consuming actions (scoped: never a
+    # caller's pin)
+    release_since(mark)
+    # advance + promote the cursor (promotion = commit point); the
+    # epoch key makes re-promotion on replay a no-op rewrite
+    spark.createDataFrame(
+        [(int(epoch_id), int(offset), int(offset + batch_total),
+          int(budget))],
+        _CURSOR_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").json(
+        f"{state_path}/cursor-epoch-{epoch_id}"
+    )
+    spark.read.schema(_CURSOR_SCHEMA).json(
+        f"{state_path}/cursor-epoch-{epoch_id}"
+    ).coalesce(1).write.mode("overwrite").json(f"{state_path}/cursor")

@@ -679,3 +679,57 @@ def test_stream_near_dedup_store_folding_keeps_decisions(spark, sf_dir):
     assert results["folded"] == results["plain"]
     # the cross-epoch duplicate of folded history was still dropped
     assert 7000 not in results["folded"] and 7001 in results["folded"]
+
+
+def test_stream_near_dedup_replay_after_store_write_is_idempotent(spark, sf_dir):
+    """foreachBatch at-least-once: an epoch can replay AFTER its
+    signatures landed in the store (crash between the store write and
+    Spark's streaming commit). The history read excludes epochs >= the
+    replaying one — a whole-store read would estimate every replayed
+    document at J=1 against its own stored signature and silently drop
+    the entire epoch. Simulated faithfully by deleting the checkpoint's
+    commit entry and restarting."""
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_near_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    work = tempfile.mkdtemp(prefix="near_dedup_replay_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    try:
+        docs.coalesce(1).write.mode("append").parquet(src)
+        q = stream_near_dedup(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, store, ckpt, threshold=0.6,
+        )
+        q.awaitTermination(180)
+        before = {
+            r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        assert before, "first epoch must keep survivors"
+
+        # kill-and-restart INSIDE the replay window
+        os.remove(f"{ckpt}/commits/0")
+        if os.path.exists(f"{ckpt}/commits/.0.crc"):
+            os.remove(f"{ckpt}/commits/.0.crc")
+        q = stream_near_dedup(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, store, ckpt, threshold=0.6,
+        )
+        q.awaitTermination(180)
+        after = {
+            r["doc_id"] for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        assert after == before, (
+            f"replay changed survivors: lost {before - after}, "
+            f"gained {after - before}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
