@@ -2482,6 +2482,56 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(t(spark, sf_dir, "documents"))
 
 
+@register("stream_export_hermetic", None)
+def stream_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental training-set export (streaming/export.py):
+    one file-stream epoch through gates → dedup store → content-hash
+    split → per-split cursor packing → gzip JSONL. Rows-only; epoch
+    continuity, dedup-against-history, and replay idempotence are
+    pinned in tests/test_streaming.py."""
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    from .streaming import file_stream, stream_export_training_set
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 80)
+    )
+    work = tempfile.mkdtemp(prefix="stream_export_q_")
+    src = f"{work}/src"
+    try:
+        d.coalesce(1).write.mode("append").parquet(src)
+        q = stream_export_training_set(
+            file_stream(spark, src, d.schema, max_files_per_trigger=1),
+            f"{work}/out", f"{work}/state", f"{work}/ckpt",
+            keep_langs=("en", "de", "fr", "es", "zh", "und"),
+            min_quality=0.0, min_tokens=1, near_dup_threshold=0.6,
+            shard_token_budget=2000,
+        )
+        q.awaitTermination(240)
+        rows = []
+        for f in sorted(glob.glob(f"{work}/out/split=*/epoch=*/shard=*/*.gz")):
+            label = f.split("split=")[1].split("/")[0]
+            shard = int(f.split("shard=")[1].split("/")[0])
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    r = json.loads(line)
+                    rows.append((r["doc_id"], label, shard, r["n_tokens"]))
+        return spark.createDataFrame(
+            rows, "doc_id long, split string, shard long, n_tokens long"
+        )
+    finally:
+        from .caching import release_caches
+
+        release_caches()
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("training_export_hermetic", None)
 def training_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] The full last-mile export (plans/training_export.py):

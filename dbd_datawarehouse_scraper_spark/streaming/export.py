@@ -1,0 +1,151 @@
+"""[EXT] Incremental training-set export: the last-mile plan
+(plans/training_export.py) under ``foreachBatch``.
+
+Documents arrive in epochs; each epoch must be gated, deduplicated
+against EVERYTHING already exported (the signature store), split
+leakage-safely, redacted, and packed into token-budget shards whose ids
+continue across epochs per split — so the trainer can start consuming
+shards while ingestion is still running. Composition per epoch:
+
+    batch
+      → lang/quality/min-token gates      (stateless column filters)
+      → near_dedup_epoch                  (within-batch + against the
+                                           signature store; survivors
+                                           land in <state>/curated/epoch=N)
+      → content-hash split + PII redact   (stateless, content-keyed —
+                                           identical assignment to the
+                                           batch exporter's)
+      → pack_epoch per split              (per-split cursor under
+                                           <state>/pack/split=<label>;
+                                           shards continue across epochs)
+      → gzip JSONL                        (out/split=<label>/epoch=N/
+                                           shard=<n>/)
+
+Replay safety is inherited, not re-invented: every sub-step is
+idempotent under foreachBatch's at-least-once replay — the dedup store
+reads history strictly below the replaying epoch, the per-split pack
+cursors are epoch-keyed, and every write is an epoch-suffixed
+overwrite. The intermediate curated parquet under the state dir is the
+hand-off between dedup and packing: durable, so a crash between the
+two stages replays cleanly from the batch without cache coupling.
+
+What the incremental form deliberately does NOT do: corpus mixing.
+Mix proportions are a GLOBAL property (per-source totals over the
+whole corpus) — an epoch-local approximation would drift with arrival
+order. Mix at rest with operators/mixing.py over the exported set, or
+upstream of the stream.
+
+Output layout differs from the batch exporter by one level —
+``split=<label>/epoch=<N>/shard=<n>/`` — because each epoch's packing
+is an independent idempotent overwrite; shard ids still increase
+globally per split (the cursor), so a trainer globs
+``split=train/*/shard=*`` and sees one monotone shard sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.pii import redact_pii
+from ..functions.splits import DEFAULT_FRACTIONS, content_split
+from ..functions.text_analysis import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from .near_dedup import near_dedup_epoch
+from .sharding import pack_epoch
+
+
+def stream_export_training_set(
+    stream_docs: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_langs: tuple[str, ...] = ("en", "de", "fr"),
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    near_dup_threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    k: int = 3,
+    split_fractions: dict[str, float] | None = None,
+    shard_token_budget: int = 1_000_000,
+    redact: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the incremental exporter. Returns the StreamingQuery.
+
+    State layout under ``state_path``: ``store/`` (the MinHash
+    signature store), ``curated/epoch=N`` (per-epoch survivors — the
+    dedup→pack hand-off), ``pack/split=<label>/`` (per-split shard
+    cursors). All replay-idempotent; see the module docstring."""
+    spark = stream_docs.sparkSession
+    fractions = split_fractions or DEFAULT_FRACTIONS
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        gated = batch_df.filter(
+            lang_id(F.col(text_col)).isin(list(keep_langs))
+            & (quality_score(F.col(text_col)) >= min_quality)
+            & (token_count(F.col(text_col)) >= min_tokens)
+        )
+        had_rows = near_dedup_epoch(
+            spark,
+            gated.select(id_col, text_col),
+            epoch_id,
+            out_path=f"{state_path}/curated",
+            store_path=f"{state_path}/store",
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            threshold=near_dup_threshold,
+        )
+        if not had_rows:
+            return
+        survivors = spark.read.parquet(f"{state_path}/curated/epoch={epoch_id}")
+        prepared = survivors.withColumn(
+            "split", content_split(doc_fingerprint(F.col(text_col)), fractions)
+        ).withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        if redact:
+            prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
+
+        from ..caching import pool_mark, release_since
+
+        mark = pool_mark()
+        prepared = prepared.persist()
+        try:
+            for label in fractions:
+                subset = prepared.filter(F.col("split") == label).drop("split")
+                pack_epoch(
+                    spark,
+                    subset,
+                    epoch_id,
+                    out_path=f"{out_path}/split={label}",
+                    state_path=f"{state_path}/pack/split={label}",
+                    token_col="n_tokens",
+                    budget=shard_token_budget,
+                    order_col=id_col,
+                    fmt="jsonl",
+                    # no folding on the JSONL output: epochs here are
+                    # trainer-consumed shards (read once, sequentially),
+                    # not a history-probe path, and fold's rewrite reads
+                    # parquet. The signature store underneath still folds.
+                    fold_output_after=None,
+                )
+        finally:
+            prepared.unpersist()
+            release_since(mark)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -136,12 +136,16 @@ def pack_epoch(
     shard_col: str = "shard",
     fold_output_after: int | None = 16,
     keep_cursor_snapshots: int = 4,
+    fmt: str = "parquet",
 ) -> None:
     """One epoch of the incremental packer, as a plain function so
     composed incremental pipelines (streaming/export.py) can run it —
     once per split — inside their own ``foreachBatch``. Same cursor,
     replay, folding, and promotion-last semantics as the stream
-    wrapper."""
+    wrapper. ``fmt="jsonl"`` writes gzip JSONL partitioned by the shard
+    column (``epoch=N/shard=<n>/``, the trainer-facing layout) instead
+    of plain parquet; both are epoch-suffixed overwrites, so replay
+    idempotence is format-independent."""
     from ..caching import pool_mark, release_since
 
     if fold_output_after:
@@ -201,7 +205,15 @@ def pack_epoch(
         batch_df, token_col=token_col, budget=budget,
         order_col=order_col, shard_col=shard_col, start_offset=offset,
     )
-    packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+    if fmt == "jsonl":
+        from ..sources.sinks import jsonl_sink
+
+        jsonl_sink(
+            packed, f"{out_path}/epoch={epoch_id}",
+            partition_by=(shard_col,),
+        )
+    else:
+        packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
     # the batch total comes from the relation pack_shards already
     # persisted (the write above was its first consumer) — NOT from
     # a second scan of the source batch

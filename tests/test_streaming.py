@@ -733,3 +733,99 @@ def test_stream_near_dedup_replay_after_store_write_is_idempotent(spark, sf_dir)
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_export_training_set_end_to_end(spark, sf_dir):
+    """Incremental exporter (streaming/export.py): two epochs through
+    gates → dedup-against-store → split → pack-per-split → gzip JSONL.
+    Pins: epoch-2 duplicates of epoch-1 docs are dropped; split
+    assignment matches the batch content_split; per-split shard ids
+    CONTINUE across epochs (the cursor); layout is
+    split=<label>/epoch=<N>/shard=<n>/*.gz; and a replay of the last
+    epoch (deleted commit) changes nothing."""
+    import glob
+    import json
+
+    from dbd_datawarehouse_scraper_spark.functions.splits import (
+        DEFAULT_FRACTIONS,
+    )
+    from dbd_datawarehouse_scraper_spark.streaming import (
+        file_stream,
+        stream_export_training_set,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    by_id = {r["doc_id"]: r["text"] for r in docs.collect()}
+    e1 = [(i, by_id[i]) for i in range(0, 60)]
+    # epoch 2: fresh docs + exact dups of epoch-1 docs 3 and 11
+    e2 = [(i, by_id[i]) for i in range(60, 120)] + [
+        (7003, by_id[3]), (7011, by_id[11]),
+    ]
+    schema = "doc_id long, text string"
+    kw = dict(
+        keep_langs=("en", "de", "fr", "es", "zh", "und"),
+        min_quality=0.0, min_tokens=1, near_dup_threshold=0.6,
+        shard_token_budget=800,
+    )
+    work = tempfile.mkdtemp(prefix="stream_export_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        for rows in (e1, e2):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = stream_export_training_set(
+                file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+                out, state, ckpt, **kw,
+            )
+            q.awaitTermination(240)
+
+        def read_all():
+            rows = []
+            for label in DEFAULT_FRACTIONS:
+                for f in sorted(glob.glob(f"{out}/split={label}/epoch=*/shard=*/*.gz")):
+                    epoch = int(f.split("epoch=")[1].split("/")[0])
+                    shard = int(f.split("shard=")[1].split("/")[0])
+                    import gzip
+
+                    with gzip.open(f, "rt", encoding="utf-8") as fh:
+                        for line in fh:
+                            r = json.loads(line)
+                            rows.append((label, epoch, shard, r["doc_id"], r["n_tokens"]))
+            return rows
+
+        rows = read_all()
+        ids = {r[3] for r in rows}
+        # cross-epoch dups dropped; originals and fresh docs exported
+        assert 7003 not in ids and 7011 not in ids
+        assert 3 in ids and 11 in ids and 61 in ids
+        # every doc in exactly one split
+        by_doc = {}
+        for label, _, _, doc, _ in rows:
+            assert by_doc.setdefault(doc, label) == label
+        # per-split shard continuity: epoch-2 shards start at or after
+        # the max epoch-1 shard (the cursor carried the token offset)
+        for label in DEFAULT_FRACTIONS:
+            s1 = [r[2] for r in rows if r[0] == label and r[1] == 0]
+            s2 = [r[2] for r in rows if r[0] == label and r[1] == 1]
+            if s1 and s2:
+                assert min(s2) >= max(s1), (label, max(s1), min(s2))
+
+        # replay of the last epoch: delete its commit, restart, compare
+        os.remove(f"{ckpt}/commits/1")
+        if os.path.exists(f"{ckpt}/commits/.1.crc"):
+            os.remove(f"{ckpt}/commits/.1.crc")
+        q = stream_export_training_set(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, state, ckpt, **kw,
+        )
+        q.awaitTermination(240)
+        assert sorted(read_all()) == sorted(rows)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
