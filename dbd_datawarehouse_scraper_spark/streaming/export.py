@@ -89,6 +89,17 @@ def stream_export_training_set(
     fractions = split_fractions or DEFAULT_FRACTIONS
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # the curated hand-off dirs are single-epoch intermediates: only
+        # the CURRENT epoch can replay and re-read its own dir, so every
+        # committed one below it is dead weight — prune, don't fold
+        from ..fsutil import fs_delete, fs_exists, fs_list_names
+
+        curated_base = f"{state_path}/curated"
+        if fs_exists(spark, curated_base):
+            for n in fs_list_names(spark, curated_base):
+                if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id:
+                    fs_delete(spark, f"{curated_base}/{n}")
+
         gated = batch_df.filter(
             lang_id(F.col(text_col)).isin(list(keep_langs))
             & (quality_score(F.col(text_col)) >= min_quality)
