@@ -43,6 +43,7 @@ from .text_analysis import (  # noqa: F401
     shingles_vec,
     token_rarity_scores,
     repetition_stats,
+    tfidf_topk,
 )
 from .vectors import (  # noqa: F401
     dot,

@@ -302,3 +302,65 @@ def repetition_stats(
             6,
         ).alias("top_bigram_frac"),
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 5,
+) -> DataFrame:
+    """[EXT] Per-document top-k TF-IDF keywords — the standard
+    document-representation / keyword-extraction primitive (topic
+    tagging, corpus browsing, duplicate-cluster labeling in a
+    training-data pipeline).
+
+    ``score = tf · ln((N+1)/(df+1))`` (the smoothed IDF), quantized to
+    a bigint at 1e-6 BEFORE ranking: ranking on the quantized integer
+    (ties broken by token ascending) makes the top-k selection
+    deterministic and cross-engine reproducible — ranking on the raw
+    double would let a last-ulp libm divergence flip near-equal ranks.
+
+    Plan shape at scale: explode to (doc, token); tf = one map-side-
+    combined groupBy (doc, token); df falls out of the TF relation with
+    a second small groupBy (|vocab| rows — no distinct needed, tf rows
+    are already unique per (doc, token)); N is a 1-row aggregate
+    broadcast via cross join; the tf⋈df join shuffles narrow rows on
+    the token key (AQE broadcasts the vocab side when it fits); top-k
+    is a per-document window — partitioned, never global. Nothing in
+    the plan is quadratic and no segment of text moves after the
+    explode.
+
+    Returns (id_col, token, tf, df, score_q, rn), rn ∈ [1, topk].
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("_nd"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_q",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_nd") + 1.0) / (F.col("df").cast("double") + 1.0))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(id_col, "token", "tf", "df", "score_q", "rn")
+    )

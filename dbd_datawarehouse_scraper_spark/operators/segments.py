@@ -1,0 +1,134 @@
+"""[EXT] Cross-document segment-level deduplication (boilerplate
+removal).
+
+Whole-document dedup (exact / MinHash) keeps one copy of a duplicated
+DOCUMENT, but the dominant contamination in web-scale corpora is a
+duplicated PASSAGE inside otherwise-distinct documents — navigation
+chrome, license footers, templated disclaimers (the CCNet /
+RefinedWeb-style line-level filter, and the passage analog of exact
+substring dedup à la "Deduplicating Training Data Makes Language
+Models Better"). This module removes segments that occur in ≥
+``min_docs`` distinct documents and reassembles the surviving text in
+original order.
+
+Segmentation modes:
+
+- ``"line"`` — split on newlines (the classic line-dedup for web text);
+- ``"chunk"`` — non-overlapping ``k``-token windows (passage dedup for
+  text without line structure; also the mode the driver oracle
+  exercises, since the synthetic corpus is single-line).
+
+Scale shape (100 TB honest):
+
+- one Generate (posexplode) per document — narrow;
+- segment frequency counts shuffle 16-byte (hash, doc) pairs, never
+  segment text, and combine map-side;
+- the frequent-segment relation is Zipf-small (only segments repeated
+  across ≥min_docs docs) — AQE broadcasts the mark join when it fits,
+  falls back to a narrow-payload shuffle join when it doesn't;
+- reassembly is one groupBy(doc) whose state is bounded by the
+  segments of a single document.
+
+Driver-side traffic: none (no collect anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped (token_count parity)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def segment_columns(text: Column, mode: str = "chunk", k: int = 8) -> Column:
+    """Array of segments for one document's text.
+
+    ``line`` mode splits on ``\\n``; ``chunk`` mode joins consecutive
+    ``k``-token windows back into strings (last chunk may be short).
+    The empty-input guard matters: ``F.sequence(1, 0)`` yields the
+    DESCENDING array [1, 0] in Spark (not an empty array), so a
+    zero-token document must short-circuit to an empty segment list.
+    """
+    if mode == "line":
+        return F.filter(F.split(text, r"\n"), lambda s: F.trim(s) != "")
+    if mode != "chunk":
+        raise ValueError(f"unknown segmentation mode: {mode!r}")
+    toks = _tokens(text)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    return F.when(
+        n_seg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "chunk",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove segments that appear in ≥ ``min_docs`` distinct documents;
+    reassemble each document from its surviving segments in original
+    order.
+
+    Returns (id_col, clean_text, n_segs, n_dropped). A fully-boilerplate
+    document survives with ``clean_text = ''`` (callers gate on
+    ``n_segs - n_dropped`` if they want to drop it) — deleting rows here
+    would silently change corpus counts downstream.
+
+    Frequency is counted on ``xxhash64(segment)`` so the counting
+    shuffle carries 8-byte keys instead of segment text; a 64-bit
+    collision merges two segments' doc-frequencies (P ≈ n²/2⁶⁴ —
+    negligible, and the same exposure every hash-based dedup in this
+    package accepts).
+    """
+    from .skew import widen_partitions
+
+    _id, _pos, _seg, _hs, _dup = "_sd_id", "_sd_pos", "_sd_seg", "_sd_hs", "_sd_dup"
+    # posexplode_outer + post-Generate null filter: the inner form would
+    # let InferFiltersFromGenerate clone the whole segmentation tree
+    # into an inferred size()>0 pre-filter (see BENCH_NOTES.md, the
+    # generate_search_terms round-4 regression).
+    ex = (
+        widen_partitions(docs)
+        .select(
+            F.col(id_col).alias(_id),
+            F.posexplode_outer(segment_columns(F.col(text_col), mode, k)).alias(
+                _pos, _seg
+            ),
+        )
+        .filter(F.col(_seg).isNotNull())
+        .withColumn(_hs, F.xxhash64(_seg))
+    )
+    frequent = (
+        ex.groupBy(_hs)
+        .agg(F.count_distinct(F.col(_id)).alias("_sd_df"))
+        .filter(F.col("_sd_df") >= min_docs)
+        .select(_hs, F.lit(True).alias(_dup))
+    )
+    marked = ex.join(frequent, _hs, "left")
+    kept_struct = F.when(
+        F.col(_dup).isNull(), F.struct(F.col(_pos).alias("pos"), F.col(_seg).alias("seg"))
+    )
+    return (
+        marked.groupBy(_id)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+                ),
+                " " if mode == "chunk" else "\n",
+            ).alias("clean_text"),
+            F.count("*").alias("n_segs"),
+            F.count(F.col(_dup)).alias("n_dropped"),
+        )
+        .withColumnRenamed(_id, id_col)
+    )

@@ -57,8 +57,9 @@ def test_embedding_cosine_dedup_is_bucketed_not_cartesian(spark, sf_dir):
 
 
 def test_semi_anti_joins_stay_semi_anti(spark, sf_dir):
-    assert "LeftSemi" in plan_of(spark, sf_dir, "semi_join")
-    assert "LeftAnti" in plan_of(spark, sf_dir, "anti_join_not_found")
+    semi_anti = plan_of(spark, sf_dir, "semi_anti_join")
+    assert "LeftSemi" in semi_anti
+    assert "LeftAnti" in semi_anti
 
 
 def test_projection_pruning_on_project_columns(spark, sf_dir):
