@@ -76,6 +76,10 @@ HEADLINE = [
     "pack_shards",
     "contamination_check",
     "token_rarity",
+    # round 5: corpus-curation additions
+    "segment_dedup",
+    "quality_sampling",
+    "tfidf_topk",
 ]
 
 

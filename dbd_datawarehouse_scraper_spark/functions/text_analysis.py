@@ -335,13 +335,20 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
+    from ..caching import tracked_persist
+
     toks = docs.select(
         F.col(id_col),
         F.explode_outer(
             F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("token"),
     ).filter(F.col("token").isNotNull())
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    # tf feeds BOTH the df aggregate and the scored join — persist
+    # (tracked; callers release via caching.release_caches()) so the
+    # tokenize + first shuffle run once, not twice.
+    tf = tracked_persist(
+        toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    )
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("_nd"))
     scored = (

@@ -79,10 +79,18 @@ def quality_bucket_sample(
     for r in rates_bp:
         if not (0 <= int(r) <= _BP):
             raise ValueError(f"rate out of [0, {_BP}]: {r}")
-    scored = docs.select(
-        *[F.col(c) for c in id_cols],
-        score_q.cast("long").alias("score_q"),
-        sample_bucket(fingerprint).alias("_samp"),
+    from ..caching import tracked_persist
+
+    # The scored relation feeds the histogram AND the final join, and
+    # the score/fingerprint expressions are regex/sha-heavy — persist
+    # (tracked; callers release via caching.release_caches()) so they
+    # evaluate once per row, not once per consumer.
+    scored = tracked_persist(
+        docs.select(
+            *[F.col(c) for c in id_cols],
+            score_q.cast("long").alias("score_q"),
+            sample_bucket(fingerprint).alias("_samp"),
+        )
     )
     # Histogram → prefix sum → bucket map. The window's single-partition
     # exchange runs over the histogram (≤ |distinct score_q| rows), not

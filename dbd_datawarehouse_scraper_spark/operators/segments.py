@@ -89,15 +89,26 @@ def segment_dedup(
     collision merges two segments' doc-frequencies (P ≈ n²/2⁶⁴ —
     negligible, and the same exposure every hash-based dedup in this
     package accepts).
+
+    The persisted exploded relation carries segment TEXT (reassembly
+    needs it), so its cache is O(corpus) — MEMORY_AND_DISK spills
+    rather than OOMs. On a cluster where even disk cache is too dear,
+    drop the persist and let the segmentation run twice (compute-for-
+    storage trade; the counting leg alone could cache the narrow
+    (hash, doc) projection instead).
     """
+    from ..caching import tracked_persist
     from .skew import widen_partitions
 
     _id, _pos, _seg, _hs, _dup = "_sd_id", "_sd_pos", "_sd_seg", "_sd_hs", "_sd_dup"
     # posexplode_outer + post-Generate null filter: the inner form would
     # let InferFiltersFromGenerate clone the whole segmentation tree
     # into an inferred size()>0 pre-filter (see BENCH_NOTES.md, the
-    # generate_search_terms round-4 regression).
-    ex = (
+    # generate_search_terms round-4 regression). The exploded relation
+    # feeds BOTH the frequency count and the mark join — persist it
+    # (tracked; callers release via caching.release_caches()) so the
+    # segmentation runs once, not twice.
+    ex = tracked_persist(
         widen_partitions(docs)
         .select(
             F.col(id_col).alias(_id),
