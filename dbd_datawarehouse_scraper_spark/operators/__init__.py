@@ -31,6 +31,11 @@ from .joins import (  # noqa: F401
     asof_join,
 )
 from .graph import component_survivors, connected_components  # noqa: F401
+from .clustering import (  # noqa: F401
+    cluster_balanced_sample,
+    kmeans_assign,
+    semantic_dedup,
+)
 from .mixing import mix_corpora, mix_rates  # noqa: F401
 from .sampling import quality_bucket_sample, sample_bucket  # noqa: F401
 from .segments import segment_dedup  # noqa: F401

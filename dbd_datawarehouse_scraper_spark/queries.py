@@ -2612,6 +2612,29 @@ def training_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register("embedding_curation", None)
+def embedding_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup-style embedding-space curation
+    (operators/clustering.py): k-means partition of the embeddings
+    table, within-cluster cosine dedup (earliest-id survivor), then a
+    cluster-balanced sample capping any cluster at 40% of the output.
+    Rows-only (k-means assignment + applyInPandas survivors have no SQL
+    mirror); survivor rules, determinism, sub-split bounding, and
+    share caps are pinned in tests/test_clustering.py."""
+    from .operators.clustering import cluster_balanced_sample, semantic_dedup
+
+    e = t(spark, sf_dir, "embeddings")
+    # threshold 0.5 / share cap 12%: chosen so BOTH stages do real work
+    # on the near-uniform synthetic embeddings (a production corpus
+    # would run ~0.95 / higher caps)
+    survivors = semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", n_clusters=8, threshold=0.5
+    )
+    return cluster_balanced_sample(
+        survivors.select("vec_id", "cluster"), max_share=0.12
+    )
+
+
 @register("corpus_mix", None)
 def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Deterministic corpus mixing (operators/mixing.py): the
