@@ -309,6 +309,7 @@ def tfidf_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     topk: int = 5,
+    persist: bool = True,
 ) -> DataFrame:
     """[EXT] Per-document top-k TF-IDF keywords — the standard
     document-representation / keyword-extraction primitive (topic
@@ -343,12 +344,16 @@ def tfidf_topk(
             F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("token"),
     ).filter(F.col("token").isNotNull())
-    # tf feeds BOTH the df aggregate and the scored join — persist
-    # (tracked; callers release via caching.release_caches()) so the
-    # tokenize + first shuffle run once, not twice.
-    tf = tracked_persist(
-        toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
-    )
+    # tf feeds BOTH the df aggregate and the scored join; ReusedExchange
+    # does NOT kick in (the df leg's column pruning changes the
+    # canonical plan), so without a persist the tokenize + (doc, token)
+    # shuffle run twice. ``persist=True`` (tracked; callers release via
+    # caching.release_caches()) is the at-scale default; small one-shot
+    # inputs sit below the cache-barrier break-even and should pass
+    # ``persist=False`` (measured ~0.75 s vs ~1.02 s at sf0.1 local).
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    if persist:
+        tf = tracked_persist(tf)
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("_nd"))
     scored = (

@@ -2773,7 +2773,9 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text_analysis import tfidf_topk
 
     d = t(spark, sf_dir, "documents")
-    return tfidf_topk(d, topk=5)
+    # persist=False: thousands of docs — below the cache-barrier
+    # break-even (see the similarity_fallback_join_q precedent)
+    return tfidf_topk(d, topk=5, persist=False)
 
 
 def _reorder_registry() -> None:
