@@ -5,6 +5,11 @@ curation funnel composed from the engine's own operators, each stage an
 operator that is individually oracle- or recall-verified:
 
     documents
+      → passage/boilerplate removal     (optional, round 5:
+                                         operators/segments.py — runs
+                                         FIRST so boilerplate can't
+                                         inflate quality scores or mask
+                                         near-dup distances)
       → language-ID + quality scoring   (pure column exprs, codegen'd)
       → language / quality gates        (pushdown-friendly filters)
       → exact dedup                     (fingerprint hash, deterministic
@@ -12,6 +17,9 @@ operator that is individually oracle- or recall-verified:
       → near-dup dedup                  (MinHash + banded LSH, candidate-
                                          bounded; one survivor per
                                          connected component)
+      → quality-quantile sampling       (optional, round 5:
+                                         operators/sampling.py — CCNet-
+                                         style per-bucket keep rates)
       → deterministic stratified sample (content-hash membership)
 
 Every stage is a narrow transformation or a key-shuffle — nothing
@@ -45,6 +53,8 @@ def curate_documents(
     near_dup_threshold: float = 0.8,
     sample_fractions: dict | None = None,
     carry_cols: tuple[str, ...] = (),
+    segment_dedup_opts: dict | None = None,
+    quality_sample_rates: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -59,7 +69,32 @@ def curate_documents(
     (3,9),(5,9) kept both 3 and 5) and whose survivors depended on pair
     orientation rather than graph structure. Component-min is
     deterministic, partition-invariant, and conservative: transitive
-    chains collapse to exactly one survivor."""
+    chains collapse to exactly one survivor.
+
+    Round-5 optional stages: ``segment_dedup_opts`` (kwargs for
+    :func:`..operators.segments.segment_dedup`, e.g.
+    ``{"mode": "chunk", "k": 8, "min_docs": 2}``) rewrites every
+    document with cross-corpus boilerplate passages removed BEFORE
+    scoring — boilerplate otherwise inflates quality scores and
+    shrinks MinHash distances between unrelated docs sharing chrome.
+    ``quality_sample_rates`` (basis points per quality-quantile bucket,
+    low→high) applies the CCNet-style per-bucket keep rates AFTER
+    dedup, keyed on the post-cleanup content fingerprint. Each optional
+    stage pins one tracked persist that BACKS the returned plan (like
+    the losers scratch dir) and drains with the caller's standard
+    ``release_caches()`` after the consuming action."""
+    if segment_dedup_opts is not None:
+        from ..operators.segments import segment_dedup
+
+        cleaned = segment_dedup(
+            docs, id_col=id_col, text_col=text_col, **segment_dedup_opts
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(
+                cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
+            )
+        )
     analyzed = docs.select(
         id_col,
         text_col,
@@ -111,6 +146,18 @@ def curate_documents(
     # returned plan until the caller's release_caches())
     tracked_scratch_dir(spark, losers_base)
     near = exact.join(losers, id_col, "left_anti")
+
+    if quality_sample_rates is not None:
+        from ..operators.sampling import quality_bucket_sample
+
+        kept = quality_bucket_sample(
+            near,
+            score_q=F.round(F.col("quality") * 1e6),
+            fingerprint=doc_fingerprint(F.col(text_col)),
+            id_cols=(id_col,),
+            rates_bp=quality_sample_rates,
+        ).select(id_col)
+        near = near.join(kept, id_col, "left_semi")
 
     if sample_fractions:
         near = deterministic_stratified_sample(

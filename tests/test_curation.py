@@ -166,3 +166,58 @@ def test_export_training_set_end_to_end(spark, sf_dir, tmp_path):
             for r in spark.read.json(f"{out2}/split={label}").collect()
         }
         assert a == b
+
+
+def test_funnel_segment_dedup_stage_strips_boilerplate(spark):
+    """segment_dedup_opts rewrites text BEFORE scoring: an injected
+    cross-doc boilerplate passage disappears from every survivor."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    boiler = "copyright footer all rights reserved contact us terms apply"
+    rows = [
+        (i, f"the quick brown fox document number {i} is here and that "
+            f"is the story of this {boiler}")
+        for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_documents(
+        d,
+        keep_langs=("en",),
+        min_quality=0.0,
+        min_tokens=1,
+        near_dup_threshold=0.99,
+        sample_fractions=None,
+        segment_dedup_opts={"mode": "chunk", "k": 4, "min_docs": 2},
+    ).collect()
+    release_caches()
+    assert len(out) > 0
+    assert all("copyright footer" not in r["text"] for r in out)
+    assert all(f"number {r['doc_id']}" in r["text"] for r in out)
+
+
+def test_funnel_quality_sample_stage_monotonic(spark, docs):
+    """quality_sample_rates: full rates reproduce the unsampled funnel;
+    harsher rates keep strictly fewer docs; zero rates keep none."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    base_kwargs = dict(keep_langs=("en",), sample_fractions=None)
+    full_ids = sorted(
+        r["doc_id"]
+        for r in curate_documents(
+            docs, quality_sample_rates=(10000, 10000, 10000, 10000), **base_kwargs
+        ).collect()
+    )
+    release_caches()
+    plain_ids = sorted(
+        r["doc_id"] for r in curate_documents(docs, **base_kwargs).collect()
+    )
+    release_caches()
+    assert full_ids == plain_ids
+    harsh = curate_documents(
+        docs, quality_sample_rates=(0, 1000, 2500, 5000), **base_kwargs
+    ).count()
+    release_caches()
+    none = curate_documents(docs, quality_sample_rates=(0, 0, 0, 0), **base_kwargs).count()
+    release_caches()
+    assert none == 0
+    assert 0 < harsh < len(plain_ids)
