@@ -216,3 +216,34 @@ def test_pii_cross_engine_fuzz(spark):
     }
     diffs = {i: (got[i], exp[i]) for i in got if got[i] != exp[i]}
     assert not diffs, f"{len(diffs)} diverging rows, first: {next(iter(diffs.items()))}"
+
+
+def test_fuzz_segment_dedup_reconstructs_when_nothing_dropped(spark):
+    """Round-trip invariant: with min_docs above the corpus size nothing
+    is boilerplate, so segment_dedup must reassemble every document to
+    exactly its whitespace-normalized token stream — any chunking /
+    ordering / slicing bug breaks this equality somewhere in 200
+    random docs with ragged lengths (incl. lengths not divisible by k,
+    single-token docs, and duplicate chunks within one doc)."""
+    from dbd_datawarehouse_scraper_spark.operators.segments import segment_dedup
+
+    rng = random.Random(20260814)
+    vocab = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz", "q1", "w2"]
+    rows = []
+    for i in range(200):
+        n = rng.choice([1, 2, 3, 7, 8, 9, 15, 16, 17, 31])
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:  # duplicate a chunk inside the same doc
+            toks = toks + toks[: min(8, len(toks))]
+        sep = rng.choice([" ", "  ", " \t "])
+        rows.append((i, sep.join(toks), " ".join(toks)))
+    d = spark.createDataFrame(rows, "doc_id long, text string, expected string")
+    out = segment_dedup(d, mode="chunk", k=8, min_docs=10_000)
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    joined = out.join(d.select("doc_id", "expected"), "doc_id").collect()
+    release_caches()
+    assert len(joined) == 200
+    bad = [(r["doc_id"], r["clean_text"], r["expected"])
+           for r in joined if r["clean_text"] != r["expected"] or r["n_dropped"] != 0]
+    assert not bad, bad[:3]
