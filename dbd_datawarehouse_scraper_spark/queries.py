@@ -1649,6 +1649,58 @@ def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("stream_segment_dedup_hermetic", None)
+def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental passage/boilerplate removal through the
+    segment-frequency store (streaming/segments.py): two file-stream
+    epochs over documents with an injected cross-epoch boilerplate
+    passage; returns the cleaned epoch-2 rows. Rows-only (foreachBatch
+    + streaming trigger); prefix-consistency vs the batch operator,
+    replay idempotence, and format-marker refusal are pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from .streaming import file_stream
+    from .streaming.segments import stream_segment_dedup
+
+    work = tempfile.mkdtemp(prefix="seg_dedup_q_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    boiler = "shared boilerplate footer passage appears in every epoch"
+    try:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < 40
+        )
+        e1 = docs.select(
+            "doc_id", F.concat("text", F.lit(" " + boiler)).alias("text")
+        )
+        e1.coalesce(1).write.mode("append").parquet(src)
+        q = stream_segment_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, k=8, min_docs=4,
+        )
+        q.awaitTermination(180)
+        e2 = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" " + boiler)).alias("text"),
+        )
+        e2.coalesce(1).write.mode("append").parquet(src)
+        q2 = stream_segment_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, k=8, min_docs=4,
+        )
+        q2.awaitTermination(180)
+        cleaned = spark.read.parquet(f"{out}/epoch=1").select(
+            "doc_id", "text", "n_segs", "n_dropped"
+        )
+        # materialize before the temp dirs vanish
+        return spark.createDataFrame(cleaned.collect(), cleaned.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("stream_near_dedup_hermetic", None)
 def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental near-dup dedup through the signature store

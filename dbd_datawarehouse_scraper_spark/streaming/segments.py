@@ -1,0 +1,228 @@
+"""[EXT] Incremental passage/boilerplate removal: a segment-frequency
+store fed by ``foreachBatch``.
+
+The streaming counterpart of :func:`..operators.segments.segment_dedup`.
+Documents arrive in epochs; a segment is boilerplate once it has been
+seen in ≥ ``min_docs`` distinct documents ACROSS ALL EPOCHS SO FAR, and
+every epoch must be cleaned against that cumulative count without
+re-scanning historical text.
+
+State = one (segment-hash → doc-count) DELTA per epoch under
+``store_path/freq/epoch=N`` — 16 bytes a row, never segment text. The
+cumulative doc-frequency of a segment is the SUM of its per-epoch
+deltas (document ids never repeat across epochs of an append-only
+ingestion, so per-epoch distinct counts add exactly).
+
+Prefix-consistency contract (test-pinned): epoch N's cleaned output is
+IDENTICAL to running the batch operator over the union of epochs ≤ N
+and restricting to epoch N's documents. The corollary every incremental
+cleaner shares: a segment that only CROSSES the threshold at epoch N
+stays in the already-written outputs of epochs < N (they were correct
+prefixes when written); re-cleaning history is a batch re-run over the
+union, not an epoch operation.
+
+Store integrity mirrors streaming/near_dedup.py, same rationale:
+
+- explicit ``fs_exists`` history detection — only genuine absence
+  skips the history leg; a real FS error fails the epoch and the
+  checkpoint replays it;
+- a format marker pins (mode, k): stored hashes are
+  ``xxhash64(segment)`` of a SPECIFIC segmentation — counts from a
+  different chunk size would merge apples with oranges silently.
+  ``min_docs`` is a read-time threshold (not baked into stored data),
+  so it may vary per run;
+- history = committed epochs STRICTLY BELOW the current one (a
+  replayed epoch's own delta is already under ``epoch=N`` — reading
+  the whole dir would double-count the replayed batch and could flip
+  threshold decisions);
+- epoch-suffixed overwrites keep replays idempotent; committed
+  generations fold via sources/sinks.py ``fold_epoch_dirs`` (row-
+  preserving, so summed deltas are unchanged) to keep the history
+  probe off the small-files cliff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..caching import release_caches, tracked_persist
+from ..fsutil import fs_exists
+from ..operators.segments import segment_columns
+
+#: Bump when the segment hashing or store layout changes incompatibly.
+STORE_FORMAT_VERSION = 1
+
+_MARKER_SCHEMA = "format_version INT, mode STRING, k INT"
+
+
+def _validate_or_init_store(
+    spark: SparkSession, store_path: str, mode: str, k: int
+) -> None:
+    marker = f"{store_path}/format"
+    if fs_exists(spark, marker):
+        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
+        if row is None or row["format_version"] is None:
+            raise ValueError(
+                f"segment store marker at {marker} exists but is "
+                "unreadable — wipe the store before continuing."
+            )
+        found = (row["format_version"], row["mode"], row["k"])
+        want = (STORE_FORMAT_VERSION, mode, k)
+        if found != want:
+            raise ValueError(
+                f"segment store at {store_path} has format "
+                f"(version, mode, k)={found}, but this run needs {want}. "
+                "Counts from different segmentations never combine "
+                "correctly — wipe the store or rerun with its parameters."
+            )
+        return
+    if fs_exists(spark, store_path):
+        raise ValueError(
+            f"segment store at {store_path} exists but has no format "
+            "marker — it predates store versioning or is corrupted. "
+            "Wipe it before continuing."
+        )
+    spark.createDataFrame(
+        [(STORE_FORMAT_VERSION, mode, k)], _MARKER_SCHEMA
+    ).coalesce(1).write.mode("overwrite").json(marker)
+
+
+def stream_segment_dedup(
+    stream_docs: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "chunk",
+    k: int = 8,
+    min_docs: int = 2,
+    available_now: bool = True,
+    fold_store_after: int | None = 16,
+) -> StreamingQuery:
+    """Start the incremental passage-dedup stream. Cleaned epochs land
+    in ``out_path/epoch=N`` (all input columns, ``text_col`` rewritten,
+    plus ``n_segs``/``n_dropped``); the frequency store grows under
+    ``store_path/freq/epoch=N``. Returns the StreamingQuery."""
+    spark = stream_docs.sparkSession
+    _validate_or_init_store(spark, store_path, mode, k)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        segment_dedup_epoch(
+            spark, batch_df, epoch_id, out_path, store_path,
+            id_col=id_col, text_col=text_col, mode=mode, k=k,
+            min_docs=min_docs, fold_store_after=fold_store_after,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def segment_dedup_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "chunk",
+    k: int = 8,
+    min_docs: int = 2,
+    fold_store_after: int | None = 16,
+) -> bool:
+    """One epoch of incremental passage dedup, as a plain function so
+    composed incremental pipelines can run it inside their own
+    ``foreachBatch``. Cleans ``batch_df`` against cumulative history +
+    in-epoch counts, writes the cleaned rows to
+    ``out_path/epoch=<epoch_id>`` and the epoch's frequency delta to
+    the store. Epoch-suffixed overwrites keep replays idempotent.
+    Releases every cache it pins. Returns True iff the epoch had rows."""
+    _validate_or_init_store(spark, store_path, mode, k)
+    if fold_store_after:
+        from ..sources.sinks import fold_epoch_dirs
+
+        fold_epoch_dirs(
+            spark, f"{store_path}/freq",
+            below_epoch=epoch_id, min_dirs=fold_store_after,
+        )
+    batch = tracked_persist(batch_df)
+    if batch.count() == 0:
+        release_caches()
+        return False
+
+    _pos, _seg, _hs = "_sd_pos", "_sd_seg", "_sd_hs"
+    ex = tracked_persist(
+        batch.select(
+            F.col(id_col),
+            F.posexplode_outer(segment_columns(F.col(text_col), mode, k)).alias(
+                _pos, _seg
+            ),
+        )
+        .filter(F.col(_seg).isNotNull())
+        .withColumn(_hs, F.xxhash64(_seg))
+    )
+    epoch_freq = tracked_persist(
+        ex.groupBy(_hs).agg(F.count_distinct(F.col(id_col)).alias("doc_count"))
+    )
+
+    # cumulative counts: committed history deltas (strictly below this
+    # epoch) + this epoch's own — see module docstring for why the
+    # replay window must be excluded from the history read.
+    freq_root = f"{store_path}/freq"
+    hist_epochs = []
+    if fs_exists(spark, freq_root):
+        from ..fsutil import fs_list_names
+
+        hist_epochs = [
+            int(n.split("=", 1)[1])
+            for n in fs_list_names(spark, freq_root)
+            if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id
+        ]
+    total = epoch_freq
+    if hist_epochs:
+        hist = spark.read.parquet(
+            *[f"{freq_root}/epoch={e}" for e in hist_epochs]
+        )
+        total = (
+            epoch_freq.unionByName(hist)
+            .groupBy(_hs)
+            .agg(F.sum("doc_count").alias("doc_count"))
+        )
+    frequent = total.filter(F.col("doc_count") >= min_docs).select(
+        _hs, F.lit(True).alias("_dup")
+    )
+
+    marked = ex.join(frequent, _hs, "left")
+    kept_struct = F.when(
+        F.col("_dup").isNull(),
+        F.struct(F.col(_pos).alias("pos"), F.col(_seg).alias("seg")),
+    )
+    cleaned = (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
+                ),
+                " " if mode == "chunk" else "\n",
+            ).alias("_clean"),
+            F.count("*").alias("n_segs"),
+            F.count(F.col("_dup")).alias("n_dropped"),
+        )
+    )
+    out = (
+        batch.drop(text_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("_clean", text_col)
+    )
+    out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+    epoch_freq.write.mode("overwrite").parquet(f"{freq_root}/epoch={epoch_id}")
+    release_caches()
+    return True

@@ -829,3 +829,129 @@ def test_stream_export_training_set_end_to_end(spark, sf_dir):
         assert sorted(read_all()) == sorted(rows)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_segment_dedup_prefix_consistent_with_batch(spark):
+    """Incremental passage dedup: epoch N's cleaned output must equal
+    the BATCH segment_dedup over the union of epochs <= N restricted to
+    epoch N's docs. A passage seen once in epoch 1 and once in epoch 2
+    (min_docs=2) is stripped from epoch 2's docs but stays in epoch 1's
+    already-written output (prefix semantics)."""
+    from dbd_datawarehouse_scraper_spark.operators.segments import segment_dedup
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.segments import (
+        stream_segment_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="seg_stream_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    boiler = "w1 w2 w3 w4"
+    try:
+        e1 = spark.createDataFrame(
+            [(1, f"{boiler} aa bb cc dd"), (2, "ee ff gg hh ii jj kk ll")],
+            "doc_id long, text string",
+        )
+        e2 = spark.createDataFrame(
+            [(10, f"{boiler} mm nn oo pp"), (11, "qq rr ss tt")],
+            "doc_id long, text string",
+        )
+        e1.coalesce(1).write.mode("append").parquet(src)
+        q = stream_segment_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, k=4, min_docs=2,
+        )
+        q.awaitTermination(180)
+        e2.coalesce(1).write.mode("append").parquet(src)
+        q2 = stream_segment_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, k=4, min_docs=2,
+        )
+        q2.awaitTermination(180)
+
+        got1 = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/epoch=0").collect()}
+        got2 = {r["doc_id"]: r for r in spark.read.parquet(f"{out}/epoch=1").collect()}
+        # epoch 1 was a correct prefix when written: boiler only seen once
+        assert got1[1]["text"] == f"{boiler} aa bb cc dd"
+        # epoch 2 sees cumulative count 2 -> stripped
+        assert got2[10]["text"] == "mm nn oo pp"
+        assert got2[10]["n_dropped"] == 1
+        assert got2[11]["text"] == "qq rr ss tt"
+
+        # exact prefix-consistency vs the batch operator
+        union = e1.unionByName(e2)
+        batch = {
+            r["doc_id"]: r
+            for r in segment_dedup(union, mode="chunk", k=4, min_docs=2)
+            .filter(F.col("doc_id").isin([10, 11]))
+            .collect()
+        }
+        from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+        release_caches()
+        for did in (10, 11):
+            assert got2[did]["text"] == batch[did]["clean_text"]
+            assert got2[did]["n_dropped"] == batch[did]["n_dropped"]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_segment_dedup_replay_is_idempotent(spark):
+    """Replaying an epoch AFTER its store delta was written (crash
+    between store write and streaming commit) must not double-count its
+    own frequencies: history reads epochs strictly below, so the replay
+    produces byte-identical output."""
+    from dbd_datawarehouse_scraper_spark.streaming.segments import (
+        segment_dedup_epoch,
+    )
+
+    work = tempfile.mkdtemp(prefix="seg_replay_")
+    out, store = f"{work}/out", f"{work}/store"
+    try:
+        # min_docs=2: if the replay saw its own epoch-0 delta as
+        # history, this single-occurrence passage would wrongly cross
+        # the threshold and be stripped on replay
+        b0 = spark.createDataFrame(
+            [(1, "solo passage here now aa bb cc dd")],
+            "doc_id long, text string",
+        )
+        assert segment_dedup_epoch(spark, b0, 0, out, store, k=4, min_docs=2)
+        first = sorted(
+            map(tuple, spark.read.parquet(f"{out}/epoch=0").collect())
+        )
+        # replay the same epoch
+        assert segment_dedup_epoch(spark, b0, 0, out, store, k=4, min_docs=2)
+        second = sorted(
+            map(tuple, spark.read.parquet(f"{out}/epoch=0").collect())
+        )
+        assert first == second
+        assert first[0][1] == "solo passage here now aa bb cc dd"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_segment_dedup_store_errors_are_loud(spark):
+    """Format-marker protection: a store written with one segmentation
+    refuses epochs with another (mode, k); a marker-less non-empty
+    store is refused outright."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.streaming.segments import (
+        segment_dedup_epoch,
+    )
+
+    work = tempfile.mkdtemp(prefix="seg_loud_")
+    try:
+        b = spark.createDataFrame(
+            [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+        )
+        segment_dedup_epoch(spark, b, 0, f"{work}/out", f"{work}/store", k=4)
+        with _pytest.raises(ValueError, match="mode, k"):
+            segment_dedup_epoch(spark, b, 1, f"{work}/out", f"{work}/store", k=8)
+        # marker-less non-empty store
+        os.makedirs(f"{work}/store2/freq/epoch=0")
+        with _pytest.raises(ValueError, match="no format marker"):
+            segment_dedup_epoch(spark, b, 0, f"{work}/out2", f"{work}/store2", k=4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
