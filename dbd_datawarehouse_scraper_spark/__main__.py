@@ -91,6 +91,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Tokens per output shard")
     p.add_argument("--no-redact", action="store_true",
                    help="Skip PII redaction of the exported text")
+    p.add_argument("--segment-dedup-k", type=int, default=None,
+                   help="Enable cross-document passage dedup before "
+                        "curation scoring: chunk size in tokens "
+                        "(default: off)")
+    p.add_argument("--segment-min-docs", type=int, default=2,
+                   help="Passage dedup: segments in >= this many "
+                        "distinct docs are boilerplate")
+    p.add_argument("--quality-sample-rates", type=str, default=None,
+                   help="CCNet-style per-quality-bucket keep rates in "
+                        "basis points, low->high quality, e.g. "
+                        "'1000,2500,5000,10000' (default: off)")
     return p
 
 
@@ -202,6 +213,17 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .caching import release_caches
         from .plans.training_export import export_training_set
 
+        curate_kwargs = {}
+        if args.segment_dedup_k:
+            curate_kwargs["segment_dedup_opts"] = {
+                "mode": "chunk",
+                "k": args.segment_dedup_k,
+                "min_docs": args.segment_min_docs,
+            }
+        if args.quality_sample_rates:
+            curate_kwargs["quality_sample_rates"] = tuple(
+                int(x) for x in args.quality_sample_rates.split(",")
+            )
         counts = export_training_set(
             spark.read.parquet(args.input),
             args.output,
@@ -213,6 +235,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             else None,
             shard_token_budget=args.shard_token_budget,
             redact=not args.no_redact,
+            curate_kwargs=curate_kwargs or None,
         )
         release_caches()
         for label, n in counts.items():

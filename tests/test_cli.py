@@ -213,3 +213,49 @@ def test_export_training_set_cli(spark, tmp_path):
     back = spark.read.json(f"{out}/split=train")
     assert back.count() > 0
     assert {"doc_id", "text", "n_tokens", "shard"} <= set(back.columns)
+
+
+def test_export_training_set_cli_curation_flags(spark, tmp_path):
+    """--segment-dedup-k / --quality-sample-rates reach the funnel: an
+    injected cross-doc boilerplate passage is absent from the exported
+    text, and all-zero sample rates export nothing."""
+    import glob
+    import json
+
+    # every 4-token body chunk carries the per-doc token d{i} so only
+    # the appended boilerplate (2 aligned chunks) is cross-doc frequent
+    boiler = "copyright footer all rights reserved terms apply now"
+    docs = spark.createDataFrame(
+        [
+            (i, f"d{i} the d{i} and d{i} of d{i} is d{i} that d{i} this "
+                + boiler, "src0")
+            for i in range(60)
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "export")
+    rc = main([
+        "--export-training-set",
+        "--input", src,
+        "--output", out,
+        "--segment-dedup-k", "4",
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    back = spark.read.json(f"{out}/split=train")
+    texts = [r["text"] for r in back.collect()]
+    assert texts and all("copyright footer" not in t for t in texts)
+
+    out2 = str(tmp_path / "export2")
+    rc = main([
+        "--export-training-set",
+        "--input", src,
+        "--output", out2,
+        "--quality-sample-rates", "0,0,0,0",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert not glob.glob(f"{out2}/split=*/shard=*/*.gz")
