@@ -170,3 +170,66 @@ def test_contamination_single_arrow_pass_per_side(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "contamination_check")
     release_caches()
     assert plan.count("ArrowEvalPython") == 2, plan.count("ArrowEvalPython")
+
+
+def test_segment_dedup_single_segmentation_pass(spark, sf_dir):
+    """Round-5 scale properties of the passage dedup: the exploded
+    segment relation is persisted and feeds BOTH the frequency count
+    and the mark join (InMemoryTableScan reached twice — the
+    segmentation HOF runs once per row, not per consumer); no
+    cartesian; no inferred filter re-running the segmentation below
+    the Generate."""
+    plan = plan_of(spark, sf_dir, "segment_dedup")
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    assert plan.count("InMemoryTableScan") >= 2, "exploded relation must be reused"
+    assert "CartesianProduct" not in plan
+    # the segmentation (transform over sequence) appears in the cached
+    # relation's build only — never duplicated into a Filter
+    for line in plan.splitlines():
+        if "Filter" in line and "transform(" in line:
+            raise AssertionError(f"segmentation leaked into a filter: {line[:200]}")
+
+
+def test_quality_sampling_window_over_histogram_only(spark, sf_dir):
+    """Round-5 scale property of the quantile sampler: the global-order
+    window (the quantile prefix sum) runs over the score HISTOGRAM —
+    every SinglePartition exchange sits above the histogram aggregate
+    (per-score rows), never over corpus-scale data — and the bucket
+    map joins back as a broadcast, not a shuffle."""
+    plan = plan_of(spark, sf_dir, "quality_sampling")
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    assert "BroadcastHashJoin" in plan, "bucket map must broadcast"
+    # the scored relation is persisted; the single-partition window
+    # input must come from the histogram aggregate over its cache, so
+    # every SinglePartition exchange has an aggregate between itself
+    # and any table scan
+    lines = plan.splitlines()
+    sp = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert sp, "expected the histogram prefix-sum exchange"
+    for i in sp:
+        below = "\n".join(lines[i:])
+        agg_pos = below.find("HashAggregate")
+        scan_pos = below.find("InMemoryTableScan")
+        assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), (
+            "SinglePartition exchange must sit over the histogram "
+            "aggregate, not raw corpus rows"
+        )
+
+
+def test_tfidf_no_cartesian_and_partitioned_window(spark, sf_dir):
+    """tfidf's only cross join is the broadcast 1-row N; the rank
+    window is partitioned by document (never a global sort)."""
+    plan = plan_of(spark, sf_dir, "tfidf_topk")
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "1-row N joins as broadcast"
+    assert "Exchange SinglePartition" not in plan or plan.count(
+        "Exchange SinglePartition"
+    ) <= 1, "no corpus-scale single-partition stage"
+    assert "partial_count" in plan or "HashAggregate" in plan
