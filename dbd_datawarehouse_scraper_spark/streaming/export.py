@@ -78,13 +78,22 @@ def stream_export_training_set(
     shard_token_budget: int = 1_000_000,
     redact: bool = True,
     available_now: bool = True,
+    segment_dedup_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
     State layout under ``state_path``: ``store/`` (the MinHash
     signature store), ``curated/epoch=N`` (per-epoch survivors — the
     dedup→pack hand-off), ``pack/split=<label>/`` (per-split shard
-    cursors). All replay-idempotent; see the module docstring."""
+    cursors), and with ``segment_dedup_opts`` also ``segstore/`` (the
+    segment-frequency store) + ``segmented/epoch=N`` (the cleanup→gate
+    hand-off). All replay-idempotent; see the module docstring.
+
+    ``segment_dedup_opts`` (e.g. ``{"mode": "chunk", "k": 8,
+    "min_docs": 2}``) runs incremental passage/boilerplate removal
+    (streaming/segments.py) BEFORE the gates — same stage order as the
+    batch funnel, and for the same reason: boilerplate inflates
+    quality scores and shrinks near-dup distances."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
 
@@ -94,13 +103,33 @@ def stream_export_training_set(
         # committed one below it is dead weight — prune, don't fold
         from ..fsutil import fs_delete, fs_exists, fs_list_names
 
-        curated_base = f"{state_path}/curated"
-        if fs_exists(spark, curated_base):
-            for n in fs_list_names(spark, curated_base):
-                if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id:
-                    fs_delete(spark, f"{curated_base}/{n}")
+        for base in (f"{state_path}/curated", f"{state_path}/segmented"):
+            if fs_exists(spark, base):
+                for n in fs_list_names(spark, base):
+                    if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id:
+                        fs_delete(spark, f"{base}/{n}")
 
-        gated = batch_df.filter(
+        source = batch_df
+        if segment_dedup_opts is not None:
+            from .segments import segment_dedup_epoch
+
+            had_rows = segment_dedup_epoch(
+                spark,
+                batch_df,
+                epoch_id,
+                out_path=f"{state_path}/segmented",
+                store_path=f"{state_path}/segstore",
+                id_col=id_col,
+                text_col=text_col,
+                **segment_dedup_opts,
+            )
+            if not had_rows:
+                return
+            source = spark.read.parquet(
+                f"{state_path}/segmented/epoch={epoch_id}"
+            ).drop("n_segs", "n_dropped")
+
+        gated = source.filter(
             lang_id(F.col(text_col)).isin(list(keep_langs))
             & (quality_score(F.col(text_col)) >= min_quality)
             & (token_count(F.col(text_col)) >= min_tokens)
