@@ -1020,3 +1020,54 @@ def test_stream_export_with_segment_dedup_stage(spark):
             assert " the " in f" {t} "  # per-doc body survived
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_segment_dedup_store_folding_keeps_decisions(spark):
+    """With fold_store_after=2, committed freq generations fold into
+    one while epoch decisions stay identical to the unfolded store
+    (summed deltas are row-preserved by fold_epoch_dirs), and the
+    store never holds more than ~2 generations."""
+    from dbd_datawarehouse_scraper_spark.fsutil import fs_list_names
+    from dbd_datawarehouse_scraper_spark.streaming.segments import (
+        segment_dedup_epoch,
+    )
+
+    def run(workdir, fold):
+        out, store = f"{workdir}/out", f"{workdir}/store"
+        boiler = "b1 b2 b3 b4"
+        for e in range(5):
+            rows = [
+                (e * 100 + i,
+                 f"u{e}x{i} q{e}y{i} r{e}z{i} s{e}w{i} {boiler}")
+                for i in range(3)
+            ]
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            segment_dedup_epoch(
+                spark, b, e, out, store, k=4, min_docs=6,
+                fold_store_after=fold,
+            )
+        cleaned = sorted(
+            map(tuple, spark.read.parquet(f"{out}/epoch=*").collect())
+        )
+        gens = [
+            n for n in fs_list_names(spark, f"{store}/freq")
+            if n.startswith("epoch=")
+        ]
+        return cleaned, gens
+
+    w1 = tempfile.mkdtemp(prefix="seg_fold_")
+    w2 = tempfile.mkdtemp(prefix="seg_nofold_")
+    try:
+        folded, gens_folded = run(w1, fold=2)
+        unfolded, gens_unfolded = run(w2, fold=None)
+        assert folded == unfolded, "folding changed dedup decisions"
+        assert len(gens_folded) <= 3, gens_folded   # folded gen + recent
+        assert len(gens_unfolded) == 5
+        # the boiler (3 docs/epoch) crosses min_docs=6 at epoch 2: later
+        # epochs strip it, via SUMMED deltas that span the folded gen
+        by_id = {t[0]: t[1] for t in folded}
+        assert "b1 b2 b3 b4" in by_id[0]      # epoch 0: below threshold
+        assert "b1 b2 b3 b4" not in by_id[400]  # epoch 4: stripped
+    finally:
+        shutil.rmtree(w1, ignore_errors=True)
+        shutil.rmtree(w2, ignore_errors=True)
