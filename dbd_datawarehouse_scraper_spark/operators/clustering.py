@@ -128,9 +128,17 @@ def cluster_balanced_sample(
     max_share: float = 0.25,
     salt: str = "cluster-balance:",
 ) -> DataFrame:
-    """Cap any one cluster's share of the output at ``max_share``.
+    """Cap every cluster's kept rows at ``max_share`` of the INPUT size.
 
-    Keep rate per cluster = min(1, max_share·N / |c|); membership is a
+    Keep rate per cluster = min(1, max_share·N / |c|), N = input rows —
+    a per-cluster ceiling in absolute terms, which suppresses dominant
+    clusters without promising fixed OUTPUT proportions: when several
+    clusters hit the cap their output shares equalize at the cap-sized
+    count, and clusters below the cap are kept whole (so a capped
+    cluster's share of the OUTPUT can exceed ``max_share`` when the
+    output is much smaller than the input — exact output-share targets
+    need the iterative waterfill, deliberately not done here: one
+    aggregate, one filter). Membership is a
     sha256 content-hash threshold on (salt || id), so the sample is
     rerun- and partition-invariant and decorrelated from every other
     hash-keyed selection (different salt). One small aggregate (|k|

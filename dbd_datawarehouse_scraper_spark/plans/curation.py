@@ -110,7 +110,10 @@ def curate_documents(
         & (F.col("n_tokens") >= min_tokens)
     )
     # exact dedup on the normalized-content fingerprint, lowest id wins
-    exact = exact_dedup(gated, ["_fp"], id_col).drop("_fp")
+    # keep _fp through the funnel: the quality-sampling stage reuses it
+    # (recomputing doc_fingerprint would re-run the normalize regex +
+    # sha256 over every surviving document)
+    exact = exact_dedup(gated, ["_fp"], id_col)
 
     # The near-dup leg pins internal persists (minhash_lsh_pairs'
     # shingle index + signatures) and the component loop's checkpoint
@@ -153,7 +156,7 @@ def curate_documents(
         kept = quality_bucket_sample(
             near,
             score_q=F.round(F.col("quality") * 1e6),
-            fingerprint=doc_fingerprint(F.col(text_col)),
+            fingerprint=F.col("_fp"),
             id_cols=(id_col,),
             rates_bp=quality_sample_rates,
         ).select(id_col)
@@ -163,4 +166,4 @@ def curate_documents(
         near = deterministic_stratified_sample(
             near, "lang", sample_fractions, [id_col]
         )
-    return near
+    return near.drop("_fp")

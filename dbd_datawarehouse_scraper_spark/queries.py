@@ -2669,7 +2669,8 @@ def embedding_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] SemDeDup-style embedding-space curation
     (operators/clustering.py): k-means partition of the embeddings
     table, within-cluster cosine dedup (earliest-id survivor), then a
-    cluster-balanced sample capping any cluster at 40% of the output.
+    cluster-balanced sample capping every cluster's kept rows at 12%
+    of the survivor-set size.
     Rows-only (k-means assignment + applyInPandas survivors have no SQL
     mirror); survivor rules, determinism, sub-split bounding, and
     share caps are pinned in tests/test_clustering.py."""
@@ -2725,12 +2726,18 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2),
     marked AS (
       SELECT s.doc_id, s.pos, s.seg, (f.seg IS NOT NULL) AS is_dup
-      FROM segs s LEFT JOIN freq f ON s.seg = f.seg)
-    SELECT doc_id,
-           COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup), '') AS clean_text,
-           COUNT(*) AS n_segs,
-           COUNT(*) FILTER (WHERE is_dup) AS n_dropped
-    FROM marked GROUP BY doc_id
+      FROM segs s LEFT JOIN freq f ON s.seg = f.seg),
+    agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup), '') AS clean_text,
+             COUNT(*) AS n_segs,
+             COUNT(*) FILTER (WHERE is_dup) AS n_dropped
+      FROM marked GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_segs, 0) AS n_segs,
+           COALESCE(a.n_dropped, 0) AS n_dropped
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
 )
 def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2738,7 +2745,9 @@ def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-token chunks occurring in ≥2 distinct documents, reassemble the
     survivors in order — the RefinedWeb/CCNet boilerplate-removal shape
     at passage granularity. The oracle mirrors the chunking with DuckDB
-    list slicing; frequency counting is by segment hash Spark-side
+    list slicing and the row-preservation contract with a LEFT JOIN
+    back to documents (zero-segment docs survive with empty text);
+    frequency counting is by segment hash Spark-side
     (narrow shuffle) and by segment text oracle-side — identical up to
     64-bit collisions (~n²/2⁶⁴, negligible)."""
     from .operators.segments import segment_dedup

@@ -277,11 +277,27 @@ def near_dedup_epoch(
     if fs_exists(spark, f"{store_path}/bands"):
         from ..fsutil import fs_list_names
 
-        hist_epochs = [
+        all_epochs = [
             int(n.split("=", 1)[1])
             for n in fs_list_names(spark, f"{store_path}/bands")
-            if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id
+            if n.startswith("epoch=")
         ]
+        ahead = [e for e in all_epochs if e > epoch_id]
+        if ahead:
+            # epochs ABOVE the current id: the streaming checkpoint was
+            # reset against a populated store. Proceeding would overwrite
+            # committed epoch signatures one by one while deduping only
+            # against the remnant — silently readmitting duplicates.
+            # (Streaming epoch ids are monotone; a legitimate replay is
+            # only ever of the store's MAX epoch.)
+            raise ValueError(
+                f"signature store at {store_path} already holds epochs "
+                f"{sorted(ahead)} above the current epoch {epoch_id} — "
+                "the streaming checkpoint was reset against a populated "
+                "store. Resume with the original checkpoint, or wipe the "
+                "store (and re-ingest) to start over."
+            )
+        hist_epochs = [e for e in all_epochs if e < epoch_id]
     if hist_epochs:
         hist_bands = spark.read.parquet(
             *[f"{store_path}/bands/epoch={e}" for e in hist_epochs]

@@ -49,7 +49,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import release_caches, tracked_persist
 from ..fsutil import fs_exists
-from ..operators.segments import segment_columns
 
 #: Bump when the segment hashing or store layout changes incompatibly.
 STORE_FORMAT_VERSION = 1
@@ -157,34 +156,49 @@ def segment_dedup_epoch(
         release_caches()
         return False
 
-    _pos, _seg, _hs = "_sd_pos", "_sd_seg", "_sd_hs"
-    ex = tracked_persist(
-        batch.select(
-            F.col(id_col),
-            F.posexplode_outer(segment_columns(F.col(text_col), mode, k)).alias(
-                _pos, _seg
-            ),
-        )
-        .filter(F.col(_seg).isNotNull())
-        .withColumn(_hs, F.xxhash64(_seg))
+    from ..operators.segments import (
+        _HS,
+        explode_segments,
+        mark_and_reassemble,
     )
+
+    ex = tracked_persist(explode_segments(batch, id_col, text_col, mode, k))
     epoch_freq = tracked_persist(
-        ex.groupBy(_hs).agg(F.count_distinct(F.col(id_col)).alias("doc_count"))
+        ex.filter(F.col(_HS).isNotNull())
+        .groupBy(_HS)
+        .agg(F.count_distinct(F.col("_sd_id")).alias("doc_count"))
     )
 
     # cumulative counts: committed history deltas (strictly below this
     # epoch) + this epoch's own — see module docstring for why the
-    # replay window must be excluded from the history read.
+    # replay window must be excluded from the history read. An epoch
+    # ABOVE the current id in the store means the checkpoint was reset
+    # against a populated store: the new run would overwrite committed
+    # deltas epoch by epoch and silently undercount boilerplate — fail
+    # loudly instead (streaming epoch ids are monotone; a legitimate
+    # replay is only ever of the store's MAX epoch).
     freq_root = f"{store_path}/freq"
     hist_epochs = []
     if fs_exists(spark, freq_root):
         from ..fsutil import fs_list_names
 
-        hist_epochs = [
+        all_epochs = [
             int(n.split("=", 1)[1])
             for n in fs_list_names(spark, freq_root)
-            if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id
+            if n.startswith("epoch=")
         ]
+        ahead = [e for e in all_epochs if e > epoch_id]
+        if ahead:
+            raise ValueError(
+                f"segment store at {store_path} already holds epochs "
+                f"{sorted(ahead)} above the current epoch {epoch_id} — "
+                "the streaming checkpoint was reset against a populated "
+                "store. Resume with the original checkpoint, or wipe "
+                "the store (and its outputs) to start over; overwriting "
+                "committed frequency deltas silently readmits "
+                "boilerplate."
+            )
+        hist_epochs = [e for e in all_epochs if e < epoch_id]
     total = epoch_freq
     if hist_epochs:
         hist = spark.read.parquet(
@@ -192,30 +206,15 @@ def segment_dedup_epoch(
         )
         total = (
             epoch_freq.unionByName(hist)
-            .groupBy(_hs)
+            .groupBy(_HS)
             .agg(F.sum("doc_count").alias("doc_count"))
         )
     frequent = total.filter(F.col("doc_count") >= min_docs).select(
-        _hs, F.lit(True).alias("_dup")
+        _HS, F.lit(True).alias("_sd_dup")
     )
 
-    marked = ex.join(frequent, _hs, "left")
-    kept_struct = F.when(
-        F.col("_dup").isNull(),
-        F.struct(F.col(_pos).alias("pos"), F.col(_seg).alias("seg")),
-    )
-    cleaned = (
-        marked.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["seg"]
-                ),
-                " " if mode == "chunk" else "\n",
-            ).alias("_clean"),
-            F.count("*").alias("n_segs"),
-            F.count(F.col("_dup")).alias("n_dropped"),
-        )
+    cleaned = mark_and_reassemble(ex, frequent, id_col, mode).withColumnRenamed(
+        "clean_text", "_clean"
     )
     out = (
         batch.drop(text_col)

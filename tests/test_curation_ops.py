@@ -206,3 +206,21 @@ def test_tfidf_topk_bounds_and_tiebreak(spark):
     out = tfidf_topk(d, topk=3).orderBy("rn").collect()
     assert [r["token"] for r in out] == ["a", "b", "c"]  # token-asc tiebreak
     assert [r["rn"] for r in out] == [1, 2, 3]
+
+
+def test_segment_dedup_preserves_zero_segment_docs(spark):
+    """Row-preservation contract: empty/whitespace-text docs come out
+    with clean_text='' and n_segs=0 instead of vanishing (they would
+    otherwise be silently deleted by the funnel's rewrite join)."""
+    d = _docs(spark, [(1, "a b c d"), (2, ""), (3, "   ")])
+    out = {r["doc_id"]: r for r in segment_dedup(d, mode="chunk", k=2).collect()}
+    assert set(out) == {1, 2, 3}
+    for did in (2, 3):
+        assert out[did]["clean_text"] == ""
+        assert out[did]["n_segs"] == 0 and out[did]["n_dropped"] == 0
+    assert out[1]["clean_text"] == "a b c d"
+
+
+def test_segment_columns_rejects_bad_k():
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        segment_columns(F.lit("x"), mode="chunk", k=0)

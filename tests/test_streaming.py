@@ -1071,3 +1071,59 @@ def test_stream_segment_dedup_store_folding_keeps_decisions(spark):
     finally:
         shutil.rmtree(w1, ignore_errors=True)
         shutil.rmtree(w2, ignore_errors=True)
+
+
+def test_stream_segment_dedup_checkpoint_reset_is_loud(spark):
+    """A store holding epochs ABOVE the current id means the streaming
+    checkpoint was reset against a populated store — the epoch must
+    refuse instead of overwriting committed frequency deltas (which
+    would silently readmit boilerplate)."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.streaming.segments import (
+        segment_dedup_epoch,
+    )
+
+    work = tempfile.mkdtemp(prefix="seg_reset_")
+    out, store = f"{work}/out", f"{work}/store"
+    try:
+        b = spark.createDataFrame(
+            [(1, "aa bb cc dd ee ff gg hh")], "doc_id long, text string"
+        )
+        for e in (0, 1, 2):
+            segment_dedup_epoch(spark, b, e, out, store, k=4)
+        # replay of the max epoch stays legal
+        assert segment_dedup_epoch(spark, b, 2, out, store, k=4)
+        with _pytest.raises(ValueError, match="checkpoint was reset"):
+            segment_dedup_epoch(spark, b, 0, out, store, k=4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_near_dedup_checkpoint_reset_is_loud(spark):
+    """Same reset protection for the signature store: epochs above the
+    current id mean a reset checkpoint — refuse rather than overwrite
+    committed signatures (which would readmit duplicates)."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.streaming.near_dedup import (
+        near_dedup_epoch,
+    )
+
+    work = tempfile.mkdtemp(prefix="near_reset_")
+    out, store = f"{work}/out", f"{work}/store"
+    try:
+        def batch(i):
+            return spark.createDataFrame(
+                [(i * 10 + j, f"document body {i} {j} unique words here")
+                 for j in range(3)],
+                "doc_id long, text string",
+            )
+
+        for e in (0, 1, 2):
+            near_dedup_epoch(spark, batch(e), e, out, store)
+        assert near_dedup_epoch(spark, batch(2), 2, out, store)  # replay ok
+        with _pytest.raises(ValueError, match="checkpoint was reset"):
+            near_dedup_epoch(spark, batch(0), 0, out, store)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
