@@ -79,3 +79,10 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
     if not fs.rename(jsrc, jdst):
         raise IOError(f"rename {src} -> {dst} failed")
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty file at ``path`` (marker files). Overwrites.
+    Raises on FS errors."""
+    fs, jpath = _fs(spark, path)
+    fs.create(jpath, True).close()

@@ -84,9 +84,21 @@ def mix_corpora(
     Sources absent from ``weights`` are dropped — a mix is an explicit
     allowlist. Returns the input columns unchanged."""
     rates = mix_rates(docs, weights, source_col, token_col)
+    # coalesce: concat propagates null, so a null-text row would hash to
+    # NULL, fail every `bucket < rate` predicate, and vanish silently —
+    # even from a rate-1.0 binding source — while still counting in the
+    # mix_rates totals (round-5 review). Null/empty text shares one
+    # deterministic bucket instead.
     bucket = (
         F.conv(
-            F.substring(F.sha2(F.concat(F.lit(_SALT), F.col(text_col)), 256), 1, 8),
+            F.substring(
+                F.sha2(
+                    F.concat(F.lit(_SALT), F.coalesce(F.col(text_col), F.lit(""))),
+                    256,
+                ),
+                1,
+                8,
+            ),
             16,
             10,
         ).cast("long")

@@ -74,9 +74,16 @@ def export_training_set(
         carry_cols=(source_col,) if mix_weights else (),
         **(curate_kwargs or {}),
     )
+    from ..caching import tracked_persist
+
     if mix_weights:
         # mixing AFTER curation: the proportions are over the mass that
-        # actually survives dedup/gating, which is what the trainer sees
+        # actually survives dedup/gating, which is what the trainer sees.
+        # Persist FIRST: mix_rates collects per-source totals eagerly,
+        # and without the cache that probe would execute the whole
+        # funnel once for the totals and again for the packing pass
+        # (round-5 review).
+        curated = tracked_persist(curated)
         curated = mix_corpora(
             curated, mix_weights, source_col=source_col, text_col=text_col
         ).drop(source_col)
@@ -85,8 +92,6 @@ def export_training_set(
     ).withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
     if redact:
         prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
-
-    from ..caching import tracked_persist
 
     # one pass computes curation + split for every label; each split's
     # packing job then reads the cached relation instead of re-running

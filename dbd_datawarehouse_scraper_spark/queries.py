@@ -1271,7 +1271,7 @@ _FP_OF_DOC_SQL = "sha256(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g'))))"
                 WHEN s_fr = top THEN 'fr'
                 ELSE 'zh' END AS lang_pred,
            round(0.5 * s.len_score + 0.3 * s.stop_score + 0.2 * (1.0 - s.punct_penalty), 6) AS quality,
-           sha256(lower(trim(regexp_replace(b.text, '\\s+', ' ', 'g')))) AS fingerprint,
+           {_FP_OF_DOC_SQL} AS fingerprint,
            {_pii_counts_sql("b.text")},
            sha256({_pii_redact_sql("b.text")}) AS redacted_fingerprint,
            {_split_sql(_FP_OF_DOC_SQL)} AS split

@@ -276,14 +276,18 @@ def jsonl_documents_source(
         ).alias("_r"),
         "value",
     )
+    # blank/whitespace-only lines parse to a NULL struct (from_json
+    # returns null, so _corrupt is null too) — without the _r-not-null
+    # arm they'd land on the GOOD side as all-null rows and flow into
+    # curation/dedup as null documents (round-5 review)
     good = (
-        parsed.filter(F.col("_r._corrupt").isNull())
+        parsed.filter(F.col("_r").isNotNull() & F.col("_r._corrupt").isNull())
         .select("_r.*")
         .drop("_corrupt")
     )
-    corrupt = parsed.filter(F.col("_r._corrupt").isNotNull()).select(
-        F.col("value").alias("raw_line")
-    )
+    corrupt = parsed.filter(
+        F.col("_r").isNull() | F.col("_r._corrupt").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
     if fail_on_corrupt:
         n = corrupt.count()
         if n:

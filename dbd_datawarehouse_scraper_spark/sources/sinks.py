@@ -190,9 +190,9 @@ def fold_epoch_dirs(
     :func:`compact_output`. Incremental stores (the near-dup signature
     store, the shard packer's output) append one parquet directory per
     epoch; after thousands of epochs every history probe is a
-    small-files scan. This folds all ``epoch=K`` dirs with
-    ``K < below_epoch`` into a single ``epoch=<max folded K>``
-    directory of ~``target_files`` files, preserving rows exactly.
+    small-files scan. This folds committed ``epoch=K`` dirs
+    (``K < below_epoch``) into ``epoch=<max folded K>`` generations
+    of ~``target_files`` files each, preserving rows exactly.
 
     Replay safety: ``foreachBatch`` can replay at most the CURRENT
     epoch, so callers pass ``below_epoch=<current epoch_id>`` — a
@@ -200,6 +200,21 @@ def fold_epoch_dirs(
     never folded, and re-folding on replay is a no-op-shaped rewrite
     of already-folded generations. No-op below ``min_dirs`` eligible
     dirs so steady-state epochs don't pay a rewrite.
+
+    Tiered (round-5 review): folding ALL eligible dirs every time
+    re-reads and rewrites the ever-growing folded generation on every
+    cycle — O(N²/min_dirs) total I/O over the store's life. Folded
+    generations therefore carry a ``_FOLDED_GEN`` marker and fold in
+    two tiers, LSM-style:
+
+    - **minor** — when ≥ ``min_dirs`` UNMARKED eligible dirs exist,
+      fold only those into one new marked generation (the big old
+      generations are not touched);
+    - **major** — when the marked eligible generations themselves
+      number ≥ ``min_dirs``, fold those into one.
+
+    Each row is rewritten O(levels) ≈ 2 times per major cycle instead
+    of once per minor cycle — amortized O(N·log N / min_dirs) I/O.
 
     Crash safety mirrors :func:`compact_output`'s two-rename swap
     (write tmp → move aside → move in → drop old) with
@@ -210,7 +225,7 @@ def fold_epoch_dirs(
     dir was uncommitted and the replay rewrites it with overwrite.
     Committed generations are never exposed to that window (they move
     in one rename). Returns True iff a fold happened."""
-    from ..fsutil import fs_delete, fs_exists, fs_list_names, fs_rename
+    from ..fsutil import fs_delete, fs_exists, fs_list_names, fs_rename, fs_touch
 
     recover_epoch_fold(spark, path)
     if not fs_exists(spark, path):
@@ -221,18 +236,38 @@ def fold_epoch_dirs(
         if n.startswith("epoch=")
     )
     eligible = [e for e in epochs if e < below_epoch]
-    if len(eligible) < min_dirs:
+    marked = [
+        e for e in eligible
+        if fs_exists(spark, f"{path}/epoch={e}/_FOLDED_GEN")
+    ]
+    unmarked = [e for e in eligible if e not in set(marked)]
+    fold_minor = len(unmarked) >= min_dirs
+    fold_major = len(marked) >= min_dirs
+    if not (fold_minor or fold_major):
         return False
-    kmax = max(eligible)
     tmp, old = f"{path}.__fold_tmp__", f"{path}.__fold_old__"
-    folded = spark.read.parquet(
-        *[f"{path}/epoch={e}" for e in eligible]
-    ).coalesce(target_files)
-    folded.write.mode("overwrite").parquet(f"{tmp}/epoch={kmax}")
-    # carry any NOT-eligible live dirs (a replaying current epoch's
-    # leftover) across the swap untouched
+
+    def write_gen(group):
+        kmax = max(group)
+        spark.read.parquet(*[f"{path}/epoch={e}" for e in group]).coalesce(
+            target_files
+        ).write.mode("overwrite").parquet(f"{tmp}/epoch={kmax}")
+        fs_touch(spark, f"{tmp}/epoch={kmax}/_FOLDED_GEN")
+        return kmax
+
+    carried = set()
+    if fold_minor:
+        write_gen(unmarked)
+    else:
+        carried.update(unmarked)
+    if fold_major:
+        write_gen(marked)
+    else:
+        carried.update(marked)
+    # carry untouched dirs (live replay-window dirs + the non-folding
+    # tier) across the swap by rename — no rewrite
     for e in epochs:
-        if e >= below_epoch:
+        if e >= below_epoch or e in carried:
             fs_rename(spark, f"{path}/epoch={e}", f"{tmp}/epoch={e}")
     fs_rename(spark, path, old)
     fs_rename(spark, tmp, path)

@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..caching import release_caches, tracked_persist
+from ..caching import pool_mark, release_since, tracked_persist
 from ..fsutil import fs_exists
 from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
 from ..operators.graph import component_survivors
@@ -188,8 +188,13 @@ def stream_near_dedup(
     _validate_or_init_store(spark, store_path, num_hashes, bands, k)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # the wrapper's documented output schema is (id_col, text_col):
+        # select explicitly so a source with extra columns can't change
+        # the survivor schema mid-store (near_dedup_epoch itself carries
+        # ALL columns for composed pipelines that want them)
         near_dedup_epoch(
-            spark, batch_df, epoch_id, out_path, store_path,
+            spark, batch_df.select(id_col, text_col), epoch_id,
+            out_path, store_path,
             id_col=id_col, text_col=text_col, num_hashes=num_hashes,
             bands=bands, k=k, threshold=threshold,
             fold_store_after=fold_store_after,
@@ -223,23 +228,34 @@ def near_dedup_epoch(
     itself and against the signature store, write survivors (ALL
     input columns) to ``out_path/epoch=<epoch_id>`` and the epoch's
     signatures/bands to the store. Epoch-suffixed overwrites keep
-    replays idempotent. Releases every cache it pins. Returns True iff
+    replays idempotent. Releases exactly the caches it pins\n    (pool-scoped — a caller's live barriers are untouched). Returns True iff
     the epoch had rows (False epochs write nothing)."""
     # idempotent per-epoch validation: direct callers (composed
     # pipelines) get the same format-marker protection the stream
     # wrapper establishes at start
     _validate_or_init_store(spark, store_path, num_hashes, bands, k)
-    if fold_store_after:
-        from ..sources.sinks import fold_epoch_dirs
+    # crash recovery runs UNCONDITIONALLY: a crash mid fold-swap leaves
+    # the store moved aside (bands.__fold_old__), and if the next run
+    # disabled folding, the history-existence check would read genuine
+    # absence and silently skip dedup-against-history — the round-3
+    # defect-#1 class this store exists to prevent (round-5 review).
+    from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
+    for sub in ("sigs", "bands"):
+        recover_epoch_fold(spark, f"{store_path}/{sub}")
+    if fold_store_after:
         for sub in ("sigs", "bands"):
             fold_epoch_dirs(
                 spark, f"{store_path}/{sub}",
                 below_epoch=epoch_id, min_dirs=fold_store_after,
             )
+    # scoped release: this function is public and composable — a global
+    # release_caches() would clobber persists/scratch dirs a CALLER
+    # holds behind its own live plans (round-5 review)
+    mark = pool_mark()
     batch = tracked_persist(batch_df)
     if batch.count() == 0:
-        release_caches()
+        release_since(mark)
         return False
 
     # within-batch: exact-verified pairs, component-min survivors
@@ -346,5 +362,5 @@ def near_dedup_epoch(
     _banded(surv_sig, num_hashes, bands).write.mode("overwrite").parquet(
         f"{store_path}/bands/epoch={epoch_id}"
     )
-    release_caches()
+    release_since(mark)
     return True

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..caching import release_caches, tracked_persist
+from ..caching import pool_mark, release_since, tracked_persist
 from ..fsutil import fs_exists
 
 #: Bump when the segment hashing or store layout changes incompatibly.
@@ -142,18 +142,24 @@ def segment_dedup_epoch(
     in-epoch counts, writes the cleaned rows to
     ``out_path/epoch=<epoch_id>`` and the epoch's frequency delta to
     the store. Epoch-suffixed overwrites keep replays idempotent.
-    Releases every cache it pins. Returns True iff the epoch had rows."""
+    Releases exactly the caches it pins (pool-scoped). Returns True iff the epoch had rows."""
     _validate_or_init_store(spark, store_path, mode, k)
-    if fold_store_after:
-        from ..sources.sinks import fold_epoch_dirs
+    # unconditional crash recovery + scoped release — same rationale as
+    # near_dedup_epoch (round-5 review): a mid-fold crash must not read
+    # as "no history", and a composable epoch function must never
+    # release a caller's pinned state.
+    from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
+    recover_epoch_fold(spark, f"{store_path}/freq")
+    if fold_store_after:
         fold_epoch_dirs(
             spark, f"{store_path}/freq",
             below_epoch=epoch_id, min_dirs=fold_store_after,
         )
+    mark = pool_mark()
     batch = tracked_persist(batch_df)
     if batch.count() == 0:
-        release_caches()
+        release_since(mark)
         return False
 
     from ..operators.segments import (
@@ -223,5 +229,5 @@ def segment_dedup_epoch(
     )
     out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
     epoch_freq.write.mode("overwrite").parquet(f"{freq_root}/epoch={epoch_id}")
-    release_caches()
+    release_since(mark)
     return True

@@ -344,3 +344,21 @@ def test_mix_corpora_deterministic_and_proportional(spark):
     """
     exp = {row[0] for row in con.execute(sql).fetchall()}
     assert got == exp
+
+
+def test_mix_corpora_keeps_null_text_rows_of_full_rate_source(spark):
+    """Round-5 review: a null text column must not silently drop the
+    row from the mix — the binding (rate-1.0) source keeps ALL its
+    rows, null text included."""
+    from dbd_datawarehouse_scraper_spark.operators.mixing import mix_corpora
+
+    rows = [(i, "body %d" % i, "a") for i in range(40)] + [
+        (100, None, "a"),
+        (200, "b text", "b"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # weights make 'a' the binding source (kept whole): scale =
+    # min(41/0.99, 1/0.01) = 41.4 -> rate_a = 1.0
+    out = mix_corpora(d, {"a": 0.99, "b": 0.01})
+    kept_a = {r["doc_id"] for r in out.filter("source = 'a'").collect()}
+    assert 100 in kept_a and len(kept_a) == 41

@@ -591,3 +591,79 @@ def test_jsonl_source_quarantines_corrupt_lines_and_round_trips(spark):
         assert glob.glob(f"{work}/out/shard=*/*.gz")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_fold_epoch_dirs_tiered_no_requadratic_rewrite(spark):
+    """Round-5 review: folding must not rewrite the big folded
+    generation on every cycle. Minor folds only touch UNMARKED recent
+    dirs (the marked generation's files are carried by rename,
+    byte-identical); only when marked generations pile up past
+    min_dirs does a major fold combine them."""
+    import glob
+
+    from dbd_datawarehouse_scraper_spark.sources.sinks import fold_epoch_dirs
+
+    base = tempfile.mkdtemp(prefix="fold_tier_")
+    store = f"{base}/store"
+
+    def write_epoch(e):
+        spark.createDataFrame(
+            [(e * 10 + i, f"doc{e}_{i}") for i in range(3)],
+            "id long, txt string",
+        ).coalesce(1).write.parquet(f"{store}/epoch={e}")
+
+    try:
+        for e in range(4):
+            write_epoch(e)
+        assert fold_epoch_dirs(spark, store, below_epoch=4, min_dirs=2)
+        gen1 = sorted(glob.glob(f"{store}/epoch=3/part-*"))
+        assert gen1 and os.path.exists(f"{store}/epoch=3/_FOLDED_GEN")
+
+        # two more epochs -> minor fold of [4, 5] only
+        for e in (4, 5):
+            write_epoch(e)
+        assert fold_epoch_dirs(spark, store, below_epoch=6, min_dirs=2)
+        # the tier-1 generation was carried, not rewritten: same files
+        assert sorted(glob.glob(f"{store}/epoch=3/part-*")) == gen1
+        assert os.path.exists(f"{store}/epoch=5/_FOLDED_GEN")
+
+        # a third marked generation triggers the MAJOR fold (3 >= 2... 
+        # marked=[3,5] already ≥ 2 at the next call): everything folds
+        for e in (6, 7):
+            write_epoch(e)
+        assert fold_epoch_dirs(spark, store, below_epoch=8, min_dirs=2)
+        names = sorted(
+            n for n in os.listdir(store) if n.startswith("epoch=")
+        )
+        assert names == ["epoch=5", "epoch=7"], names  # major(3,5) + minor(6,7)
+        rows = {(r["id"], r["txt"]) for r in spark.read.parquet(store).collect()}
+        assert rows == {(e * 10 + i, f"doc{e}_{i}") for e in range(8) for i in range(3)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_jsonl_source_blank_lines_are_corrupt_not_null_rows(spark):
+    """Round-5 review: blank/whitespace lines parse to a NULL struct —
+    they must land on the corrupt side, never as all-null good rows
+    flowing into curation as null documents."""
+    from dbd_datawarehouse_scraper_spark.sources.files import (
+        jsonl_documents_source,
+    )
+
+    work = tempfile.mkdtemp(prefix="jsonl_blank_")
+    try:
+        src = f"{work}/in"
+        os.makedirs(src)
+        with open(f"{src}/part-0.jsonl", "w", encoding="utf-8") as f:
+            f.write('{"doc_id": 1, "text": "ok"}\n')
+            f.write("\n")
+            f.write("   \n")
+            f.write('{"doc_id": 2, "text": "also ok"}\n')
+        good, corrupt = jsonl_documents_source(spark, src)
+        assert {r["doc_id"] for r in good.collect()} == {1, 2}
+        assert good.filter("doc_id IS NULL").count() == 0
+        assert corrupt.count() == 2
+        with pytest.raises(ValueError, match="corrupt JSONL"):
+            jsonl_documents_source(spark, src, fail_on_corrupt=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

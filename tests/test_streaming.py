@@ -621,10 +621,13 @@ def test_stream_pack_shards_checkpoint_reset_is_loud(spark):
 
 def test_stream_near_dedup_store_folding_keeps_decisions(spark, sf_dir):
     """Store-generation folding (round-4 judge gap #2): after K epochs
-    with fold_store_after=2, the signature store holds at most 2
-    generations per subdir (one folded + the live epoch), and dedup
-    decisions are IDENTICAL to an unfolded run — including a duplicate
-    of a document whose signatures were folded epochs earlier."""
+    with fold_store_after=2, the signature store holds at most
+    2·(min_dirs−1)+1 = 3 generations per subdir (one folded tier-2
+    generation, up to min_dirs−1 unfolded recents, the live epoch —
+    the round-5 TIERED fold no longer rewrites the big folded
+    generation every cycle), and dedup decisions are IDENTICAL to an
+    unfolded run — including a duplicate of a document whose
+    signatures were folded epochs earlier."""
     from dbd_datawarehouse_scraper_spark.streaming import (
         file_stream,
         stream_near_dedup,
@@ -672,7 +675,7 @@ def test_stream_near_dedup_store_folding_keeps_decisions(spark, sf_dir):
                         for n in os.listdir(f"{store}/{sub}")
                         if n.startswith("epoch=")
                     ]
-                    assert len(gens) <= 2, (sub, sorted(gens))
+                    assert len(gens) <= 3, (sub, sorted(gens))
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
