@@ -29,21 +29,33 @@ explicit here is the documented contract, not an accident of defaults).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-# Live persisted DataFrames, in persist order. A list (not a WeakSet):
-# the returned plans hold references to these anyway, and release order
-# doesn't matter for unpersist.
-_LIVE: list[DataFrame] = []
+# Pools are THREAD-SCOPED (round-5 review): concurrent streaming
+# queries share one SparkSession but run their foreachBatch bodies on
+# separate threads; a single global list made pool_mark/release_since
+# length arithmetic unsound under interleaving (epoch A's release could
+# pop epoch B's still-live batch cache and delete B's scratch files).
+# Each thread gets its own (live persists, scratch dirs) pair:
+# mark/since scope to the CURRENT thread (an epoch runs wholly on one
+# thread), while release_caches() drains every pool (the session-level
+# "consuming action finished" sweep).
+_POOLS: dict[int, tuple[list[DataFrame], list[tuple[SparkSession, str]]]] = {}
+_POOLS_LOCK = threading.Lock()
 
-# Scratch directories (connected-components checkpoint rounds, funnel
-# intermediates) whose files back still-unconsumed result plans. Same
-# lifecycle as persists: registered at creation, deleted by
-# release_caches() after the consuming action. Round-3 judge defect #2:
-# the checkpoint files previously had NO deletion path and grew per
-# call forever on a shared cluster checkpoint dir.
-_SCRATCH: list[tuple[SparkSession, str]] = []
+
+def _pool() -> tuple[list[DataFrame], list[tuple[SparkSession, str]]]:
+    tid = threading.get_ident()
+    with _POOLS_LOCK:
+        return _POOLS.setdefault(tid, ([], []))
+
+
+def _all_pools() -> list[tuple[list[DataFrame], list[tuple[SparkSession, str]]]]:
+    with _POOLS_LOCK:
+        return list(_POOLS.values())
 
 
 def tracked_persist(
@@ -51,7 +63,7 @@ def tracked_persist(
 ) -> DataFrame:
     """``df.persist(level)``, registered for later :func:`release_caches`."""
     out = df.persist(level)
-    _LIVE.append(out)
+    _pool()[0].append(out)
     return out
 
 
@@ -60,7 +72,7 @@ def tracked_scratch_dir(spark: SparkSession, path: str) -> str:
     :func:`release_caches`. Scratch dirs back returned plans the same
     way persisted blocks do (e.g. the connected-components label files)
     — they must outlive the consuming action, then be reclaimed."""
-    _SCRATCH.append((spark, path))
+    _pool()[1].append((spark, path))
     return path
 
 
@@ -76,22 +88,23 @@ def release_caches(blocking: bool = False) -> int:
     teardown must not mask the real error.
     """
     released = 0
-    while _LIVE:
-        df = _LIVE.pop()
-        try:
-            df.unpersist(blocking=blocking)
-            released += 1
-        except Exception:
-            pass
     from .fsutil import fs_delete
 
-    while _SCRATCH:
-        spark, path = _SCRATCH.pop()
-        try:
-            fs_delete(spark, path)
-            released += 1
-        except Exception:
-            pass
+    for live, scratch in _all_pools():
+        while live:
+            df = live.pop()
+            try:
+                df.unpersist(blocking=blocking)
+                released += 1
+            except Exception:
+                pass
+        while scratch:
+            spark, path = scratch.pop()
+            try:
+                fs_delete(spark, path)
+                released += 1
+            except Exception:
+                pass
     return released
 
 
@@ -107,21 +120,24 @@ def release_these(dfs: list[DataFrame], blocking: bool = False) -> int:
             released += 1
         except Exception:
             pass
-        try:
-            _LIVE.remove(df)
-        except ValueError:
-            pass
+        for live, _ in _all_pools():
+            try:
+                live.remove(df)
+            except ValueError:
+                pass
     return released
 
 
 def live_persist_count() -> int:
-    """Number of currently tracked (not yet released) persists."""
-    return len(_LIVE)
+    """Number of currently tracked (not yet released) persists,
+    across all threads' pools."""
+    return sum(len(live) for live, _ in _all_pools())
 
 
 def live_scratch_count() -> int:
-    """Number of currently tracked (not yet deleted) scratch dirs."""
-    return len(_SCRATCH)
+    """Number of currently tracked (not yet deleted) scratch dirs,
+    across all threads' pools."""
+    return sum(len(scratch) for _, scratch in _all_pools())
 
 
 def pool_mark() -> tuple[int, int]:
@@ -129,17 +145,21 @@ def pool_mark() -> tuple[int, int]:
     consume-and-release internally (plans/curation.py) bracket their
     internal pipeline with ``mark = pool_mark()`` …
     ``release_since(mark)`` so they drain exactly what THEY pinned,
-    never a caller's live barriers."""
-    return (len(_LIVE), len(_SCRATCH))
+    never a caller's live barriers. Thread-scoped: the mark covers the
+    CURRENT thread's pool only, so concurrent epochs on other threads
+    are untouched (round-5 review)."""
+    live, scratch = _pool()
+    return (len(live), len(scratch))
 
 
 def release_since(mark: tuple[int, int], blocking: bool = False) -> int:
     """Release every persist and scratch dir registered after ``mark``
     (from :func:`pool_mark`). Returns the number of releases."""
     n_live, n_scratch = mark
+    live, scratch = _pool()
     released = 0
-    while len(_LIVE) > n_live:
-        df = _LIVE.pop()
+    while len(live) > n_live:
+        df = live.pop()
         try:
             df.unpersist(blocking=blocking)
             released += 1
@@ -147,8 +167,8 @@ def release_since(mark: tuple[int, int], blocking: bool = False) -> int:
             pass
     from .fsutil import fs_delete
 
-    while len(_SCRATCH) > n_scratch:
-        spark, path = _SCRATCH.pop()
+    while len(scratch) > n_scratch:
+        spark, path = scratch.pop()
         try:
             fs_delete(spark, path)
             released += 1

@@ -76,6 +76,7 @@ def export_training_set(
     )
     from ..caching import tracked_persist
 
+    curated_cache = None
     if mix_weights:
         # mixing AFTER curation: the proportions are over the mass that
         # actually survives dedup/gating, which is what the trainer sees.
@@ -83,9 +84,9 @@ def export_training_set(
         # and without the cache that probe would execute the whole
         # funnel once for the totals and again for the packing pass
         # (round-5 review).
-        curated = tracked_persist(curated)
+        curated_cache = tracked_persist(curated)
         curated = mix_corpora(
-            curated, mix_weights, source_col=source_col, text_col=text_col
+            curated_cache, mix_weights, source_col=source_col, text_col=text_col
         ).drop(source_col)
     prepared = curated.withColumn(
         "split", content_split(doc_fingerprint(F.col(text_col)), split_fractions)
@@ -97,6 +98,15 @@ def export_training_set(
     # packing job then reads the cached relation instead of re-running
     # the funnel per label
     prepared = tracked_persist(prepared)
+
+    if curated_cache is not None:
+        # prepared subsumes curated — materialize it, then drop the
+        # curated cache so the corpus isn't held twice through the
+        # per-split packing loop (round-5 review)
+        from ..caching import release_these
+
+        prepared.count()
+        release_these([curated_cache])
 
     counts: dict[str, int] = {}
     for label in (split_fractions or DEFAULT_FRACTIONS):

@@ -156,26 +156,67 @@ def combine_batches(
 
 
 def recover_epoch_fold(spark, path: str) -> bool:
-    """Roll back an epoch fold (:func:`fold_epoch_dirs`) that crashed
-    mid-swap — same contract as :func:`recover_compaction`, but over
-    the Hadoop FS API so streaming stores on any filesystem recover.
-    Returns True if a rollback happened. Idempotent."""
-    from ..fsutil import fs_delete, fs_exists, fs_rename
+    """Complete or roll back an epoch fold (:func:`fold_epoch_dirs`)
+    that crashed mid-protocol, over the Hadoop FS API so streaming
+    stores on any filesystem recover. Returns True if any repair
+    happened. Idempotent.
 
-    old, tmp = f"{path}.__fold_old__", f"{path}.__fold_tmp__"
-    rolled = False
+    The tiered fold moves COMMITTED carried generations into the tmp
+    dir before the swap, so tmp contents can no longer be dropped
+    blindly (round-5 review — the pre-tiering recovery deleted a
+    leftover tmp, which with carried dirs inside would have destroyed
+    committed dedup history). A commit marker (``<path>.__fold_commit__``,
+    written only once tmp is COMPLETE) decides direction:
+
+    - marker present → roll FORWARD: finish the swap (path→old,
+      tmp→path, drop old, drop marker). Every state along the forward
+      sequence is distinguishable: tmp existing means path is still
+      the pre-swap dir.
+    - marker absent → roll BACK: tmp is incomplete. Each ``epoch=*``
+      under tmp either does not exist under path (a carried dir —
+      rename it back) or collides with a live source dir (a freshly
+      written, possibly partial, fold generation — its sources are
+      intact in path, so drop it; a new generation is always named
+      ``epoch=<max folded>``, which is a source still in path). Then
+      drop tmp. Legacy ``old`` debris without a marker is handled as
+      before (restore if path vanished, else drop)."""
+    from ..fsutil import fs_delete, fs_exists, fs_list_names, fs_rename
+
+    old = f"{path}.__fold_old__"
+    tmp = f"{path}.__fold_tmp__"
+    commit = f"{path}.__fold_commit__"
+    repaired = False
+    if fs_exists(spark, commit):
+        # FORWARD: tmp was complete when the marker was written
+        if fs_exists(spark, tmp):
+            if fs_exists(spark, path):
+                fs_rename(spark, path, old)
+            fs_rename(spark, tmp, path)
+            repaired = True
+        if fs_exists(spark, old):
+            fs_delete(spark, old)
+            repaired = True
+        fs_delete(spark, commit)
+        return repaired
     if fs_exists(spark, old):
         if fs_exists(spark, path):
-            # swap completed; old is debris from a crash before cleanup
             fs_delete(spark, old)
         else:
             fs_rename(spark, old, path)
-            rolled = True
-    # a tmp left behind (crash before or during the swap) is always
-    # safe to drop: the fold re-runs from the restored epoch dirs
+        repaired = True
     if fs_exists(spark, tmp):
+        # BACKWARD: restore carried dirs, drop partial generations
+        if fs_exists(spark, path):
+            for n in fs_list_names(spark, tmp):
+                if not n.startswith("epoch="):
+                    continue
+                if fs_exists(spark, f"{path}/{n}"):
+                    fs_delete(spark, f"{tmp}/{n}")
+                else:
+                    fs_rename(spark, f"{tmp}/{n}", f"{path}/{n}")
         fs_delete(spark, tmp)
-    return rolled
+        repaired = True
+    return repaired
 
 
 def fold_epoch_dirs(
@@ -213,8 +254,11 @@ def fold_epoch_dirs(
     - **major** — when the marked eligible generations themselves
       number ≥ ``min_dirs``, fold those into one.
 
-    Each row is rewritten O(levels) ≈ 2 times per major cycle instead
-    of once per minor cycle — amortized O(N·log N / min_dirs) I/O.
+    A row is rewritten once by a minor fold and once per major cycle —
+    total I/O ~N²/(2·min_dirs²) over the store's life versus
+    ~N²/(2·min_dirs) untiered (a min_dirs× reduction; truly
+    log-amortized folding needs unbounded LSM levels, deliberately not
+    built — two tiers keep recovery enumerable).
 
     Crash safety mirrors :func:`compact_output`'s two-rename swap
     (write tmp → move aside → move in → drop old) with
@@ -246,6 +290,7 @@ def fold_epoch_dirs(
     if not (fold_minor or fold_major):
         return False
     tmp, old = f"{path}.__fold_tmp__", f"{path}.__fold_old__"
+    commit = f"{path}.__fold_commit__"
 
     def write_gen(group):
         kmax = max(group)
@@ -269,9 +314,15 @@ def fold_epoch_dirs(
     for e in epochs:
         if e >= below_epoch or e in carried:
             fs_rename(spark, f"{path}/epoch={e}", f"{tmp}/epoch={e}")
+    # tmp is COMPLETE: the commit marker flips recovery from roll-back
+    # to roll-forward — from here every crash finishes the swap instead
+    # of undoing it (carried committed dirs now live only in tmp, so
+    # backward recovery past this point would lose them)
+    fs_touch(spark, commit)
     fs_rename(spark, path, old)
     fs_rename(spark, tmp, path)
     fs_delete(spark, old)
+    fs_delete(spark, commit)
     return True
 
 

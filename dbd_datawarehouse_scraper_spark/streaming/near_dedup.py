@@ -162,6 +162,13 @@ def stream_near_dedup(
     ``out_path/epoch=N``; the signature store grows under
     ``store_path/{sigs,bands}/epoch=N``. Returns the StreamingQuery.
 
+    Output schema contract: survivors carry EXACTLY (id_col, text_col)
+    — extra source columns are dropped so a source schema change can
+    never mix schemas inside one out_path (store format v1; an out_path
+    written by the brief round-5 all-columns build should be
+    re-exported). Composed pipelines that want more columns call
+    :func:`near_dedup_epoch` directly, which keeps all input columns.
+
     Earliest-epoch-wins: a document near-duplicating any already-
     accepted document is dropped; within an epoch, one survivor per
     connected component (minimum id), matching the batch curation
@@ -228,7 +235,8 @@ def near_dedup_epoch(
     itself and against the signature store, write survivors (ALL
     input columns) to ``out_path/epoch=<epoch_id>`` and the epoch's
     signatures/bands to the store. Epoch-suffixed overwrites keep
-    replays idempotent. Releases exactly the caches it pins\n    (pool-scoped — a caller's live barriers are untouched). Returns True iff
+    replays idempotent. Releases exactly the caches it pins
+    (pool-scoped; a caller's live barriers are untouched). Returns True iff
     the epoch had rows (False epochs write nothing)."""
     # idempotent per-epoch validation: direct callers (composed
     # pipelines) get the same format-marker protection the stream
@@ -242,13 +250,14 @@ def near_dedup_epoch(
     from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
     for sub in ("sigs", "bands"):
-        recover_epoch_fold(spark, f"{store_path}/{sub}")
-    if fold_store_after:
-        for sub in ("sigs", "bands"):
+        if fold_store_after:
+            # fold runs recovery itself, first thing
             fold_epoch_dirs(
                 spark, f"{store_path}/{sub}",
                 below_epoch=epoch_id, min_dirs=fold_store_after,
             )
+        else:
+            recover_epoch_fold(spark, f"{store_path}/{sub}")
     # scoped release: this function is public and composable — a global
     # release_caches() would clobber persists/scratch dirs a CALLER
     # holds behind its own live plans (round-5 review)

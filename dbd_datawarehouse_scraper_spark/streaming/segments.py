@@ -150,12 +150,14 @@ def segment_dedup_epoch(
     # release a caller's pinned state.
     from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
-    recover_epoch_fold(spark, f"{store_path}/freq")
     if fold_store_after:
+        # fold runs recovery itself, first thing
         fold_epoch_dirs(
             spark, f"{store_path}/freq",
             below_epoch=epoch_id, min_dirs=fold_store_after,
         )
+    else:
+        recover_epoch_fold(spark, f"{store_path}/freq")
     mark = pool_mark()
     batch = tracked_persist(batch_df)
     if batch.count() == 0:

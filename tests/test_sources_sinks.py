@@ -667,3 +667,87 @@ def test_jsonl_source_blank_lines_are_corrupt_not_null_rows(spark):
             jsonl_documents_source(spark, src, fail_on_corrupt=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_epoch_fold_crash_windows_recover(spark):
+    """Round-5 review (tiered fold): carried COMMITTED generations move
+    through the tmp dir, so recovery must distinguish direction. Before
+    the commit marker exists, recovery rolls BACK (carried dirs
+    restored, partial new generations dropped — their sources are
+    intact); once the marker exists, recovery rolls FORWARD (the swap
+    completes). Rows survive every window."""
+    from dbd_datawarehouse_scraper_spark.fsutil import fs_touch
+    from dbd_datawarehouse_scraper_spark.sources.sinks import (
+        recover_epoch_fold,
+    )
+
+    def write_epoch(store, e, marker=False):
+        spark.createDataFrame(
+            [(e * 10 + i, f"doc{e}_{i}") for i in range(3)],
+            "id long, txt string",
+        ).coalesce(1).write.parquet(f"{store}/epoch={e}")
+        if marker:
+            fs_touch(spark, f"{store}/epoch={e}/_FOLDED_GEN")
+
+    def rows_of(path):
+        return {(r["id"], r["txt"]) for r in spark.read.parquet(path).collect()}
+
+    expect = {(e * 10 + i, f"doc{e}_{i}") for e in range(3) for i in range(3)}
+
+    # window A — crash AFTER carried dir renamed into tmp, BEFORE the
+    # commit marker: carried gen must come back, the partial new gen
+    # (colliding with its still-present source) must be dropped
+    base = tempfile.mkdtemp(prefix="foldcrash_a_")
+    store = f"{base}/store"
+    write_epoch(store, 1)          # sources of the interrupted minor fold
+    write_epoch(store, 2)
+    tmp = f"{store}.__fold_tmp__"
+    write_epoch(tmp, 2)            # partially-written new gen epoch=2
+    write_epoch(store, 0, marker=True)           # carried marked gen...
+    os.rename(f"{store}/epoch=0", f"{tmp}/epoch=0")  # ...moved into tmp
+    assert recover_epoch_fold(spark, store)
+    assert rows_of(store) == expect
+    assert os.path.exists(f"{store}/epoch=0/_FOLDED_GEN")
+    assert not os.path.exists(tmp)
+    shutil.rmtree(base, ignore_errors=True)
+
+    # window B — crash AFTER the commit marker, BEFORE the swap: roll
+    # forward to the folded layout
+    base = tempfile.mkdtemp(prefix="foldcrash_b_")
+    store = f"{base}/store"
+    write_epoch(store, 0)
+    write_epoch(store, 1)
+    write_epoch(store, 2)
+    tmp = f"{store}.__fold_tmp__"
+    # complete tmp: folded gen (0+1 rows) + carried live epoch 2
+    spark.read.parquet(f"{store}/epoch=0", f"{store}/epoch=1").coalesce(
+        1
+    ).write.parquet(f"{tmp}/epoch=1")
+    fs_touch(spark, f"{tmp}/epoch=1/_FOLDED_GEN")
+    os.rename(f"{store}/epoch=2", f"{tmp}/epoch=2")
+    fs_touch(spark, f"{store}.__fold_commit__")
+    assert recover_epoch_fold(spark, store)
+    assert rows_of(store) == expect
+    names = sorted(n for n in os.listdir(store) if n.startswith("epoch="))
+    assert names == ["epoch=1", "epoch=2"]
+    assert not os.path.exists(f"{store}.__fold_commit__")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # window C — crash between path->old and tmp->path: forward
+    base = tempfile.mkdtemp(prefix="foldcrash_c_")
+    store = f"{base}/store"
+    write_epoch(store, 0)
+    write_epoch(store, 1)
+    write_epoch(store, 2)
+    tmp = f"{store}.__fold_tmp__"
+    spark.read.parquet(f"{store}/epoch=0", f"{store}/epoch=1").coalesce(
+        1
+    ).write.parquet(f"{tmp}/epoch=1")
+    fs_touch(spark, f"{tmp}/epoch=1/_FOLDED_GEN")
+    os.rename(f"{store}/epoch=2", f"{tmp}/epoch=2")
+    fs_touch(spark, f"{store}.__fold_commit__")
+    os.rename(store, f"{store}.__fold_old__")
+    assert recover_epoch_fold(spark, store)
+    assert rows_of(store) == expect
+    assert not os.path.exists(f"{store}.__fold_old__")
+    shutil.rmtree(base, ignore_errors=True)
