@@ -120,3 +120,51 @@ def test_pool_mark_release_since_scoped(spark, tmp_path):
     release_caches(blocking=True)
     assert live_persist_count() == 0 and live_scratch_count() == 0
     assert not os.path.exists(outer_dir)
+
+
+def test_pool_scoping_is_per_thread(spark):
+    """Round-5 review: two interleaved epochs on different threads must
+    not release each other's pins. Thread B persists AFTER thread A's
+    mark; A's release_since must leave B's cache live."""
+    import threading
+
+    from dbd_datawarehouse_scraper_spark.caching import (
+        live_persist_count,
+        pool_mark,
+        release_caches,
+        release_since,
+        tracked_persist,
+    )
+
+    release_caches()
+    steps = {}
+    a_marked = threading.Event()
+    b_persisted = threading.Event()
+    a_released = threading.Event()
+
+    def thread_a():
+        mark = pool_mark()
+        a_marked.set()
+        df = tracked_persist(spark.range(10))
+        df.count()
+        b_persisted.wait(30)
+        release_since(mark)          # must release ONLY a's persist
+        a_released.set()
+
+    def thread_b():
+        a_marked.wait(30)
+        df = tracked_persist(spark.range(20))
+        df.count()
+        b_persisted.set()
+        a_released.wait(30)
+        # b's cache must still be live after a's release
+        steps["live_after_a_release"] = live_persist_count()
+        steps["b_is_cached"] = df.storageLevel.useMemory
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start(); tb.start(); ta.join(60); tb.join(60)
+    assert steps["live_after_a_release"] == 1
+    assert steps["b_is_cached"]
+    release_caches()
+    assert live_persist_count() == 0
