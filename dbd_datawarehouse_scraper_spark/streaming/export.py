@@ -29,11 +29,16 @@ overwrite. The intermediate curated parquet under the state dir is the
 hand-off between dedup and packing: durable, so a crash between the
 two stages replays cleanly from the batch without cache coupling.
 
-What the incremental form deliberately does NOT do: corpus mixing.
-Mix proportions are a GLOBAL property (per-source totals over the
-whole corpus) — an epoch-local approximation would drift with arrival
-order. Mix at rest with operators/mixing.py over the exported set, or
-upstream of the stream.
+What the incremental form deliberately does NOT do: corpus mixing
+and quality-QUANTILE sampling. Both are GLOBAL properties (per-source
+totals; the corpus-wide score distribution) — epoch-local
+approximations would drift with arrival order, silently changing
+which documents a rate keeps as the stream progresses. Mix and
+quantile-sample at rest (operators/mixing.py, operators/sampling.py)
+over the exported set, or replace the quantile buckets with FIXED
+score thresholds upstream if incremental gating is required (fixed
+thresholds are arrival-order-invariant; the ``min_quality`` gate here
+is exactly that).
 
 Output layout differs from the batch exporter by one level —
 ``split=<label>/epoch=<N>/shard=<n>/`` — because each epoch's packing

@@ -259,3 +259,21 @@ def test_export_training_set_cli_curation_flags(spark, tmp_path):
     ])
     assert rc == 0
     assert not glob.glob(f"{out2}/split=*/shard=*/*.gz")
+
+
+def test_export_cli_rejects_bad_segment_k(spark, tmp_path):
+    """--segment-dedup-k below 1 must raise (a negative k previously
+    produced an empty training set with exit code 0)."""
+    docs = spark.createDataFrame(
+        [(1, "some text", "s")], "doc_id long, text string, source string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        main([
+            "--export-training-set",
+            "--input", src,
+            "--output", str(tmp_path / "out"),
+            "--segment-dedup-k", "-4",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
