@@ -224,3 +224,34 @@ def test_segment_dedup_preserves_zero_segment_docs(spark):
 def test_segment_columns_rejects_bad_k():
     with pytest.raises(ValueError, match="k must be >= 1"):
         segment_columns(F.lit("x"), mode="chunk", k=0)
+
+
+def test_fuzz_quality_buckets_match_cume_dist_definition(spark):
+    """The histogram prefix-sum bucket must equal the semantic
+    definition bucket(s) = ceil(B·|{scores ≤ s}|/N) on a random
+    heavy-tie multiset (ties share buckets; boundary counts land
+    integer-exact)."""
+    import random
+
+    rng = random.Random(55)
+    n = 500
+    scores = [rng.choice([0, 1, 1, 2, 5, 5, 5, 9, 13, 13, 40]) for _ in range(n)]
+    d = spark.createDataFrame(
+        [(i, s, "%064x" % rng.getrandbits(256)) for i, (s,) in enumerate(zip(scores))],
+        "doc_id long, score long, fp string",
+    )
+    out = quality_bucket_sample(
+        d,
+        score_q=F.col("score"),
+        fingerprint=F.col("fp"),
+        rates_bp=(10000,) * 4,
+    )
+    got = {r["doc_id"]: r["q_bucket"] for r in out.collect()}
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    assert len(got) == n
+    for i, s in enumerate(scores):
+        cum = sum(1 for x in scores if x <= s)
+        expect = (4 * cum + n - 1) // n
+        assert got[i] == expect, (i, s, got[i], expect)
