@@ -41,8 +41,17 @@ def kmeans_assign(
     seed: int = 42,
 ) -> DataFrame:
     """Append a ``cluster`` column: MLlib KMeans(seed) fit + transform.
-    Deterministic for a fixed seed and input. Returns the input columns
-    plus ``cluster`` (int)."""
+    Returns the input columns plus ``cluster`` (int).
+
+    Determinism caveat: k-means|| init samples per PARTITION, so for a
+    fixed seed the fitted centroids are deterministic for a fixed
+    partitioning but not guaranteed bit-identical across different
+    partitionings of the same rows; assignments converge to the same
+    clustering when the data has real cluster structure (which is what
+    the partition-invariance test pins on separated blobs). Pipelines
+    needing bit-exact rerun stability should fix the input
+    partitioning (e.g. repartition by id) before calling, or persist
+    the fitted centers."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -73,6 +82,10 @@ def semantic_dedup(
     Within a (sub-)cluster the survivor rule is greedy earliest-id-wins
     over the cosine Gram matrix — deterministic, partition-invariant
     (ids sort before the sweep), and independent of Arrow batch order.
+    End-to-end partition invariance additionally rests on the k-means
+    assignment being stable (see the :func:`kmeans_assign` caveat):
+    boundary points in structureless data can change cluster — and
+    therefore dedup scope — under a different input partitioning.
     Clusters larger than ``max_cluster_size`` are sub-split by
     ``xxhash64(id) % ceil(|c|/max)`` before the pairwise stage: memory
     per task stays O(max²) and near-dups split across sub-buckets are
