@@ -34,6 +34,7 @@ from .graph import component_survivors, connected_components  # noqa: F401
 from .clustering import (  # noqa: F401
     cluster_balanced_sample,
     kmeans_assign,
+    kmeans_fit,
     semantic_dedup,
 )
 from .mixing import mix_corpora, mix_rates  # noqa: F401

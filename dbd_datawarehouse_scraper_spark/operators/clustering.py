@@ -10,14 +10,18 @@ the corpus, which is what makes it feasible at scale:
 
 - clustering: MLlib KMeans (the same coarse quantizer ``ivf_topk``
   uses) — one pass of Lloyd's per iteration, centroids broadcast;
-- within-cluster dedup: ``applyInPandas`` per cluster — a numpy cosine
-  Gram matrix and a greedy earliest-id-wins sweep. Cost is O(|c|²) per
-  cluster; pick ``n_clusters ≈ N/target_cluster_size`` so |c| stays
-  bounded (SemDeDup used ~11k clusters for ~100M docs). Oversized
-  clusters are sub-split by a deterministic hash before the pairwise
-  stage, bounding worst-case memory at a small recall cost on the
-  split boundary — the standard escape hatch for degenerate clusters
-  (it also caps the Arrow batch a single executor must hold);
+  ``kmeans_fit`` / ``kmeans_assign`` split fit from assignment so
+  centers persist and production reruns are bit-deterministic;
+- within-cluster dedup: ``applyInPandas`` per cluster — a TILED
+  greedy earliest-id-wins cosine sweep (row blocks of ``_SWEEP_TILE``
+  against all columns: O(tile·|c|) peak memory, never the |c|² Gram;
+  compute is still O(|c|²)); pick ``n_clusters ≈
+  N/target_cluster_size`` so |c| stays bounded (SemDeDup used ~11k
+  clusters for ~100M docs). Oversized clusters are sub-split by a
+  deterministic hash before the pairwise stage, bounding worst-case
+  task input at a small recall cost on the split boundary — the
+  standard escape hatch for degenerate clusters (it also caps the
+  Arrow batch a single executor must hold);
 - balancing: per-cluster keep rates from one small aggregate, applied
   as a content-hash threshold filter (rerun/partition-invariant, like
   every selection in this package) — caps any one cluster's share of
@@ -33,37 +37,126 @@ from pyspark.sql import functions as F
 
 _BP = 10_000
 
+#: Row-block size for the tiled within-cluster cosine sweep. Peak kernel
+#: allocation is one (tile × |c|) float64 block — 2048 × 5000 × 8 B ≈
+#: 80 MB at the default ``max_cluster_size`` — never the |c|² Gram.
+_SWEEP_TILE = 2048
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> list:
+    """Fit MLlib KMeans(seed) and return the centers as a plain
+    ``list[list[float]]`` — a tiny, persistable artifact (JSON / a
+    k-row parquet table). Feed it back to :func:`kmeans_assign` /
+    :func:`semantic_dedup` via ``centers=`` to make assignments (and
+    every selection downstream of them) bit-deterministic across
+    reruns and input repartitionings: the fit is the only
+    partitioning-sensitive step (k-means|| init samples per
+    partition), so fit once, persist, and every assign after that is
+    a pure per-row broadcast computation.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_clusters < 2:  # MLlib requires k ≥ 2
+        raise ValueError(f"n_clusters must be >= 2 to fit, got {n_clusters}")
+    with_vec = df.withColumn(
+        "_kmf_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_kmf_v", predictionCol="_kmf_c"
+    ).fit(with_vec)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _assign_to_centers(df: DataFrame, vec_col: str, centers: list) -> DataFrame:
+    """Nearest-center assignment against a fixed (broadcast) center
+    list: one Arrow-vectorized pandas kernel per batch, no fit, no
+    shuffle. Ties break to the lowest center index (numpy argmin
+    keeps the first occurrence), so the assignment is a pure
+    deterministic function of (row, centers)."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    if C.ndim != 2 or len(C) == 0:
+        raise ValueError(f"centers must be a non-empty k x d list, got shape {C.shape}")
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _nearest(vs: pd.Series) -> pd.Series:
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c2[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return df.withColumn("cluster", _nearest(F.col(vec_col)))
+
 
 def kmeans_assign(
     df: DataFrame,
     vec_col: str = "embedding",
     n_clusters: int = 8,
     seed: int = 42,
+    centers: list | None = None,
 ) -> DataFrame:
-    """Append a ``cluster`` column: MLlib KMeans(seed) fit + transform.
+    """Append a ``cluster`` column: nearest center by L2 distance.
     Returns the input columns plus ``cluster`` (int).
 
-    Determinism caveat: k-means|| init samples per PARTITION, so for a
-    fixed seed the fitted centroids are deterministic for a fixed
-    partitioning but not guaranteed bit-identical across different
-    partitionings of the same rows; assignments converge to the same
-    clustering when the data has real cluster structure (which is what
-    the partition-invariance test pins on separated blobs). Pipelines
-    needing bit-exact rerun stability should fix the input
-    partitioning (e.g. repartition by id) before calling, or persist
-    the fitted centers."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    With ``centers`` (from a persisted :func:`kmeans_fit`), this is a
+    pure broadcast nearest-center computation — bit-deterministic
+    across reruns and input partitionings, the production-rerun path.
+    Without it, KMeans(seed) is fit on ``df`` first; k-means|| init
+    samples per PARTITION, so the fitted centroids are deterministic
+    for a fixed partitioning but not guaranteed bit-identical across
+    different partitionings of the same rows (assignments converge to
+    the same clustering when the data has real cluster structure,
+    which is what the partition-invariance test pins on separated
+    blobs). Both paths assign through the same kernel, so
+    ``kmeans_assign(df, centers=kmeans_fit(df))`` ==
+    ``kmeans_assign(df)`` for the same fit."""
+    if centers is None:
+        if n_clusters < 2:  # k=1 is "no clustering"
+            return df.withColumn("cluster", F.lit(0))
+        centers = kmeans_fit(df, vec_col, n_clusters, seed)
+    return _assign_to_centers(df, vec_col, centers)
 
-    if n_clusters < 2:  # MLlib requires k ≥ 2; k=1 is "no clustering"
-        return df.withColumn("cluster", F.lit(0))
-    with_vec = df.withColumn(
-        "_kma_v", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_kma_v", predictionCol="cluster"
-    ).fit(with_vec)
-    return model.transform(with_vec).drop("_kma_v")
+
+def _greedy_cosine_survivors(mat, threshold: float, tile: int = _SWEEP_TILE):
+    """Greedy earliest-row-wins cosine dedup over a (n × d) matrix;
+    returns the boolean keep mask. Rows must already be in id order.
+
+    The similarity matrix is consumed in row blocks of ``tile``
+    (``np.matmul(unit[a:b], unit.T)`` — shape (≤tile, n)), never
+    materialized as the full n×n Gram: peak extra memory is
+    O(tile·n) instead of O(n²). The survivor set is identical to the
+    full-Gram sweep by construction — similarities are static, rows
+    are processed in ascending order, and each row's drop decisions
+    read only the keep mask written by earlier rows."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
+    unit = mat / norms[:, None]
+    n = len(unit)
+    keep = np.ones(n, dtype=bool)
+    for start in range(0, n, tile):
+        end = min(start + tile, n)
+        block = np.matmul(unit[start:end], unit.T)
+        for bi in range(end - start):
+            i = start + bi
+            if not keep[i]:
+                continue
+            # drop every LATER row similar to survivor i
+            dup = block[bi, i + 1 :] >= threshold
+            keep[i + 1 :] &= ~dup
+    return keep
 
 
 def semantic_dedup(
@@ -73,26 +166,33 @@ def semantic_dedup(
     n_clusters: int = 8,
     threshold: float = 0.95,
     seed: int = 42,
-    max_cluster_size: int = 20_000,
+    max_cluster_size: int = 5_000,
+    centers: list | None = None,
 ) -> DataFrame:
     """SemDeDup: drop rows whose embedding has cosine ≥ ``threshold``
     with an earlier-id row in the same k-means cluster. Returns the
     SURVIVORS with their ``cluster`` assignment.
 
     Within a (sub-)cluster the survivor rule is greedy earliest-id-wins
-    over the cosine Gram matrix — deterministic, partition-invariant
-    (ids sort before the sweep), and independent of Arrow batch order.
-    End-to-end partition invariance additionally rests on the k-means
-    assignment being stable (see the :func:`kmeans_assign` caveat):
-    boundary points in structureless data can change cluster — and
-    therefore dedup scope — under a different input partitioning.
+    over cosine similarities — deterministic, partition-invariant (ids
+    sort before the sweep), and independent of Arrow batch order. The
+    sweep is tiled (:func:`_greedy_cosine_survivors`): peak kernel
+    memory is O(tile·|c|) per task, never the |c|² Gram — at the
+    defaults ≈ 80 MB, safe for tens of concurrent tasks per executor.
+    Pass ``centers`` from a persisted :func:`kmeans_fit` to make the
+    survivor set bit-deterministic across reruns and input
+    partitionings; without it, end-to-end partition invariance rests
+    on the fresh k-means fit being stable (see the
+    :func:`kmeans_assign` caveat): boundary points in structureless
+    data can change cluster — and therefore dedup scope — under a
+    different input partitioning.
     Clusters larger than ``max_cluster_size`` are sub-split by
-    ``xxhash64(id) % ceil(|c|/max)`` before the pairwise stage: memory
-    per task stays O(max²) and near-dups split across sub-buckets are
+    ``xxhash64(id) % ceil(|c|/max)`` before the pairwise stage: task
+    input stays O(max) rows and near-dups split across sub-buckets are
     missed (bounded, documented recall cost — raise ``n_clusters``
     rather than ``max_cluster_size`` if that matters).
     """
-    assigned = kmeans_assign(df, vec_col, n_clusters, seed)
+    assigned = kmeans_assign(df, vec_col, n_clusters, seed, centers=centers)
     # sub-split oversized clusters: a count per cluster is tiny; join it
     # back broadcast and derive a deterministic sub-bucket per row.
     sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_c_n"))
@@ -118,17 +218,7 @@ def semantic_dedup(
         mat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]], dtype=np.float64
         )
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0.0] = 1.0  # zero vectors: cosine treated as 0
-        unit = mat / norms[:, None]
-        sims = unit @ unit.T
-        keep = np.ones(len(pdf), dtype=bool)
-        for i in range(len(pdf)):
-            if not keep[i]:
-                continue
-            # drop every LATER row similar to survivor i
-            dup = sims[i, i + 1 :] >= threshold
-            keep[i + 1 :] &= ~dup
+        keep = _greedy_cosine_survivors(mat, threshold)
         return pdf.loc[keep].drop(columns=["_sub"])
 
     return sub.groupBy("cluster", "_sub").applyInPandas(_dedup_group, out_schema)

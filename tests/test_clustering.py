@@ -1,12 +1,15 @@
 """Embedding-space curation: k-means assignment, SemDeDup semantic
 dedup, cluster-balanced sampling."""
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from dbd_datawarehouse_scraper_spark.operators.clustering import (
+    _greedy_cosine_survivors,
     cluster_balanced_sample,
     kmeans_assign,
+    kmeans_fit,
     semantic_dedup,
 )
 
@@ -67,6 +70,98 @@ def test_semantic_dedup_oversize_cluster_subsplit_runs(spark, two_blobs):
     ids = [r["vec_id"] for r in out.collect()]
     assert len(ids) == len(set(ids))
     assert set(ids) <= {r["vec_id"] for r in two_blobs.collect()}
+
+
+def _naive_survivors(mat, threshold):
+    # reference full-Gram sweep the tiled kernel must reproduce
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T
+    keep = np.ones(len(mat), dtype=bool)
+    for i in range(len(mat)):
+        if not keep[i]:
+            continue
+        keep[i + 1 :] &= ~(sims[i, i + 1 :] >= threshold)
+    return keep
+
+
+def test_tiled_sweep_matches_full_gram_sweep():
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(40, 6))
+    # plant near-dup chains: rows 10/11/12 ~ row 3, row 30 ~ row 7
+    for src, dst in [(3, 10), (3, 11), (11, 12), (7, 30)]:
+        base[dst] = base[src] + rng.normal(scale=1e-4, size=6)
+    base[25] = 0.0  # zero vector edge case
+    for tile in (1, 3, 7, 64):
+        got = _greedy_cosine_survivors(base, 0.999, tile=tile)
+        assert (got == _naive_survivors(base, 0.999)).all(), f"tile={tile}"
+
+
+def test_tiled_sweep_never_materializes_full_gram(monkeypatch):
+    # the kernel must call np.matmul with row blocks of <= tile rows —
+    # peak allocation O(tile * n), never the n x n Gram
+    shapes = []
+    real_matmul = np.matmul
+
+    def recording_matmul(a, b, *args, **kwargs):
+        shapes.append((a.shape, b.shape))
+        return real_matmul(a, b, *args, **kwargs)
+
+    monkeypatch.setattr(np, "matmul", recording_matmul)
+    n, tile = 50, 8
+    mat = np.random.default_rng(7).normal(size=(n, 4))
+    _greedy_cosine_survivors(mat, 0.99, tile=tile)
+    assert shapes, "kernel must go through np.matmul"
+    assert all(a[0] <= tile for a, _ in shapes), shapes
+    assert all(a[0] * b[1] <= tile * n for a, b in shapes), shapes
+
+
+def test_kmeans_fit_centers_make_assign_partition_invariant(spark, two_blobs):
+    centers = kmeans_fit(two_blobs, n_clusters=2)
+    assert len(centers) == 2 and all(len(c) == 3 for c in centers)
+    # two very different input partitionings + saved centers -> bit-identical
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(two_blobs.coalesce(1), centers=centers).collect()
+    }
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(two_blobs.repartition(13), centers=centers).collect()
+    }
+    assert a == b
+    # and the survivor set of semantic_dedup is identical too
+    sa = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(two_blobs.coalesce(1), centers=centers).collect()
+    )
+    sb = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            two_blobs.repartition(13), centers=centers
+        ).collect()
+    )
+    assert sa == sb
+
+
+def test_kmeans_assign_fresh_fit_equals_fit_then_assign(spark, two_blobs):
+    # both paths assign through the same kernel
+    fresh = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(two_blobs, n_clusters=2).collect()
+    }
+    split = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(
+            two_blobs, centers=kmeans_fit(two_blobs, n_clusters=2)
+        ).collect()
+    }
+    assert fresh == split
+
+
+def test_kmeans_fit_rejects_k1(spark, two_blobs):
+    with pytest.raises(ValueError, match="n_clusters"):
+        kmeans_fit(two_blobs, n_clusters=1)
 
 
 def test_cluster_balanced_sample_caps_hot_cluster(spark):
