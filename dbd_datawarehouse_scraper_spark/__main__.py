@@ -214,7 +214,13 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .plans.training_export import export_training_set
 
         curate_kwargs = {}
-        if args.segment_dedup_k:
+        if args.segment_dedup_k is not None and args.segment_dedup_k < 1:
+            # truthiness would turn a typo'd 0 into a silent no-dedup
+            # export; fail it as loudly as the negative values
+            raise ValueError(
+                f"--segment-dedup-k must be >= 1, got {args.segment_dedup_k}"
+            )
+        if args.segment_dedup_k is not None:
             curate_kwargs["segment_dedup_opts"] = {
                 "mode": "chunk",
                 "k": args.segment_dedup_k,

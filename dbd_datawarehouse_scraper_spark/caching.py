@@ -105,6 +105,15 @@ def release_caches(blocking: bool = False) -> int:
                 released += 1
             except Exception:
                 pass
+    # drop drained pools: long-lived sessions spawning many short-lived
+    # foreachBatch threads would otherwise accumulate empty entries
+    # forever, and a REUSED thread id would silently inherit a dead
+    # thread's leftover pool, shifting pool_mark bases (advisor, r5).
+    # Only fully-empty pools go — a concurrent thread that registered
+    # a persist between the drain above and this sweep keeps its entry.
+    with _POOLS_LOCK:
+        for tid in [t for t, (lv, sc) in _POOLS.items() if not lv and not sc]:
+            del _POOLS[tid]
     return released
 
 

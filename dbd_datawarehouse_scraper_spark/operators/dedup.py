@@ -184,28 +184,52 @@ def contamination_pairs(
     from ..caching import tracked_persist
     from .skew import widen_partitions
 
-    def indexed(df, idc, txc, ida):
-        sh = df.select(
-            F.col(idc).alias(ida), shingles_vec(F.col(txc), k).alias("_sh")
-        )
-        # OUTER explode: the inner form lets InferFiltersFromGenerate
-        # push `size(_sh) > 0` below this projection, duplicating the
-        # Arrow shingle UDF into a second ArrowEvalPython stage — the
-        # whole corpus shingled TWICE (verified in the round-5 plan
-        # audit). shingles_vec never returns a null or empty array, so
-        # outer == inner row-for-row and nothing is inferred.
-        return sh.select(
-            ida,
-            F.size("_sh").alias(f"{ida}_n"),
-            F.explode_outer("_sh").alias("_s"),
-        ).select(ida, f"{ida}_n", F.xxhash64("_s").alias("_hs"))
-
-    corpus = indexed(widen_partitions(docs), id_col, text_col, "_id")
+    corpus = shingle_index(widen_partitions(docs), id_col, text_col, "_id", k)
     bench = tracked_persist(
-        indexed(benchmark, bench_id_col, bench_text_col, "_bid")
+        shingle_index(benchmark, bench_id_col, bench_text_col, "_bid", k)
     )
+    return contamination_scores(
+        corpus, bench, id_col, bench_id_col, threshold, containment_threshold
+    )
+
+
+def shingle_index(
+    df: DataFrame, idc: str, txc: str, ida: str, k: int
+) -> DataFrame:
+    """Inverted word-``k``-gram shingle index: one row per (document,
+    shingle) as ``(ida, {ida}_n, _hs)`` where ``{ida}_n`` is the
+    document's shingle-set size and ``_hs`` the 64-bit shingle hash.
+    Shared by the batch contamination screen and the incremental
+    benchmark store (streaming/contamination.py) so both sides hash
+    and count identically — consistency by construction."""
+    sh = df.select(F.col(idc).alias(ida), shingles_vec(F.col(txc), k).alias("_sh"))
+    # OUTER explode: the inner form lets InferFiltersFromGenerate
+    # push `size(_sh) > 0` below this projection, duplicating the
+    # Arrow shingle UDF into a second ArrowEvalPython stage — the
+    # whole corpus shingled TWICE (verified in the round-5 plan
+    # audit). shingles_vec never returns a null or empty array, so
+    # outer == inner row-for-row and nothing is inferred.
+    return sh.select(
+        ida,
+        F.size("_sh").alias(f"{ida}_n"),
+        F.explode_outer("_sh").alias("_s"),
+    ).select(ida, f"{ida}_n", F.xxhash64("_s").alias("_hs"))
+
+
+def contamination_scores(
+    corpus_idx: DataFrame,
+    bench_idx: DataFrame,
+    id_col: str,
+    bench_id_col: str,
+    threshold: float,
+    containment_threshold: float | None,
+) -> DataFrame:
+    """Score + gate (jaccard, containment) from two
+    :func:`shingle_index` relations (``_id`` / ``_bid`` sides). The
+    grouped shared-shingle intersection carries both cardinalities, so
+    both scores come from one aggregate."""
     inter = (
-        corpus.join(bench, "_hs")
+        corpus_idx.join(bench_idx, "_hs")
         .groupBy("_id", "_id_n", "_bid", "_bid_n")
         .agg(F.count("*").alias("_c"))
     )
@@ -219,8 +243,8 @@ def contamination_pairs(
             ),
             6,
         ).alias("jaccard"),
-        # |A∩B| / |B|: the grouped intersection already carries both
-        # cardinalities, so containment is free
+        # |A∩B| / |B|: 1.0 for a verbatim inclusion regardless of
+        # document length
         F.round(
             F.when(F.col("_bid_n") == 0, F.lit(0.0)).otherwise(
                 F.col("_c").cast("double") / F.col("_bid_n").cast("double")

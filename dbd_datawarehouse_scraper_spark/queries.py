@@ -1649,6 +1649,18 @@ def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _await_or_die(q, timeout_s: int) -> None:
+    """``awaitTermination(t)`` returns False on timeout WITHOUT raising;
+    proceeding would read partial or absent epoch output and fail
+    confusingly downstream. Stop the query and fail loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not finish within {timeout_s}s "
+            f"(status: {q.status})"
+        )
+
+
 @register("stream_segment_dedup_hermetic", None)
 def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental passage/boilerplate removal through the
@@ -1681,7 +1693,7 @@ def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFra
             file_stream(spark, src, e1.schema, max_files_per_trigger=1),
             out, store, ckpt, k=8, min_docs=4,
         )
-        q.awaitTermination(180)
+        _await_or_die(q, 180)
         e2 = docs.select(
             (F.col("doc_id") + 100000).alias("doc_id"),
             F.concat("text", F.lit(" " + boiler)).alias("text"),
@@ -1691,7 +1703,7 @@ def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFra
             file_stream(spark, src, e1.schema, max_files_per_trigger=1),
             out, store, ckpt, k=8, min_docs=4,
         )
-        q2.awaitTermination(180)
+        _await_or_die(q2, 180)
         cleaned = spark.read.parquet(f"{out}/epoch=1").select(
             "doc_id", "text", "n_segs", "n_dropped"
         )
@@ -1736,13 +1748,13 @@ def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             file_stream(spark, src, docs.schema, max_files_per_trigger=1),
             out, store, ckpt, threshold=0.6,
         )
-        q.awaitTermination(180)
+        _await_or_die(q, 180)
         dups.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
         q2 = stream_near_dedup(
             file_stream(spark, src, docs.schema, max_files_per_trigger=1),
             out, store, ckpt, threshold=0.6,
         )
-        q2.awaitTermination(180)
+        _await_or_die(q2, 180)
         survivors = spark.read.parquet(f"{out}/epoch=*").select("doc_id", "text")
         # materialize before the temp dirs vanish
         return spark.createDataFrame(survivors.collect(), survivors.schema)
@@ -1780,13 +1792,13 @@ def stream_pack_shards_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame
             file_stream(spark, src_dir, e1.schema, max_files_per_trigger=1),
             out, state, ckpt, budget=5000,
         )
-        q.awaitTermination(180)
+        _await_or_die(q, 180)
         e2.coalesce(1).write.mode("append").parquet(src_dir)
         q2 = stream_pack_shards(
             file_stream(spark, src_dir, e1.schema, max_files_per_trigger=1),
             out, state, ckpt, budget=5000,
         )
-        q2.awaitTermination(180)
+        _await_or_die(q2, 180)
         packed = spark.read.parquet(f"{out}/epoch=*").select(
             "doc_id", "n_tokens", "shard"
         )
@@ -2582,10 +2594,13 @@ def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_export_hermetic", None)
 def stream_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental training-set export (streaming/export.py):
-    one file-stream epoch through gates → dedup store → content-hash
-    split → per-split cursor packing → gzip JSONL. Rows-only; epoch
-    continuity, dedup-against-history, and replay idempotence are
-    pinned in tests/test_streaming.py."""
+    one file-stream epoch through benchmark-contamination screen →
+    gates → dedup store → content-hash split → per-split cursor
+    packing → gzip JSONL. The benchmark holds doc 3's verbatim text,
+    so doc 3 is quarantined (containment 1.0) and surfaces as a
+    ``split='contaminated'`` row instead of a shard row. Rows-only;
+    epoch continuity, dedup-against-history, batch-score agreement,
+    and replay idempotence are pinned in tests/test_streaming.py."""
     import glob
     import gzip
     import json
@@ -2599,6 +2614,9 @@ def stream_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 80)
     )
+    bench = d.filter(F.col("doc_id") == 3).select(
+        F.lit(1).cast("long").alias("bench_id"), "text"
+    )
     work = tempfile.mkdtemp(prefix="stream_export_q_")
     src = f"{work}/src"
     try:
@@ -2609,8 +2627,14 @@ def stream_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep_langs=("en", "de", "fr", "es", "zh", "und"),
             min_quality=0.0, min_tokens=1, near_dup_threshold=0.6,
             shard_token_budget=2000,
+            contamination_opts={
+                "benchmark": bench,
+                "threshold": 0.5,
+                "containment_threshold": 0.9,
+                "action": "quarantine",
+            },
         )
-        q.awaitTermination(240)
+        _await_or_die(q, 240)
         rows = []
         for f in sorted(glob.glob(f"{work}/out/split=*/epoch=*/shard=*/*.gz")):
             label = f.split("split=")[1].split("/")[0]
@@ -2619,6 +2643,15 @@ def stream_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for line in fh:
                     r = json.loads(line)
                     rows.append((r["doc_id"], label, shard, r["n_tokens"]))
+        for r in spark.read.parquet(f"{work}/out/contamination/epoch=0").collect():
+            rows.append(
+                (
+                    r["doc_id"],
+                    "contaminated",
+                    r["bench_id"],
+                    int(round(r["containment"] * 1_000_000)),
+                )
+            )
         return spark.createDataFrame(
             rows, "doc_id long, split string, shard long, n_tokens long"
         )

@@ -8,6 +8,9 @@ continue across epochs per split — so the trainer can start consuming
 shards while ingestion is still running. Composition per epoch:
 
     batch
+      → benchmark contamination screen    (optional; persisted benchmark
+                                           shingle index, flag or
+                                           quarantine — contamination.py)
       → lang/quality/min-token gates      (stateless column filters)
       → near_dedup_epoch                  (within-batch + against the
                                            signature store; survivors
@@ -84,23 +87,68 @@ def stream_export_training_set(
     redact: bool = True,
     available_now: bool = True,
     segment_dedup_opts: dict | None = None,
+    contamination_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
     State layout under ``state_path``: ``store/`` (the MinHash
     signature store), ``curated/epoch=N`` (per-epoch survivors — the
     dedup→pack hand-off), ``pack/split=<label>/`` (per-split shard
-    cursors), and with ``segment_dedup_opts`` also ``segstore/`` (the
+    cursors), with ``segment_dedup_opts`` also ``segstore/`` (the
     segment-frequency store) + ``segmented/epoch=N`` (the cleanup→gate
-    hand-off). All replay-idempotent; see the module docstring.
+    hand-off), and with ``contamination_opts`` also ``benchstore/``
+    (the persisted benchmark shingle index). All replay-idempotent;
+    see the module docstring.
 
     ``segment_dedup_opts`` (e.g. ``{"mode": "chunk", "k": 8,
     "min_docs": 2}``) runs incremental passage/boilerplate removal
     (streaming/segments.py) BEFORE the gates — same stage order as the
     batch funnel, and for the same reason: boilerplate inflates
-    quality scores and shrinks near-dup distances."""
+    quality scores and shrinks near-dup distances.
+
+    ``contamination_opts`` screens every epoch against a static
+    evaluation benchmark (streaming/contamination.py) before the
+    gates. Keys: ``benchmark`` (DataFrame, required),
+    ``bench_id_col`` / ``bench_text_col`` (defaults ``bench_id`` /
+    ``text``), ``k`` (default 3), ``threshold`` (default 0.5),
+    ``containment_threshold`` (default None), ``action`` —
+    ``"quarantine"`` (default: flagged documents are REMOVED from the
+    export) or ``"flag"`` (kept, recorded only). Either way the
+    flagged (doc, bench item, jaccard, containment) pairs land in
+    ``out_path/contamination/epoch=N`` (epoch-suffixed overwrite =
+    replay-idempotent), scored identically to the batch screen. The
+    benchmark index is built once under ``state_path/benchstore``; a
+    changed benchmark or shingle width raises loudly."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
+    contam = None
+    if contamination_opts is not None:
+        from .contamination import ensure_benchmark_index
+
+        contam = {
+            "bench_id_col": "bench_id",
+            "bench_text_col": "text",
+            "k": 3,
+            "threshold": 0.5,
+            "containment_threshold": None,
+            "action": "quarantine",
+            **contamination_opts,
+        }
+        if "benchmark" not in contam:
+            raise ValueError("contamination_opts requires a 'benchmark' DataFrame")
+        if contam["action"] not in ("quarantine", "flag"):
+            raise ValueError(
+                f"contamination action must be 'quarantine' or 'flag', "
+                f"got {contam['action']!r}"
+            )
+        ensure_benchmark_index(
+            spark,
+            contam["benchmark"],
+            f"{state_path}/benchstore",
+            bench_id_col=contam["bench_id_col"],
+            bench_text_col=contam["bench_text_col"],
+            k=contam["k"],
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the curated hand-off dirs are single-epoch intermediates: only
@@ -133,6 +181,30 @@ def stream_export_training_set(
             source = spark.read.parquet(
                 f"{state_path}/segmented/epoch={epoch_id}"
             ).drop("n_segs", "n_dropped")
+
+        if contam is not None:
+            from .contamination import contamination_epoch
+
+            flagged = contamination_epoch(
+                spark,
+                source.select(id_col, text_col),
+                f"{state_path}/benchstore",
+                id_col=id_col,
+                text_col=text_col,
+                k=contam["k"],
+                threshold=contam["threshold"],
+                containment_threshold=contam["containment_threshold"],
+            )
+            # epoch-suffixed overwrite: a replayed epoch rewrites its own
+            # audit record, never duplicates it
+            flagged.write.mode("overwrite").parquet(
+                f"{out_path}/contamination/epoch={epoch_id}"
+            )
+            if contam["action"] == "quarantine":
+                flagged_ids = spark.read.parquet(
+                    f"{out_path}/contamination/epoch={epoch_id}"
+                ).select(id_col).distinct()
+                source = source.join(flagged_ids, id_col, "left_anti")
 
         gated = source.filter(
             lang_id(F.col(text_col)).isin(list(keep_langs))

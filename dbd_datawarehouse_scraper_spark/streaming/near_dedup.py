@@ -114,6 +114,54 @@ def _validate_or_init_store(
     ).coalesce(1).write.mode("overwrite").json(marker)
 
 
+_OUT_MARKER_SCHEMA = "out_version INT, columns STRING"
+
+
+def _validate_or_init_out(spark: SparkSession, out_path: str, columns: list) -> None:
+    """Pin the wrapper's survivor schema under ``out_path/_schema``.
+    The store format marker protects ``store_path``, but nothing used
+    to version the OUTPUT dir: a stream resumed over an out_path
+    written by the brief round-5 all-columns build would mix schemas
+    across epoch dirs with no runtime guard (advisor, r5). Same
+    commit-order discipline as the store marker: written before the
+    first epoch, refused on mismatch or on a pre-existing non-empty
+    unversioned out_path."""
+    from ..fsutil import fs_list_names
+
+    marker = f"{out_path}/_schema"
+    want = ",".join(columns)
+    if fs_exists(spark, marker):
+        row = spark.read.schema(_OUT_MARKER_SCHEMA).json(marker).head()
+        if row is None or row["out_version"] is None:
+            raise ValueError(
+                f"survivor-output marker at {marker} exists but is "
+                "unreadable — wipe the output dir (and re-export) before "
+                "continuing."
+            )
+        if (row["out_version"], row["columns"]) != (STORE_FORMAT_VERSION, want):
+            raise ValueError(
+                f"survivor output at {out_path} was written with "
+                f"(version, columns)=({row['out_version']}, "
+                f"{row['columns']!r}), but this run writes "
+                f"({STORE_FORMAT_VERSION}, {want!r}) — resuming would mix "
+                "schemas across epoch dirs. Wipe the output dir (and "
+                "re-export) or rerun with the original columns."
+            )
+        return
+    if fs_exists(spark, out_path) and any(
+        n.startswith("epoch=") for n in fs_list_names(spark, out_path)
+    ):
+        raise ValueError(
+            f"survivor output at {out_path} holds epoch dirs but no "
+            "_schema marker — it predates output versioning (the "
+            "all-columns build). Wipe it (and re-export) before "
+            "continuing; mixing schemas across epochs corrupts readers."
+        )
+    spark.createDataFrame(
+        [(STORE_FORMAT_VERSION, want)], _OUT_MARKER_SCHEMA
+    ).coalesce(1).write.mode("overwrite").json(marker)
+
+
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(_id, _band, _bucket) — same band hashing as the batch operator
     (dedup.py minhash_lsh_pairs), so cross-epoch candidates collide on
@@ -193,6 +241,7 @@ def stream_near_dedup(
     disables folding."""
     spark = stream_docs.sparkSession
     _validate_or_init_store(spark, store_path, num_hashes, bands, k)
+    _validate_or_init_out(spark, out_path, [id_col, text_col])
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the wrapper's documented output schema is (id_col, text_col):

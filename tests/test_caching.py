@@ -168,3 +168,36 @@ def test_pool_scoping_is_per_thread(spark):
     assert steps["b_is_cached"]
     release_caches()
     assert live_persist_count() == 0
+
+
+def test_release_caches_drops_drained_thread_pools(spark):
+    """Pools of short-lived threads must not accumulate forever, and a
+    reused thread id must never inherit a dead thread's leftovers
+    (advisor, r5): release_caches() deletes fully-drained pools."""
+    import threading
+    import time
+
+    from dbd_datawarehouse_scraper_spark import caching
+
+    release = threading.Event()
+
+    def work():
+        caching.tracked_persist(spark.range(5)).count()
+        release.wait(30)  # hold the thread alive so ids stay distinct
+
+    threads = [threading.Thread(target=work) for _ in range(4)]
+    for th in threads:
+        th.start()
+    deadline = time.time() + 60
+    while caching.live_persist_count() < 4 and time.time() < deadline:
+        time.sleep(0.05)
+    release.set()
+    for th in threads:
+        th.join()
+    assert len(caching._POOLS) >= 4
+    caching.release_caches()
+    assert caching.live_persist_count() == 0
+    # every drained pool entry is gone (only a live current-thread pool
+    # with content could remain — there is none here)
+    assert all(lv or sc for lv, sc in caching._POOLS.values()) or not caching._POOLS
+    assert len(caching._POOLS) == 0

@@ -277,3 +277,21 @@ def test_export_cli_rejects_bad_segment_k(spark, tmp_path):
             "--segment-dedup-k", "-4",
             "--config", str(tmp_path / "none.yaml"),
         ])
+
+
+def test_export_cli_rejects_zero_segment_k(spark, tmp_path):
+    """--segment-dedup-k 0 must fail loudly: truthiness previously
+    disabled the passage-dedup stage silently (advisor, r5)."""
+    docs = spark.createDataFrame(
+        [(1, "some text", "s")], "doc_id long, text string, source string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        main([
+            "--export-training-set",
+            "--input", src,
+            "--output", str(tmp_path / "out"),
+            "--segment-dedup-k", "0",
+            "--config", str(tmp_path / "none.yaml"),
+        ])

@@ -1130,3 +1130,230 @@ def test_stream_near_dedup_checkpoint_reset_is_loud(spark):
             near_dedup_epoch(spark, batch(0), 0, out, store)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ── incremental benchmark-contamination screen ──────────────────────
+
+_BENCH1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+_BENCH2 = "kilo lima mike november oscar papa quebec romeo"
+
+
+def _contam_fixtures(spark):
+    bench = spark.createDataFrame(
+        [(1, _BENCH1), (2, _BENCH2)], "bench_id long, text string"
+    )
+    filler = " ".join(f"fill{i:02d}" for i in range(40))
+    e1 = spark.createDataFrame(
+        [(1, "one two three four five six"), (2, "seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    # 9101: long doc embedding BENCH1 verbatim — caught only by
+    # containment (jaccard diluted by the doc's length);
+    # 9102: near-copy of BENCH2 (one word differs) — caught by jaccard
+    e2 = spark.createDataFrame(
+        [
+            (10, "twelve thirteen fourteen fifteen sixteen"),
+            (9101, f"{filler} {_BENCH1} {filler}"),
+            (9102, "kilo lima mike november oscar papa quebec sierra"),
+        ],
+        "doc_id long, text string",
+    )
+    return bench, e1, e2
+
+
+_EXPORT_KW = dict(
+    keep_langs=("en", "de", "fr", "es", "zh", "und"),
+    min_quality=0.0, min_tokens=1, near_dup_threshold=0.6,
+    shard_token_budget=800,
+)
+
+
+def _exported_ids(out):
+    import glob
+    import gzip
+    import json
+
+    ids = set()
+    for f in glob.glob(f"{out}/split=*/epoch=*/shard=*/*.gz"):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                ids.add(json.loads(line)["doc_id"])
+    return ids
+
+
+def test_stream_export_contamination_quarantine_matches_batch(spark):
+    """A contaminated document arriving in epoch 2 is flagged with the
+    SAME (jaccard, containment) the batch screen yields, quarantined
+    from the export, and a replay of the epoch changes nothing."""
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        contamination_pairs,
+    )
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    bench, e1, e2 = _contam_fixtures(spark)
+    copts = dict(
+        benchmark=bench, threshold=0.5, containment_threshold=0.9,
+        action="quarantine",
+    )
+    work = tempfile.mkdtemp(prefix="stream_contam_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        for ep in (e1, e2):
+            ep.coalesce(1).write.mode("append").parquet(src)
+            q = stream_export_training_set(
+                file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+                out, state, ckpt, contamination_opts=copts, **_EXPORT_KW,
+            )
+            assert q.awaitTermination(240)
+
+        def flagged_rows():
+            return sorted(
+                (r["doc_id"], r["bench_id"], r["jaccard"], r["containment"])
+                for r in spark.read.parquet(f"{out}/contamination/epoch=1").collect()
+            )
+
+        got = flagged_rows()
+        want = sorted(
+            (r["doc_id"], r["bench_id"], r["jaccard"], r["containment"])
+            for r in contamination_pairs(
+                e2, bench, k=3, threshold=0.5, containment_threshold=0.9
+            ).collect()
+        )
+        assert got == want and len(got) == 2
+        by_doc = {d: (j, c) for d, _, j, c in got}
+        assert by_doc[9101][1] == 1.0      # verbatim inclusion: containment 1
+        assert by_doc[9101][0] < 0.5       # ...that jaccard alone misses
+        assert by_doc[9102][0] >= 0.5      # near-copy: jaccard gate
+        ids = _exported_ids(out)
+        assert 9101 not in ids and 9102 not in ids
+        assert 10 in ids and 1 in ids
+
+        # replay: drop epoch 1's commit, restart — identical flags + export
+        os.remove(f"{ckpt}/commits/1")
+        if os.path.exists(f"{ckpt}/commits/.1.crc"):
+            os.remove(f"{ckpt}/commits/.1.crc")
+        q = stream_export_training_set(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, state, ckpt, contamination_opts=copts, **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        assert flagged_rows() == got
+        assert _exported_ids(out) == ids
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_export_contamination_flag_keeps_docs(spark):
+    """action='flag' records the pairs but does not quarantine."""
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    bench, _, e2 = _contam_fixtures(spark)
+    work = tempfile.mkdtemp(prefix="stream_contam_flag_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        e2.coalesce(1).write.mode("append").parquet(src)
+        q = stream_export_training_set(
+            file_stream(spark, src, e2.schema, max_files_per_trigger=1),
+            out, state, ckpt,
+            contamination_opts=dict(
+                benchmark=bench, threshold=0.5,
+                containment_threshold=0.9, action="flag",
+            ),
+            **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        flagged = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{out}/contamination/epoch=0").collect()
+        }
+        assert flagged == {9101, 9102}
+        ids = _exported_ids(out)
+        assert 9101 in ids and 9102 in ids  # flagged but NOT removed
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_benchmark_index_store_errors_are_loud(spark):
+    """Changed benchmark content, mismatched k, and a missing marker
+    all raise instead of silently screening against the wrong index."""
+    from dbd_datawarehouse_scraper_spark.streaming.contamination import (
+        contamination_epoch,
+        ensure_benchmark_index,
+    )
+
+    bench, _, e2 = _contam_fixtures(spark)
+    work = tempfile.mkdtemp(prefix="benchstore_")
+    store = f"{work}/benchstore"
+    try:
+        ensure_benchmark_index(spark, bench, store, k=3)
+        # same benchmark revalidates fine
+        ensure_benchmark_index(spark, bench, store, k=3)
+        # changed benchmark content: loud
+        edited = spark.createDataFrame(
+            [(1, _BENCH1), (2, _BENCH2 + " tampered")],
+            "bench_id long, text string",
+        )
+        with pytest.raises(ValueError, match="checksum|benchmark"):
+            ensure_benchmark_index(spark, edited, store, k=3)
+        # different shingle width: loud on both surfaces
+        with pytest.raises(ValueError, match="k"):
+            ensure_benchmark_index(spark, bench, store, k=5)
+        with pytest.raises(ValueError, match="shingle width"):
+            contamination_epoch(spark, e2, store, k=5)
+        # no marker at all: screening refuses
+        with pytest.raises(ValueError, match="marker"):
+            contamination_epoch(spark, e2, f"{work}/nowhere", k=3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_near_dedup_out_schema_marker_is_loud(spark):
+    """out_path carries a _schema marker mirroring the store's format
+    marker: resuming a (doc_id, text) stream over an out_path written
+    with different columns — or an unversioned pre-marker out_path —
+    refuses instead of mixing schemas across epoch dirs (advisor, r5)."""
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.near_dedup import (
+        stream_near_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")],
+        "doc_id long, text string",
+    )
+    work = tempfile.mkdtemp(prefix="out_marker_")
+    src = f"{work}/src"
+    try:
+        docs.coalesce(1).write.mode("append").parquet(src)
+        q = stream_near_dedup(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            f"{work}/out", f"{work}/store", f"{work}/ckpt",
+        )
+        assert q.awaitTermination(180)
+        assert os.path.exists(f"{work}/out/_schema")
+        # resume with a different id column: loud refusal
+        with pytest.raises(ValueError, match="mix schemas|columns"):
+            stream_near_dedup(
+                file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+                f"{work}/out", f"{work}/store", f"{work}/ckpt2",
+                id_col="text", text_col="doc_id",
+            )
+        # unversioned pre-marker out_path (epoch dirs, no marker): loud
+        shutil.rmtree(f"{work}/out/_schema")
+        with pytest.raises(ValueError, match="predates output versioning"):
+            stream_near_dedup(
+                file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+                f"{work}/out", f"{work}/store", f"{work}/ckpt3",
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
