@@ -37,6 +37,11 @@ from .clustering import (  # noqa: F401
     kmeans_fit,
     semantic_dedup,
 )
+from .domains import (  # noqa: F401
+    domain_blocklist_filter,
+    extract_domain,
+    per_domain_cap,
+)
 from .mixing import mix_corpora, mix_rates  # noqa: F401
 from .sampling import quality_bucket_sample, sample_bucket  # noqa: F401
 from .segments import segment_dedup  # noqa: F401

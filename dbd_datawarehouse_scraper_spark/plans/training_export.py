@@ -76,6 +76,10 @@ def export_training_set(
     )
     from ..caching import tracked_persist
 
+    # the fingerprint feeds BOTH the mix selection and the split
+    # assignment — compute it once per row and let every consumer read
+    # the column (one full-text hash pass instead of two)
+    curated = curated.withColumn("_fp", doc_fingerprint(F.col(text_col)))
     curated_cache = None
     if mix_weights:
         # mixing AFTER curation: the proportions are over the mass that
@@ -86,11 +90,14 @@ def export_training_set(
         # (round-5 review).
         curated_cache = tracked_persist(curated)
         curated = mix_corpora(
-            curated_cache, mix_weights, source_col=source_col, text_col=text_col
+            curated_cache, mix_weights, source_col=source_col,
+            text_col=text_col, fingerprint_col="_fp",
         ).drop(source_col)
     prepared = curated.withColumn(
-        "split", content_split(doc_fingerprint(F.col(text_col)), split_fractions)
-    ).withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        "split", content_split(F.col("_fp"), split_fractions)
+    ).drop("_fp").withColumn(
+        "n_tokens", token_count(F.col(text_col)).cast("long")
+    )
     if redact:
         prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
 

@@ -2738,6 +2738,38 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpora(d, weights, token_col="n_chars")
 
 
+@register("domain_curation", None)
+def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Domain-level curation (operators/domains.py): synthesize a
+    URL per document from its source, extract the registrable domain
+    (pure regex expressions), drop two blocklisted domains via a
+    broadcast anti join, then cap every surviving domain at 15
+    documents and 6000 characters with the content-hash rate filter.
+    Rows-only registration; the cap arithmetic has a row-for-row
+    DuckDB mirror in tests/test_domains.py."""
+    from .operators.domains import (
+        domain_blocklist_filter,
+        extract_domain,
+        per_domain_cap,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    with_dom = d.withColumn("domain", extract_domain(F.col("url")))
+    block = spark.createDataFrame(
+        [("src1.example.com",), ("src7.example.com",)], ["domain"]
+    )
+    kept = domain_blocklist_filter(with_dom, block)
+    return per_domain_cap(
+        kept, max_docs=15, max_tokens=6000, token_col="n_chars"
+    ).select("doc_id", "domain")
+
+
 # ---------------------------------------------------------------------------
 # [EXT] corpus curation operators (round 5): passage-level dedup,
 # quality-quantile sampling, TF-IDF keyword extraction
