@@ -102,6 +102,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CCNet-style per-quality-bucket keep rates in "
                         "basis points, low->high quality, e.g. "
                         "'1000,2500,5000,10000' (default: off)")
+    p.add_argument("--block-domains", type=str, default=None,
+                   help="Comma-separated domain blocklist applied to "
+                        "--domain-col before curation (default: off)")
+    p.add_argument("--domain-col", type=str, default="source",
+                   help="Column holding the document's domain/source "
+                        "for --block-domains / per-domain caps")
+    p.add_argument("--max-docs-per-domain", type=int, default=None,
+                   help="Cap each domain's documents before curation "
+                        "(default: off)")
+    p.add_argument("--decontaminate-against", type=str, default=None,
+                   help="Parquet dir of a benchmark (bench_id, text): "
+                        "quarantine overlapping documents before "
+                        "dedup/export (default: off)")
+    p.add_argument("--contamination-threshold", type=float, default=0.5,
+                   help="k-gram Jaccard gate for --decontaminate-against")
+    p.add_argument("--containment-threshold", type=float, default=None,
+                   help="Benchmark-containment gate (|A∩B|/|B|) for "
+                        "--decontaminate-against (default: Jaccard only)")
     return p
 
 
@@ -230,6 +248,26 @@ def main(argv: Sequence[str] | None = None) -> int:
             curate_kwargs["quality_sample_rates"] = tuple(
                 int(x) for x in args.quality_sample_rates.split(",")
             )
+        if args.block_domains or args.max_docs_per_domain is not None:
+            if args.max_docs_per_domain is not None and args.max_docs_per_domain < 1:
+                raise ValueError(
+                    f"--max-docs-per-domain must be >= 1, got "
+                    f"{args.max_docs_per_domain}"
+                )
+            dom = {"domain_col": args.domain_col}
+            if args.block_domains:
+                dom["blocklist"] = [
+                    d.strip() for d in args.block_domains.split(",") if d.strip()
+                ]
+            if args.max_docs_per_domain is not None:
+                dom["max_docs"] = args.max_docs_per_domain
+            curate_kwargs["domain_opts"] = dom
+        if args.decontaminate_against:
+            curate_kwargs["contamination_opts"] = {
+                "benchmark": spark.read.parquet(args.decontaminate_against),
+                "threshold": args.contamination_threshold,
+                "containment_threshold": args.containment_threshold,
+            }
         counts = export_training_set(
             spark.read.parquet(args.input),
             args.output,

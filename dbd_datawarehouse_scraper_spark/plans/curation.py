@@ -5,15 +5,26 @@ curation funnel composed from the engine's own operators, each stage an
 operator that is individually oracle- or recall-verified:
 
     documents
+      → domain gates                    (optional, round 6:
+                                         operators/domains.py —
+                                         blocklist anti join + per-
+                                         domain doc/token caps, FIRST:
+                                         the cheapest gate drops whole
+                                         hosts before any text work)
       → passage/boilerplate removal     (optional, round 5:
                                          operators/segments.py — runs
-                                         FIRST so boilerplate can't
-                                         inflate quality scores or mask
-                                         near-dup distances)
+                                         before scoring so boilerplate
+                                         can't inflate quality scores or
+                                         mask near-dup distances)
       → language-ID + quality scoring   (pure column exprs, codegen'd)
       → language / quality gates        (pushdown-friendly filters)
       → exact dedup                     (fingerprint hash, deterministic
                                          survivor)
+      → benchmark decontamination       (optional, round 6: the batch
+                                         contamination screen as a
+                                         quarantine stage — flagged
+                                         documents never reach dedup,
+                                         sampling, or the export)
       → near-dup dedup                  (MinHash + banded LSH, candidate-
                                          bounded; one survivor per
                                          connected component)
@@ -55,6 +66,8 @@ def curate_documents(
     carry_cols: tuple[str, ...] = (),
     segment_dedup_opts: dict | None = None,
     quality_sample_rates: tuple[int, ...] | None = None,
+    domain_opts: dict | None = None,
+    contamination_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -82,7 +95,62 @@ def curate_documents(
     dedup, keyed on the post-cleanup content fingerprint. Each optional
     stage pins one tracked persist that BACKS the returned plan (like
     the losers scratch dir) and drains with the caller's standard
-    ``release_caches()`` after the consuming action."""
+    ``release_caches()`` after the consuming action.
+
+    Round-6 optional stages: ``domain_opts`` gates on SOURCE DOMAIN
+    first — keys: ``url_col`` (derive ``domain_col`` via
+    :func:`..operators.domains.extract_domain`) or a pre-existing
+    ``domain_col`` (default ``"domain"``); ``blocklist`` (a list of
+    domains or a one-column DataFrame, broadcast anti join);
+    ``max_docs`` / ``max_tokens`` per-domain caps (the token measure
+    is ``token_count`` computed inline). ``contamination_opts``
+    quarantines documents overlapping an evaluation ``benchmark``
+    (required key; optional ``bench_id_col``/``bench_text_col``/
+    ``k``/``threshold``/``containment_threshold``) right after exact
+    dedup, so contaminated documents never influence near-dup
+    components, sampling histograms, or the export. Batch semantics
+    are quarantine-only — use
+    :func:`..operators.dedup.contamination_pairs` directly for a
+    flag/audit relation."""
+    if domain_opts is not None:
+        from ..operators.domains import (
+            domain_blocklist_filter,
+            extract_domain,
+            per_domain_cap,
+        )
+
+        o = dict(domain_opts)
+        domain_col = o.get("domain_col", "domain")
+        derived = False
+        if "url_col" in o:
+            docs = docs.withColumn(domain_col, extract_domain(F.col(o["url_col"])))
+            derived = True
+        blocklist = o.get("blocklist")
+        if blocklist is not None:
+            if not isinstance(blocklist, DataFrame):
+                blocklist = docs.sparkSession.createDataFrame(
+                    [(d,) for d in blocklist], f"{domain_col} string"
+                )
+            docs = domain_blocklist_filter(
+                docs, blocklist, domain_col=domain_col, block_col=domain_col
+            )
+        if o.get("max_docs") is not None or o.get("max_tokens") is not None:
+            tok_col = None
+            if o.get("max_tokens") is not None:
+                tok_col = "_dc_tokens"
+                docs = docs.withColumn(tok_col, token_count(F.col(text_col)))
+            docs = per_domain_cap(
+                docs,
+                domain_col=domain_col,
+                id_col=id_col,
+                max_docs=o.get("max_docs"),
+                max_tokens=o.get("max_tokens"),
+                token_col=tok_col,
+            )
+            if tok_col:
+                docs = docs.drop(tok_col)
+        if derived:
+            docs = docs.drop(domain_col)
     if segment_dedup_opts is not None:
         from ..operators.segments import segment_dedup
 
@@ -114,6 +182,32 @@ def curate_documents(
     # (recomputing doc_fingerprint would re-run the normalize regex +
     # sha256 over every surviving document)
     exact = exact_dedup(gated, ["_fp"], id_col)
+
+    if contamination_opts is not None:
+        from ..operators.dedup import contamination_pairs
+
+        c = {
+            "bench_id_col": "bench_id",
+            "bench_text_col": "text",
+            "k": 3,
+            "threshold": 0.5,
+            "containment_threshold": None,
+            **contamination_opts,
+        }
+        if "benchmark" not in c:
+            raise ValueError("contamination_opts requires a 'benchmark' DataFrame")
+        flagged = contamination_pairs(
+            exact,
+            c["benchmark"],
+            id_col=id_col,
+            text_col=text_col,
+            bench_id_col=c["bench_id_col"],
+            bench_text_col=c["bench_text_col"],
+            k=c["k"],
+            threshold=c["threshold"],
+            containment_threshold=c["containment_threshold"],
+        ).select(id_col).distinct()
+        exact = exact.join(flagged, id_col, "left_anti")
 
     # The near-dup leg pins internal persists (minhash_lsh_pairs'
     # shingle index + signatures) and the component loop's checkpoint

@@ -2371,36 +2371,131 @@ def pii_mask_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sql_frontend_q3",
+    "sql_frontend_suite",
     f"""
-    SELECT o_orderkey,
-           {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS order_date
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY o_orderkey, o_orderdate
+    WITH q3 AS (
+      SELECT o_orderkey,
+             {DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY o_orderkey, o_orderdate),
+    exists_leg AS (
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority),
+    anti_leg AS (
+      SELECT o_orderpriority, COUNT(*) AS n FROM orders o
+      WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)
+      GROUP BY o_orderpriority),
+    unioned AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      FROM orders WHERE o_orderstatus = 'O'),
+    ranked AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY price_c DESC, o_orderkey ASC) AS rn
+      FROM unioned)
+    SELECT 'q3' AS shape,
+           CAST(o_orderkey AS VARCHAR) || ':' || order_date AS key,
+           revenue AS val
+    FROM q3
+    UNION ALL
+    SELECT 'exists', o_orderpriority, CAST(n AS DOUBLE) FROM exists_leg
+    UNION ALL
+    SELECT 'not_exists', o_orderpriority, CAST(n AS DOUBLE) FROM anti_leg
+    UNION ALL
+    SELECT 'union_window',
+           CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+           CAST(rn AS DOUBLE)
+    FROM ranked WHERE rn <= 2
     """,
 )
-def sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape through the SQL front-end (spark.sql over temp
-    views) — Catalyst produces the same plan as the DataFrame API; the
+def sql_frontend_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end breadth in one slot (round-6 fold of the former
+    ``sql_frontend_q3`` registration): four translated shapes through
+    ``spark.sql`` over temp views, tagged-union output —
+
+    - ``q3``: the TPC-H Q3 join/agg shape (unchanged);
+    - ``exists`` / ``not_exists``: correlated EXISTS / NOT EXISTS
+      (TPC-H Q4-like) — Catalyst rewrites these to left-semi /
+      left-anti joins, the scale-safe plan;
+    - ``union_window``: a UNION ALL re-ranked by a window (top-2
+      orders per customer by quantized price — integer rank keys per
+      the cross-engine convention, never raw doubles).
+
+    Catalyst produces the same plans the DataFrame API would; the
     engine exposes both surfaces."""
     for name in ("customer", "orders", "lineitem"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"sqlq3_{name}")
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sqlfe_{name}")
     return spark.sql(
         """
-        SELECT o_orderkey,
-               CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
-               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
-        FROM sqlq3_customer JOIN sqlq3_orders ON c_custkey = o_custkey
-        JOIN sqlq3_lineitem ON l_orderkey = o_orderkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-        GROUP BY o_orderkey, o_orderdate
+        WITH q3 AS (
+          SELECT o_orderkey,
+                 CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS revenue,
+                 date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+          FROM sqlfe_customer JOIN sqlfe_orders ON c_custkey = o_custkey
+          JOIN sqlfe_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+          GROUP BY o_orderkey, o_orderdate),
+        exists_leg AS (
+          SELECT o_orderpriority, COUNT(*) AS n FROM sqlfe_orders o
+          WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+            AND EXISTS (SELECT 1 FROM sqlfe_lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_returnflag = 'R')
+          GROUP BY o_orderpriority),
+        anti_leg AS (
+          SELECT o_orderpriority, COUNT(*) AS n FROM sqlfe_orders o
+          WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+            AND NOT EXISTS (SELECT 1 FROM sqlfe_lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey)
+          GROUP BY o_orderpriority),
+        unioned AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+          FROM sqlfe_orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT o_custkey, o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          FROM sqlfe_orders WHERE o_orderstatus = 'O'),
+        ranked AS (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY price_c DESC, o_orderkey ASC) AS rn
+          FROM unioned)
+        SELECT 'q3' AS shape,
+               CONCAT(CAST(o_orderkey AS STRING), ':', order_date) AS key,
+               revenue AS val
+        FROM q3
+        UNION ALL
+        SELECT 'exists', o_orderpriority, CAST(n AS DOUBLE) FROM exists_leg
+        UNION ALL
+        SELECT 'not_exists', o_orderpriority, CAST(n AS DOUBLE) FROM anti_leg
+        UNION ALL
+        SELECT 'union_window',
+               CONCAT(CAST(o_custkey AS STRING), ':', CAST(o_orderkey AS STRING)),
+               CAST(rn AS DOUBLE)
+        FROM ranked WHERE rn <= 2
         """
     )
 

@@ -295,3 +295,58 @@ def test_export_cli_rejects_zero_segment_k(spark, tmp_path):
             "--segment-dedup-k", "0",
             "--config", str(tmp_path / "none.yaml"),
         ])
+
+
+def test_export_cli_domain_and_decontamination_flags(spark, tmp_path):
+    """--block-domains / --max-docs-per-domain / --decontaminate-against
+    reach the funnel: blocked sources and benchmark-overlapping docs
+    are absent from the export, per-domain caps bound the rest."""
+    bench_text = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            (i, f"d{i} the d{i} and d{i} of d{i} is d{i} that d{i} this one",
+             f"src{i % 3}")
+            for i in range(60)
+        ]
+        + [(9001, f"prefix words here {bench_text} suffix words here", "src1")],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(1, bench_text)], "bench_id long, text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "export")
+    rc = main([
+        "--export-training-set",
+        "--input", src,
+        "--output", out,
+        "--block-domains", "src0",
+        "--max-docs-per-domain", "8",
+        "--decontaminate-against", bench,
+        "--containment-threshold", "0.9",
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    import glob
+    import gzip
+    import json
+
+    ids = set()
+    for f in glob.glob(f"{out}/split=*/shard=*/*.gz"):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for line in fh:
+                ids.add(json.loads(line)["doc_id"])
+    assert ids and 9001 not in ids
+    assert not any(i % 3 == 0 for i in ids if i < 9000)
+
+    with pytest.raises(ValueError, match="max-docs-per-domain"):
+        main([
+            "--export-training-set",
+            "--input", src,
+            "--output", str(tmp_path / "export3"),
+            "--max-docs-per-domain", "0",
+            "--config", str(tmp_path / "none.yaml"),
+        ])

@@ -221,3 +221,69 @@ def test_funnel_quality_sample_stage_monotonic(spark, docs):
     release_caches()
     assert none == 0
     assert 0 < harsh < len(plain_ids)
+
+
+def test_funnel_domain_stage_blocks_and_caps(spark, docs):
+    """domain_opts: blocklisted sources never reach the funnel; a
+    per-domain doc cap bounds each surviving source's contribution.
+    The stage must also compose with a URL column via extract_domain."""
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=1, sample_fractions=None,
+                carry_cols=("source",))
+    out = curate_documents(
+        docs,
+        domain_opts={"domain_col": "source", "blocklist": ["src0", "src3"],
+                     "max_docs": 5},
+        **base,
+    )
+    rows = out.collect()
+    srcs = {r["source"] for r in rows}
+    assert "src0" not in srcs and "src3" not in srcs and srcs
+    from collections import Counter
+
+    # cap applied BEFORE dedup/gates, so post-funnel counts are <= the
+    # pre-funnel per-domain selection plus hash noise around 5
+    assert max(Counter(r["source"] for r in rows).values()) <= 9
+
+    # via a URL column: same blocklist expressed as domains
+    with_url = docs.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"), F.lit(".net/d"))
+    )
+    out_url = curate_documents(
+        with_url,
+        domain_opts={"url_col": "url", "blocklist": ["src0.net", "src3.net"]},
+        **base,
+    )
+    assert {r["source"] for r in out_url.collect()} == srcs
+    assert "domain" not in out_url.columns  # derived column cleaned up
+
+
+def test_funnel_contamination_stage_quarantines(spark, docs):
+    """contamination_opts: a document embedding a benchmark item
+    verbatim is quarantined (containment gate) and never exported;
+    without the stage it survives."""
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=1, sample_fractions=None)
+    bench_text = " ".join(f"bm{i}" for i in range(12))
+    filler = " ".join(f"fx{i}" for i in range(60))
+    extra = spark.createDataFrame(
+        [(990001, f"{filler} {bench_text} {filler}", "sX", 0)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    corpus = docs.select("doc_id", "text", "source", "n_chars").unionByName(extra)
+    bench = spark.createDataFrame([(1, bench_text)], "bench_id long, text string")
+
+    without = {r["doc_id"] for r in curate_documents(corpus, **base).collect()}
+    assert 990001 in without
+    screened = {
+        r["doc_id"]
+        for r in curate_documents(
+            corpus,
+            contamination_opts={"benchmark": bench, "threshold": 0.5,
+                                "containment_threshold": 0.9},
+            **base,
+        ).collect()
+    }
+    assert 990001 not in screened
+    # only the contaminated doc is affected
+    assert without - screened == {990001}

@@ -233,3 +233,13 @@ def test_tfidf_no_cartesian_and_partitioned_window(spark, sf_dir):
         "Exchange SinglePartition"
     ) <= 1, "no corpus-scale single-partition stage"
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_sql_frontend_exists_legs_become_semi_anti_joins(spark, sf_dir):
+    """The correlated EXISTS / NOT EXISTS translations must plan as
+    left-semi / left-anti joins (Catalyst's subquery decorrelation) —
+    never a per-row subquery re-execution or a cartesian."""
+    plan = plan_of(spark, sf_dir, "sql_frontend_suite")
+    assert "LeftSemi" in plan, plan[:800]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "CartesianProduct" not in plan
