@@ -51,5 +51,7 @@ from .unpivot import unpivot_financials  # noqa: F401
 from .similarity_search import (  # noqa: F401
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    ivf_build,
+    ivf_search,
     ivf_topk,
 )

@@ -461,3 +461,137 @@ def ivf_topk(
     return topk_per_group(
         reranked, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
     )
+
+
+#: Bump when the IVF index layout or assignment kernel changes
+#: incompatibly; searches refuse to read a mismatched index.
+IVF_FORMAT_VERSION = 1
+
+_IVF_MARKER_SCHEMA = (
+    "format_version INT, n_lists INT, dim INT, seed INT, "
+    "corpus_id STRING, corpus_vec STRING"
+)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    index_path: str,
+    n_lists: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Build a PERSISTED IVF index at ``index_path`` — the build-once/
+    probe-many form of :func:`ivf_topk` (which refits per call).
+    Layout:
+
+    - ``lists/`` — the corpus (id, vector) written ``partitionBy`` its
+      nearest-center list id, so a search reads only the probed lists'
+      partitions (static partition pruning, plan-assertable);
+    - ``centers/`` — the k fitted centroids (tiny);
+    - ``format`` — marker pinning (version, n_lists, dim, seed,
+      column names), written LAST (the marker is the commit; a crash
+      mid-build leaves a marker-less dir the next build overwrites).
+
+    Assignment uses the persisted-centers kernel
+    (``clustering._assign_to_centers``), so rebuilding from the same
+    fitted centers is bit-deterministic; the fit itself has the usual
+    k-means|| partitioning caveat (``clustering.kmeans_fit``)."""
+    from .clustering import _assign_to_centers, kmeans_fit
+
+    spark = corpus.sparkSession
+    head = corpus.select(corpus_vec).head()
+    if head is None:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    dim = len(head[0])
+    centers = kmeans_fit(corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed)
+    assigned = _assign_to_centers(
+        corpus.select(corpus_id, corpus_vec), corpus_vec, centers
+    ).withColumnRenamed("cluster", "_list")
+    assigned.write.partitionBy("_list").mode("overwrite").parquet(
+        f"{index_path}/lists"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "_list INT, _center ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centers")
+    spark.createDataFrame(
+        [(IVF_FORMAT_VERSION, n_lists, dim, seed, corpus_id, corpus_vec)],
+        _IVF_MARKER_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").json(f"{index_path}/format")
+
+
+def ivf_search(
+    probes: DataFrame,
+    index_path: str,
+    k: int,
+    nprobe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+) -> DataFrame:
+    """Search a persisted :func:`ivf_build` index: top-``k`` corpus
+    neighbors per probe by exact-rescored cosine, scanning only each
+    probe's ``nprobe`` nearest lists.
+
+    The union of probed list ids is collected (bounded by ``n_lists``
+    — an index CONFIG scalar, never corpus-sized) and pushed into the
+    lists read as a partition filter, so the scan touches only the
+    needed ``_list=`` directories. Returns (probe_id, corpus_id,
+    cosine_sim). Refuses a marker-less or mismatched-format index."""
+    from ..fsutil import fs_exists
+
+    spark = probes.sparkSession
+    marker = f"{index_path}/format"
+    if not fs_exists(spark, marker):
+        raise ValueError(
+            f"no IVF index marker at {marker} — run ivf_build() first "
+            "(a marker-less dir is an aborted build; rebuild it)."
+        )
+    row = spark.read.schema(_IVF_MARKER_SCHEMA).json(marker).head()
+    if row is None or row["format_version"] != IVF_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index at {index_path} has format version "
+            f"{None if row is None else row['format_version']}, need "
+            f"{IVF_FORMAT_VERSION} — rebuild the index."
+        )
+    corpus_id = row["corpus_id"]
+
+    centers = spark.read.parquet(f"{index_path}/centers")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(probe_vec),
+            F.col("_center"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    scored_centers = probes.crossJoin(F.broadcast(centers)).withColumn("_d2", d2)
+    probe_lists = topk_per_group(
+        scored_centers.select(probe_id, probe_vec, "_list", "_d2"),
+        [probe_id],
+        [F.col("_d2").asc(), F.col("_list").asc()],
+        nprobe,
+    ).drop("_d2")
+
+    from ..caching import tracked_persist
+
+    probe_lists = tracked_persist(probe_lists)
+    # bounded driver collect: ≤ n_lists ints (an index parameter)
+    needed = [r["_list"] for r in probe_lists.select("_list").distinct().collect()]
+    lists = spark.read.parquet(f"{index_path}/lists").filter(
+        F.col("_list").isin(needed)
+    )
+    cand = probe_lists.join(lists, "_list").filter(
+        F.col(probe_id) != F.col(corpus_id)
+    )
+    reranked = cand.select(
+        probe_id,
+        corpus_id,
+        F.round(
+            _qcosine_pandas(F.col(probe_vec), F.col(row["corpus_vec"])), 6
+        ).alias("cosine_sim"),
+    )
+    return topk_per_group(
+        reranked, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
+    )

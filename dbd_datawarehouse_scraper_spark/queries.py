@@ -2216,6 +2216,37 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(probes, e, k=5, n_lists=8, nprobe=4)
 
 
+@register("ivf_persisted_search", None)
+def ivf_persisted_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Persisted-index IVF (operators/similarity_search.py
+    ivf_build/ivf_search): build the list-partitioned index once into
+    a temp dir, then probe it — the build-once/probe-many production
+    shape; the lists scan is partition-pruned to the probed lists
+    (plan-pinned in tests/test_similarity_search.py, along with
+    probe-many determinism and recall vs brute force). Rows-only."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity_search import ivf_build, ivf_search
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    work = tempfile.mkdtemp(prefix="ivf_idx_q_")
+    try:
+        ivf_build(e, f"{work}/ivf", n_lists=8)
+        out = ivf_search(probes, f"{work}/ivf", k=5, nprobe=4)
+        # materialize before the index dir vanishes
+        res = spark.createDataFrame(out.collect(), out.schema)
+        from .caching import release_caches
+
+        release_caches()
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register(
     "counting_suite",
     f"""

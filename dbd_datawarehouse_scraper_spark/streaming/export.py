@@ -8,6 +8,8 @@ continue across epochs per split — so the trainer can start consuming
 shards while ingestion is still running. Composition per epoch:
 
     batch
+      → domain blocklist                  (optional; stateless anti join
+                                           — domains.py)
       → benchmark contamination screen    (optional; persisted benchmark
                                            shingle index, flag or
                                            quarantine — contamination.py)
@@ -32,16 +34,19 @@ overwrite. The intermediate curated parquet under the state dir is the
 hand-off between dedup and packing: durable, so a crash between the
 two stages replays cleanly from the batch without cache coupling.
 
-What the incremental form deliberately does NOT do: corpus mixing
-and quality-QUANTILE sampling. Both are GLOBAL properties (per-source
-totals; the corpus-wide score distribution) — epoch-local
-approximations would drift with arrival order, silently changing
-which documents a rate keeps as the stream progresses. Mix and
-quantile-sample at rest (operators/mixing.py, operators/sampling.py)
-over the exported set, or replace the quantile buckets with FIXED
-score thresholds upstream if incremental gating is required (fixed
-thresholds are arrival-order-invariant; the ``min_quality`` gate here
-is exactly that).
+What the incremental form deliberately does NOT do: corpus mixing,
+quality-QUANTILE sampling, and per-domain CAPS. All are GLOBAL
+properties (per-source totals; the corpus-wide score distribution;
+per-domain document/token totals) — epoch-local approximations would
+drift with arrival order, silently changing which documents a rate
+keeps as the stream progresses. Mix, quantile-sample, and cap at rest
+(operators/mixing.py, operators/sampling.py, operators/domains.py
+``per_domain_cap``) over the exported set, or replace the quantile
+buckets with FIXED score thresholds upstream if incremental gating is
+required (fixed thresholds are arrival-order-invariant; the
+``min_quality`` gate here is exactly that). The domain BLOCKLIST, by
+contrast, is a stateless per-row predicate and is supported
+(``domain_opts``).
 
 Output layout differs from the batch exporter by one level —
 ``split=<label>/epoch=<N>/shard=<n>/`` — because each epoch's packing
@@ -88,6 +93,7 @@ def stream_export_training_set(
     available_now: bool = True,
     segment_dedup_opts: dict | None = None,
     contamination_opts: dict | None = None,
+    domain_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -118,9 +124,34 @@ def stream_export_training_set(
     ``out_path/contamination/epoch=N`` (epoch-suffixed overwrite =
     replay-idempotent), scored identically to the batch screen. The
     benchmark index is built once under ``state_path/benchstore``; a
-    changed benchmark or shingle width raises loudly."""
+    changed benchmark or shingle width raises loudly.
+
+    ``domain_opts`` applies the domain BLOCKLIST per epoch — a
+    stateless per-row predicate, trivially replay-idempotent. Keys:
+    ``blocklist`` (list of domains or one-column DataFrame, required),
+    ``domain_col`` (default ``domain``) or ``url_col`` (derive the
+    domain via ``extract_domain``). Per-domain caps (``max_docs`` /
+    ``max_tokens``) are REFUSED here: they are global properties —
+    cap at rest with ``per_domain_cap`` over the exported set (see the
+    module docstring)."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
+    dom = None
+    if domain_opts is not None:
+        dom = {"domain_col": "domain", **domain_opts}
+        if "max_docs" in dom or "max_tokens" in dom:
+            raise ValueError(
+                "per-domain caps are global properties and would drift "
+                "with arrival order inside a stream — cap at rest with "
+                "operators.domains.per_domain_cap over the exported set "
+                "(only 'blocklist' is supported incrementally)."
+            )
+        if "blocklist" not in dom:
+            raise ValueError("domain_opts requires a 'blocklist'")
+        if not isinstance(dom["blocklist"], DataFrame):
+            dom["blocklist"] = spark.createDataFrame(
+                [(d,) for d in dom["blocklist"]], f"{dom['domain_col']} string"
+            )
     contam = None
     if contamination_opts is not None:
         from .contamination import ensure_benchmark_index
@@ -163,6 +194,18 @@ def stream_export_training_set(
                         fs_delete(spark, f"{base}/{n}")
 
         source = batch_df
+        if dom is not None:
+            from ..operators.domains import domain_blocklist_filter, extract_domain
+
+            if "url_col" in dom:
+                source = source.withColumn(
+                    dom["domain_col"], extract_domain(F.col(dom["url_col"]))
+                )
+            source = domain_blocklist_filter(
+                source, dom["blocklist"], domain_col=dom["domain_col"]
+            )
+            if "url_col" in dom:
+                source = source.drop(dom["domain_col"])
         if segment_dedup_opts is not None:
             from .segments import segment_dedup_epoch
 

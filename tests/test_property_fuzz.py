@@ -247,3 +247,47 @@ def test_fuzz_segment_dedup_reconstructs_when_nothing_dropped(spark):
     bad = [(r["doc_id"], r["clean_text"], r["expected"])
            for r in joined if r["clean_text"] != r["expected"] or r["n_dropped"] != 0]
     assert not bad, bad[:3]
+
+
+def _model_extract_domain(url: str) -> str:
+    """Pure-Python reference for operators/domains.py extract_domain:
+    optional scheme and userinfo stripped, host = chars up to the first
+    '/', ':', '?', '#' or whitespace; lowercased; leading 'www.'
+    removed; non-matching inputs -> ''."""
+    import re
+
+    m = re.match(
+        r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?(?:[^/@?#\s]*@)?([^/:?#\s]+)", url
+    )
+    if not m:
+        return ""
+    host = m.group(1).lower()
+    return re.sub(r"^www\.", "", host)
+
+
+def test_fuzz_extract_domain_vs_model(spark):
+    from dbd_datawarehouse_scraper_spark.operators.domains import extract_domain
+
+    rng = random.Random(7)
+    schemes = ["", "http://", "https://", "ftp://", "x+y-z.1://"]
+    users = ["", "user@", "a:b@", "@"]
+    hosts = ["example.com", "WWW.Example.COM", "sub.host.org", "www.x",
+             "host", "127.0.0.1", "xn--dmin-moa0i.example", "www.", "w"]
+    tails = ["", "/", "/path/a?q=1", ":8080/x", "#frag", "?a=b", " trailing",
+             "//double"]
+    urls = []
+    for _ in range(300):
+        urls.append(
+            rng.choice(schemes) + rng.choice(users) + rng.choice(hosts)
+            + rng.choice(tails)
+        )
+    urls += ["", " ", "://", "http://", "no spaces here", "a@b@c/x",
+             "https://@/path", ":8080", "?query-only"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [
+        r["d"] for r in df.select(extract_domain(F.col("url")).alias("d")).collect()
+    ]
+    want = [_model_extract_domain(u) for u in urls]
+    assert got == want, [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ][:5]

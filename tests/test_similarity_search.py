@@ -244,3 +244,67 @@ def test_qcosine_pandas_matches_hof(spark):
     hof = {r["i"]: r["c"] for r in df.select("i", qcosine(F.col("a"), F.col("b")).alias("c")).collect()}
     np_ = {r["i"]: r["c"] for r in df.select("i", _qcosine_pandas(F.col("a"), F.col("b")).alias("c")).collect()}
     assert hof == np_
+
+
+def test_ivf_persisted_index_build_search(spark, emb, probes, tmp_path):
+    """ivf_build/ivf_search: build once, probe many — recall on par
+    with the refit-per-call ivf_topk; two searches against the same
+    index are bit-identical (persisted centers kill the refit
+    nondeterminism); the lists scan carries a PartitionFilters prune
+    to the probed lists only; loud refusals on missing/mismatched
+    markers."""
+    import re
+
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_build,
+        ivf_search,
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb, idx, n_lists=8)
+
+    exact = cosine_topk_bruteforce(probes, emb, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    out = ivf_search(probes, idx, k=10, nprobe=4)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(truth[p] & got.get(p, set())) / len(truth[p]) for p in truth]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+    # probe-many determinism: the SAME index, twice -> identical result
+    again = sorted(map(tuple, ivf_search(probes, idx, k=10, nprobe=4).collect()))
+    assert sorted(map(tuple, rows)) == again
+
+    # partition pruning reaches the lists scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("_list" in f for f in filters), (filters, plan[:800])
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+
+    with pytest.raises(ValueError, match="marker"):
+        ivf_search(probes, str(tmp_path / "nowhere"), k=5)
+    # version mismatch: corrupt the marker
+    spark.createDataFrame(
+        [(99, 8, 64, 42, "vec_id", "embedding")],
+        "format_version INT, n_lists INT, dim INT, seed INT, "
+        "corpus_id STRING, corpus_vec STRING",
+    ).coalesce(1).write.mode("overwrite").json(f"{idx}/format")
+    with pytest.raises(ValueError, match="format version"):
+        ivf_search(probes, idx, k=5)
+
+
+def test_ivf_build_empty_corpus_refused(spark, emb, tmp_path):
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_build,
+    )
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_build(emb.filter(F.col("vec_id") < 0), str(tmp_path / "e"))

@@ -1427,3 +1427,54 @@ def test_stream_segment_dedup_fold_at_100_epochs(spark):
     finally:
         shutil.rmtree(w1, ignore_errors=True)
         shutil.rmtree(w2, ignore_errors=True)
+
+
+def test_stream_export_domain_blocklist_and_cap_refusal(spark):
+    """domain_opts in the incremental exporter: the blocklist (a
+    stateless per-row predicate) drops whole sources per epoch; the
+    global-property caps are refused loudly with an at-rest pointer."""
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee", "good.com"),
+            (2, "ff gg hh ii jj", "spam.com"),
+            (3, "kk ll mm nn oo", "good.com"),
+        ],
+        "doc_id long, text string, domain string",
+    )
+    work = tempfile.mkdtemp(prefix="stream_domain_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        docs.coalesce(1).write.mode("append").parquet(src)
+        q = stream_export_training_set(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, state, ckpt,
+            domain_opts={"blocklist": ["spam.com"]},
+            **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        ids = _exported_ids(out)
+        assert 1 in ids and 3 in ids and 2 not in ids
+
+        with pytest.raises(ValueError, match="global properties"):
+            stream_export_training_set(
+                file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+                out, state, f"{work}/ckpt2",
+                domain_opts={"blocklist": ["spam.com"], "max_docs": 10},
+                **_EXPORT_KW,
+            )
+        with pytest.raises(ValueError, match="blocklist"):
+            stream_export_training_set(
+                file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+                out, state, f"{work}/ckpt3",
+                domain_opts={"domain_col": "domain"},
+                **_EXPORT_KW,
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
