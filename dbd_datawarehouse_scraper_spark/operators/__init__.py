@@ -35,6 +35,8 @@ from .clustering import (  # noqa: F401
     cluster_balanced_sample,
     kmeans_assign,
     kmeans_fit,
+    load_centers,
+    save_centers,
     semantic_dedup,
 )
 from .domains import (  # noqa: F401

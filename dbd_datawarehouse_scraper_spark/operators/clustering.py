@@ -73,6 +73,26 @@ def kmeans_fit(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def save_centers(spark, centers: list, path: str) -> None:
+    """Persist :func:`kmeans_fit` centers as a k-row parquet table
+    (``idx INT, center ARRAY<DOUBLE>``) on any Hadoop-FS path — the
+    durable half of the fit-once/assign-many contract."""
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "idx INT, center ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centers(spark, path: str) -> list:
+    """Read centers persisted by :func:`save_centers`, in index order
+    — round-trips bit-exactly (float64 both ways), so assignments from
+    loaded centers match assignments from the in-memory fit."""
+    rows = spark.read.parquet(path).orderBy("idx").collect()
+    if not rows:
+        raise ValueError(f"no centers found at {path}")
+    return [list(r["center"]) for r in rows]
+
+
 def _assign_to_centers(df: DataFrame, vec_col: str, centers: list) -> DataFrame:
     """Nearest-center assignment against a fixed (broadcast) center
     list: one Arrow-vectorized pandas kernel per batch, no fit, no

@@ -192,3 +192,25 @@ def test_cluster_balanced_sample_rejects_bad_share(spark):
     d = spark.createDataFrame([(1, 0)], ["vec_id", "cluster"])
     with pytest.raises(ValueError, match="max_share"):
         cluster_balanced_sample(d, max_share=1.5)
+
+
+def test_centers_save_load_roundtrip_bit_exact(spark, two_blobs, tmp_path):
+    from dbd_datawarehouse_scraper_spark.operators.clustering import (
+        load_centers,
+        save_centers,
+    )
+
+    centers = kmeans_fit(two_blobs, n_clusters=2)
+    path = str(tmp_path / "centers")
+    save_centers(spark, centers, path)
+    loaded = load_centers(spark, path)
+    assert loaded == centers  # float64 parquet round-trip is bit-exact
+    a = {r["vec_id"]: r["cluster"]
+         for r in kmeans_assign(two_blobs, centers=centers).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in kmeans_assign(two_blobs, centers=loaded).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="no centers"):
+        empty = str(tmp_path / "empty")
+        spark.createDataFrame([], "idx INT, center ARRAY<DOUBLE>").write.parquet(empty)
+        load_centers(spark, empty)

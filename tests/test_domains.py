@@ -117,3 +117,13 @@ def test_per_domain_cap_rejects_bad_args(spark):
         per_domain_cap(docs, max_tokens=100)
     with pytest.raises(ValueError, match="max_docs"):
         per_domain_cap(docs, max_docs=0)
+
+
+def test_per_domain_cap_rate_join_broadcasts(spark):
+    """The per-domain rate table (|domains| rows) must broadcast back —
+    a shuffle join here would re-shuffle the corpus for a filter."""
+    docs = _cap_df(spark)
+    out = per_domain_cap(docs, max_docs=50)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:600]
+    assert "SortMergeJoin" not in plan
