@@ -120,6 +120,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--containment-threshold", type=float, default=None,
                    help="Benchmark-containment gate (|A∩B|/|B|) for "
                         "--decontaminate-against (default: Jaccard only)")
+    p.add_argument("--stream-export", action="store_true",
+                   help="Run the INCREMENTAL training-set export: watch "
+                        "--input (a documents parquet dir) as a file "
+                        "stream, process available files epoch by epoch "
+                        "through gates -> dedup store -> split -> pack "
+                        "into --output, then exit (availableNow "
+                        "trigger); rerun to pick up new files — state "
+                        "and checkpoint under --stream-state make it "
+                        "resume/replay-safe")
+    p.add_argument("--stream-state", type=str, default=None,
+                   help="State root for --stream-export (default: "
+                        "<output>__state); holds the dedup store, pack "
+                        "cursors, and the streaming checkpoint")
     return p
 
 
@@ -284,6 +297,61 @@ def main(argv: Sequence[str] | None = None) -> int:
         release_caches()
         for label, n in counts.items():
             print(f"split={label}: {n} documents")
+        return 0
+
+    if args.stream_export:
+        from .caching import release_caches
+        from .streaming import file_stream
+        from .streaming.export import stream_export_training_set
+
+        state_root = args.stream_state or f"{args.output}__state"
+        # schema from the files already present — a file stream needs it
+        # explicit, and the input dir must exist with at least one file
+        schema = spark.read.parquet(args.input).schema
+        sopts = {}
+        if args.decontaminate_against:
+            sopts["contamination_opts"] = {
+                "benchmark": spark.read.parquet(args.decontaminate_against),
+                "threshold": args.contamination_threshold,
+                "containment_threshold": args.containment_threshold,
+            }
+        if args.block_domains:
+            sopts["domain_opts"] = {
+                "domain_col": args.domain_col,
+                "blocklist": [
+                    d.strip() for d in args.block_domains.split(",") if d.strip()
+                ],
+            }
+        if args.max_docs_per_domain is not None:
+            raise ValueError(
+                "--max-docs-per-domain is a global property and cannot run "
+                "incrementally — cap at rest over the exported set "
+                "(operators.domains.per_domain_cap)."
+            )
+        if args.segment_dedup_k is not None:
+            if args.segment_dedup_k < 1:
+                raise ValueError(
+                    f"--segment-dedup-k must be >= 1, got {args.segment_dedup_k}"
+                )
+            sopts["segment_dedup_opts"] = {
+                "mode": "chunk",
+                "k": args.segment_dedup_k,
+                "min_docs": args.segment_min_docs,
+            }
+        q = stream_export_training_set(
+            file_stream(spark, args.input, schema, max_files_per_trigger=1),
+            args.output,
+            f"{state_root}/state",
+            f"{state_root}/ckpt",
+            shard_token_budget=args.shard_token_budget,
+            redact=not args.no_redact,
+            **sopts,
+        )
+        if not q.awaitTermination(3600):
+            q.stop()
+            raise TimeoutError("stream export did not drain within 1h")
+        release_caches()
+        print(f"stream export complete: output={args.output} state={state_root}")
         return 0
 
     if args.combine_only:

@@ -53,6 +53,7 @@ from .unpivot import unpivot_financials  # noqa: F401
 from .similarity_search import (  # noqa: F401
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    ivf_append,
     ivf_build,
     ivf_search,
     ivf_topk,

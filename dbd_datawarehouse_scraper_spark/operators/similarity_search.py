@@ -480,6 +480,7 @@ def ivf_build(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     seed: int = 42,
+    centers: list | None = None,
 ) -> None:
     """Build a PERSISTED IVF index at ``index_path`` — the build-once/
     probe-many form of :func:`ivf_topk` (which refits per call).
@@ -496,7 +497,10 @@ def ivf_build(
     Assignment uses the persisted-centers kernel
     (``clustering._assign_to_centers``), so rebuilding from the same
     fitted centers is bit-deterministic; the fit itself has the usual
-    k-means|| partitioning caveat (``clustering.kmeans_fit``)."""
+    k-means|| partitioning caveat (``clustering.kmeans_fit``). Pass
+    ``centers`` (e.g. from ``clustering.load_centers``) to skip the
+    fit entirely — then the whole build is a pure deterministic
+    function of (corpus, centers)."""
     from .clustering import _assign_to_centers, kmeans_fit
 
     spark = corpus.sparkSession
@@ -504,7 +508,14 @@ def ivf_build(
     if head is None:
         raise ValueError("cannot build an IVF index over an empty corpus")
     dim = len(head[0])
-    centers = kmeans_fit(corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed)
+    if centers is None:
+        centers = kmeans_fit(
+            corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed
+        )
+    elif len(centers) != n_lists:
+        raise ValueError(
+            f"supplied centers have {len(centers)} lists, n_lists={n_lists}"
+        )
     assigned = _assign_to_centers(
         corpus.select(corpus_id, corpus_vec), corpus_vec, centers
     ).withColumnRenamed("cluster", "_list")
@@ -594,4 +605,51 @@ def ivf_search(
     )
     return topk_per_group(
         reranked, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
+    )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    index_path: str,
+) -> None:
+    """Append vectors to a persisted :func:`ivf_build` index: assign
+    with the STORED centers (the same deterministic kernel every
+    existing row went through, so the index stays internally
+    consistent) and append part files into the matching ``_list=``
+    partitions — no rewrite of existing data, no refit.
+
+    The center set is frozen at build time, which is standard IVF
+    practice: appended mass can drift from the centroids, degrading
+    the candidate-list balance (never correctness — the search's
+    exact rerank is unchanged and recall follows the same nprobe
+    math); rebuild when the drift matters. Column names and format
+    come from the index marker; a marker-less or mismatched index
+    refuses. Appending the same batch twice duplicates rows (appends
+    are appends) — compose with an id anti-join against the lists
+    table for idempotent ingestion."""
+    from ..fsutil import fs_exists
+    from .clustering import _assign_to_centers
+
+    spark = new_vectors.sparkSession
+    marker = f"{index_path}/format"
+    if not fs_exists(spark, marker):
+        raise ValueError(
+            f"no IVF index marker at {marker} — run ivf_build() first."
+        )
+    row = spark.read.schema(_IVF_MARKER_SCHEMA).json(marker).head()
+    if row is None or row["format_version"] != IVF_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index at {index_path} has format version "
+            f"{None if row is None else row['format_version']}, need "
+            f"{IVF_FORMAT_VERSION} — rebuild the index."
+        )
+    centers_df = spark.read.parquet(f"{index_path}/centers").orderBy("_list")
+    centers = [list(r["_center"]) for r in centers_df.collect()]
+    assigned = _assign_to_centers(
+        new_vectors.select(row["corpus_id"], row["corpus_vec"]),
+        row["corpus_vec"],
+        centers,
+    ).withColumnRenamed("cluster", "_list")
+    assigned.write.partitionBy("_list").mode("append").parquet(
+        f"{index_path}/lists"
     )

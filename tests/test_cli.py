@@ -350,3 +350,56 @@ def test_export_cli_domain_and_decontamination_flags(spark, tmp_path):
             "--max-docs-per-domain", "0",
             "--config", str(tmp_path / "none.yaml"),
         ])
+
+
+def test_stream_export_cli_end_to_end_and_rerun(spark, tmp_path):
+    """--stream-export drains available input files epoch by epoch into
+    gzip JSONL shards; a second invocation picks up only NEW files
+    (checkpoint resume) and drops cross-run near-duplicates via the
+    persisted dedup store; per-domain caps are refused as global."""
+    import glob
+    import gzip
+    import json
+
+    def read_ids(out):
+        ids = set()
+        for f in glob.glob(f"{out}/split=*/epoch=*/shard=*/*.gz"):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    ids.add(json.loads(line)["doc_id"])
+        return ids
+
+    docs1 = spark.createDataFrame(
+        [(i, f"the d{i} and d{i} of d{i} is d{i} that d{i} this one two")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "stream_out")
+    docs1.coalesce(1).write.mode("append").parquet(src)
+    args = [
+        "--stream-export",
+        "--input", src,
+        "--output", out,
+        "--stream-state", str(tmp_path / "st"),
+        "--shard-token-budget", "400",
+        "--config", str(tmp_path / "none.yaml"),
+    ]
+    assert main(list(args)) == 0
+    first = read_ids(out)
+    assert first and all(i < 20 for i in first)
+
+    # second run: new docs + an exact duplicate of doc 3's text
+    dup_text = "the d3 and d3 of d3 is d3 that d3 this one two"
+    spark.createDataFrame(
+        [(100 + i, f"the x{i} and x{i} of x{i} is x{i} that x{i} here now")
+         for i in range(5)] + [(999, dup_text)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert main(list(args)) == 0
+    second = read_ids(out)
+    assert first < second
+    assert 100 in second and 999 not in second  # store caught the dup
+
+    with pytest.raises(ValueError, match="global property"):
+        main(args + ["--max-docs-per-domain", "5"])

@@ -308,3 +308,47 @@ def test_ivf_build_empty_corpus_refused(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_build(emb.filter(F.col("vec_id") < 0), str(tmp_path / "e"))
+
+
+def test_ivf_append_equals_direct_build_same_centers(spark, emb, probes, tmp_path):
+    """ivf_append: build on half the corpus, append the other half —
+    searches must equal an index built directly over the full corpus
+    with the SAME centers (assignment is a pure function of
+    (row, centers), and appends only add part files)."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import kmeans_fit
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    centers = kmeans_fit(emb, n_clusters=8)
+
+    full_idx = str(tmp_path / "full")
+    grown_idx = str(tmp_path / "grown")
+    ivf_build(emb, full_idx, n_lists=8, centers=centers)
+    ivf_build(half_a, grown_idx, n_lists=8, centers=centers)
+    ivf_append(half_b, grown_idx)
+
+    # every corpus row present exactly once after the append
+    lists = spark.read.parquet(f"{grown_idx}/lists")
+    assert lists.count() == emb.count()
+    assert lists.select("vec_id").distinct().count() == emb.count()
+
+    a = sorted(map(tuple, ivf_search(probes, full_idx, k=10, nprobe=4).collect()))
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    b = sorted(map(tuple, ivf_search(probes, grown_idx, k=10, nprobe=4).collect()))
+    release_caches()
+    assert a == b
+
+    # marker-less target refuses
+    with pytest.raises(ValueError, match="marker"):
+        ivf_append(half_b, str(tmp_path / "nowhere"))
+
+    # mismatched n_lists vs supplied centers refuses at build
+    with pytest.raises(ValueError, match="n_lists"):
+        ivf_build(emb, str(tmp_path / "bad"), n_lists=4, centers=centers)
