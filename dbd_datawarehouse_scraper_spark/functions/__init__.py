@@ -50,3 +50,8 @@ from .vectors import (  # noqa: F401
     l2_norm,
     cosine_similarity,
 )
+from .html import (  # noqa: F401
+    extract_html_title,
+    html_visible_ratio,
+    strip_html,
+)

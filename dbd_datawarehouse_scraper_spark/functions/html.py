@@ -1,0 +1,96 @@
+"""[EXT] HTML-to-text cleanup for web-corpus ingestion — the step
+between a crawled payload and the curation funnel's text gates.
+
+Real main-content extraction (readability/trafilatura-class DOM
+scoring) needs an HTML parser; what a 100 TB pipeline needs FIRST is
+the cheap, vectorizable pass that turns markup into scoreable text at
+scan speed. These are pure built-in column expressions (regexp chains
+— codegen'd, pushdown-safe, no UDF) with exact DuckDB mirrors, so the
+cleanup is oracle-checkable like every other scalar layer:
+
+- ``strip_html``: drop <script>/<style> blocks wholesale (their text
+  content is code, not prose), drop comments, turn block-level
+  closers into newlines (so "<p>a</p><p>b</p>" doesn't fuse words),
+  drop every remaining tag, decode the named/numeric entities that
+  dominate real corpora, collapse whitespace;
+- ``extract_html_title``: first <title> text, for provenance/dedup
+  keys;
+- ``html_visible_ratio``: visible-text length over raw length — a
+  cheap boilerplate-density signal (chrome-heavy pages score low),
+  used as a pre-gate the same way quality_score gates prose.
+
+Regex semantics are chosen for Java-vs-RE2 agreement: case-insensitive
+via ``(?i)``, dot-matches-newline via ``(?s)``, no backreferences, no
+lookaround — the same single-branch discipline as functions/pii.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (pattern, replacement) chain shared by strip_html and its DuckDB
+#: mirror (tests build the SQL from this table, so the two can't drift).
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    # script/style/noscript blocks: content is code, drop wholesale;
+    # the second pass of each pair catches an UNCLOSED block (strip to
+    # end of document — balanced ones are already gone, so a surviving
+    # opener means truncated/pathological markup, and leaking script
+    # text into a training corpus is worse than over-stripping)
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<script\b.*$", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"(?is)<style\b.*$", " "),
+    (r"(?is)<noscript\b[^>]*>.*?</noscript\s*>", " "),
+    (r"(?is)<noscript\b.*$", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # block-level boundaries become spaces so words don't fuse
+    (r"(?i)</?(p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|section|article|header|footer|blockquote)\b[^>]*>", " "),
+    # every remaining tag
+    (r"(?s)<[^>]*>", " "),
+)
+
+#: entity → replacement, most-frequent-first; applied after tag removal.
+HTML_ENTITY_STEPS: tuple[tuple[str, str], ...] = (
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+)
+
+
+def strip_html(col: Column) -> Column:
+    """Visible text of an HTML fragment: script/style/comment blocks
+    dropped, tags removed (block-level tags leave a space), common
+    entities decoded, whitespace collapsed. A regex pass, not a parser
+    — pathological markup (unclosed <script>, tags inside attribute
+    strings) degrades to extra stripping, never to leaked code."""
+    out = col
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for pat, rep in HTML_ENTITY_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def extract_html_title(col: Column) -> Column:
+    """Text of the first ``<title>`` element (entities decoded,
+    whitespace collapsed); empty string when absent."""
+    title = F.regexp_extract(col, r"(?is)<title\b[^>]*>(.*?)</title\s*>", 1)
+    for pat, rep in HTML_ENTITY_STEPS:
+        title = F.regexp_replace(title, pat, rep)
+    return F.trim(F.regexp_replace(title, r"\s+", " "))
+
+
+def html_visible_ratio(col: Column) -> Column:
+    """length(visible text) / length(raw) in [0, 1] (0 for empty raw) —
+    chrome-heavy pages score low; gate like ``quality_score``."""
+    raw_len = F.length(col)
+    return F.when(raw_len == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.length(strip_html(col)).cast("double") / raw_len.cast("double"), 6
+        )
+    )

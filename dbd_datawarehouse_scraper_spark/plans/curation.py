@@ -11,6 +11,12 @@ operator that is individually oracle- or recall-verified:
                                          domain doc/token caps, FIRST:
                                          the cheapest gate drops whole
                                          hosts before any text work)
+      → HTML-to-text cleanup            (optional, round 6:
+                                         functions/html.py —
+                                         visible-ratio gate on raw
+                                         markup, then strip tags/
+                                         script/entities so downstream
+                                         scores see prose)
       → passage/boilerplate removal     (optional, round 5:
                                          operators/segments.py — runs
                                          before scoring so boilerplate
@@ -68,6 +74,7 @@ def curate_documents(
     quality_sample_rates: tuple[int, ...] | None = None,
     domain_opts: dict | None = None,
     contamination_opts: dict | None = None,
+    html_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -111,7 +118,12 @@ def curate_documents(
     components, sampling histograms, or the export. Batch semantics
     are quarantine-only — use
     :func:`..operators.dedup.contamination_pairs` directly for a
-    flag/audit relation."""
+    flag/audit relation. ``html_opts`` runs the HTML-to-text cleanup
+    (functions/html.py) between the domain gates and passage dedup:
+    ``min_visible_ratio`` (optional float) first drops chrome-heavy
+    pages scored on the RAW markup, then ``strip`` (default True)
+    rewrites ``text_col`` to the visible text — so quality scores,
+    shingles and fingerprints downstream see prose, not tags."""
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -151,6 +163,16 @@ def curate_documents(
                 docs = docs.drop(tok_col)
         if derived:
             docs = docs.drop(domain_col)
+    if html_opts is not None:
+        from ..functions.html import html_visible_ratio, strip_html
+
+        h = {"strip": True, "min_visible_ratio": None, **html_opts}
+        if h["min_visible_ratio"] is not None:
+            docs = docs.filter(
+                html_visible_ratio(F.col(text_col)) >= h["min_visible_ratio"]
+            )
+        if h["strip"]:
+            docs = docs.withColumn(text_col, strip_html(F.col(text_col)))
     if segment_dedup_opts is not None:
         from ..operators.segments import segment_dedup
 

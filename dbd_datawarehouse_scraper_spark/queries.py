@@ -2864,6 +2864,39 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpora(d, weights, token_col="n_chars")
 
 
+@register("html_clean", None)
+def html_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] HTML-to-text cleanup (functions/html.py): wrap every
+    document's text in deterministic markup chrome (title, style,
+    script, entities), then strip it back to visible text, extract the
+    title, and score the visible ratio — all pure codegen'd regexp
+    chains. Rows-only registration; the strip chain has a DuckDB
+    mirror BUILT FROM THE SAME step table in tests/test_html.py."""
+    from .functions.html import (
+        extract_html_title,
+        html_visible_ratio,
+        strip_html,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "raw",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p{margin:0}</style></head><body>"
+                  "<script>track()</script><p>"),
+            F.col("text"),
+            F.lit("</p><div>&amp; more</div></body></html>"),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        extract_html_title(F.col("raw")).alias("title"),
+        F.substring(strip_html(F.col("raw")), 1, 80).alias("clean_prefix"),
+        html_visible_ratio(F.col("raw")).alias("visible_ratio"),
+    )
+
+
 @register("domain_curation", None)
 def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Domain-level curation (operators/domains.py): synthesize a

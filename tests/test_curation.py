@@ -287,3 +287,34 @@ def test_funnel_contamination_stage_quarantines(spark, docs):
     assert 990001 not in screened
     # only the contaminated doc is affected
     assert without - screened == {990001}
+
+
+def test_funnel_html_stage_strips_and_gates(spark):
+    """html_opts: markup is stripped before scoring (quality/shingles
+    see prose), and chrome-heavy pages fall to the visible-ratio gate."""
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=3, sample_fractions=None)
+    chrome = "<script>" + "junk(); " * 40 + "</script>"
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>the quick brown fox and the lazy dog here</p>"),
+            (2, f"{chrome}<p>tiny visible bit of text</p>"),
+            (3, "no markup at all just plain prose text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_documents(
+            docs, html_opts={"strip": True, "min_visible_ratio": 0.3}, **base
+        ).collect()
+    }
+    assert set(out) == {1, 3}          # chrome-heavy doc 2 gated out
+    assert out[1] == "the quick brown fox and the lazy dog here"
+    assert "<p>" not in out[1]
+    # without the gate, doc 2 survives with stripped text
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in curate_documents(docs, html_opts={}, **base).collect()
+    }
+    assert out2[2] == "tiny visible bit of text"

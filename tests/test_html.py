@@ -1,0 +1,89 @@
+"""HTML-to-text cleanup (functions/html.py): strip/title/ratio vs a
+DuckDB mirror BUILT FROM THE SAME step table, plus adversarial markup."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.functions.html import (
+    HTML_ENTITY_STEPS,
+    HTML_STRIP_STEPS,
+    extract_html_title,
+    html_visible_ratio,
+    strip_html,
+)
+
+DOCS = [
+    (1, "<html><head><title>My  Page</title><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><p>Hello&nbsp;world</p><div>Second &amp; third</div></body></html>"),
+    (2, "plain text, no markup at all"),
+    (3, "<ul><li>one</li><li>two</li></ul><table><tr><td>a</td><td>b</td></tr></table>"),
+    (4, "<SCRIPT TYPE='text/js'>alert(1)</SCRIPT>visible<BR>text"),
+    (5, "<!-- hidden --><p>kept</p><!-- multi\nline\ncomment -->"),
+    (6, "&lt;tag&gt; &quot;quoted&quot; &#39;apos&#39; Tom &amp; Jerry"),
+    (7, ""),
+    (8, "<div class='a' data-x='1 > 0'>attr edge</div>"),
+    (9, "<p>unclosed <script>while(1){}"),  # pathological: strips to end
+    (10, "<h1>Title</h1>no<h2>gap</h2>"),
+]
+
+
+def _mirror_sql(col: str) -> str:
+    expr = col
+    for pat, rep in HTML_STRIP_STEPS + HTML_ENTITY_STEPS:
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+
+
+def test_strip_html_matches_duckdb_mirror(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, raw string")
+    got = {
+        r["doc_id"]: r["txt"]
+        for r in df.select("doc_id", strip_html(F.col("raw")).alias("txt")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = dict(
+        con.execute(f"SELECT doc_id, {_mirror_sql('raw')} FROM t").fetchall()
+    )
+    assert got == want
+    # semantic spot checks
+    # title CONTENT is text (only tags strip); script/style content is not
+    assert got[1] == 'My Page Hello world Second & third'
+    assert "color:red" not in got[1] and "not text" not in got[1]
+    assert got[2] == DOCS[1][1]
+    assert got[3] == "one two a b"
+    assert got[4] == "visible text"
+    assert got[5] == "kept"
+    assert got[6] == '<tag> "quoted" \'apos\' Tom & Jerry'
+    assert got[7] == ""
+    assert "while" not in got[9]  # unclosed script strips to end
+    assert got[10] == "Title no gap"
+
+
+def test_extract_html_title(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, raw string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", extract_html_title(F.col("raw")).alias("t")
+        ).collect()
+    }
+    assert got[1] == "My Page"
+    assert got[2] == "" and got[7] == ""
+
+
+def test_html_visible_ratio_orders_chrome_heavy_low(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, raw string")
+    got = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id", html_visible_ratio(F.col("raw")).alias("ratio")
+        ).collect()
+    }
+    assert got[2] == 1.0           # plain text: fully visible
+    assert got[7] == 0.0           # empty
+    assert got[1] < got[10] < got[2]  # chrome-heavy < light markup < plain
+    assert all(0.0 <= v <= 1.0 for v in got.values())
