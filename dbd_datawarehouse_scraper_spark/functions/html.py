@@ -50,16 +50,50 @@ HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<[^>]*>", " "),
 )
 
-#: entity → replacement, most-frequent-first; applied after tag removal.
-HTML_ENTITY_STEPS: tuple[tuple[str, str], ...] = (
-    (r"&nbsp;", " "),
-    (r"&amp;", "&"),
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", "\""),
-    (r"&#39;", "'"),
-    (r"&apos;", "'"),
+#: (named forms, codepoint, replacement) — each row becomes ONE regexp
+#: step matching the named entity form(s) plus the decimal and hex
+#: character references for the codepoint (optional leading zeros,
+#: case-insensitive via (?i) — also covers `&#X2019;`). The set is the
+#: high-frequency core of real crawls: markup escapes, typographic
+#: quotes/dashes/ellipsis from CMS output, nbsp, and the invisible
+#: characters (soft hyphen, zero-width space) that would otherwise
+#: pollute shingles and fingerprints. The ampersand row is LAST by
+#: construction (asserted below): decoding `&amp;` earlier would let
+#: escaped markup like `&amp;lt;` double-decode to `<` instead of the
+#: literal `&lt;` (round-6 review).
+_ENTITY_SPEC: tuple[tuple[tuple[str, ...], int, str], ...] = (
+    (("nbsp",), 160, " "),
+    (("lt",), 60, "<"),
+    (("gt",), 62, ">"),
+    (("quot",), 34, "\""),
+    (("apos",), 39, "'"),
+    (("lsquo",), 8216, "‘"),
+    (("rsquo",), 8217, "’"),
+    (("ldquo",), 8220, "“"),
+    (("rdquo",), 8221, "”"),
+    (("ndash",), 8211, "–"),
+    (("mdash",), 8212, "—"),
+    (("hellip",), 8230, "…"),
+    (("shy",), 173, ""),
+    ((), 8203, ""),  # zero-width space (no common named form)
+    (("copy",), 169, "©"),
+    (("reg",), 174, "®"),
+    (("trade",), 8482, "™"),
+    (("amp",), 38, "&"),  # MUST stay last — see above
 )
+
+
+def _entity_step(names: tuple[str, ...], cp: int, rep: str) -> tuple[str, str]:
+    alts = list(names) + [f"#0*{cp}", f"#x0*{cp:x}"]
+    return (r"(?i)&(?:" + "|".join(alts) + r");", rep)
+
+
+#: entity → replacement steps generated from _ENTITY_SPEC; applied
+#: after tag removal, ampersand family last.
+HTML_ENTITY_STEPS: tuple[tuple[str, str], ...] = tuple(
+    _entity_step(*row) for row in _ENTITY_SPEC
+)
+assert _ENTITY_SPEC[-1][1] == 38, "ampersand decode must be the last entity step"
 
 
 def strip_html(col: Column) -> Column:
@@ -85,12 +119,18 @@ def extract_html_title(col: Column) -> Column:
     return F.trim(F.regexp_replace(title, r"\s+", " "))
 
 
-def html_visible_ratio(col: Column) -> Column:
+def html_visible_ratio(col: Column, stripped: Column | None = None) -> Column:
     """length(visible text) / length(raw) in [0, 1] (0 for empty raw) —
-    chrome-heavy pages score low; gate like ``quality_score``."""
+    chrome-heavy pages score low; gate like ``quality_score``.
+
+    ``stripped`` optionally names a column already holding
+    ``strip_html(col)``: a funnel that both gates on the ratio and
+    keeps the stripped text should compute the ~20-step regexp chain
+    ONCE and pass it here, rather than trusting Catalyst to CSE two
+    identical subtrees across a filter + projection (round-6 review;
+    plans/curation.py does this)."""
     raw_len = F.length(col)
+    visible = strip_html(col) if stripped is None else stripped
     return F.when(raw_len == 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.length(strip_html(col)).cast("double") / raw_len.cast("double"), 6
-        )
+        F.round(F.length(visible).cast("double") / raw_len.cast("double"), 6)
     )

@@ -127,8 +127,16 @@ def per_domain_cap(
                 ).cast("int"),
             )
         )
+    # Null-safe key: groupBy keeps a NULL-domain group, but a plain
+    # equi-join would never match it back, silently dropping every
+    # null-domain row even though it was counted (round-6 review, same
+    # silent-vanish class as the null-text mixing bug). eqNullSafe
+    # plans as an ordinary hash-join key, so the broadcast still holds;
+    # null domains are capped as their own group, consistent with
+    # domain_blocklist_filter keeping them.
     rate_tbl = sizes.select(
-        domain_col, F.least(*rates).alias("_rate_bp") if len(rates) > 1 else rates[0].alias("_rate_bp")
+        F.col(domain_col).alias("_d_key"),
+        F.least(*rates).alias("_rate_bp") if len(rates) > 1 else rates[0].alias("_rate_bp"),
     )
     if broadcast_rates:
         rate_tbl = F.broadcast(rate_tbl)
@@ -145,7 +153,7 @@ def per_domain_cap(
         % _BP
     )
     return (
-        docs.join(rate_tbl, domain_col)
+        docs.join(rate_tbl, F.col(domain_col).eqNullSafe(F.col("_d_key")))
         .filter(bucket < F.col("_rate_bp"))
-        .drop("_rate_bp")
+        .drop("_d_key", "_rate_bp")
     )

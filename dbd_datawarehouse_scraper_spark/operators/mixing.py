@@ -108,8 +108,14 @@ def mix_corpora(
     # silently — even from a rate-1.0 binding source — while still
     # counting in the mix_rates totals (round-5 review). Null/empty
     # text shares one deterministic bucket instead.
+    # The fast path coalesces too: a caller-supplied fingerprint column
+    # built as doc_fingerprint(text) is NULL for null text, which would
+    # reintroduce the vanish above through the side door (round-6
+    # review). The fallback is the fingerprint OF EMPTY TEXT (a
+    # constant, folded by Catalyst), so both paths put null-text rows
+    # in byte-identically the same bucket.
     fp = (
-        F.col(fingerprint_col)
+        F.coalesce(F.col(fingerprint_col), doc_fingerprint(F.lit("")))
         if fingerprint_col is not None
         else doc_fingerprint(F.coalesce(F.col(text_col), F.lit("")))
     )

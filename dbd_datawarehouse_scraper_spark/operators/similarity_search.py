@@ -493,6 +493,13 @@ def ivf_build(
     - ``format`` — marker pinning (version, n_lists, dim, seed,
       column names), written LAST (the marker is the commit; a crash
       mid-build leaves a marker-less dir the next build overwrites).
+      On a REBUILD over an existing index the old marker is deleted
+      FIRST — otherwise a crash between overwriting ``lists/`` and
+      rewriting the marker would leave the old still-valid marker over
+      new lists and/or stale centers, and ``ivf_search`` would accept
+      the torn index and probe the wrong lists silently (round-6
+      review). Delete-marker → write → re-mark makes every crash
+      window land in the refused marker-less state.
 
     Assignment uses the persisted-centers kernel
     (``clustering._assign_to_centers``), so rebuilding from the same
@@ -501,6 +508,7 @@ def ivf_build(
     ``centers`` (e.g. from ``clustering.load_centers``) to skip the
     fit entirely — then the whole build is a pure deterministic
     function of (corpus, centers)."""
+    from ..fsutil import fs_delete, fs_exists
     from .clustering import _assign_to_centers, kmeans_fit
 
     spark = corpus.sparkSession
@@ -508,13 +516,18 @@ def ivf_build(
     if head is None:
         raise ValueError("cannot build an IVF index over an empty corpus")
     dim = len(head[0])
+    if centers is not None and len(centers) != n_lists:
+        raise ValueError(
+            f"supplied centers have {len(centers)} lists, n_lists={n_lists}"
+        )
+    # un-commit BEFORE touching lists/centers (after the cheap input
+    # validation, so a refused call never destroys a valid index)
+    marker_path = f"{index_path}/format"
+    if fs_exists(spark, marker_path):
+        fs_delete(spark, marker_path)
     if centers is None:
         centers = kmeans_fit(
             corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed
-        )
-    elif len(centers) != n_lists:
-        raise ValueError(
-            f"supplied centers have {len(centers)} lists, n_lists={n_lists}"
         )
     assigned = _assign_to_centers(
         corpus.select(corpus_id, corpus_vec), corpus_vec, centers

@@ -167,11 +167,36 @@ def curate_documents(
         from ..functions.html import html_visible_ratio, strip_html
 
         h = {"strip": True, "min_visible_ratio": None, **html_opts}
-        if h["min_visible_ratio"] is not None:
+        if h["min_visible_ratio"] is not None and h["strip"]:
+            # gate + strip: run the ~35-step regexp chain ONCE. A plain
+            # withColumn+filter would NOT do that — PushDownPredicates
+            # substitutes the alias into the pushed filter, so the
+            # chain runs in both the filter and the projection. The
+            # explode-array Generate barrier (the package's standard
+            # idiom, operators/joins.py `_block`) materializes the
+            # stripped text as a generated attribute the filter and
+            # projection both reference; explode_outer (not explode)
+            # so InferFiltersFromGenerate doesn't clone the chain into
+            # an inferred size()>0 filter (see the round-3/4 trap in
+            # tests/test_plans.py). Pinned by
+            # tests/test_plans.py::test_curation_html_gate_strips_once.
+            docs = (
+                docs.withColumn(
+                    "_visible",
+                    F.explode_outer(F.array(strip_html(F.col(text_col)))),
+                )
+                .filter(
+                    html_visible_ratio(F.col(text_col), stripped=F.col("_visible"))
+                    >= h["min_visible_ratio"]
+                )
+                .withColumn(text_col, F.col("_visible"))
+                .drop("_visible")
+            )
+        elif h["min_visible_ratio"] is not None:
             docs = docs.filter(
                 html_visible_ratio(F.col(text_col)) >= h["min_visible_ratio"]
             )
-        if h["strip"]:
+        elif h["strip"]:
             docs = docs.withColumn(text_col, strip_html(F.col(text_col)))
     if segment_dedup_opts is not None:
         from ..operators.segments import segment_dedup

@@ -202,7 +202,10 @@ def stream_export_training_set(
                     dom["domain_col"], extract_domain(F.col(dom["url_col"]))
                 )
             source = domain_blocklist_filter(
-                source, dom["blocklist"], domain_col=dom["domain_col"]
+                source,
+                dom["blocklist"],
+                domain_col=dom["domain_col"],
+                block_col=dom["domain_col"],
             )
             if "url_col" in dom:
                 source = source.drop(dom["domain_col"])

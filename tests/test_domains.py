@@ -109,6 +109,31 @@ def test_per_domain_cap_docs_only_and_partition_invariant(spark):
     assert a == b
 
 
+def test_per_domain_cap_keeps_null_domains(spark):
+    """Rows with a NULL domain are counted by the sizes aggregate, so
+    they must also survive the join back (round-6 review: a plain
+    equi-join silently dropped them). They form their own capped
+    group, consistent with domain_blocklist_filter keeping nulls."""
+    rows = [(i, "hot.com") for i in range(100)] + [
+        (1000 + i, None) for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = per_domain_cap(docs, max_docs=30)
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    # both groups present and capped near 30 (hash noise)
+    assert set(by_dom) == {"hot.com", None}
+    assert 15 <= by_dom["hot.com"] <= 50 and 15 <= by_dom[None] <= 50
+    # a domain under the cap is kept whole even when nulls are present
+    out2 = per_domain_cap(docs, max_docs=500)
+    assert out2.count() == 200
+    # the rates join still broadcasts
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_per_domain_cap_rejects_bad_args(spark):
     docs = _cap_df(spark)
     with pytest.raises(ValueError, match="max_docs and/or max_tokens"):

@@ -26,6 +26,12 @@ DOCS = [
     (8, "<div class='a' data-x='1 > 0'>attr edge</div>"),
     (9, "<p>unclosed <script>while(1){}"),  # pathological: strips to end
     (10, "<h1>Title</h1>no<h2>gap</h2>"),
+    # round 7: numeric/hex character references (ubiquitous in crawls)
+    (11, "it&#8217;s &#8220;quoted&#8221; &#8211; dash&#8230;"),
+    (12, "hex it&#x2019;s &#X201C;up&#x201d; &#x2014; em"),
+    (13, "wp &#038; leading zeros &#0034;q&#00034; nb&#160;sp"),
+    (14, "escaped markup: &amp;lt;b&amp;gt; stays literal &#38;#39;"),
+    (15, "soft&#173;hyphen zero&#8203;width &copy; &#169; &#xa9;"),
 ]
 
 
@@ -61,6 +67,31 @@ def test_strip_html_matches_duckdb_mirror(spark):
     assert got[7] == ""
     assert "while" not in got[9]  # unclosed script strips to end
     assert got[10] == "Title no gap"
+    # numeric / hex character references decode (round 7)
+    assert got[11] == "it’s “quoted” – dash…"
+    assert got[12] == "hex it’s “up” — em"
+    assert got[13] == 'wp & leading zeros "q" nb sp'
+    # &amp; decodes LAST: escaped markup stays literal, never
+    # double-decodes into live tags/entities
+    assert got[14] == "escaped markup: &lt;b&gt; stays literal &#39;"
+    assert got[15] == "softhyphen zerowidth © © ©"
+
+
+def test_entity_table_order_and_visible_ratio_stripped_param(spark):
+    from dbd_datawarehouse_scraper_spark.functions.html import _ENTITY_SPEC
+
+    # the ampersand family must be the last step (double-decode guard)
+    assert _ENTITY_SPEC[-1][1] == 38
+    # html_visible_ratio(col, stripped=...) must equal the self-derived
+    # form — the shared-column fast path can't drift semantically
+    df = spark.createDataFrame(DOCS, "doc_id long, raw string")
+    both = df.select(
+        html_visible_ratio(F.col("raw")).alias("a"),
+        html_visible_ratio(F.col("raw"), stripped=strip_html(F.col("raw"))).alias(
+            "b"
+        ),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in both)
 
 
 def test_extract_html_title(spark):

@@ -243,3 +243,35 @@ def test_sql_frontend_exists_legs_become_semi_anti_joins(spark, sf_dir):
     assert "LeftSemi" in plan, plan[:800]
     assert "LeftAnti" in plan, plan[:800]
     assert "CartesianProduct" not in plan
+
+
+def test_curation_html_gate_strips_once(spark):
+    """Round-7 perf property: with BOTH the visible-ratio gate and
+    strip enabled, the ~35-step strip_html regexp chain is evaluated
+    ONCE per row — behind an explode_outer(array(...)) Generate
+    barrier the gate and the projection both reference. A plain
+    withColumn+filter would let PushDownPredicates substitute the
+    alias into the pushed filter and run the chain twice. The 'lsquo'
+    entity pattern is a unique per-evaluation marker; explode_outer
+    (not explode) keeps InferFiltersFromGenerate from cloning the
+    chain into an inferred size()>0 filter."""
+    from dbd_datawarehouse_scraper_spark.plans.curation import curate_documents
+
+    docs = spark.createDataFrame(
+        [(1, "<p>quick brown fox jumps over the lazy dog</p>")],
+        "doc_id long, text string",
+    )
+    out = curate_documents(
+        docs,
+        keep_langs=("en", "und"),
+        min_quality=0.0,
+        min_tokens=1,
+        sample_fractions=None,
+        html_opts={"strip": True, "min_visible_ratio": 0.1},
+    )
+    qe = out._jdf.queryExecution()
+    for plan in (qe.optimizedPlan().toString(), qe.executedPlan().toString()):
+        assert plan.count("lsquo") == 1, plan.count("lsquo")
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()

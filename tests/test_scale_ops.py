@@ -379,3 +379,17 @@ def test_mix_corpora_keeps_null_text_rows_of_full_rate_source(spark):
     out = mix_corpora(d, {"a": 0.99, "b": 0.01})
     kept_a = {r["doc_id"] for r in out.filter("source = 'a'").collect()}
     assert 100 in kept_a and len(kept_a) == 41
+
+    # the fingerprint_col fast path must behave identically: a
+    # caller-computed doc_fingerprint(text) is NULL for null text, and
+    # an uncoalesced hash would silently vanish the row again through
+    # the side door (round-6 review)
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        doc_fingerprint,
+    )
+    from pyspark.sql import functions as SF
+
+    with_fp = d.withColumn("fp", doc_fingerprint(SF.col("text")))
+    out_fp = mix_corpora(with_fp, {"a": 0.99, "b": 0.01}, fingerprint_col="fp")
+    kept_a_fp = {r["doc_id"] for r in out_fp.filter("source = 'a'").collect()}
+    assert kept_a_fp == kept_a

@@ -352,3 +352,51 @@ def test_ivf_append_equals_direct_build_same_centers(spark, emb, probes, tmp_pat
     # mismatched n_lists vs supplied centers refuses at build
     with pytest.raises(ValueError, match="n_lists"):
         ivf_build(emb, str(tmp_path / "bad"), n_lists=4, centers=centers)
+
+
+def test_ivf_rebuild_crash_leaves_refused_markerless_dir(
+    spark, emb, probes, tmp_path, monkeypatch
+):
+    """Round-6 review: a crash MID-REBUILD must never leave the OLD
+    still-valid marker over new lists / stale centers (ivf_search
+    would accept the torn index and probe the wrong lists silently).
+    ivf_build deletes the marker before touching lists/centers, so
+    every crash window lands in the loudly-refused marker-less state;
+    a refused call (bad args / empty corpus) keeps the old index
+    intact."""
+    from dbd_datawarehouse_scraper_spark.operators import clustering
+    from dbd_datawarehouse_scraper_spark.operators.clustering import kmeans_fit
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_build,
+        ivf_search,
+    )
+
+    idx = str(tmp_path / "idx")
+    ivf_build(emb, idx, n_lists=8)
+    ok = ivf_search(probes, idx, k=5, nprobe=2)
+    assert ok.count() > 0
+
+    # a REFUSED rebuild (validation error) leaves the old index valid
+    centers8 = kmeans_fit(emb, n_clusters=8)
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_build(emb.filter(F.col("vec_id") < 0), idx, n_lists=8)
+    with pytest.raises(ValueError, match="n_lists"):
+        ivf_build(emb, idx, n_lists=4, centers=centers8)
+    assert ivf_search(probes, idx, k=5, nprobe=2).count() > 0
+
+    # a crash AFTER validation (here: during the fit) leaves a
+    # marker-less dir that search refuses — never a torn-but-accepted
+    # index
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-rebuild")
+
+    monkeypatch.setattr(clustering, "kmeans_fit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ivf_build(emb, idx, n_lists=8)
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="marker"):
+        ivf_search(probes, idx, k=5, nprobe=2)
+
+    # a fresh build over the aborted dir recovers
+    ivf_build(emb, idx, n_lists=8)
+    assert ivf_search(probes, idx, k=5, nprobe=2).count() > 0

@@ -1462,6 +1462,24 @@ def test_stream_export_domain_blocklist_and_cap_refusal(spark):
         ids = _exported_ids(out)
         assert 1 in ids and 3 in ids and 2 not in ids
 
+        # non-default domain_col: the blocklist relation must be keyed
+        # by the SAME column (round-6 review: block_col defaulted to
+        # 'domain' while the list-built relation used domain_col, so
+        # any non-default name crashed epoch 1 with an
+        # unresolved-column error)
+        docs_src = docs.withColumnRenamed("domain", "source")
+        src2 = f"{work}/src2"
+        docs_src.coalesce(1).write.mode("append").parquet(src2)
+        q2 = stream_export_training_set(
+            file_stream(spark, src2, docs_src.schema, max_files_per_trigger=1),
+            f"{work}/out2", f"{work}/state_b", f"{work}/ckpt_b",
+            domain_opts={"blocklist": ["spam.com"], "domain_col": "source"},
+            **_EXPORT_KW,
+        )
+        assert q2.awaitTermination(240)
+        ids2 = _exported_ids(f"{work}/out2")
+        assert 1 in ids2 and 3 in ids2 and 2 not in ids2
+
         with pytest.raises(ValueError, match="global properties"):
             stream_export_training_set(
                 file_stream(spark, src, docs.schema, max_files_per_trigger=1),
