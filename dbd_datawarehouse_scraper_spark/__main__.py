@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-docs-per-domain", type=int, default=None,
                    help="Cap each domain's documents before curation "
                         "(default: off)")
+    p.add_argument("--raw-host-domains", action="store_true",
+                   help="Key --block-domains / --max-docs-per-domain on "
+                        "the raw host instead of the registrable domain "
+                        "(eTLD+1); default: registrable, so subdomains "
+                        "can't evade the gates")
     p.add_argument("--decontaminate-against", type=str, default=None,
                    help="Parquet dir of a benchmark (bench_id, text): "
                         "quarantine overlapping documents before "
@@ -267,7 +272,10 @@ def main(argv: Sequence[str] | None = None) -> int:
                     f"--max-docs-per-domain must be >= 1, got "
                     f"{args.max_docs_per_domain}"
                 )
-            dom = {"domain_col": args.domain_col}
+            dom = {
+                "domain_col": args.domain_col,
+                "registrable": not args.raw_host_domains,
+            }
             if args.block_domains:
                 dom["blocklist"] = [
                     d.strip() for d in args.block_domains.split(",") if d.strip()
@@ -318,6 +326,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         if args.block_domains:
             sopts["domain_opts"] = {
                 "domain_col": args.domain_col,
+                "registrable": not args.raw_host_domains,
                 "blocklist": [
                     d.strip() for d in args.block_domains.split(",") if d.strip()
                 ],

@@ -43,6 +43,8 @@ from .domains import (  # noqa: F401
     domain_blocklist_filter,
     extract_domain,
     per_domain_cap,
+    registrable_domain,
+    registrable_host,
 )
 from .mixing import mix_corpora, mix_rates  # noqa: F401
 from .sampling import quality_bucket_sample, sample_bucket  # noqa: F401

@@ -109,6 +109,10 @@ def curate_documents(
     :func:`..operators.domains.extract_domain`) or a pre-existing
     ``domain_col`` (default ``"domain"``); ``blocklist`` (a list of
     domains or a one-column DataFrame, broadcast anti join);
+    ``registrable`` (default True: both gates key on the
+    registrable domain (eTLD+1) via
+    :func:`..operators.domains.registrable_host`, so subdomain
+    sharding can't evade them; False = raw hosts);
     ``max_docs`` / ``max_tokens`` per-domain caps (the token measure
     is ``token_count`` computed inline). ``contamination_opts``
     quarantines documents overlapping an evaluation ``benchmark``
@@ -133,6 +137,7 @@ def curate_documents(
 
         o = dict(domain_opts)
         domain_col = o.get("domain_col", "domain")
+        registrable = o.get("registrable", True)
         derived = False
         if "url_col" in o:
             docs = docs.withColumn(domain_col, extract_domain(F.col(o["url_col"])))
@@ -144,7 +149,11 @@ def curate_documents(
                     [(d,) for d in blocklist], f"{domain_col} string"
                 )
             docs = domain_blocklist_filter(
-                docs, blocklist, domain_col=domain_col, block_col=domain_col
+                docs,
+                blocklist,
+                domain_col=domain_col,
+                block_col=domain_col,
+                registrable=registrable,
             )
         if o.get("max_docs") is not None or o.get("max_tokens") is not None:
             tok_col = None
@@ -158,6 +167,7 @@ def curate_documents(
                 max_docs=o.get("max_docs"),
                 max_tokens=o.get("max_tokens"),
                 token_col=tok_col,
+                registrable=registrable,
             )
             if tok_col:
                 docs = docs.drop(tok_col)

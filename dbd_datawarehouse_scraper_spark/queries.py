@@ -2900,33 +2900,49 @@ def html_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("domain_curation", None)
 def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Domain-level curation (operators/domains.py): synthesize a
-    URL per document from its source, extract the registrable domain
-    (pure regex expressions), drop two blocklisted domains via a
-    broadcast anti join, then cap every surviving domain at 15
-    documents and 6000 characters with the content-hash rate filter.
-    Rows-only registration; the cap arithmetic has a row-for-row
-    DuckDB mirror in tests/test_domains.py."""
+    subdomain-sharded URL per document from its source
+    (``shardN.<source>-corp.com`` with tracking params, mixed-case
+    scheme, default port and a fragment), CANONICALIZE it
+    (lowercased scheme/host, :443 and utm_* and #frag dropped, params
+    sorted, trailing slash removed), extract the full host, drop two
+    blocklisted registrable domains via a broadcast anti join (one
+    list entry carries a ``www.`` prefix — eTLD+1 keying collapses it,
+    and blocks every shard of the domain), then cap every surviving
+    REGISTRABLE domain at 15 documents and 6000 characters with the
+    content-hash rate filter — the shards share one budget. Rows-only
+    registration; registrable_host has a row-for-row DuckDB mirror
+    built from the same suffix tuples, and the cap arithmetic its own,
+    both in tests/test_domains.py."""
     from .operators.domains import (
+        canonicalize_url,
         domain_blocklist_filter,
         extract_domain,
         per_domain_cap,
+        registrable_host,
     )
 
     d = t(spark, sf_dir, "documents").withColumn(
         "url",
         F.concat(
-            F.lit("https://www."), F.col("source"), F.lit(".example.com/doc/"),
+            F.lit("HTTPS://shard"), (F.col("doc_id") % 3).cast("string"),
+            F.lit("."), F.col("source"), F.lit("-corp.com:443/doc/"),
             F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&b=2&a=1#frag"),
         ),
-    )
+    ).withColumn("url", canonicalize_url(F.col("url")))
     with_dom = d.withColumn("domain", extract_domain(F.col("url")))
     block = spark.createDataFrame(
-        [("src1.example.com",), ("src7.example.com",)], ["domain"]
+        [("www.src1-corp.com",), ("src7-corp.com",)], ["domain"]
     )
     kept = domain_blocklist_filter(with_dom, block)
     return per_domain_cap(
         kept, max_docs=15, max_tokens=6000, token_col="n_chars"
-    ).select("doc_id", "domain")
+    ).select(
+        "doc_id",
+        "url",
+        "domain",
+        registrable_host(F.col("domain")).alias("reg_domain"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,9 @@ def stream_export_training_set(
     stateless per-row predicate, trivially replay-idempotent. Keys:
     ``blocklist`` (list of domains or one-column DataFrame, required),
     ``domain_col`` (default ``domain``) or ``url_col`` (derive the
-    domain via ``extract_domain``). Per-domain caps (``max_docs`` /
+    domain via ``extract_domain``), ``registrable`` (default True:
+    match on the registrable domain (eTLD+1) so subdomains can't
+    evade the list; False = raw hosts). Per-domain caps (``max_docs`` /
     ``max_tokens``) are REFUSED here: they are global properties —
     cap at rest with ``per_domain_cap`` over the exported set (see the
     module docstring)."""
@@ -206,6 +208,7 @@ def stream_export_training_set(
                 dom["blocklist"],
                 domain_col=dom["domain_col"],
                 block_col=dom["domain_col"],
+                registrable=dom.get("registrable", True),
             )
             if "url_col" in dom:
                 source = source.drop(dom["domain_col"])

@@ -403,3 +403,48 @@ def test_stream_export_cli_end_to_end_and_rerun(spark, tmp_path):
 
     with pytest.raises(ValueError, match="global property"):
         main(args + ["--max-docs-per-domain", "5"])
+
+
+def test_export_cli_registrable_domain_keying(spark, tmp_path):
+    """--block-domains keys on the registrable domain by default, so a
+    subdomain-sharded host can't evade the list; --raw-host-domains
+    restores exact-host matching."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"d{i} the d{i} and d{i} of d{i} is d{i} that d{i} this one",
+             ["a.bad.com", "b.bad.com", "good.org"][i % 3])
+            for i in range(30)
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    import glob
+    import gzip
+    import json
+
+    def _ids(out):
+        ids = set()
+        for f in glob.glob(f"{out}/split=*/shard=*/*.gz"):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    ids.add(json.loads(line)["doc_id"])
+        return ids
+
+    base = [
+        "--export-training-set", "--input", src,
+        "--block-domains", "bad.com",
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ]
+    out1 = str(tmp_path / "exp1")
+    assert main(base + ["--output", out1]) == 0
+    ids1 = _ids(out1)
+    assert ids1 and all(i % 3 == 2 for i in ids1)  # only good.org survives
+
+    out2 = str(tmp_path / "exp2")
+    assert main(base + ["--output", out2, "--raw-host-domains"]) == 0
+    ids2 = _ids(out2)
+    # raw-host mode: 'bad.com' matches neither subdomain exactly
+    assert any(i % 3 == 0 for i in ids2) and any(i % 3 == 1 for i in ids2)

@@ -291,3 +291,132 @@ def test_fuzz_extract_domain_vs_model(spark):
     assert got == want, [
         (u, g, w) for u, g, w in zip(urls, got, want) if g != w
     ][:5]
+
+
+def _model_registrable_host(host: str) -> str:
+    """Pure-Python reference for operators/domains.py
+    registrable_host, built from the SAME pinned suffix tuples."""
+    import re
+
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        MULTI_LABEL_SUFFIXES_2,
+        MULTI_LABEL_SUFFIXES_3,
+    )
+
+    h = re.sub(r"\.$", "", host)
+    if re.match(r"^\d+\.\d+\.\d+\.\d+$", h):
+        return h
+    parts = h.split(".")
+    if len(parts) >= 4 and ".".join(parts[-3:]) in MULTI_LABEL_SUFFIXES_3:
+        return ".".join(parts[-4:])
+    if len(parts) >= 3 and ".".join(parts[-2:]) in MULTI_LABEL_SUFFIXES_2:
+        return ".".join(parts[-3:])
+    if len(parts) >= 2:
+        return ".".join(parts[-2:])
+    return h
+
+
+def _model_canonicalize_url(url: str) -> str:
+    """Pure-Python reference for operators/domains.py
+    canonicalize_url (strip_www=False)."""
+    import re
+
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        TRACKING_PARAM_RE,
+    )
+
+    u = re.sub(r"#.*$", "", url.strip(" "))
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://)", u)
+    scheme = m.group(1).lower() if m else ""
+    auth = re.match(
+        r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#]*)", u
+    ).group(1).lower()
+    if scheme == "http://":
+        auth = re.sub(r":80$", "", auth)
+    elif scheme == "https://":
+        auth = re.sub(r":443$", "", auth)
+    pathq = re.match(
+        r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?[^/?#]*(.*)$", u
+    ).group(1)
+    path = re.sub(r"/+$", "", re.match(r"^([^?]*)", pathq).group(1))
+    mq = re.search(r"\?(.*)$", pathq)
+    query = mq.group(1) if mq else ""
+    params = sorted(
+        p for p in query.split("&") if p and not re.match(TRACKING_PARAM_RE, p)
+    )
+    return scheme + auth + path + ("?" + "&".join(params) if params else "")
+
+
+def test_fuzz_canonicalize_url_vs_model(spark):
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        canonicalize_url,
+    )
+
+    rng = random.Random(13)
+    schemes = ["", "http://", "HTTPS://", "ftp://"]
+    hosts = ["Example.COM", "www.Site.org", "host:8080", "site.com:443",
+             "api.site.com:80", "127.0.0.1"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a//", "/A/B"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x&a=1",
+               "?gclid=123", "?utm_campaign=y&utm_medium=z",
+               "?a=1&fbclid=zz&c=3", "?dup=1&dup=1"]
+    frags = ["", "#", "#frag", "#a?b=1"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ] + ["", "   ", "?only=query", "#only-frag", "http://x.com:80",
+         "https://y.io:443/", "a=1&b=2"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    want = [_model_canonicalize_url(u) for u in urls]
+    assert got == want, [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ][:5]
+    # the headline property: one resource, many tracked/ordered URLs,
+    # ONE canonical key
+    variants = [
+        "https://Shop.COM/item/9?b=2&a=1#top",
+        "HTTPS://shop.com:443/item/9/?a=1&b=2",
+        "https://shop.com/item/9?utm_source=mail&a=1&b=2&gclid=xyz",
+    ]
+    vdf = spark.createDataFrame([(u,) for u in variants], ["url"])
+    canon = {
+        r["c"]
+        for r in vdf.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert canon == {"https://shop.com/item/9?a=1&b=2"}
+
+
+def test_fuzz_registrable_domain_vs_model(spark):
+    """registrable_domain(url) == registrable_host(model_extract(url))
+    over 300 generated URLs spanning suffix classes, subdomain depths,
+    IPv4 literals, trailing dots, and malformed shapes."""
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        registrable_domain,
+    )
+
+    rng = random.Random(11)
+    schemes = ["", "http://", "https://", "u@x://"]
+    subs = ["", "www.", "a.", "a.b.", "shard12.x.", "WWW.Blog."]
+    apexes = ["spam.com", "foo.co.uk", "big.com.au", "x.act.edu.au",
+              "somecompany.co.th", "example.org", "co.uk", "127.0.0.1",
+              "host", "uni.ac.jp", "mix.COM.BR", "t.com.", "1.2.3.4."]
+    tails = ["", "/", "/p?q=1", ":443/x", "#f", " junk"]
+    urls = [
+        rng.choice(schemes) + rng.choice(subs) + rng.choice(apexes)
+        + rng.choice(tails)
+        for _ in range(300)
+    ] + ["", "://", "https://www.", "just words"]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [
+        r["d"]
+        for r in df.select(registrable_domain(F.col("url")).alias("d")).collect()
+    ]
+    want = [_model_registrable_host(_model_extract_domain(u)) for u in urls]
+    assert got == want, [
+        (u, g, w) for u, g, w in zip(urls, got, want) if g != w
+    ][:5]
