@@ -79,6 +79,20 @@ _ENTITY_SPEC: tuple[tuple[tuple[str, ...], int, str], ...] = (
     (("copy",), 169, "©"),
     (("reg",), 174, "®"),
     (("trade",), 8482, "™"),
+    (("middot",), 183, "·"),
+    (("bull",), 8226, "•"),
+    (("laquo",), 171, "«"),
+    (("raquo",), 187, "»"),
+    (("deg",), 176, "°"),
+    (("sect",), 167, "§"),
+    (("para",), 182, "¶"),
+    (("times",), 215, "×"),
+    (("divide",), 247, "÷"),
+    (("frac12",), 189, "½"),
+    (("euro",), 8364, "€"),
+    (("pound",), 163, "£"),
+    (("yen",), 165, "¥"),
+    (("cent",), 162, "¢"),
     (("amp",), 38, "&"),  # MUST stay last — see above
 )
 
@@ -108,6 +122,88 @@ def strip_html(col: Column) -> Column:
     for pat, rep in HTML_ENTITY_STEPS:
         out = F.regexp_replace(out, pat, rep)
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+#: block-element boundaries (opening OR closing forms, plus <br>):
+#: where extract_main_content cuts the document into scoreable blocks.
+#: Inline markup (<a>, <span>, <b>, <img>, …) stays inside a block.
+_BLOCK_BOUNDARY_RE = (
+    r"(?i)<br\b[^>]*/?>|</?(?:p|div|li|ul|ol|td|th|tr|table|h[1-6]|"
+    r"section|article|header|footer|blockquote|aside|nav|main|form|"
+    r"fieldset|figure|figcaption|dl|dt|dd|pre)\b[^>]*>"
+)
+
+#: anchor content, for per-block link-density scoring
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+# the script/style/noscript/comment wholesale-drop prefix of the strip
+# table — extract_main_content runs it BEFORE block splitting so code
+# never becomes a "block"
+_PRE_BLOCK_STEPS = HTML_STRIP_STEPS[:7]
+assert _PRE_BLOCK_STEPS[-1][0].startswith("(?s)<!--"), (
+    "HTML_STRIP_STEPS reordered — fix the _PRE_BLOCK_STEPS slice"
+)
+
+
+def extract_main_content(
+    col: Column,
+    min_block_chars: int = 40,
+    max_link_density: float = 0.35,
+) -> Column:
+    """Main-content extraction by text-density block scoring — the
+    jusText/Boilerpipe-lite rung between :func:`strip_html` (strips
+    everything, chrome included) and a real DOM scorer (needs a
+    parser). Navigation bars, footers, sidebars and related-link
+    boxes are short and link-dominated; article prose is long and
+    link-sparse:
+
+    1. drop script/style/noscript/comment blocks wholesale (shared
+       prefix of ``HTML_STRIP_STEPS``);
+    2. split into blocks at block-element boundaries
+       (``_BLOCK_BOUNDARY_RE`` — opening and closing forms, so
+       unclosed ``<p>a<p>b`` still splits);
+    3. score each block CHEAPLY (two regexes, not the full entity
+       chain): visible length after tag removal, and link length =
+       the same measure over the block's ``<a>…</a>`` contents;
+    4. keep blocks with ``visible ≥ min_block_chars`` and
+       ``link/visible ≤ max_link_density`` (short headings between
+       kept prose are lost — the documented lite-heuristic cost);
+    5. run the FULL :func:`strip_html` chain once over the kept
+       blocks' concatenation (codegen'd, outside the per-block
+       lambda) for the entity-decoded visible text.
+
+    The per-block pass is a higher-order-function filter (interpreted,
+    like the ``_once`` idiom) over a bounded, document-local array —
+    no shuffle, no UDF, no driver involvement; returns ``''`` when no
+    block qualifies (gate on that downstream). Compose AHEAD of
+    shingling/fingerprinting so chrome never pollutes dedup keys."""
+    pre = col
+    for pat, rep in _PRE_BLOCK_STEPS:
+        pre = F.regexp_replace(pre, pat, rep)
+    blocks = F.split(pre, _BLOCK_BOUNDARY_RE)
+
+    def cheap_visible(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, r"(?s)<[^>]*>", " "), r"\s+", " "
+            )
+        )
+
+    def keep(b: Column) -> Column:
+        vis_len = F.length(cheap_visible(b))
+        link_len = F.length(
+            cheap_visible(
+                F.array_join(
+                    F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1), " "
+                )
+            )
+        )
+        return (vis_len >= F.lit(min_block_chars)) & (
+            link_len.cast("double")
+            <= F.lit(float(max_link_density)) * vis_len.cast("double")
+        )
+
+    return strip_html(F.array_join(F.filter(blocks, keep), " "))
 
 
 def extract_html_title(col: Column) -> Column:

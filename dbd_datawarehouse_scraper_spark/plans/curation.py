@@ -127,7 +127,13 @@ def curate_documents(
     ``min_visible_ratio`` (optional float) first drops chrome-heavy
     pages scored on the RAW markup, then ``strip`` (default True)
     rewrites ``text_col`` to the visible text — so quality scores,
-    shingles and fingerprints downstream see prose, not tags."""
+    shingles and fingerprints downstream see prose, not tags.
+    ``extract_main`` (default False) upgrades the strip to
+    text-density MAIN-CONTENT extraction
+    (:func:`..functions.html.extract_main_content`): nav/footer/
+    sidebar chrome blocks are dropped by link-density scoring before
+    the entity-decoded strip, tunable via ``min_block_chars`` /
+    ``max_link_density``."""
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -176,8 +182,33 @@ def curate_documents(
     if html_opts is not None:
         from ..functions.html import html_visible_ratio, strip_html
 
-        h = {"strip": True, "min_visible_ratio": None, **html_opts}
-        if h["min_visible_ratio"] is not None and h["strip"]:
+        h = {
+            "strip": True,
+            "min_visible_ratio": None,
+            "extract_main": False,
+            **html_opts,
+        }
+        if h["extract_main"]:
+            from ..functions.html import extract_main_content
+
+            # main-content mode: the ratio gate (if any) still scores
+            # the RAW markup's chrome density; the kept text is the
+            # block-scored main content (nav/footer/sidebar chrome
+            # dropped), which then feeds scoring/shingles downstream.
+            if h["min_visible_ratio"] is not None:
+                docs = docs.filter(
+                    html_visible_ratio(F.col(text_col))
+                    >= h["min_visible_ratio"]
+                )
+            docs = docs.withColumn(
+                text_col,
+                extract_main_content(
+                    F.col(text_col),
+                    min_block_chars=h.get("min_block_chars", 40),
+                    max_link_density=h.get("max_link_density", 0.35),
+                ),
+            )
+        elif h["min_visible_ratio"] is not None and h["strip"]:
             # gate + strip: run the ~35-step regexp chain ONCE. A plain
             # withColumn+filter would NOT do that — PushDownPredicates
             # substitutes the alias into the pushed filter, so the

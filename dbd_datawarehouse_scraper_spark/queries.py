@@ -2868,12 +2868,16 @@ def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def html_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] HTML-to-text cleanup (functions/html.py): wrap every
     document's text in deterministic markup chrome (title, style,
-    script, entities), then strip it back to visible text, extract the
-    title, and score the visible ratio — all pure codegen'd regexp
-    chains. Rows-only registration; the strip chain has a DuckDB
-    mirror BUILT FROM THE SAME step table in tests/test_html.py."""
+    script, a link-dense nav bar and footer, entities), then strip it
+    back to visible text, extract the title, score the visible ratio,
+    and extract the MAIN CONTENT by text-density block scoring (the
+    nav/footer chrome drops, the document body survives) — all
+    built-in expressions, no UDF. Rows-only registration; the strip
+    chain has a DuckDB mirror BUILT FROM THE SAME step table and the
+    extractor a chrome-fixture suite in tests/test_html.py."""
     from .functions.html import (
         extract_html_title,
+        extract_main_content,
         html_visible_ratio,
         strip_html,
     )
@@ -2884,15 +2888,25 @@ def html_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<html><head><title>Doc "),
             F.col("doc_id").cast("string"),
             F.lit("</title><style>p{margin:0}</style></head><body>"
-                  "<script>track()</script><p>"),
+                  "<script>track()</script>"
+                  "<nav><li><a href='/'>Home page</a></li>"
+                  "<li><a href='/about'>About this site</a></li>"
+                  "<li><a href='/contact'>Contact sales team</a></li></nav>"
+                  "<p>"),
             F.col("text"),
-            F.lit("</p><div>&amp; more</div></body></html>"),
+            F.lit("</p><div>&amp; more &#8212; details</div>"
+                  "<footer><a href='/terms'>Terms of service</a> &middot; "
+                  "<a href='/privacy'>Privacy policy page</a></footer>"
+                  "</body></html>"),
         ),
     )
     return d.select(
         "doc_id",
         extract_html_title(F.col("raw")).alias("title"),
         F.substring(strip_html(F.col("raw")), 1, 80).alias("clean_prefix"),
+        F.substring(extract_main_content(F.col("raw")), 1, 80).alias(
+            "main_prefix"
+        ),
         html_visible_ratio(F.col("raw")).alias("visible_ratio"),
     )
 

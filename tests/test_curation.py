@@ -318,3 +318,33 @@ def test_funnel_html_stage_strips_and_gates(spark):
         for r in curate_documents(docs, html_opts={}, **base).collect()
     }
     assert out2[2] == "tiny visible bit of text"
+
+
+def test_funnel_html_extract_main_mode(spark):
+    """html_opts extract_main: the funnel's kept text is the
+    block-scored main content — link-heavy chrome dropped — so
+    downstream scores/shingles see article prose only."""
+    from dbd_datawarehouse_scraper_spark.plans.curation import curate_documents
+
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=3, sample_fractions=None)
+    chrome = ("<nav>" + "".join(
+        f"<li><a href='/{i}'>Menu item number {i}</a></li>" for i in range(8)
+    ) + "</nav>")
+    body = ("<p>This is the genuine article body prose, long enough to "
+            "clear the block threshold and free of links entirely.</p>")
+    docs = spark.createDataFrame(
+        [(1, f"{chrome}{body}"), (2, chrome)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in curate_documents(
+            docs, html_opts={"extract_main": True}, **base
+        ).collect()
+    }
+    # doc 1 keeps only the article prose; doc 2 (all chrome) reduces to
+    # "" and falls to the min_tokens gate
+    assert set(out) == {1}
+    assert "genuine article body prose" in out[1]
+    assert "Menu item" not in out[1]

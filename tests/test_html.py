@@ -118,3 +118,87 @@ def test_html_visible_ratio_orders_chrome_heavy_low(spark):
     assert got[7] == 0.0           # empty
     assert got[1] < got[10] < got[2]  # chrome-heavy < light markup < plain
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+CHROME_PAGE = (
+    "<html><head><title>Site</title><style>p{margin:0}</style></head><body>"
+    "<nav><ul><li><a href='/'>Home</a></li><li><a href='/about'>About us</a>"
+    "</li><li><a href='/contact'>Contact sales</a></li></ul></nav>"
+    "<div class='sidebar'><a href='/p1'>Popular post one</a><br>"
+    "<a href='/p2'>Popular post two</a><br><a href='/p3'>Another popular</a></div>"
+    "<article><h1>Headline</h1>"
+    "<p>This is the first paragraph of the actual article body, long enough "
+    "to clear the minimum block length and containing no links at all.</p>"
+    "<p>The second paragraph continues the prose with one inline "
+    "<a href='/ref'>reference</a> but stays link-sparse readable text of "
+    "reasonable length for a real article.</p></article>"
+    "<footer><a href='/terms'>Terms of service</a> &middot; "
+    "<a href='/privacy'>Privacy policy</a> &middot; "
+    "<a href='/cookies'>Cookie settings</a> &middot; "
+    "<a href='/careers'>Careers</a> &copy; 2026</footer>"
+    "</body></html>"
+)
+
+
+def test_extract_main_content_drops_chrome_keeps_article(spark):
+    """Round-7: text-density main-content extraction — the fixture's
+    nav, sidebar and footer are link-dominated blocks and drop; the
+    two article paragraphs survive with entities decoded and the
+    inline anchor text kept."""
+    from dbd_datawarehouse_scraper_spark.functions.html import (
+        extract_main_content,
+        strip_html,
+    )
+
+    df = spark.createDataFrame([(1, CHROME_PAGE)], "doc_id long, raw string")
+    got = df.select(
+        extract_main_content(F.col("raw")).alias("m"),
+        strip_html(F.col("raw")).alias("s"),
+    ).collect()[0]
+    m = got["m"]
+    assert "first paragraph of the actual article" in m
+    assert "second paragraph continues the prose" in m
+    assert "reference" in m  # inline anchor text is content
+    # chrome gone
+    for chrome in ("Home", "About us", "Popular post", "Terms of service",
+                   "Privacy policy", "Careers", "©"):
+        assert chrome not in m, chrome
+    # ...but a plain strip keeps it (that's the difference in kind)
+    assert "About us" in got["s"] and "Privacy policy" in got["s"]
+    # short heading lost: the documented lite-heuristic cost
+    assert "Headline" not in m
+
+
+def test_extract_main_content_shapes(spark):
+    from dbd_datawarehouse_scraper_spark.functions.html import (
+        extract_main_content,
+    )
+
+    long_prose = ("Plain prose with no markup at all that easily clears the "
+                  "minimum block length threshold for keeping.")
+    rows = [
+        (1, long_prose),                          # no markup: kept whole
+        (2, "<p>short</p>"),                      # too short: empty
+        (3, ""),                                  # empty: empty
+        (4, "<ul>" + "".join(
+            f"<li><a href='/{i}'>Item number {i} here</a></li>"
+            for i in range(10)
+        ) + "</ul>"),                             # pure link list: empty
+        (5, f"<script>junk()</script><p>{long_prose}</p>"
+            f"<p>{long_prose}</p>"),              # two blocks both kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, raw string")
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", extract_main_content(F.col("raw")).alias("m")
+        ).collect()
+    }
+    assert got[1] == long_prose
+    assert got[2] == "" and got[3] == "" and got[4] == ""
+    assert got[5] == f"{long_prose} {long_prose}"
+    # tunable: lowering the bar keeps the short block
+    loose = df.filter("doc_id = 2").select(
+        extract_main_content(F.col("raw"), min_block_chars=3).alias("m")
+    ).collect()[0]["m"]
+    assert loose == "short"
