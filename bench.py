@@ -80,6 +80,13 @@ HEADLINE = [
     "segment_dedup",
     "quality_sampling",
     "tfidf_topk",
+    # round 7: the r6/r7 curation surface, previously untracked — all
+    # rows-only (no oracle SQL), so the oracle-backed ratio subset is
+    # UNCHANGED and `ratio` stays comparable across rounds
+    "domain_curation",
+    "html_clean",
+    "ivf_persisted_search",
+    "embedding_curation",
 ]
 
 

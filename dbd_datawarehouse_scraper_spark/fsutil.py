@@ -86,3 +86,4 @@ def fs_touch(spark: SparkSession, path: str) -> None:
     Raises on FS errors."""
     fs, jpath = _fs(spark, path)
     fs.create(jpath, True).close()
+

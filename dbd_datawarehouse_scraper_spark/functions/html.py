@@ -149,6 +149,7 @@ def extract_main_content(
     col: Column,
     min_block_chars: int = 40,
     max_link_density: float = 0.35,
+    rescue_min_chars: int = 8,
 ) -> Column:
     """Main-content extraction by text-density block scoring — the
     jusText/Boilerpipe-lite rung between :func:`strip_html` (strips
@@ -161,26 +162,33 @@ def extract_main_content(
        prefix of ``HTML_STRIP_STEPS``);
     2. split into blocks at block-element boundaries
        (``_BLOCK_BOUNDARY_RE`` — opening and closing forms, so
-       unclosed ``<p>a<p>b`` still splits);
+       unclosed ``<p>a<p>b`` still splits), dropping
+       visible-empty fragments so adjacency below means "next block
+       with any text";
     3. score each block CHEAPLY (two regexes, not the full entity
        chain): visible length after tag removal, and link length =
        the same measure over the block's ``<a>…</a>`` contents;
-    4. keep blocks with ``visible ≥ min_block_chars`` and
-       ``link/visible ≤ max_link_density`` (short headings between
-       kept prose are lost — the documented lite-heuristic cost);
+    4. GOOD blocks have ``visible ≥ min_block_chars`` and
+       ``link/visible ≤ max_link_density``; short link-sparse blocks
+       (headings, captions — ``visible ≥ rescue_min_chars``) are
+       RESCUED when an adjacent block is good (jusText's
+       near-good rule, one neighbor deep);
     5. run the FULL :func:`strip_html` chain once over the kept
        blocks' concatenation (codegen'd, outside the per-block
        lambda) for the entity-decoded visible text.
 
-    The per-block pass is a higher-order-function filter (interpreted,
-    like the ``_once`` idiom) over a bounded, document-local array —
-    no shuffle, no UDF, no driver involvement; returns ``''`` when no
-    block qualifies (gate on that downstream). Compose AHEAD of
+    The per-block passes are higher-order functions (interpreted, like
+    the ``_once`` idiom) over a bounded, document-local array — no
+    shuffle, no UDF, no driver involvement; the block array and its
+    good-flags are each bound ONCE via ``_once`` so the neighbor
+    lookups are free variable reads. Returns ``''`` when no block
+    qualifies (gate on that downstream). Compose AHEAD of
     shingling/fingerprinting so chrome never pollutes dedup keys."""
+    from .text_norm import _once
+
     pre = col
     for pat, rep in _PRE_BLOCK_STEPS:
         pre = F.regexp_replace(pre, pat, rep)
-    blocks = F.split(pre, _BLOCK_BOUNDARY_RE)
 
     def cheap_visible(b: Column) -> Column:
         return F.trim(
@@ -189,8 +197,7 @@ def extract_main_content(
             )
         )
 
-    def keep(b: Column) -> Column:
-        vis_len = F.length(cheap_visible(b))
+    def link_sparse(b: Column) -> Column:
         link_len = F.length(
             cheap_visible(
                 F.array_join(
@@ -198,12 +205,40 @@ def extract_main_content(
                 )
             )
         )
-        return (vis_len >= F.lit(min_block_chars)) & (
-            link_len.cast("double")
-            <= F.lit(float(max_link_density)) * vis_len.cast("double")
-        )
+        return link_len.cast("double") <= F.lit(
+            float(max_link_density)
+        ) * F.length(cheap_visible(b)).cast("double")
 
-    return strip_html(F.array_join(F.filter(blocks, keep), " "))
+    def good(b: Column) -> Column:
+        return (
+            F.length(cheap_visible(b)) >= F.lit(min_block_chars)
+        ) & link_sparse(b)
+
+    blocks = F.filter(
+        F.split(pre, _BLOCK_BOUNDARY_RE),
+        lambda b: F.length(cheap_visible(b)) > 0,
+    )
+
+    def with_flags(b: Column) -> Column:
+        def pick(f: Column) -> Column:
+            def final(blk: Column, i: Column) -> Column:
+                # F.get is 0-based and null-safe out of range (never
+                # the ANSI element_at error on index 0)
+                neighbor = F.coalesce(F.get(f, i - 1), F.lit(False)) | (
+                    F.coalesce(F.get(f, i + 1), F.lit(False))
+                )
+                rescued = (
+                    (F.length(cheap_visible(blk)) >= F.lit(rescue_min_chars))
+                    & link_sparse(blk)
+                    & neighbor
+                )
+                return F.get(f, i) | rescued
+
+            return F.array_join(F.filter(b, final), " ")
+
+        return _once(F.transform(b, good), pick)
+
+    return strip_html(_once(blocks, with_flags))
 
 
 def extract_html_title(col: Column) -> Column:

@@ -80,7 +80,7 @@ def save_centers(spark, centers: list, path: str) -> None:
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "idx INT, center ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).repartition(1).write.mode("overwrite").parquet(path)
 
 
 def load_centers(spark, path: str) -> list:

@@ -532,17 +532,23 @@ def ivf_build(
     assigned = _assign_to_centers(
         corpus.select(corpus_id, corpus_vec), corpus_vec, centers
     ).withColumnRenamed("cluster", "_list")
-    assigned.write.partitionBy("_list").mode("overwrite").parquet(
-        f"{index_path}/lists"
-    )
+    # repartition by the partition column BEFORE the dynamic
+    # partitionBy write: each task then writes only its own lists —
+    # without it every input task opens a file per list it touches
+    # (tasks × n_lists small files at scale, and a measured 4× slower
+    # single-node write). Parallelism is bounded by n_lists, which is
+    # sized to the cluster anyway.
+    assigned.repartition("_list").write.partitionBy("_list").mode(
+        "overwrite"
+    ).parquet(f"{index_path}/lists")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "_list INT, _center ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centers")
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centers")
     spark.createDataFrame(
         [(IVF_FORMAT_VERSION, n_lists, dim, seed, corpus_id, corpus_vec)],
         _IVF_MARKER_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").json(f"{index_path}/format")
+    ).repartition(1).write.mode("overwrite").json(f"{index_path}/format")
 
 
 def ivf_search(
@@ -663,6 +669,8 @@ def ivf_append(
         row["corpus_vec"],
         centers,
     ).withColumnRenamed("cluster", "_list")
-    assigned.write.partitionBy("_list").mode("append").parquet(
-        f"{index_path}/lists"
-    )
+    # same repartition-before-partitionBy shape as ivf_build: one new
+    # file per touched list per append, not per task per list
+    assigned.repartition("_list").write.partitionBy("_list").mode(
+        "append"
+    ).parquet(f"{index_path}/lists")

@@ -1688,7 +1688,7 @@ def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFra
         e1 = docs.select(
             "doc_id", F.concat("text", F.lit(" " + boiler)).alias("text")
         )
-        e1.coalesce(1).write.mode("append").parquet(src)
+        e1.repartition(1).write.mode("append").parquet(src)
         q = stream_segment_dedup(
             file_stream(spark, src, e1.schema, max_files_per_trigger=1),
             out, store, ckpt, k=8, min_docs=4,
@@ -1698,7 +1698,7 @@ def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("doc_id") + 100000).alias("doc_id"),
             F.concat("text", F.lit(" " + boiler)).alias("text"),
         )
-        e2.coalesce(1).write.mode("append").parquet(src)
+        e2.repartition(1).write.mode("append").parquet(src)
         q2 = stream_segment_dedup(
             file_stream(spark, src, e1.schema, max_files_per_trigger=1),
             out, store, ckpt, k=8, min_docs=4,
@@ -1734,7 +1734,7 @@ def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
             F.col("doc_id") < 60
         )
-        docs.coalesce(1).write.mode("append").parquet(src)
+        docs.repartition(1).write.mode("append").parquet(src)
         # epoch 2 re-sends a third of epoch 1 under new ids + fresh rows
         dups = docs.filter(F.col("doc_id") % 3 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
@@ -1749,7 +1749,7 @@ def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             out, store, ckpt, threshold=0.6,
         )
         _await_or_die(q, 180)
-        dups.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+        dups.unionByName(fresh).repartition(1).write.mode("append").parquet(src)
         q2 = stream_near_dedup(
             file_stream(spark, src, docs.schema, max_files_per_trigger=1),
             out, store, ckpt, threshold=0.6,
@@ -1787,13 +1787,13 @@ def stream_pack_shards_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         e1 = d.filter(F.col("doc_id") % 2 == 0)
         e2 = d.filter(F.col("doc_id") % 2 == 1)
-        e1.coalesce(1).write.mode("append").parquet(src_dir)
+        e1.repartition(1).write.mode("append").parquet(src_dir)
         q = stream_pack_shards(
             file_stream(spark, src_dir, e1.schema, max_files_per_trigger=1),
             out, state, ckpt, budget=5000,
         )
         _await_or_die(q, 180)
-        e2.coalesce(1).write.mode("append").parquet(src_dir)
+        e2.repartition(1).write.mode("append").parquet(src_dir)
         q2 = stream_pack_shards(
             file_stream(spark, src_dir, e1.schema, max_files_per_trigger=1),
             out, state, ckpt, budget=5000,
@@ -2746,7 +2746,7 @@ def stream_export_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_export_q_")
     src = f"{work}/src"
     try:
-        d.coalesce(1).write.mode("append").parquet(src)
+        d.repartition(1).write.mode("append").parquet(src)
         q = stream_export_training_set(
             file_stream(spark, src, d.schema, max_files_per_trigger=1),
             f"{work}/out", f"{work}/state", f"{work}/ckpt",

@@ -109,7 +109,7 @@ def ensure_benchmark_index(
     ).parquet(f"{store_path}/index")
     spark.createDataFrame(
         [(BENCH_STORE_FORMAT_VERSION, k, n_items, checksum)], _MARKER_SCHEMA
-    ).coalesce(1).write.mode("overwrite").json(marker)
+    ).repartition(1).write.mode("overwrite").json(marker)
 
 
 def contamination_epoch(

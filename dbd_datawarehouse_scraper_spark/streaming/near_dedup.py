@@ -109,9 +109,17 @@ def _validate_or_init_store(
             "Wipe it (and re-ingest history) before continuing; mixing "
             "unknown-format signatures silently misses duplicates."
         )
+    # repartition(1), NOT coalesce(1), for every tiny local-relation
+    # write in the package (tripwired in tests/test_plans.py): a
+    # createDataFrame(<python list>) relation is seeded with
+    # defaultParallelism slices, and coalesce(1) folds them into ONE
+    # task that evaluates each slice sequentially at a fixed per-slice
+    # Python-eval cost — measured ~0.15 s/slice on local[32], ~5 s per
+    # 8-row marker write. repartition(1) evaluates slices in parallel
+    # and shuffles <1 KB to one writer (~0.3 s).
     spark.createDataFrame(
         [(STORE_FORMAT_VERSION, num_hashes, bands, k)], _MARKER_SCHEMA
-    ).coalesce(1).write.mode("overwrite").json(marker)
+    ).repartition(1).write.mode("overwrite").json(marker)
 
 
 _OUT_MARKER_SCHEMA = "out_version INT, columns STRING"
@@ -159,7 +167,7 @@ def _validate_or_init_out(spark: SparkSession, out_path: str, columns: list) -> 
         )
     spark.createDataFrame(
         [(STORE_FORMAT_VERSION, want)], _OUT_MARKER_SCHEMA
-    ).coalesce(1).write.mode("overwrite").json(marker)
+    ).repartition(1).write.mode("overwrite").json(marker)
 
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

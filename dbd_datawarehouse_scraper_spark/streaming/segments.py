@@ -85,7 +85,7 @@ def _validate_or_init_store(
         )
     spark.createDataFrame(
         [(STORE_FORMAT_VERSION, mode, k)], _MARKER_SCHEMA
-    ).coalesce(1).write.mode("overwrite").json(marker)
+    ).repartition(1).write.mode("overwrite").json(marker)
 
 
 def stream_segment_dedup(

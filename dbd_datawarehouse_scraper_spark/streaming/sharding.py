@@ -230,9 +230,9 @@ def pack_epoch(
         [(int(epoch_id), int(offset), int(offset + batch_total),
           int(budget))],
         _CURSOR_SCHEMA,
-    ).coalesce(1).write.mode("overwrite").json(
+    ).repartition(1).write.mode("overwrite").json(
         f"{state_path}/cursor-epoch-{epoch_id}"
     )
     spark.read.schema(_CURSOR_SCHEMA).json(
         f"{state_path}/cursor-epoch-{epoch_id}"
-    ).coalesce(1).write.mode("overwrite").json(f"{state_path}/cursor")
+    ).repartition(1).write.mode("overwrite").json(f"{state_path}/cursor")

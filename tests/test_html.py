@@ -144,7 +144,8 @@ def test_extract_main_content_drops_chrome_keeps_article(spark):
     """Round-7: text-density main-content extraction — the fixture's
     nav, sidebar and footer are link-dominated blocks and drop; the
     two article paragraphs survive with entities decoded and the
-    inline anchor text kept."""
+    inline anchor text kept; the short link-free heading adjacent to
+    good prose is RESCUED (jusText near-good rule)."""
     from dbd_datawarehouse_scraper_spark.functions.html import (
         extract_main_content,
         strip_html,
@@ -159,14 +160,21 @@ def test_extract_main_content_drops_chrome_keeps_article(spark):
     assert "first paragraph of the actual article" in m
     assert "second paragraph continues the prose" in m
     assert "reference" in m  # inline anchor text is content
-    # chrome gone
+    # the heading is short but link-free and sits next to good prose
+    assert "Headline" in m
+    # chrome gone: link-dominated blocks are never rescued, however
+    # close to the article they sit
     for chrome in ("Home", "About us", "Popular post", "Terms of service",
                    "Privacy policy", "Careers", "©"):
         assert chrome not in m, chrome
     # ...but a plain strip keeps it (that's the difference in kind)
     assert "About us" in got["s"] and "Privacy policy" in got["s"]
-    # short heading lost: the documented lite-heuristic cost
-    assert "Headline" not in m
+    # rescue is OFF for isolated short blocks: no good neighbor
+    lone = spark.createDataFrame(
+        [(1, "<h1>Headline</h1><li><a href='/x'>Some link row here</a></li>")],
+        "doc_id long, raw string",
+    ).select(extract_main_content(F.col("raw")).alias("m")).collect()[0]["m"]
+    assert lone == ""
 
 
 def test_extract_main_content_shapes(spark):

@@ -275,3 +275,25 @@ def test_curation_html_gate_strips_once(spark):
     from dbd_datawarehouse_scraper_spark.caching import release_caches
 
     release_caches()
+
+
+def test_no_coalesce1_local_relation_writes():
+    """Round-7 perf tripwire: tiny driver-local DataFrames must be
+    written via repartition(1), never coalesce(1). coalesce(1) folds
+    the local relation's defaultParallelism seed slices into one task
+    that evaluates them SEQUENTIALLY at a fixed per-slice Python-eval
+    cost (~0.15 s/slice on local[32] — ~5 s to write an 8-row marker,
+    scaling with core count); repartition(1) evaluates them in
+    parallel and shuffles <1 KB (measured ~0.3 s). Rationale comment
+    at streaming/near_dedup.py's marker write."""
+    import pathlib
+
+    pkg = pathlib.Path(
+        __file__
+    ).resolve().parent.parent / "dbd_datawarehouse_scraper_spark"
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if ".coalesce(1).write" in p.read_text(encoding="utf-8")
+    ]
+    assert offenders == [], offenders
