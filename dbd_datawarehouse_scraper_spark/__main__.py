@@ -116,6 +116,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "the raw host instead of the registrable domain "
                         "(eTLD+1); default: registrable, so subdomains "
                         "can't evade the gates")
+    p.add_argument("--html-strip", action="store_true",
+                   help="Strip HTML markup to visible text before "
+                        "curation gates (default: off)")
+    p.add_argument("--html-extract-main", action="store_true",
+                   help="Extract the MAIN CONTENT by text-density block "
+                        "scoring (nav/footer/sidebar chrome dropped) "
+                        "instead of a plain strip (implies HTML cleanup)")
+    p.add_argument("--html-min-visible-ratio", type=float, default=None,
+                   help="Drop pages whose visible-text/raw-length ratio "
+                        "is below this (chrome-density gate, scored on "
+                        "raw markup; implies HTML cleanup)")
     p.add_argument("--decontaminate-against", type=str, default=None,
                    help="Parquet dir of a benchmark (bench_id, text): "
                         "quarantine overlapping documents before "
@@ -283,6 +294,14 @@ def main(argv: Sequence[str] | None = None) -> int:
             if args.max_docs_per_domain is not None:
                 dom["max_docs"] = args.max_docs_per_domain
             curate_kwargs["domain_opts"] = dom
+        if args.html_strip or args.html_extract_main or (
+            args.html_min_visible_ratio is not None
+        ):
+            curate_kwargs["html_opts"] = {
+                "strip": True,
+                "extract_main": args.html_extract_main,
+                "min_visible_ratio": args.html_min_visible_ratio,
+            }
         if args.decontaminate_against:
             curate_kwargs["contamination_opts"] = {
                 "benchmark": spark.read.parquet(args.decontaminate_against),
@@ -330,6 +349,14 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "blocklist": [
                     d.strip() for d in args.block_domains.split(",") if d.strip()
                 ],
+            }
+        if args.html_strip or args.html_extract_main or (
+            args.html_min_visible_ratio is not None
+        ):
+            sopts["html_opts"] = {
+                "strip": True,
+                "extract_main": args.html_extract_main,
+                "min_visible_ratio": args.html_min_visible_ratio,
             }
         if args.max_docs_per_domain is not None:
             raise ValueError(

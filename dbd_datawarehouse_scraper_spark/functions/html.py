@@ -265,3 +265,65 @@ def html_visible_ratio(col: Column, stripped: Column | None = None) -> Column:
     return F.when(raw_len == 0, F.lit(0.0)).otherwise(
         F.round(F.length(visible).cast("double") / raw_len.cast("double"), 6)
     )
+
+
+def apply_html_stage(docs, text_col: str, html_opts: dict):
+    """The HTML cleanup STAGE shared by the batch curation funnel
+    (plans/curation.py) and the incremental exporter
+    (streaming/export.py) — one implementation so the two pipelines
+    cannot drift. Stateless per-row (trivially replay-idempotent in a
+    stream). Keys of ``html_opts``:
+
+    - ``min_visible_ratio`` (float, optional): drop chrome-heavy pages
+      scored on the RAW markup first;
+    - ``strip`` (default True): rewrite ``text_col`` to the visible
+      text;
+    - ``extract_main`` (default False): upgrade the strip to
+      :func:`extract_main_content` (tunable ``min_block_chars`` /
+      ``max_link_density`` / ``rescue_min_chars``).
+
+    When BOTH the ratio gate and the plain strip run, the ~35-step
+    regexp chain is evaluated ONCE behind an
+    ``explode_outer(array(...))`` Generate barrier — a plain
+    withColumn+filter would let PushDownPredicates substitute the
+    alias into the pushed filter and run the chain twice (pinned by
+    tests/test_plans.py::test_curation_html_gate_strips_once)."""
+    h = {
+        "strip": True,
+        "min_visible_ratio": None,
+        "extract_main": False,
+        **html_opts,
+    }
+    col = F.col(text_col)
+    if h["extract_main"]:
+        # main-content mode: the ratio gate (if any) still scores the
+        # RAW markup's chrome density; the kept text is the
+        # block-scored main content
+        if h["min_visible_ratio"] is not None:
+            docs = docs.filter(html_visible_ratio(col) >= h["min_visible_ratio"])
+        return docs.withColumn(
+            text_col,
+            extract_main_content(
+                col,
+                min_block_chars=h.get("min_block_chars", 40),
+                max_link_density=h.get("max_link_density", 0.35),
+                rescue_min_chars=h.get("rescue_min_chars", 8),
+            ),
+        )
+    if h["min_visible_ratio"] is not None and h["strip"]:
+        return (
+            docs.withColumn(
+                "_visible", F.explode_outer(F.array(strip_html(col)))
+            )
+            .filter(
+                html_visible_ratio(col, stripped=F.col("_visible"))
+                >= h["min_visible_ratio"]
+            )
+            .withColumn(text_col, F.col("_visible"))
+            .drop("_visible")
+        )
+    if h["min_visible_ratio"] is not None:
+        return docs.filter(html_visible_ratio(col) >= h["min_visible_ratio"])
+    if h["strip"]:
+        return docs.withColumn(text_col, strip_html(col))
+    return docs

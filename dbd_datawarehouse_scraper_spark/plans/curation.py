@@ -180,65 +180,13 @@ def curate_documents(
         if derived:
             docs = docs.drop(domain_col)
     if html_opts is not None:
-        from ..functions.html import html_visible_ratio, strip_html
+        from ..functions.html import apply_html_stage
 
-        h = {
-            "strip": True,
-            "min_visible_ratio": None,
-            "extract_main": False,
-            **html_opts,
-        }
-        if h["extract_main"]:
-            from ..functions.html import extract_main_content
-
-            # main-content mode: the ratio gate (if any) still scores
-            # the RAW markup's chrome density; the kept text is the
-            # block-scored main content (nav/footer/sidebar chrome
-            # dropped), which then feeds scoring/shingles downstream.
-            if h["min_visible_ratio"] is not None:
-                docs = docs.filter(
-                    html_visible_ratio(F.col(text_col))
-                    >= h["min_visible_ratio"]
-                )
-            docs = docs.withColumn(
-                text_col,
-                extract_main_content(
-                    F.col(text_col),
-                    min_block_chars=h.get("min_block_chars", 40),
-                    max_link_density=h.get("max_link_density", 0.35),
-                ),
-            )
-        elif h["min_visible_ratio"] is not None and h["strip"]:
-            # gate + strip: run the ~35-step regexp chain ONCE. A plain
-            # withColumn+filter would NOT do that — PushDownPredicates
-            # substitutes the alias into the pushed filter, so the
-            # chain runs in both the filter and the projection. The
-            # explode-array Generate barrier (the package's standard
-            # idiom, operators/joins.py `_block`) materializes the
-            # stripped text as a generated attribute the filter and
-            # projection both reference; explode_outer (not explode)
-            # so InferFiltersFromGenerate doesn't clone the chain into
-            # an inferred size()>0 filter (see the round-3/4 trap in
-            # tests/test_plans.py). Pinned by
-            # tests/test_plans.py::test_curation_html_gate_strips_once.
-            docs = (
-                docs.withColumn(
-                    "_visible",
-                    F.explode_outer(F.array(strip_html(F.col(text_col)))),
-                )
-                .filter(
-                    html_visible_ratio(F.col(text_col), stripped=F.col("_visible"))
-                    >= h["min_visible_ratio"]
-                )
-                .withColumn(text_col, F.col("_visible"))
-                .drop("_visible")
-            )
-        elif h["min_visible_ratio"] is not None:
-            docs = docs.filter(
-                html_visible_ratio(F.col(text_col)) >= h["min_visible_ratio"]
-            )
-        elif h["strip"]:
-            docs = docs.withColumn(text_col, strip_html(F.col(text_col)))
+        # shared with the incremental exporter (streaming/export.py) —
+        # one implementation of the gate/strip/extract-main stage, incl.
+        # the single-evaluation explode_outer barrier (plan-pinned in
+        # tests/test_plans.py::test_curation_html_gate_strips_once)
+        docs = apply_html_stage(docs, text_col, html_opts)
     if segment_dedup_opts is not None:
         from ..operators.segments import segment_dedup
 

@@ -2944,19 +2944,31 @@ def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/?utm_source=feed&b=2&a=1#frag"),
         ),
     ).withColumn("url", canonicalize_url(F.col("url")))
-    with_dom = d.withColumn("domain", extract_domain(F.col("url")))
+    # precompute the registrable-domain key ONCE and run both gates in
+    # raw mode over it — the same precomputed-key pattern as
+    # mix_corpora's fingerprint_col: the operators' registrable=True
+    # default re-derives the collapse (split + 2 InSet probes over
+    # ~270 suffixes) inside each gate's key expression, so a funnel
+    # chaining blocklist + cap saves one full derivation per scan by
+    # materializing the key as a column first
+    with_dom = d.withColumn(
+        "domain", extract_domain(F.col("url"))
+    ).withColumn("reg_domain", registrable_host(F.col("domain")))
     block = spark.createDataFrame(
         [("www.src1-corp.com",), ("src7-corp.com",)], ["domain"]
+    ).select(registrable_host(F.col("domain")).alias("reg_domain"))
+    kept = domain_blocklist_filter(
+        with_dom, block, domain_col="reg_domain", block_col="reg_domain",
+        registrable=False,
     )
-    kept = domain_blocklist_filter(with_dom, block)
     return per_domain_cap(
-        kept, max_docs=15, max_tokens=6000, token_col="n_chars"
-    ).select(
-        "doc_id",
-        "url",
-        "domain",
-        registrable_host(F.col("domain")).alias("reg_domain"),
-    )
+        kept,
+        domain_col="reg_domain",
+        max_docs=15,
+        max_tokens=6000,
+        token_col="n_chars",
+        registrable=False,
+    ).select("doc_id", "url", "domain", "reg_domain")
 
 
 # ---------------------------------------------------------------------------

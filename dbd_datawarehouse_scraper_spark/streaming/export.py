@@ -94,6 +94,7 @@ def stream_export_training_set(
     segment_dedup_opts: dict | None = None,
     contamination_opts: dict | None = None,
     domain_opts: dict | None = None,
+    html_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -135,7 +136,15 @@ def stream_export_training_set(
     evade the list; False = raw hosts). Per-domain caps (``max_docs`` /
     ``max_tokens``) are REFUSED here: they are global properties —
     cap at rest with ``per_domain_cap`` over the exported set (see the
-    module docstring)."""
+    module docstring).
+
+    ``html_opts`` runs the HTML-to-text cleanup per epoch — stateless
+    per-row, trivially replay-idempotent — via the SAME
+    ``apply_html_stage`` the batch funnel uses (functions/html.py:
+    ``min_visible_ratio`` gate on raw markup, then ``strip`` or
+    ``extract_main`` main-content extraction), in the same stage
+    order: after the domain gate, before segment dedup, so shingles
+    and quality scores downstream see prose."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -212,12 +221,23 @@ def stream_export_training_set(
             )
             if "url_col" in dom:
                 source = source.drop(dom["domain_col"])
+        if html_opts is not None:
+            from ..functions.html import apply_html_stage
+
+            # same stage, same order as the batch funnel (after the
+            # domain gate, before segment dedup); stateless per-row
+            source = apply_html_stage(source, text_col, html_opts)
         if segment_dedup_opts is not None:
             from .segments import segment_dedup_epoch
 
+            # feed the GATED source, not the raw batch: feeding
+            # batch_df here would both re-admit blocked-domain rows
+            # (the segmented output REPLACES source below, silently
+            # discarding the blocklist) and pollute the segment store
+            # with their segment frequencies (round-7 review)
             had_rows = segment_dedup_epoch(
                 spark,
-                batch_df,
+                source,
                 epoch_id,
                 out_path=f"{state_path}/segmented",
                 store_path=f"{state_path}/segstore",

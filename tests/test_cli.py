@@ -448,3 +448,51 @@ def test_export_cli_registrable_domain_keying(spark, tmp_path):
     ids2 = _ids(out2)
     # raw-host mode: 'bad.com' matches neither subdomain exactly
     assert any(i % 3 == 0 for i in ids2) and any(i % 3 == 1 for i in ids2)
+
+
+def test_export_cli_html_cleanup_flags(spark, tmp_path):
+    """--html-strip / --html-extract-main reach the funnel: exported
+    text is visible prose, and extract-main drops link-chrome."""
+    chrome = "".join(
+        f"<li><a href='/{i}'>Menu item number {i}</a></li>" for i in range(8)
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, f"<nav>{chrome}</nav><p>d{i} the real article body prose "
+                f"of document {i} is long enough to keep entirely</p>", "src0")
+            for i in range(12)
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    import glob
+    import gzip
+    import json
+
+    def _texts(out):
+        texts = {}
+        for f in glob.glob(f"{out}/split=*/shard=*/*.gz"):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    r = json.loads(line)
+                    texts[r["doc_id"]] = r["text"]
+        return texts
+
+    base = [
+        "--export-training-set", "--input", src,
+        "--shard-token-budget", "800",
+        "--config", str(tmp_path / "none.yaml"),
+    ]
+    out1 = str(tmp_path / "strip")
+    assert main(base + ["--output", out1, "--html-strip"]) == 0
+    t1 = _texts(out1)
+    assert t1 and all("<p>" not in t and "<nav>" not in t for t in t1.values())
+    assert any("Menu item" in t for t in t1.values())  # plain strip keeps chrome text
+
+    out2 = str(tmp_path / "main")
+    assert main(base + ["--output", out2, "--html-extract-main"]) == 0
+    t2 = _texts(out2)
+    assert t2 and all("Menu item" not in t for t in t2.values())
+    assert all("real article body prose" in t for t in t2.values())

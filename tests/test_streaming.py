@@ -1496,3 +1496,55 @@ def test_stream_export_domain_blocklist_and_cap_refusal(spark):
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_export_html_stage_and_domain_segment_order(spark):
+    """Round-7: (a) html_opts strips markup per epoch via the SAME
+    apply_html_stage as the batch funnel, so exported text is prose;
+    (b) the segment-dedup stage consumes the DOMAIN-FILTERED source —
+    feeding the raw batch would re-admit blocked-domain rows because
+    the segmented output replaces the source (the round-7 review
+    find)."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>clean prose words here</p><script>x()</script>", "good.com"),
+            (2, "<div>spam text body here</div>", "spam.com"),
+            (3, "plain words stay put fine", "good.com"),
+        ],
+        "doc_id long, text string, domain string",
+    )
+    work = tempfile.mkdtemp(prefix="stream_html_")
+    try:
+        docs.coalesce(1).write.mode("append").parquet(f"{work}/src")
+        q = stream_export_training_set(
+            file_stream(spark, f"{work}/src", docs.schema, max_files_per_trigger=1),
+            f"{work}/out", f"{work}/state", f"{work}/ckpt",
+            domain_opts={"blocklist": ["spam.com"]},
+            html_opts={"strip": True},
+            # segment dedup ON: this is the stage that used to re-admit
+            # blocked rows (it replaced the filtered source with the
+            # segmented raw batch)
+            segment_dedup_opts={"mode": "chunk", "k": 4, "min_docs": 2},
+            **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        texts = {}
+        for f in glob.glob(f"{work}/out/split=*/epoch=*/shard=*/*.gz"):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    r = json.loads(line)
+                    texts[r["doc_id"]] = r["text"]
+        assert set(texts) <= {1, 3} and 1 in texts  # spam.com row NEVER exported
+        assert "<p>" not in texts[1] and "script" not in texts[1]
+        assert texts[1].startswith("clean prose words here")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
