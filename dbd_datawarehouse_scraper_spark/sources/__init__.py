@@ -23,3 +23,8 @@ from .http_client import (  # noqa: F401
     HttpFetcher,
     SeleniumFetcher,
 )
+from .layout import (  # noqa: F401
+    sorted_write,
+    zorder_key,
+    zorder_write,
+)
