@@ -80,6 +80,29 @@ def zorder_key(
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
+def _with_bloom(writer, bloom_cols):
+    """Attach parquet bloom-filter write options: ``bloom_cols`` is a
+    list of column names or a {column: expected_ndv} dict. Bloom
+    filters answer POINT lookups (`col = x`) on columns the sort/
+    Z-order key doesn't cover — statistics prune ranges, blooms prune
+    memberships. Costs a few bits/value in the file; readers that
+    don't know blooms simply ignore them."""
+    if not bloom_cols:
+        return writer
+    items = (
+        bloom_cols.items()
+        if isinstance(bloom_cols, dict)
+        else [(c, None) for c in bloom_cols]
+    )
+    for c, ndv in items:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if ndv is not None:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+            )
+    return writer
+
+
 def zorder_write(
     df: DataFrame,
     path: str,
@@ -87,6 +110,7 @@ def zorder_write(
     bits: int = 12,
     num_files: int | None = None,
     mode: str = "overwrite",
+    bloom_cols=None,
 ) -> None:
     """Write ``df`` as parquet Z-ordered on ``cols``: quantize each
     column against its global (min, max) — one aggregate, 2N scalars —
@@ -113,14 +137,14 @@ def zorder_write(
     ]
     key = zorder_key(quantized, bits)
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    (
+    _with_bloom(
         df.withColumn("_zkey", key)
         .repartitionByRange(n, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
-        .write.mode(mode)
-        .parquet(path)
-    )
+        .write.mode(mode),
+        bloom_cols,
+    ).parquet(path)
 
 
 def sorted_write(
@@ -129,17 +153,19 @@ def sorted_write(
     cols: list[str],
     num_files: int | None = None,
     mode: str = "overwrite",
+    bloom_cols=None,
 ) -> None:
     """Write ``df`` as parquet globally range-sorted on ``cols`` —
     the single-dimension layout: filters on the LEADING column (and
     prefixes) prune row groups; trailing-only filters don't. Use
-    :func:`zorder_write` when more than one filter column matters."""
+    :func:`zorder_write` when more than one filter column matters,
+    ``bloom_cols`` for point lookups on non-sorted columns."""
     if not cols:
         raise ValueError("sorted_write needs at least one column")
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
-    (
+    _with_bloom(
         df.repartitionByRange(n, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
-        .write.mode(mode)
-        .parquet(path)
-    )
+        .write.mode(mode),
+        bloom_cols,
+    ).parquet(path)

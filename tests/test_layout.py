@@ -115,3 +115,26 @@ def test_zorder_key_bounds_and_validation(spark):
 
     with pytest.raises(ValueError, match="at least one column"):
         zorder_write(df, "/tmp/never", [])
+
+
+def test_bloom_filter_option_writes_blooms(spark, grid, tmp_path):
+    """bloom_cols adds parquet bloom filters: the files carry extra
+    bloom bytes (this container's pyarrow can't introspect bloom
+    offsets, so presence is pinned by the deterministic size delta on
+    identical data+layout), and filtered reads stay correct."""
+    import os
+
+    plain = str(tmp_path / "plain")
+    bloom = str(tmp_path / "bloom")
+    sorted_write(grid, plain, ["x"], num_files=4)
+    sorted_write(grid, bloom, ["x"], num_files=4,
+                 bloom_cols={"row_id": 100_000})
+
+    def total(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{p}/part-*.parquet")
+        )
+
+    assert total(bloom) > total(plain)
+    got = spark.read.parquet(bloom).filter(F.col("row_id") == 4242).collect()
+    assert len(got) == 1 and got[0]["row_id"] == 4242
