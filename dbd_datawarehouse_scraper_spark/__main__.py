@@ -206,6 +206,31 @@ def _make_fetcher_factory(args, conf):
     return build
 
 
+def _html_opts_from_args(args) -> dict | None:
+    """One construction for BOTH the batch and stream export paths —
+    a flag added in one place can't silently desynchronize the two.
+    Validates the ratio range loudly: the ratio is in [0, 1] by
+    construction, so a typo like ``15`` (meaning 0.15) would
+    otherwise drop 100% of documents and export an empty set
+    'successfully'."""
+    if not (
+        args.html_strip
+        or args.html_extract_main
+        or args.html_min_visible_ratio is not None
+    ):
+        return None
+    r = args.html_min_visible_ratio
+    if r is not None and not (0.0 <= r <= 1.0):
+        raise ValueError(
+            f"--html-min-visible-ratio must be in [0, 1], got {r}"
+        )
+    return {
+        "strip": True,
+        "extract_main": args.html_extract_main,
+        "min_visible_ratio": r,
+    }
+
+
 def main(argv: Sequence[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -294,14 +319,9 @@ def main(argv: Sequence[str] | None = None) -> int:
             if args.max_docs_per_domain is not None:
                 dom["max_docs"] = args.max_docs_per_domain
             curate_kwargs["domain_opts"] = dom
-        if args.html_strip or args.html_extract_main or (
-            args.html_min_visible_ratio is not None
-        ):
-            curate_kwargs["html_opts"] = {
-                "strip": True,
-                "extract_main": args.html_extract_main,
-                "min_visible_ratio": args.html_min_visible_ratio,
-            }
+        html_opts = _html_opts_from_args(args)
+        if html_opts is not None:
+            curate_kwargs["html_opts"] = html_opts
         if args.decontaminate_against:
             curate_kwargs["contamination_opts"] = {
                 "benchmark": spark.read.parquet(args.decontaminate_against),
@@ -350,14 +370,9 @@ def main(argv: Sequence[str] | None = None) -> int:
                     d.strip() for d in args.block_domains.split(",") if d.strip()
                 ],
             }
-        if args.html_strip or args.html_extract_main or (
-            args.html_min_visible_ratio is not None
-        ):
-            sopts["html_opts"] = {
-                "strip": True,
-                "extract_main": args.html_extract_main,
-                "min_visible_ratio": args.html_min_visible_ratio,
-            }
+        html_opts = _html_opts_from_args(args)
+        if html_opts is not None:
+            sopts["html_opts"] = html_opts
         if args.max_docs_per_domain is not None:
             raise ValueError(
                 "--max-docs-per-domain is a global property and cannot run "

@@ -311,16 +311,20 @@ def apply_html_stage(docs, text_col: str, html_opts: dict):
             ),
         )
     if h["min_visible_ratio"] is not None and h["strip"]:
+        # uniquify the temp column: silently clobbering (and then
+        # dropping) a caller's own "_visible" column would be silent
+        # data loss (round-7 review)
+        tmp = "_visible"
+        while tmp in docs.columns:
+            tmp += "_"
         return (
-            docs.withColumn(
-                "_visible", F.explode_outer(F.array(strip_html(col)))
-            )
+            docs.withColumn(tmp, F.explode_outer(F.array(strip_html(col))))
             .filter(
-                html_visible_ratio(col, stripped=F.col("_visible"))
+                html_visible_ratio(col, stripped=F.col(tmp))
                 >= h["min_visible_ratio"]
             )
-            .withColumn(text_col, F.col("_visible"))
-            .drop("_visible")
+            .withColumn(text_col, F.col(tmp))
+            .drop(tmp)
         )
     if h["min_visible_ratio"] is not None:
         return docs.filter(html_visible_ratio(col) >= h["min_visible_ratio"])

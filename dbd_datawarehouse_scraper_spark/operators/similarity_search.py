@@ -494,11 +494,14 @@ def ivf_build(
       column names), written LAST (the marker is the commit; a crash
       mid-build leaves a marker-less dir the next build overwrites).
       On a REBUILD over an existing index the old marker is deleted
-      FIRST — otherwise a crash between overwriting ``lists/`` and
-      rewriting the marker would leave the old still-valid marker over
-      new lists and/or stale centers, and ``ivf_search`` would accept
-      the torn index and probe the wrong lists silently (round-6
-      review). Delete-marker → write → re-mark makes every crash
+      BEFORE the first write to ``lists/`` (but AFTER validation and
+      the fit, so a refused call or a crash mid-fit leaves the old
+      index fully valid) — otherwise a crash between overwriting
+      ``lists/`` and rewriting the marker would leave the old
+      still-valid marker over new lists and/or stale centers, and
+      ``ivf_search`` would accept the torn index and probe the wrong
+      lists silently (round-6 review; window narrowed round 7).
+      Delete-marker → write → re-mark makes every destructive crash
       window land in the refused marker-less state.
 
     Assignment uses the persisted-centers kernel
@@ -520,15 +523,19 @@ def ivf_build(
         raise ValueError(
             f"supplied centers have {len(centers)} lists, n_lists={n_lists}"
         )
-    # un-commit BEFORE touching lists/centers (after the cheap input
-    # validation, so a refused call never destroys a valid index)
-    marker_path = f"{index_path}/format"
-    if fs_exists(spark, marker_path):
-        fs_delete(spark, marker_path)
     if centers is None:
         centers = kmeans_fit(
             corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed
         )
+    # un-commit as LATE as possible — after input validation AND the
+    # (potentially long) fit, immediately before the first write to
+    # lists/. A failure anywhere up to here leaves the old index
+    # fully valid; a crash after this point leaves the loudly-refused
+    # marker-less state (round-7 review narrowed the destruction
+    # window from "includes the whole fit" to "the writes only").
+    marker_path = f"{index_path}/format"
+    if fs_exists(spark, marker_path):
+        fs_delete(spark, marker_path)
     assigned = _assign_to_centers(
         corpus.select(corpus_id, corpus_vec), corpus_vec, centers
     ).withColumnRenamed("cluster", "_list")

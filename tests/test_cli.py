@@ -496,3 +496,15 @@ def test_export_cli_html_cleanup_flags(spark, tmp_path):
     t2 = _texts(out2)
     assert t2 and all("Menu item" not in t for t in t2.values())
     assert all("real article body prose" in t for t in t2.values())
+
+
+def test_html_min_visible_ratio_validation(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "x", "s")],
+                                 "doc_id long, text string, source string")
+    src = str(tmp_path / "d.parquet")
+    docs.write.parquet(src)
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        main(["--export-training-set", "--input", src,
+              "--output", str(tmp_path / "o"),
+              "--html-min-visible-ratio", "15",
+              "--config", str(tmp_path / "none.yaml")])

@@ -22,7 +22,7 @@ def _rdom_sql(col: str) -> str:
     tuples (the two implementations cannot drift)."""
     suf2 = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES_2)
     suf3 = ",".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES_3)
-    h = f"regexp_replace({col}, '\\.$', '')"
+    h = f"lower(regexp_replace({col}, '\\.$', ''))"
     parts = f"string_split({h}, '.')"
     return (
         "CASE "
@@ -71,6 +71,13 @@ def test_registrable_host_shapes(spark):
         ("127.0.0.1", "127.0.0.1"),          # IPv4: never collapsed
         ("localhost", "localhost"),          # single label: pass through
         ("example.com.", "example.com"),     # FQDN trailing dot
+        ("Blog.SPAM.com", "spam.com"),       # case-folded (DNS is)
+        # PSL private section: hosting-platform tenants stay distinct
+        ("tenant.blogspot.com", "tenant.blogspot.com"),
+        ("a.tenant.blogspot.com", "tenant.blogspot.com"),
+        ("blogspot.com", "blogspot.com"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
         ("", ""),
     ]
     df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])

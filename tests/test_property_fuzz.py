@@ -303,7 +303,7 @@ def _model_registrable_host(host: str) -> str:
         MULTI_LABEL_SUFFIXES_3,
     )
 
-    h = re.sub(r"\.$", "", host)
+    h = re.sub(r"\.$", "", host).lower()
     if re.match(r"^\d+\.\d+\.\d+\.\d+$", h):
         return h
     parts = h.split(".")
@@ -326,18 +326,15 @@ def _model_canonicalize_url(url: str) -> str:
     )
 
     u = re.sub(r"#.*$", "", url.strip(" "))
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://)", u)
+    pre = r"[A-Za-z][A-Za-z0-9+.\-]*://|//"
+    m = re.match(rf"^({pre})", u)
     scheme = m.group(1).lower() if m else ""
-    auth = re.match(
-        r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#]*)", u
-    ).group(1).lower()
+    auth = re.match(rf"^(?:{pre})?([^/?#]*)", u).group(1).lower()
     if scheme == "http://":
         auth = re.sub(r":80$", "", auth)
     elif scheme == "https://":
         auth = re.sub(r":443$", "", auth)
-    pathq = re.match(
-        r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?[^/?#]*(.*)$", u
-    ).group(1)
+    pathq = re.match(rf"^(?:{pre})?[^/?#]*(.*)$", u).group(1)
     path = re.sub(r"/+$", "", re.match(r"^([^?]*)", pathq).group(1))
     mq = re.search(r"\?(.*)$", pathq)
     query = mq.group(1) if mq else ""
@@ -353,7 +350,7 @@ def test_fuzz_canonicalize_url_vs_model(spark):
     )
 
     rng = random.Random(13)
-    schemes = ["", "http://", "HTTPS://", "ftp://"]
+    schemes = ["", "http://", "HTTPS://", "ftp://", "//"]
     hosts = ["Example.COM", "www.Site.org", "host:8080", "site.com:443",
              "api.site.com:80", "127.0.0.1"]
     paths = ["", "/", "/a/b", "/a/b/", "/a//", "/A/B"]
@@ -366,7 +363,8 @@ def test_fuzz_canonicalize_url_vs_model(spark):
         + rng.choice(queries) + rng.choice(frags)
         for _ in range(300)
     ] + ["", "   ", "?only=query", "#only-frag", "http://x.com:80",
-         "https://y.io:443/", "a=1&b=2"]
+         "https://y.io:443/", "a=1&b=2", "//Example.COM:443/a",
+         "//CDN.site.io/asset.js?v=1"]
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     got = [
         r["c"]
@@ -404,7 +402,8 @@ def test_fuzz_registrable_domain_vs_model(spark):
     subs = ["", "www.", "a.", "a.b.", "shard12.x.", "WWW.Blog."]
     apexes = ["spam.com", "foo.co.uk", "big.com.au", "x.act.edu.au",
               "somecompany.co.th", "example.org", "co.uk", "127.0.0.1",
-              "host", "uni.ac.jp", "mix.COM.BR", "t.com.", "1.2.3.4."]
+              "host", "uni.ac.jp", "mix.COM.BR", "t.com.", "1.2.3.4.",
+              "Tenant.BLOGSPOT.com", "bucket.s3.amazonaws.com"]
     tails = ["", "/", "/p?q=1", ":443/x", "#f", " junk"]
     urls = [
         rng.choice(schemes) + rng.choice(subs) + rng.choice(apexes)

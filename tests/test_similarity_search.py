@@ -384,13 +384,20 @@ def test_ivf_rebuild_crash_leaves_refused_markerless_dir(
         ivf_build(emb, idx, n_lists=4, centers=centers8)
     assert ivf_search(probes, idx, k=5, nprobe=2).count() > 0
 
-    # a crash AFTER validation (here: during the fit) leaves a
-    # marker-less dir that search refuses — never a torn-but-accepted
-    # index
+    # a crash during the FIT (potentially hours at scale) leaves the
+    # old index fully valid — the marker is only deleted after the fit
     def boom(*a, **kw):
         raise RuntimeError("simulated crash mid-rebuild")
 
     monkeypatch.setattr(clustering, "kmeans_fit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ivf_build(emb, idx, n_lists=8)
+    monkeypatch.undo()
+    assert ivf_search(probes, idx, k=5, nprobe=2).count() > 0
+
+    # a crash during the WRITES leaves a marker-less dir that search
+    # refuses — never a torn-but-accepted index
+    monkeypatch.setattr(clustering, "_assign_to_centers", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         ivf_build(emb, idx, n_lists=8)
     monkeypatch.undo()
