@@ -24,6 +24,7 @@ from .http_client import (  # noqa: F401
     SeleniumFetcher,
 )
 from .layout import (  # noqa: F401
+    optimize_table,
     sorted_write,
     zorder_key,
     zorder_write,

@@ -80,13 +80,18 @@ def zorder_key(
     return reduce(lambda a, b: a.bitwiseOR(b), terms)
 
 
-def _with_bloom(writer, bloom_cols):
+def _with_bloom(writer, bloom_cols, options=None):
     """Attach parquet bloom-filter write options: ``bloom_cols`` is a
     list of column names or a {column: expected_ndv} dict. Bloom
     filters answer POINT lookups (`col = x`) on columns the sort/
     Z-order key doesn't cover — statistics prune ranges, blooms prune
     memberships. Costs a few bits/value in the file; readers that
-    don't know blooms simply ignore them."""
+    don't know blooms simply ignore them. ``options`` passes raw
+    writer options through (e.g. ``parquet.block.size`` to control
+    ROW-GROUP size — pruning granularity is the row group, so a
+    compacted file still needs several groups to prune within)."""
+    for k, v in (options or {}).items():
+        writer = writer.option(k, str(v))
     if not bloom_cols:
         return writer
     items = (
@@ -111,6 +116,7 @@ def zorder_write(
     num_files: int | None = None,
     mode: str = "overwrite",
     bloom_cols=None,
+    options: dict | None = None,
 ) -> None:
     """Write ``df`` as parquet Z-ordered on ``cols``: quantize each
     column against its global (min, max) — one aggregate, 2N scalars —
@@ -144,6 +150,7 @@ def zorder_write(
         .drop("_zkey")
         .write.mode(mode),
         bloom_cols,
+        options,
     ).parquet(path)
 
 
@@ -154,6 +161,7 @@ def sorted_write(
     num_files: int | None = None,
     mode: str = "overwrite",
     bloom_cols=None,
+    options: dict | None = None,
 ) -> None:
     """Write ``df`` as parquet globally range-sorted on ``cols`` —
     the single-dimension layout: filters on the LEADING column (and
@@ -168,4 +176,58 @@ def sorted_write(
         .sortWithinPartitions(*cols)
         .write.mode(mode),
         bloom_cols,
+        options,
     ).parquet(path)
+
+
+def optimize_table(
+    spark,
+    path: str,
+    zorder_cols: list[str],
+    target_mb: int = 512,
+    bits: int = 12,
+    bloom_cols=None,
+    options: dict | None = None,
+) -> int:
+    """Compact AND Z-order an existing parquet directory in place —
+    the table-format-less equivalent of ``OPTIMIZE ... ZORDER BY``:
+    one rewrite fixes both the small-files problem (accumulated
+    micro-batch appends) and the layout problem (row groups spanning
+    the full domain). File count is sized from the current bytes /
+    ``target_mb`` like :func:`..sinks.compact_output`, whose
+    rewrite-then-swap protocol (and ``recover_compaction`` crash
+    recovery — same marker names) this reuses, including its explicit
+    LOCAL-POSIX/exclusive-writer constraints: on a cluster, rewrite
+    through a transactional table format instead, and run per
+    partition directory at 100 TB. Returns the new file count."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from .sinks import recover_compaction
+
+    recover_compaction(path)
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = int(max(1, -(-total_bytes // (target_mb * 1024 * 1024))))
+    tmp = f"{path}.__compact_tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale tmp from a crash before the swap
+    zorder_write(
+        spark.read.parquet(path),
+        tmp,
+        zorder_cols,
+        bits=bits,
+        num_files=n_files,
+        bloom_cols=bloom_cols,
+        options=options,
+    )
+    old = f"{path}.__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

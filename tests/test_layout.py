@@ -138,3 +138,43 @@ def test_bloom_filter_option_writes_blooms(spark, grid, tmp_path):
     assert total(bloom) > total(plain)
     got = spark.read.parquet(bloom).filter(F.col("row_id") == 4242).collect()
     assert len(got) == 1 and got[0]["row_id"] == 4242
+
+
+def test_optimize_table_compacts_and_zorders_in_place(spark, grid, tmp_path):
+    """optimize_table = compaction + Z-order in one in-place rewrite,
+    reusing compact_output's swap protocol (and its crash recovery)."""
+    import os
+
+    from dbd_datawarehouse_scraper_spark.sources.layout import optimize_table
+    from dbd_datawarehouse_scraper_spark.sources.sinks import (
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "tbl")
+    # simulate accumulated micro-batch appends: many small files
+    grid.repartition(64).write.mode("overwrite").parquet(path)
+    n_before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_before >= 32
+    f_before = _rowgroup_touch_fraction(path, "x", 100, 199, "y", 500, 599)
+
+    n_after = optimize_table(
+        spark, path, ["x", "y"], target_mb=1,
+        # pruning granularity is the ROW GROUP: a compacted file still
+        # needs several groups inside it, so cap group size (64 KB)
+        options={"parquet.block.size": 65536},
+    )
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) < n_before
+    assert sorted(
+        r["row_id"] for r in spark.read.parquet(path).collect()
+    ) == list(range(100_000))
+    f_after = _rowgroup_touch_fraction(path, "x", 100, 199, "y", 500, 599)
+    assert f_after < 0.5 * f_before, (f_after, f_before)
+    assert not os.path.exists(f"{path}.__compact_old__")
+    assert not os.path.exists(f"{path}.__compact_tmp__")
+
+    # crash-recovery contract: a swap that stopped after the first
+    # rename is rolled back by the shared recover_compaction
+    os.rename(path, f"{path}.__compact_old__")
+    assert recover_compaction(path) is True
+    assert spark.read.parquet(path).count() == 100_000
