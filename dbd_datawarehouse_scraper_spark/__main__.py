@@ -145,6 +145,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "trigger); rerun to pick up new files — state "
                         "and checkpoint under --stream-state make it "
                         "resume/replay-safe")
+    p.add_argument("--optimize-output", type=str, default=None,
+                   help="Maintenance mode: compact (and optionally "
+                        "Z-order) the given parquet directory in place, "
+                        "then exit — run between export sessions to fix "
+                        "accumulated small files")
+    p.add_argument("--zorder-cols", type=str, default=None,
+                   help="Comma-separated columns for --optimize-output "
+                        "to Z-order on (default: compact only)")
+    p.add_argument("--target-file-mb", type=int, default=512,
+                   help="Target output file size for --optimize-output")
     p.add_argument("--stream-state", type=str, default=None,
                    help="State root for --stream-export (default: "
                         "<output>__state); holds the dedup store, pack "
@@ -278,6 +288,29 @@ def main(argv: Sequence[str] | None = None) -> int:
     )
     spark = get_spark(master=args.master)
     fmt = "csv" if args.output.endswith(".csv") else "parquet"
+
+    if args.optimize_output:
+        from .sources.layout import optimize_table
+        from .sources.sinks import compact_output
+
+        zcols = [
+            c.strip() for c in (args.zorder_cols or "").split(",") if c.strip()
+        ]
+        if zcols:
+            n = optimize_table(
+                spark, args.optimize_output, zcols,
+                target_mb=args.target_file_mb,
+            )
+            print(
+                f"optimized {args.optimize_output}: {n} files, "
+                f"z-ordered on {','.join(zcols)}"
+            )
+        else:
+            n = compact_output(
+                spark, args.optimize_output, target_mb=args.target_file_mb
+            )
+            print(f"compacted {args.optimize_output}: {n} files")
+        return 0
 
     if args.export_training_set:
         import json as _json

@@ -508,3 +508,34 @@ def test_html_min_visible_ratio_validation(spark, tmp_path):
               "--output", str(tmp_path / "o"),
               "--html-min-visible-ratio", "15",
               "--config", str(tmp_path / "none.yaml")])
+
+
+def test_cli_optimize_output_mode(spark, tmp_path):
+    """--optimize-output: standalone maintenance mode — compact (and
+    with --zorder-cols, Z-order) a parquet dir in place, then exit."""
+    import glob
+
+    from pyspark.sql import functions as SF
+
+    path = str(tmp_path / "tbl")
+    spark.range(0, 20000, 1, 32).select(
+        SF.col("id"), (SF.col("id") % 97).alias("x"), (SF.col("id") % 89).alias("y")
+    ).write.parquet(path)
+    n_before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_before >= 16
+
+    rc = main(["--optimize-output", path, "--zorder-cols", "x,y",
+               "--target-file-mb", "64",
+               "--config", str(tmp_path / "none.yaml")])
+    assert rc == 0
+    assert len(glob.glob(f"{path}/part-*.parquet")) < n_before
+    assert spark.read.parquet(path).count() == 20000
+
+    # compact-only (no --zorder-cols)
+    path2 = str(tmp_path / "tbl2")
+    spark.range(0, 5000, 1, 24).write.parquet(path2)
+    rc = main(["--optimize-output", path2,
+               "--config", str(tmp_path / "none.yaml")])
+    assert rc == 0
+    assert len(glob.glob(f"{path2}/part-*.parquet")) < 24
+    assert spark.read.parquet(path2).count() == 5000
