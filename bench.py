@@ -272,6 +272,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                # the per-query map is part of the driver's documented
+                # line contract; spreads/oracle breakdowns stay in the
+                # detail record above (and BENCH_DETAIL.json)
+                "queries": times,
                 "ratio": ratio,
                 "oracle_total": oracle_total,
                 "spark_on_oracle_subset": spark_on_oracle_subset,

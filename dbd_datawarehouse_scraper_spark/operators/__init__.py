@@ -57,6 +57,8 @@ from .similarity_search import (  # noqa: F401
     cosine_topk_lsh,
     ivf_append,
     ivf_build,
+    ivf_rebuild_advised,
     ivf_search,
+    ivf_stats,
     ivf_topk,
 )

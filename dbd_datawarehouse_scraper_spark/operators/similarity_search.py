@@ -575,22 +575,8 @@ def ivf_search(
     lists read as a partition filter, so the scan touches only the
     needed ``_list=`` directories. Returns (probe_id, corpus_id,
     cosine_sim). Refuses a marker-less or mismatched-format index."""
-    from ..fsutil import fs_exists
-
     spark = probes.sparkSession
-    marker = f"{index_path}/format"
-    if not fs_exists(spark, marker):
-        raise ValueError(
-            f"no IVF index marker at {marker} — run ivf_build() first "
-            "(a marker-less dir is an aborted build; rebuild it)."
-        )
-    row = spark.read.schema(_IVF_MARKER_SCHEMA).json(marker).head()
-    if row is None or row["format_version"] != IVF_FORMAT_VERSION:
-        raise ValueError(
-            f"IVF index at {index_path} has format version "
-            f"{None if row is None else row['format_version']}, need "
-            f"{IVF_FORMAT_VERSION} — rebuild the index."
-        )
+    row = _ivf_marker_row(spark, index_path)
     corpus_id = row["corpus_id"]
 
     centers = spark.read.parquet(f"{index_path}/centers")
@@ -653,22 +639,10 @@ def ivf_append(
     refuses. Appending the same batch twice duplicates rows (appends
     are appends) — compose with an id anti-join against the lists
     table for idempotent ingestion."""
-    from ..fsutil import fs_exists
     from .clustering import _assign_to_centers
 
     spark = new_vectors.sparkSession
-    marker = f"{index_path}/format"
-    if not fs_exists(spark, marker):
-        raise ValueError(
-            f"no IVF index marker at {marker} — run ivf_build() first."
-        )
-    row = spark.read.schema(_IVF_MARKER_SCHEMA).json(marker).head()
-    if row is None or row["format_version"] != IVF_FORMAT_VERSION:
-        raise ValueError(
-            f"IVF index at {index_path} has format version "
-            f"{None if row is None else row['format_version']}, need "
-            f"{IVF_FORMAT_VERSION} — rebuild the index."
-        )
+    row = _ivf_marker_row(spark, index_path)
     centers_df = spark.read.parquet(f"{index_path}/centers").orderBy("_list")
     centers = [list(r["_center"]) for r in centers_df.collect()]
     assigned = _assign_to_centers(
@@ -681,3 +655,111 @@ def ivf_append(
     assigned.repartition("_list").write.partitionBy("_list").mode(
         "append"
     ).parquet(f"{index_path}/lists")
+
+
+def _ivf_marker_row(spark, index_path: str):
+    """Read + validate the index marker (shared by search/append/stats)."""
+    from ..fsutil import fs_exists
+
+    marker = f"{index_path}/format"
+    if not fs_exists(spark, marker):
+        raise ValueError(
+            f"no IVF index marker at {marker} — run ivf_build() first "
+            "(a marker-less dir is an aborted build; rebuild it)."
+        )
+    row = spark.read.schema(_IVF_MARKER_SCHEMA).json(marker).head()
+    if row is None or row["format_version"] != IVF_FORMAT_VERSION:
+        raise ValueError(
+            f"IVF index at {index_path} has format version "
+            f"{None if row is None else row['format_version']}, need "
+            f"{IVF_FORMAT_VERSION} — rebuild the index."
+        )
+    return row
+
+
+def ivf_stats(spark, index_path: str) -> DataFrame:
+    """Per-list health report for a persisted :func:`ivf_build` index —
+    the drift signal :func:`ivf_append` points at ("rebuild when the
+    drift matters"): one scan of ``lists/`` joined to the broadcast
+    centers, aggregated to ``n_lists`` rows of
+
+    - ``_list`` — the list id (every center appears, even empty lists);
+    - ``n_vectors`` — rows assigned to the list (0 for empty);
+    - ``mean_center_dist`` — mean Euclidean distance of the list's
+      vectors to its own centroid (NULL for empty lists).
+
+    A fresh build is roughly balanced with tight distances; append-only
+    mass that drifted from the build-time distribution piles into few
+    lists (``n_vectors`` skews) and sits far from the frozen centroids
+    (``mean_center_dist`` inflates). Feed the result to
+    :func:`ivf_rebuild_advised` for a thresholded yes/no."""
+    row = _ivf_marker_row(spark, index_path)
+    lists = spark.read.parquet(f"{index_path}/lists")
+    centers = spark.read.parquet(f"{index_path}/centers")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(row["corpus_vec"]),
+            F.col("_center"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    per_list = (
+        lists.join(F.broadcast(centers), "_list")
+        .groupBy("_list")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg(F.sqrt(d2)).alias("mean_center_dist"),
+        )
+    )
+    # left join FROM centers so empty lists report n_vectors=0 instead
+    # of vanishing — an all-empty tail is itself a drift signal
+    return (
+        centers.select("_list")
+        .join(per_list, "_list", "left")
+        .select(
+            "_list",
+            F.coalesce(F.col("n_vectors"), F.lit(0)).alias("n_vectors"),
+            "mean_center_dist",
+        )
+        .orderBy("_list")
+    )
+
+
+def ivf_rebuild_advised(
+    spark,
+    index_path: str,
+    max_imbalance: float = 4.0,
+    max_empty_frac: float = 0.25,
+) -> tuple[bool, str]:
+    """Thresholded rebuild guidance over :func:`ivf_stats`: advise a
+    rebuild when the biggest list holds more than ``max_imbalance``×
+    the mean list size, or more than ``max_empty_frac`` of the lists
+    are empty. Both are the signatures of append-drifted mass — the
+    frozen build-time centroids no longer partition the data, so
+    per-probe candidate sets bloat (cost, never correctness: the
+    exact rerank stands). Driver-side collect is the ``n_lists``-row
+    stats table — an index CONFIG scalar, never corpus-sized."""
+    rows = ivf_stats(spark, index_path).collect()
+    n_lists = len(rows)
+    counts = [r["n_vectors"] for r in rows]
+    total = sum(counts)
+    if total == 0:
+        return True, "index has no vectors"
+    empty = sum(1 for c in counts if c == 0)
+    imbalance = max(counts) / (total / n_lists)
+    if imbalance > max_imbalance:
+        return True, (
+            f"largest list holds {imbalance:.1f}x the mean list size "
+            f"(threshold {max_imbalance}) — appended mass has drifted "
+            "from the build-time centroids; rebuild"
+        )
+    if empty / n_lists > max_empty_frac:
+        return True, (
+            f"{empty}/{n_lists} lists are empty "
+            f"(threshold {max_empty_frac:.0%}) — rebuild"
+        )
+    return False, (
+        f"balanced: max/mean={imbalance:.2f}, {empty}/{n_lists} empty"
+    )

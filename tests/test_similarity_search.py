@@ -407,3 +407,69 @@ def test_ivf_rebuild_crash_leaves_refused_markerless_dir(
     # a fresh build over the aborted dir recovers
     ivf_build(emb, idx, n_lists=8)
     assert ivf_search(probes, idx, k=5, nprobe=2).count() > 0
+
+
+def test_ivf_stats_and_rebuild_guidance(spark, emb, tmp_path):
+    """ivf_stats: one row per list (empty lists included at 0),
+    counts sum to the corpus, distances are finite and non-negative.
+    ivf_rebuild_advised: a fresh balanced build says no; an
+    append-heavy drift (a shifted mass piling into whichever lists sit
+    nearest the new mode) trips the imbalance threshold — the exact
+    scenario ivf_append's docstring defers to 'rebuild when the drift
+    matters'."""
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_append,
+        ivf_build,
+        ivf_rebuild_advised,
+        ivf_stats,
+    )
+
+    idx = str(tmp_path / "idx")
+    ivf_build(emb, idx, n_lists=8)
+    n = emb.count()
+
+    stats = ivf_stats(spark, idx).collect()
+    assert [r["_list"] for r in stats] == list(range(8))
+    assert sum(r["n_vectors"] for r in stats) == n
+    for r in stats:
+        if r["n_vectors"] > 0:
+            assert r["mean_center_dist"] is not None
+            assert r["mean_center_dist"] >= 0.0
+        else:
+            assert r["mean_center_dist"] is None
+
+    advised, why = ivf_rebuild_advised(spark, idx)
+    assert not advised, why
+
+    # append 3x the corpus as a single far-away mode: every appended
+    # row lands in the one list whose center is nearest the new mode,
+    # so max/mean list size blows past the threshold
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(0.0) + F.lit(50.0)).cast("float")
+        ).alias("embedding"),
+    )
+    for i in range(3):
+        ivf_append(
+            shifted.select(
+                (F.col("vec_id") + i * n).alias("vec_id"), "embedding"
+            ),
+            idx,
+        )
+
+    stats2 = {r["_list"]: r for r in ivf_stats(spark, idx).collect()}
+    assert sum(r["n_vectors"] for r in stats2.values()) == 4 * n
+    # the drifted mass concentrates: some list now holds >= 3n rows
+    assert max(r["n_vectors"] for r in stats2.values()) >= 3 * n
+    # and sits far from its (frozen) centroid
+    fat = max(stats2.values(), key=lambda r: r["n_vectors"])
+    assert fat["mean_center_dist"] > 10.0
+
+    advised, why = ivf_rebuild_advised(spark, idx)
+    assert advised
+    assert "drifted" in why
+
+    # stats refuses a marker-less dir like every other index entry point
+    with pytest.raises(ValueError, match="marker"):
+        ivf_stats(spark, str(tmp_path / "nowhere"))
