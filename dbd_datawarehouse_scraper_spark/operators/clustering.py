@@ -8,10 +8,14 @@ and templated rewrites survive them. The embedding-space recipe
 pairwise comparison only ever happens inside a cluster, never across
 the corpus, which is what makes it feasible at scale:
 
-- clustering: MLlib KMeans (the same coarse quantizer ``ivf_topk``
-  uses) — one pass of Lloyd's per iteration, centroids broadcast;
+- clustering: a coarse k-means quantizer (the same one ``ivf_topk``
+  uses) fit on a BOUNDED content-hash-selected sample with seeded
+  numpy Lloyd's on the driver — the FAISS-style recipe (quantizer
+  training never needs full-corpus passes: centroid placement
+  converges on a ~256·k sample); one TakeOrdered pass selects the
+  sample, so the fit is partition- and rerun-invariant, and
   ``kmeans_fit`` / ``kmeans_assign`` split fit from assignment so
-  centers persist and production reruns are bit-deterministic;
+  centers persist and every rerun is bit-deterministic;
 - within-cluster dedup: ``applyInPandas`` per cluster — a TILED
   greedy earliest-id-wins cosine sweep (row blocks of ``_SWEEP_TILE``
   against all columns: O(tile·|c|) peak memory, never the |c|² Gram;
@@ -43,34 +47,95 @@ _BP = 10_000
 _SWEEP_TILE = 2048
 
 
+#: Default fit-sample bound: FAISS trains IVF quantizers on ~256·k
+#: points; 64k double-precision 64-dim vectors is ~33 MB on the driver.
+_FIT_SAMPLE = 65_536
+
+
+def _lloyd(sample, n_clusters: int, seed: int, max_iter: int, tol: float):
+    """Seeded k-means++ init + Lloyd's over an in-memory (n × d)
+    float64 matrix. Pure numpy, deterministic for a fixed (sample,
+    seed) — ``np.random.RandomState`` is platform-stable. Returns a
+    (k × d) center matrix; empty clusters are re-seeded on the point
+    farthest from its center (ties → lowest row index)."""
+    import numpy as np
+
+    n = len(sample)
+    rng = np.random.RandomState(seed)
+    # k-means++: first center seeded, then D²-weighted draws
+    centers = sample[rng.randint(n)][None, :].copy()
+    for _ in range(1, n_clusters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
+        total = d2.sum()
+        if total <= 0.0:  # fewer distinct points than k: cycle the sample
+            nxt = sample[len(centers) % n]
+        else:
+            nxt = sample[rng.choice(n, p=d2 / total)]
+        centers = np.vstack([centers, nxt])
+    for _ in range(max_iter):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        new = centers.copy()
+        for c in range(n_clusters):
+            mask = assign == c
+            if mask.any():
+                new[c] = sample[mask].mean(0)
+            else:
+                far = d2[np.arange(n), assign].argmax()
+                new[c] = sample[far]
+        shift = float(((new - centers) ** 2).sum())
+        centers = new
+        if shift <= tol:
+            break
+    return centers
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     n_clusters: int = 8,
     seed: int = 42,
+    sample_size: int = _FIT_SAMPLE,
+    max_iter: int = 25,
+    tol: float = 1e-6,
 ) -> list:
-    """Fit MLlib KMeans(seed) and return the centers as a plain
+    """Fit a k-means coarse quantizer and return the centers as a plain
     ``list[list[float]]`` — a tiny, persistable artifact (JSON / a
     k-row parquet table). Feed it back to :func:`kmeans_assign` /
-    :func:`semantic_dedup` via ``centers=`` to make assignments (and
-    every selection downstream of them) bit-deterministic across
-    reruns and input repartitionings: the fit is the only
-    partitioning-sensitive step (k-means|| init samples per
-    partition), so fit once, persist, and every assign after that is
-    a pure per-row broadcast computation.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    :func:`semantic_dedup` via ``centers=`` so every assign after the
+    fit is a pure per-row broadcast computation.
 
-    if n_clusters < 2:  # MLlib requires k ≥ 2
+    The fit itself is sample-based, the FAISS-style quantizer recipe:
+    one TakeOrdered pass selects the ``sample_size`` rows with the
+    smallest ``xxhash64(vector)`` (a content-hash sample — partition-
+    and rerun-invariant, no count pass, bounded driver memory), then
+    seeded k-means++ + Lloyd's run in numpy on the driver. Centroid
+    placement converges on a ~256·k sample; full-corpus Lloyd's passes
+    buy nothing at 100 TB but cost a scan each. Corpora at or below
+    ``sample_size`` fit on ALL their rows (the local-test regime).
+    Unlike the MLlib k-means|| fit this replaced, the result is
+    bit-deterministic across reruns AND input repartitionings — the
+    sample is content-keyed and the driver re-sorts it before init.
+    """
+    import numpy as np
+
+    if n_clusters < 2:  # k=1 is "no clustering"
         raise ValueError(f"n_clusters must be >= 2 to fit, got {n_clusters}")
-    with_vec = df.withColumn(
-        "_kmf_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_h", F.xxhash64("_v"))
+        .orderBy("_h")
+        .limit(int(sample_size))
+        .collect()
     )
-    model = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_kmf_v", predictionCol="_kmf_c"
-    ).fit(with_vec)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    if not rows:
+        raise ValueError("cannot fit k-means on an empty relation")
+    # collect order is partition-dependent even under orderBy for tied
+    # hashes; re-sort by (hash, values) so init sees a canonical order
+    pairs = sorted((r["_h"], tuple(r["_v"])) for r in rows)
+    sample = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    centers = _lloyd(sample, n_clusters, seed, max_iter, tol)
+    return [[float(x) for x in c] for c in centers]
 
 
 def save_centers(spark, centers: list, path: str) -> None:
@@ -130,15 +195,13 @@ def kmeans_assign(
     Returns the input columns plus ``cluster`` (int).
 
     With ``centers`` (from a persisted :func:`kmeans_fit`), this is a
-    pure broadcast nearest-center computation — bit-deterministic
-    across reruns and input partitionings, the production-rerun path.
-    Without it, KMeans(seed) is fit on ``df`` first; k-means|| init
-    samples per PARTITION, so the fitted centroids are deterministic
-    for a fixed partitioning but not guaranteed bit-identical across
-    different partitionings of the same rows (assignments converge to
-    the same clustering when the data has real cluster structure,
-    which is what the partition-invariance test pins on separated
-    blobs). Both paths assign through the same kernel, so
+    pure broadcast nearest-center computation — the production-rerun
+    path. Without it, :func:`kmeans_fit` runs on ``df`` first; since
+    the fit is content-hash-sampled + driver-side Lloyd's, BOTH paths
+    are bit-deterministic across reruns and input repartitionings
+    (persisting centers still matters when the corpus itself changes
+    between runs — appended rows shift a fresh fit). Both paths assign
+    through the same kernel, so
     ``kmeans_assign(df, centers=kmeans_fit(df))`` ==
     ``kmeans_assign(df)`` for the same fit."""
     if centers is None:
@@ -199,13 +262,12 @@ def semantic_dedup(
     sweep is tiled (:func:`_greedy_cosine_survivors`): peak kernel
     memory is O(tile·|c|) per task, never the |c|² Gram — at the
     defaults ≈ 80 MB, safe for tens of concurrent tasks per executor.
-    Pass ``centers`` from a persisted :func:`kmeans_fit` to make the
-    survivor set bit-deterministic across reruns and input
-    partitionings; without it, end-to-end partition invariance rests
-    on the fresh k-means fit being stable (see the
-    :func:`kmeans_assign` caveat): boundary points in structureless
-    data can change cluster — and therefore dedup scope — under a
-    different input partitioning.
+    The survivor set is bit-deterministic across reruns and input
+    partitionings on both fit paths — a fresh :func:`kmeans_fit` is
+    content-hash-sampled and driver-side, so it no longer varies with
+    the input partitioning; pass ``centers`` from a persisted fit when
+    the CORPUS changes between runs (appends shift a fresh fit's
+    sample) and the selection must stay frozen.
     Clusters larger than ``max_cluster_size`` are sub-split by
     ``xxhash64(id) % ceil(|c|/max)`` before the pairwise stage: task
     input stays O(max) rows and near-dups split across sub-buckets are

@@ -398,9 +398,10 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
-    Index build: fit KMeans(seed) on the corpus, assign every vector to
+    Index build: fit the sample-based deterministic quantizer
+    (``clustering.kmeans_fit``) on the corpus, assign every vector to
     its nearest centroid ("list"). Search: each probe scores only the
     vectors in its ``nprobe`` nearest lists, exact-cosine reranked.
     Candidate cost ≈ |corpus| × nprobe / n_lists per probe, vs |corpus|
@@ -408,24 +409,20 @@ def ivf_topk(
     many times (at 100 TB the index is written as a parquet table
     partitioned by list id, so a probe prunes partitions).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_v = corpus.withColumn(
-        "_v", array_to_vector(F.col(corpus_vec).cast("array<double>"))
-    )
     from ..caching import tracked_persist
+    from .clustering import _assign_to_centers, kmeans_fit
 
-    model = KMeans(
-        k=n_lists, seed=seed, featuresCol="_v", predictionCol="_list"
-    ).fit(corpus_v)
+    fitted = kmeans_fit(corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed)
     # tracked — release via caching.release_caches() after the action
-    assigned = tracked_persist(model.transform(corpus_v).drop("_v"))
+    assigned = tracked_persist(
+        _assign_to_centers(corpus, corpus_vec, fitted).withColumnRenamed(
+            "cluster", "_list"
+        )
+    )
 
     spark = corpus.sparkSession
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        ["_list", "_center"],
+        [(i, c) for i, c in enumerate(fitted)], ["_list", "_center"]
     )
 
     # nprobe nearest centroids per probe (centroid table is tiny)
@@ -505,12 +502,12 @@ def ivf_build(
       window land in the refused marker-less state.
 
     Assignment uses the persisted-centers kernel
-    (``clustering._assign_to_centers``), so rebuilding from the same
-    fitted centers is bit-deterministic; the fit itself has the usual
-    k-means|| partitioning caveat (``clustering.kmeans_fit``). Pass
-    ``centers`` (e.g. from ``clustering.load_centers``) to skip the
-    fit entirely — then the whole build is a pure deterministic
-    function of (corpus, centers)."""
+    (``clustering._assign_to_centers``) and the fit is the content-
+    hash-sampled deterministic ``clustering.kmeans_fit``, so a build
+    is a pure deterministic function of (corpus, seed) — partition-
+    and rerun-invariant. Pass ``centers`` (e.g. from
+    ``clustering.load_centers``) to skip the fit entirely, e.g. to
+    rebuild an appended-to index under its ORIGINAL centers."""
     from ..fsutil import fs_delete, fs_exists
     from .clustering import _assign_to_centers, kmeans_fit
 

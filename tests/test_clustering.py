@@ -144,6 +144,36 @@ def test_kmeans_fit_centers_make_assign_partition_invariant(spark, two_blobs):
     assert sa == sb
 
 
+def test_kmeans_fit_bit_deterministic_across_partitionings(spark, two_blobs):
+    """The fit ITSELF (not just assignment-from-saved-centers) is
+    bit-identical across reruns and input repartitionings: the sample
+    is content-hash-keyed (one TakeOrdered pass) and re-sorted on the
+    driver before the seeded init — the old MLlib k-means|| fit
+    sampled per PARTITION and carried a documented caveat here."""
+    a = kmeans_fit(two_blobs.coalesce(1), n_clusters=2)
+    b = kmeans_fit(two_blobs.repartition(13), n_clusters=2)
+    c = kmeans_fit(two_blobs.repartition(13), n_clusters=2)
+    assert a == b == c
+    # sample bound smaller than the corpus: still deterministic (the
+    # hash-smallest rows win regardless of layout), centers still k×d
+    sa = kmeans_fit(two_blobs.coalesce(1), n_clusters=2, sample_size=10)
+    sb = kmeans_fit(two_blobs.repartition(7), n_clusters=2, sample_size=10)
+    assert sa == sb
+    assert len(sa) == 2 and all(len(x) == 3 for x in sa)
+
+
+def test_kmeans_fit_k_exceeding_distinct_points(spark):
+    """More clusters than distinct points: the init cycles the sample
+    instead of dividing by a zero D² mass; every point still assigns
+    to SOME center and the fit stays deterministic."""
+    d = _vec_df(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])])
+    centers = kmeans_fit(d, n_clusters=4)
+    assert len(centers) == 4
+    out = kmeans_assign(d, centers=centers).collect()
+    assert len(out) == 3
+    assert kmeans_fit(d.repartition(5), n_clusters=4) == centers
+
+
 def test_kmeans_assign_fresh_fit_equals_fit_then_assign(spark, two_blobs):
     # both paths assign through the same kernel
     fresh = {
