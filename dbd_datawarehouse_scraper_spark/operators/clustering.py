@@ -211,7 +211,9 @@ def kmeans_assign(
     return _assign_to_centers(df, vec_col, centers)
 
 
-def _greedy_cosine_survivors(mat, threshold: float, tile: int = _SWEEP_TILE):
+def _greedy_cosine_survivors(
+    mat, threshold: float, tile: int = _SWEEP_TILE, pinned: int = 0
+):
     """Greedy earliest-row-wins cosine dedup over a (n × d) matrix;
     returns the boolean keep mask. Rows must already be in id order.
 
@@ -221,7 +223,12 @@ def _greedy_cosine_survivors(mat, threshold: float, tile: int = _SWEEP_TILE):
     O(tile·n) instead of O(n²). The survivor set is identical to the
     full-Gram sweep by construction — similarities are static, rows
     are processed in ascending order, and each row's drop decisions
-    read only the keep mask written by earlier rows."""
+    read only the keep mask written by earlier rows.
+
+    The first ``pinned`` rows are ALREADY-ACCEPTED history (the
+    incremental form): they are never dropped — not even by each
+    other — but still suppress later (non-pinned) rows. With
+    ``pinned=0`` this is the pure batch sweep."""
     import numpy as np
 
     norms = np.linalg.norm(mat, axis=1)
@@ -236,9 +243,12 @@ def _greedy_cosine_survivors(mat, threshold: float, tile: int = _SWEEP_TILE):
             i = start + bi
             if not keep[i]:
                 continue
-            # drop every LATER row similar to survivor i
-            dup = block[bi, i + 1 :] >= threshold
-            keep[i + 1 :] &= ~dup
+            # drop every LATER non-pinned row similar to survivor i
+            j0 = max(i + 1, pinned)
+            if j0 >= n:
+                continue
+            dup = block[bi, j0:] >= threshold
+            keep[j0:] &= ~dup
     return keep
 
 

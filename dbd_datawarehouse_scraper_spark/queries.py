@@ -1763,6 +1763,65 @@ def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("stream_semantic_dedup_hermetic", None)
+def stream_semantic_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental embedding-space (SemDeDup) dedup through the
+    survivor-vector store (streaming/semantic.py): two file-stream
+    epochs over embeddings, centers frozen at store init from a
+    full-relation kmeans_fit; epoch 2 re-sends a third of epoch 1's
+    vectors under new ids plus fresh far-away rows — the re-sent mass
+    drops against the stored history, the fresh rows survive.
+    Rows-only (foreachBatch + streaming trigger, not one SQL
+    statement); prefix-consistency == batch semantic_dedup, pinned
+    history, replay idempotence and store integrity are pinned in
+    tests/test_semantic_stream.py."""
+    import shutil
+    import tempfile
+
+    from .operators.clustering import kmeans_fit
+    from .streaming import file_stream, stream_semantic_dedup
+
+    work = tempfile.mkdtemp(prefix="sem_dedup_q_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    try:
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        e1 = emb.filter(F.col("vec_id") % 2 == 0)
+        centers = kmeans_fit(e1, n_clusters=8)
+        e1.repartition(1).write.mode("append").parquet(src)
+        q = stream_semantic_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, centers=centers, threshold=0.9999,
+        )
+        _await_or_die(q, 180)
+        # epoch 2: a third of epoch 1 re-sent verbatim under new ids
+        # (cross-epoch dups), plus genuinely fresh off-manifold rows
+        dups = e1.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        fresh = e1.filter(F.col("vec_id") % 3 == 1).select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: (x + F.lit(40.0)).cast("float"),
+            ).alias("embedding"),
+        )
+        dups.unionByName(fresh).repartition(1).write.mode("append").parquet(src)
+        q2 = stream_semantic_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, threshold=0.9999,
+        )
+        _await_or_die(q2, 180)
+        survivors = spark.read.parquet(f"{out}/epoch=*").select(
+            "vec_id", "cluster"
+        )
+        # materialize before the temp dirs vanish
+        return spark.createDataFrame(survivors.collect(), survivors.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("stream_pack_shards_hermetic", None)
 def stream_pack_shards_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental shard packing (streaming/sharding.py): two

@@ -15,6 +15,7 @@ from .micro_batch import (  # noqa: F401
 from .stateful import stateful_running_counts  # noqa: F401
 from .joins import interval_join  # noqa: F401
 from .near_dedup import stream_near_dedup  # noqa: F401
+from .semantic import semantic_dedup_epoch, stream_semantic_dedup  # noqa: F401
 from .segments import stream_segment_dedup  # noqa: F401
 from .sharding import stream_pack_shards  # noqa: F401
 from .export import stream_export_training_set  # noqa: F401
