@@ -293,6 +293,12 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .sources.layout import optimize_table
         from .sources.sinks import compact_output
 
+        if args.target_file_mb <= 0:
+            # 0 would divide-by-zero deep in the sizing; negatives
+            # silently degrade to one file — fail both loudly
+            raise ValueError(
+                f"--target-file-mb must be >= 1, got {args.target_file_mb}"
+            )
         zcols = [
             c.strip() for c in (args.zorder_cols or "").split(",") if c.strip()
         ]

@@ -56,38 +56,65 @@ def _lloyd(sample, n_clusters: int, seed: int, max_iter: int, tol: float):
     """Seeded k-means++ init + Lloyd's over an in-memory (n × d)
     float64 matrix. Pure numpy, deterministic for a fixed (sample,
     seed) — ``np.random.RandomState`` is platform-stable. Returns a
-    (k × d) center matrix; empty clusters are re-seeded on the point
-    farthest from its center (ties → lowest row index)."""
+    (k × d) center matrix.
+
+    Memory: distances use the ``|x|² - 2x·c + |c|²`` expansion — one
+    (n × k) float64 matrix (at the 64k-sample default and k=256 that
+    is ~134 MB), NEVER the (n × k × d) broadcast temporary (96 GiB at
+    d=768/k=256 — a reviewed driver-OOM). The init keeps a running
+    per-point min-distance, so each draw costs one O(n·d) pass.
+    Empty clusters are re-seeded on SUCCESSIVE farthest points (by
+    distance to their assigned center, descending, one distinct row
+    per empty cluster) — re-seeding them all on THE farthest point
+    would leave duplicate centers that never separate (effective k
+    shrinks). Centers can still coincide when the sample has fewer
+    distinct points than k; nearest-center ties break to the lowest
+    index downstream."""
     import numpy as np
 
     n = len(sample)
     rng = np.random.RandomState(seed)
-    # k-means++: first center seeded, then D²-weighted draws
-    centers = sample[rng.randint(n)][None, :].copy()
+    s2 = (sample * sample).sum(axis=1)
+
+    def _d2_to(c):  # squared distances to ONE center, O(n·d)
+        d = s2 - 2.0 * (sample @ c) + (c * c).sum()
+        return np.maximum(d, 0.0)
+
+    # k-means++: first center seeded, then D²-weighted draws against a
+    # running min-distance (O(n·d) per draw, not O(n·k·d))
+    centers = [sample[rng.randint(n)].copy()]
+    best = _d2_to(centers[0])
     for _ in range(1, n_clusters):
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
-        total = d2.sum()
+        total = best.sum()
         if total <= 0.0:  # fewer distinct points than k: cycle the sample
-            nxt = sample[len(centers) % n]
+            nxt = sample[len(centers) % n].copy()
         else:
-            nxt = sample[rng.choice(n, p=d2 / total)]
-        centers = np.vstack([centers, nxt])
+            nxt = sample[rng.choice(n, p=best / total)].copy()
+        centers.append(nxt)
+        np.minimum(best, _d2_to(nxt), out=best)
+    C = np.asarray(centers)
     for _ in range(max_iter):
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
-        new = centers.copy()
-        for c in range(n_clusters):
-            mask = assign == c
-            if mask.any():
-                new[c] = sample[mask].mean(0)
-            else:
-                far = d2[np.arange(n), assign].argmax()
-                new[c] = sample[far]
-        shift = float(((new - centers) ** 2).sum())
-        centers = new
+        # (n × k) expansion, clamped at 0 for float cancellation
+        d2 = s2[:, None] - 2.0 * (sample @ C.T) + (C * C).sum(axis=1)[None, :]
+        np.maximum(d2, 0.0, out=d2)
+        assign = d2.argmin(axis=1)
+        new = C.copy()
+        empties = [
+            c for c in range(n_clusters) if not np.any(assign == c)
+        ]
+        if empties:
+            far_order = np.argsort(
+                -d2[np.arange(n), assign], kind="stable"
+            )
+        for rank, c in enumerate(empties):
+            new[c] = sample[far_order[rank % n]]
+        for c in set(range(n_clusters)) - set(empties):
+            new[c] = sample[assign == c].mean(axis=0)
+        shift = float(((new - C) ** 2).sum())
+        C = new
         if shift <= tol:
             break
-    return centers
+    return C
 
 
 def kmeans_fit(

@@ -193,41 +193,27 @@ def optimize_table(
     the table-format-less equivalent of ``OPTIMIZE ... ZORDER BY``:
     one rewrite fixes both the small-files problem (accumulated
     micro-batch appends) and the layout problem (row groups spanning
-    the full domain). File count is sized from the current bytes /
-    ``target_mb`` like :func:`..sinks.compact_output`, whose
-    rewrite-then-swap protocol (and ``recover_compaction`` crash
-    recovery — same marker names) this reuses, including its explicit
-    LOCAL-POSIX/exclusive-writer constraints: on a cluster, rewrite
-    through a transactional table format instead, and run per
-    partition directory at 100 TB. Returns the new file count."""
-    import glob as _glob
-    import os
-    import shutil
+    the full domain). Runs through :func:`..sinks._compact_swap` —
+    THE shared rewrite-then-swap protocol (``recover_compaction``
+    crash recovery, same marker names, flat-data-directory guard:
+    hive-partitioned, nested, or marker-bearing directories refuse
+    instead of being irreversibly flattened) — with
+    :func:`zorder_write` as the rewrite. The LOCAL-POSIX/
+    exclusive-writer constraints of :func:`..sinks.compact_output`
+    apply unchanged: on a cluster, rewrite through a transactional
+    table format instead, and run per partition directory at 100 TB.
+    Returns the new file count."""
+    from .sinks import _compact_swap
 
-    from .sinks import recover_compaction
+    def _write(tmp: str, n_files: int) -> None:
+        zorder_write(
+            spark.read.parquet(path),
+            tmp,
+            zorder_cols,
+            bits=bits,
+            num_files=n_files,
+            bloom_cols=bloom_cols,
+            options=options,
+        )
 
-    recover_compaction(path)
-    files = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    ]
-    total_bytes = sum(os.path.getsize(f) for f in files)
-    n_files = int(max(1, -(-total_bytes // (target_mb * 1024 * 1024))))
-    tmp = f"{path}.__compact_tmp__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # stale tmp from a crash before the swap
-    zorder_write(
-        spark.read.parquet(path),
-        tmp,
-        zorder_cols,
-        bits=bits,
-        num_files=n_files,
-        bloom_cols=bloom_cols,
-        options=options,
-    )
-    old = f"{path}.__compact_old__"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return n_files
+    return _compact_swap(path, target_mb, _write)

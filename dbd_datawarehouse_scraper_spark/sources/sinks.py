@@ -93,30 +93,91 @@ def compact_output(
     directory pointer; at 100 TB run this per partition directory, not
     per table. A crash between the two renames strands the data at
     ``path.__compact_old__`` — call :func:`recover_compaction` at
-    startup to roll back."""
+    startup to roll back.
+
+    FLAT DATA DIRECTORIES ONLY: the rewrite reads with a plain
+    ``spark.read`` and writes flat, so a hive-partitioned layout
+    (``col=value`` subdirs) would be flattened, any other nested
+    directory silently dropped, and sidecar markers (a streaming
+    store's ``_schema``) lost — all irreversibly once the swap's
+    ``rmtree`` runs. Structured directories are refused up front;
+    compact their leaf directories individually (epoch stores have
+    :func:`fold_epoch_dirs`, which preserves their protocol)."""
+
+    def _write(tmp: str, n_files: int) -> None:
+        reader = (
+            spark.read.option("header", True).csv(path)
+            if fmt == "csv"
+            else spark.read.parquet(path)
+        )
+        batched_sink(reader, tmp, fmt=fmt, target_files=n_files)
+
+    return _compact_swap(path, target_mb, _write)
+
+
+def _assert_flat_data_dir(path: str) -> None:
+    """Refuse to rewrite-and-swap a directory whose structure the flat
+    rewrite would destroy: hive partition subdirs get flattened into a
+    column, other subdirs are silently dropped by ``spark.read``, and
+    sidecar markers (underscore-prefixed, e.g. a streaming out_path's
+    ``_schema``) are not carried over — each a permanent loss after
+    the swap deletes the original."""
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("."):
+            continue
+        # underscore check FIRST: this package's markers (_schema,
+        # _FOLDED_GEN) are themselves small json DIRECTORIES
+        if entry.startswith("_") and entry != "_SUCCESS":
+            raise ValueError(
+                f"refusing to compact {path}: sidecar marker {entry!r} "
+                "would be dropped by the rewrite (the directory looks "
+                "like a versioned store output, not a plain table)."
+            )
+        if os.path.isdir(os.path.join(path, entry)):
+            kind = (
+                "a hive-partitioned (col=value) layout"
+                if "=" in entry
+                else "nested directories"
+            )
+            raise ValueError(
+                f"refusing to compact {path}: it contains {kind} "
+                f"({entry!r}) which a flat rewrite-and-swap would "
+                "destroy. Compact leaf directories individually; for "
+                "streaming epoch stores use fold_epoch_dirs, which "
+                "preserves the store protocol."
+            )
+
+
+def _compact_swap(path: str, target_mb: int, write_tmp) -> int:
+    """The shared rewrite-and-swap protocol behind
+    :func:`compact_output` and ``layout.optimize_table``: recover a
+    crashed prior attempt, refuse structured directories, size the
+    target file count from the current bytes, write the replacement
+    via ``write_tmp(tmp_path, n_files)``, then two-rename swap and
+    delete the original. Kept in ONE place so the crash-safety
+    contract (marker names, rename order, :func:`recover_compaction`)
+    cannot drift between callers."""
     import glob
 
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
     recover_compaction(path)  # roll back any crashed prior attempt
+    _assert_flat_data_dir(path)
     files = [
         f for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
         if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
     ]
     total_bytes = sum(os.path.getsize(f) for f in files)
-    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-    reader = (
-        spark.read.option("header", True).csv(path)
-        if fmt == "csv"
-        else spark.read.parquet(path)
-    )
+    n_files = int(max(1, -(-total_bytes // (target_mb * 1024 * 1024))))
     tmp = f"{path}.__compact_tmp__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # stale tmp from a crash before the swap
-    batched_sink(reader, tmp, fmt=fmt, target_files=int(n_files))
+    write_tmp(tmp, n_files)
     old = f"{path}.__compact_old__"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return int(n_files)
+    return n_files
 
 
 def recover_compaction(path: str) -> bool:

@@ -539,3 +539,10 @@ def test_cli_optimize_output_mode(spark, tmp_path):
     assert rc == 0
     assert len(glob.glob(f"{path2}/part-*.parquet")) < 24
     assert spark.read.parquet(path2).count() == 5000
+
+    # --target-file-mb 0 would divide by zero deep in the sizing;
+    # negatives silently degrade to one file — both refuse up front
+    for bad in ("0", "-5"):
+        with pytest.raises(ValueError, match="--target-file-mb"):
+            main(["--optimize-output", path2, "--target-file-mb", bad,
+                  "--config", str(tmp_path / "none.yaml")])

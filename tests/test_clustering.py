@@ -174,6 +174,44 @@ def test_kmeans_fit_k_exceeding_distinct_points(spark):
     assert kmeans_fit(d.repartition(5), n_clusters=4) == centers
 
 
+def test_lloyd_memory_stays_n_by_k():
+    """The driver-side fit must never materialize an (n × k × d)
+    broadcast temporary — at d=768/k=256 that is tens of GiB (reviewed
+    driver-OOM). Distances use the |x|²-2x·c+|c|² expansion: one
+    (n × k) matrix. Pinned by peak traced allocation: the broadcast
+    form would allocate n·k·d·8 B ≈ 164 MB here; the expansion stays
+    under ~40 MB including the init passes."""
+    import tracemalloc
+
+    from dbd_datawarehouse_scraper_spark.operators.clustering import _lloyd
+
+    rng = np.random.RandomState(0)
+    sample = rng.randn(20_000, 64)
+    tracemalloc.start()
+    C = _lloyd(sample, 16, seed=42, max_iter=5, tol=1e-6)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert C.shape == (16, 64)
+    assert peak < 120 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+
+
+def test_lloyd_empty_cluster_reseeds_are_distinct():
+    """When clusters come up empty in an iteration, each is re-seeded
+    on a DIFFERENT farthest point — re-seeding all on THE farthest
+    point leaves duplicate centers that never separate (effective k
+    silently shrinks). With k separated points and k clusters, every
+    seed must end with k distinct centers."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import _lloyd
+
+    pts = np.array(
+        [[0.0, 0.0], [100.0, 0.0], [0.0, 100.0], [100.0, 100.0]]
+    )
+    sample = np.repeat(pts, 5, axis=0)
+    for seed in range(8):
+        C = _lloyd(sample, 4, seed=seed, max_iter=25, tol=1e-9)
+        assert len({tuple(np.round(c, 6)) for c in C}) == 4, f"seed {seed}"
+
+
 def test_kmeans_assign_fresh_fit_equals_fit_then_assign(spark, two_blobs):
     # both paths assign through the same kernel
     fresh = {

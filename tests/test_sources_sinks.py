@@ -494,6 +494,58 @@ def test_compact_output(spark, workdir):
     assert out.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10000))
 
 
+def test_compact_refuses_structured_directories(spark, workdir):
+    """The rewrite-and-swap protocol reads flat and writes flat, so a
+    hive-partitioned layout would be flattened into a column, any
+    other nested dir silently DROPPED (plain spark.read does not
+    recurse), and sidecar markers lost — all irreversible after the
+    swap's rmtree. Every structured shape must refuse up front, with
+    the original directory untouched (reviewed round-7: pointing
+    --optimize-output at a streaming out_path destroyed it)."""
+    from dbd_datawarehouse_scraper_spark.sources.layout import optimize_table
+    from dbd_datawarehouse_scraper_spark.sources.sinks import compact_output
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    # hive-partitioned layout
+    part = f"{workdir}/parted"
+    df.withColumn("p", F.col("id") % 2).write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_output(spark, part, target_mb=512)
+    assert spark.read.parquet(part).count() == 100  # untouched
+
+    # epoch-store out_path: epoch dirs + _schema marker
+    out = f"{workdir}/stream_out"
+    df.write.parquet(f"{out}/epoch=0")
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        optimize_table(spark, out, ["id"])
+    assert spark.read.parquet(f"{out}/epoch=0").count() == 100
+
+    # sidecar marker on an otherwise flat dir
+    marked = f"{workdir}/marked"
+    df.write.parquet(marked)
+    os.mkdir(f"{marked}/_schema")
+    with pytest.raises(ValueError, match="sidecar marker"):
+        compact_output(spark, marked, target_mb=512)
+
+    # generic nested directory (spark.read would silently drop it)
+    nested = f"{workdir}/nested"
+    df.write.parquet(nested)
+    df.write.parquet(f"{nested}/extra")
+    with pytest.raises(ValueError, match="nested directories"):
+        compact_output(spark, nested, target_mb=512)
+
+    # non-positive target sizes fail loudly instead of dividing by
+    # zero (0) or silently degrading to one file (negative)
+    flat = f"{workdir}/flat_ok"
+    df.write.parquet(flat)
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="target_mb"):
+            compact_output(spark, flat, target_mb=bad)
+        with pytest.raises(ValueError, match="target_mb"):
+            optimize_table(spark, flat, ["id"], target_mb=bad)
+
+
 def test_fold_epoch_dirs_preserves_rows_and_bounds_generations(spark):
     """K committed epoch dirs fold into ONE epoch=<max> generation with
     identical rows; dirs at/above below_epoch (the replay window) are
