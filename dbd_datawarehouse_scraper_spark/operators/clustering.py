@@ -51,6 +51,23 @@ _SWEEP_TILE = 2048
 #: points; 64k double-precision 64-dim vectors is ~33 MB on the driver.
 _FIT_SAMPLE = 65_536
 
+_HASH_SPAN = 1 << 62  # pmod(xxhash64, 2^62): uniform, fits a long
+
+
+def _fit_sample_rows(df: DataFrame, vec_col: str, sample_size: int) -> list:
+    """The ``sample_size`` rows with the smallest non-negative content
+    hash, as collected Rows of (_v: array<double>, _h: long). See
+    :func:`kmeans_fit` for why a hash-threshold pre-filter bounds the
+    TakeOrdered merge at high partition counts."""
+    hashed = df.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_h", F.pmod(F.xxhash64("_v"), F.lit(_HASH_SPAN)))
+    n_total = hashed.count()
+    if n_total > 1.25 * sample_size:
+        thresh = max(1, int(1.25 * sample_size / n_total * _HASH_SPAN))
+        hashed = hashed.filter(F.col("_h") < thresh)
+    return hashed.orderBy("_h").limit(sample_size).collect()
+
 
 def _lloyd(sample, n_clusters: int, seed: int, max_iter: int, tol: float):
     """Seeded k-means++ init + Lloyd's over an in-memory (n × d)
@@ -133,28 +150,34 @@ def kmeans_fit(
     fit is a pure per-row broadcast computation.
 
     The fit itself is sample-based, the FAISS-style quantizer recipe:
-    one TakeOrdered pass selects the ``sample_size`` rows with the
-    smallest ``xxhash64(vector)`` (a content-hash sample — partition-
-    and rerun-invariant, no count pass, bounded driver memory), then
-    seeded k-means++ + Lloyd's run in numpy on the driver. Centroid
-    placement converges on a ~256·k sample; full-corpus Lloyd's passes
-    buy nothing at 100 TB but cost a scan each. Corpora at or below
-    ``sample_size`` fit on ALL their rows (the local-test regime).
-    Unlike the MLlib k-means|| fit this replaced, the result is
-    bit-deterministic across reruns AND input repartitionings — the
-    sample is content-keyed and the driver re-sorts it before init.
+    select the ``sample_size`` rows with the smallest non-negative
+    content hash (``pmod(xxhash64(vector), 2^62)`` — partition- and
+    rerun-invariant), then run seeded k-means++ + Lloyd's in numpy on
+    the driver. Centroid placement converges on a ~256·k sample;
+    full-corpus Lloyd's passes buy nothing at 100 TB but cost a scan
+    each. Corpora at or below ``sample_size`` fit on ALL their rows
+    (the local-test regime). Unlike the MLlib k-means|| fit this
+    replaced, the result is bit-deterministic across reruns AND input
+    repartitionings — the sample is content-keyed and the driver
+    re-sorts it before init.
+
+    Scale shape: a bare ``orderBy(hash).limit(s)`` funnels the
+    per-partition top-``s`` sets — ``s × num_partitions`` rows — into
+    one merge, which at 10k partitions is ~half a billion rows. A
+    stateless hash-threshold pre-filter (rate from one ``count()``,
+    ~free on a plain parquet scan) first cuts the relation to
+    ~1.25·``sample_size`` rows, bounding the merge regardless of
+    partition count; because selection and ordering use the SAME
+    non-negative hash, the pre-filtered sample is identical to the
+    unfiltered one whenever enough rows pass (the 1.25 oversample
+    makes a shortfall vanishingly rare, and a shortfall only shrinks
+    the sample, never biases it).
     """
     import numpy as np
 
     if n_clusters < 2:  # k=1 is "no clustering"
         raise ValueError(f"n_clusters must be >= 2 to fit, got {n_clusters}")
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn("_h", F.xxhash64("_v"))
-        .orderBy("_h")
-        .limit(int(sample_size))
-        .collect()
-    )
+    rows = _fit_sample_rows(df, vec_col, int(sample_size))
     if not rows:
         raise ValueError("cannot fit k-means on an empty relation")
     # collect order is partition-dependent even under orderBy for tied

@@ -304,11 +304,19 @@ def semantic_dedup_epoch(
         union.groupBy("cluster", "_sub").applyInPandas(_sweep, out_schema)
     )
     survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+    # cluster-clustered store layout: the history read filters on the
+    # batch's clusters, so packing each cluster's rows contiguously
+    # makes the parquet row-group min/max statistics prune the scan
+    # (folds rewrite rows, not layout guarantees — keep the sort cheap
+    # enough that losing it after a fold only costs pruning, never
+    # correctness)
     survivors.select(
         "cluster",
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
-    ).write.mode("overwrite").parquet(f"{store_path}/vecs/epoch={epoch_id}")
+    ).repartition("cluster").sortWithinPartitions("cluster").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/vecs/epoch={epoch_id}")
     release_since(mark)
     return True
 

@@ -174,6 +174,43 @@ def test_kmeans_fit_k_exceeding_distinct_points(spark):
     assert kmeans_fit(d.repartition(5), n_clusters=4) == centers
 
 
+def test_fit_sample_prefilter_matches_unfiltered_sample(spark):
+    """At scale the fit pre-filters by a hash threshold so the
+    TakeOrdered merge stays bounded by the sample, not by
+    sample × partitions. Selection and ordering use the SAME
+    non-negative hash, so the pre-filtered sample must be IDENTICAL
+    to the brute-force smallest-hash sample — and therefore the fit
+    is too."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import (
+        _fit_sample_rows,
+    )
+
+    d = _vec_df(
+        spark,
+        [(i, [float(i % 13), float(i % 7), float(i)]) for i in range(1000)],
+    )
+    sample_size = 60  # 1000 > 1.25*60: the pre-filter branch runs
+    got = [
+        (r["_h"], tuple(r["_v"]))
+        for r in _fit_sample_rows(d, "embedding", sample_size)
+    ]
+    full = sorted(
+        (r["_h"], tuple(r["_v"]))
+        for r in d.select(
+            F.col("embedding").cast("array<double>").alias("_v")
+        )
+        .withColumn("_h", F.pmod(F.xxhash64("_v"), F.lit(1 << 62)))
+        .collect()
+    )
+    assert sorted(got) == full[:sample_size]
+    # and across partitionings
+    got13 = [
+        (r["_h"], tuple(r["_v"]))
+        for r in _fit_sample_rows(d.repartition(13), "embedding", sample_size)
+    ]
+    assert sorted(got13) == full[:sample_size]
+
+
 def test_lloyd_memory_stays_n_by_k():
     """The driver-side fit must never materialize an (n × k × d)
     broadcast temporary — at d=768/k=256 that is tens of GiB (reviewed
