@@ -33,6 +33,7 @@ from .joins import (  # noqa: F401
 from .graph import component_survivors, connected_components  # noqa: F401
 from .clustering import (  # noqa: F401
     cluster_balanced_sample,
+    cluster_distance_filter,
     kmeans_assign,
     kmeans_fit,
     load_centers,

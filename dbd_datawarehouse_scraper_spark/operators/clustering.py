@@ -366,6 +366,97 @@ def semantic_dedup(
     return sub.groupBy("cluster", "_sub").applyInPandas(_dedup_group, out_schema)
 
 
+def _assign_with_distance(
+    df: DataFrame, vec_col: str, centers: list
+) -> DataFrame:
+    """Like :func:`_assign_to_centers` but also emits ``_dist`` — the
+    Euclidean distance to the assigned (nearest) center. One Arrow
+    kernel, same determinism (argmin keeps the first index on ties)."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    if C.ndim != 2 or len(C) == 0:
+        raise ValueError(f"centers must be a non-empty k x d list, got shape {C.shape}")
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("struct<cluster:int, _dist:double>")
+    def _nearest_d(vs: pd.Series) -> pd.DataFrame:
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        if len(x) == 0:
+            return pd.DataFrame({"cluster": [], "_dist": []})
+        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c2[None, :]
+        np.maximum(d2, 0.0, out=d2)
+        a = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": a.astype("int32"),
+                "_dist": np.sqrt(d2[np.arange(len(x)), a]),
+            }
+        )
+
+    s = df.withColumn("_cd", _nearest_d(F.col(vec_col)))
+    return s.select(*df.columns, "_cd.cluster", "_cd._dist")
+
+
+def cluster_distance_filter(
+    df: DataFrame,
+    centers: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    drop_closest: float = 0.1,
+    drop_farthest: float = 0.0,
+) -> DataFrame:
+    """D4-style prototype/outlier pruning (Tirumala et al. 2023 —
+    SemDeDup removes DUPLICATES; this removes the per-cluster
+    distance-rank tails): within each k-means cluster, drop the
+    ``drop_closest`` fraction of rows NEAREST the centroid (the
+    over-represented "prototypical" mass — templated/boilerplate-like
+    points that add little diversity) and the ``drop_farthest``
+    fraction FARTHEST from it (embedding-space outliers: mislabeled /
+    off-distribution rows). Returns survivors with their ``cluster``
+    and ``_dist`` columns.
+
+    Rank-exact, not quantile-approximate: rows are ranked per cluster
+    by (distance, id) — the id tiebreak makes the kept set a pure
+    deterministic function of (rows, centers), rerun- and
+    partition-invariant like every selection in this package
+    (``percentile_approx``'s sketch merge is partition-order
+    sensitive, so it is deliberately not used). Cost: one broadcast
+    assignment kernel + one per-cluster sort window — the same
+    cluster-bounded shuffle shape as ``semantic_dedup``; ``centers``
+    must come from :func:`kmeans_fit` (frozen centers keep the prune
+    reproducible across corpus growth)."""
+    from pyspark.sql import Window
+
+    if not (0.0 <= drop_closest < 1.0) or not (0.0 <= drop_farthest < 1.0):
+        raise ValueError(
+            f"drop fractions out of [0, 1): {drop_closest}, {drop_farthest}"
+        )
+    if drop_closest + drop_farthest >= 1.0:
+        raise ValueError(
+            f"drop_closest + drop_farthest must leave something: "
+            f"{drop_closest} + {drop_farthest} >= 1"
+        )
+    d = _assign_with_distance(df, vec_col, centers)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_dist").asc(), F.col(id_col).asc()
+    )
+    ranked = d.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_cn", F.count("*").over(Window.partitionBy("cluster"))
+    )
+    # floor, not ceil: on tiny clusters a fraction below 1/|c| drops
+    # NOTHING rather than a whole point per tail — conservative
+    # (never annihilates a small cluster; a 2-point cluster at
+    # 0.2+0.1 would otherwise lose both ends)
+    lo = F.floor(F.lit(float(drop_closest)) * F.col("_cn"))
+    hi = F.col("_cn") - F.floor(F.lit(float(drop_farthest)) * F.col("_cn"))
+    return ranked.filter((F.col("_rk") > lo) & (F.col("_rk") <= hi)).drop(
+        "_rk", "_cn"
+    )
+
+
 def cluster_balanced_sample(
     assigned: DataFrame,
     id_col: str = "vec_id",

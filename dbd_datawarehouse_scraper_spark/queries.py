@@ -2906,6 +2906,27 @@ def embedding_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("prototype_pruning", None)
+def prototype_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] D4-style per-cluster distance-rank pruning
+    (operators/clustering.py cluster_distance_filter): k-means the
+    embeddings with frozen kmeans_fit centers, then drop the 15%
+    nearest each centroid (over-represented prototypical mass) and
+    the 5% farthest (embedding-space outliers). Rank-exact with an id
+    tiebreak — deterministic and partition-invariant, no approximate
+    quantiles. Rows-only (the broadcast-centers assignment kernel has
+    no SQL mirror); geometry, tie, floor-on-tiny-clusters and
+    partition-invariance semantics are pinned in
+    tests/test_clustering.py."""
+    from .operators.clustering import cluster_distance_filter, kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    centers = kmeans_fit(e, n_clusters=8)
+    return cluster_distance_filter(
+        e, centers, drop_closest=0.15, drop_farthest=0.05
+    ).select("vec_id", "cluster", F.round("_dist", 6).alias("center_dist"))
+
+
 @register("corpus_mix", None)
 def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Deterministic corpus mixing (operators/mixing.py): the

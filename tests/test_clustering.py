@@ -269,6 +269,64 @@ def test_kmeans_fit_rejects_k1(spark, two_blobs):
         kmeans_fit(two_blobs, n_clusters=1)
 
 
+def test_cluster_distance_filter_prunes_rank_tails(spark):
+    """D4-style pruning: per cluster, the drop_closest fraction
+    nearest the centroid and drop_farthest fraction farthest go; known
+    radii make the kept set exact. Ties break by id (deterministic),
+    the filter is partition-invariant, and bad fractions refuse."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import (
+        cluster_distance_filter,
+    )
+
+    centers = [[0.0, 0.0], [100.0, 100.0]]
+    # cluster 0: radii 1..10 under ids 1..10; cluster 1: two points
+    rows = [(i, [float(i), 0.0]) for i in range(1, 11)]
+    rows += [(20, [100.0, 101.0]), (21, [100.0, 102.0])]
+    d = _vec_df(spark, rows)
+
+    out = cluster_distance_filter(
+        d, centers, drop_closest=0.2, drop_farthest=0.1
+    )
+    kept0 = sorted(
+        r["vec_id"] for r in out.collect() if r["cluster"] == 0
+    )
+    # floor(0.2*10)=2 closest (radii 1,2) and floor(0.1*10)=1 farthest
+    # (radius 10) drop
+    assert kept0 == [3, 4, 5, 6, 7, 8, 9]
+    kept1 = sorted(r["vec_id"] for r in out.collect() if r["cluster"] == 1)
+    # tiny cluster: floor(0.2*2)=floor(0.1*2)=0 — nothing drops (the
+    # conservative floor semantics; ceil would annihilate the pair)
+    assert kept1 == [20, 21]
+    assert "_dist" in out.columns
+
+    # tie at the same radius: the LOWER id ranks first and drops
+    tie = _vec_df(spark, [(5, [1.0, 0.0]), (6, [0.0, 1.0]), (7, [2.0, 0.0])])
+    t = cluster_distance_filter(tie, [[0.0, 0.0]], drop_closest=0.34)
+    assert sorted(r["vec_id"] for r in t.collect()) == [6, 7]
+
+    # partition invariance
+    a = sorted(
+        r["vec_id"]
+        for r in cluster_distance_filter(
+            d.coalesce(1), centers, drop_closest=0.2, drop_farthest=0.1
+        ).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in cluster_distance_filter(
+            d.repartition(7), centers, drop_closest=0.2, drop_farthest=0.1
+        ).collect()
+    )
+    assert a == b == sorted(kept0 + kept1)
+
+    with pytest.raises(ValueError, match="drop fractions"):
+        cluster_distance_filter(d, centers, drop_closest=1.0)
+    with pytest.raises(ValueError, match="leave something"):
+        cluster_distance_filter(
+            d, centers, drop_closest=0.6, drop_farthest=0.5
+        )
+
+
 def test_cluster_balanced_sample_caps_hot_cluster(spark):
     rows = [(i, 0) for i in range(900)] + [(1000 + i, 1) for i in range(100)]
     d = spark.createDataFrame(rows, ["vec_id", "cluster"])
