@@ -12,8 +12,9 @@ the corpus, which is what makes it feasible at scale:
   uses) fit on a BOUNDED content-hash-selected sample with seeded
   numpy Lloyd's on the driver — the FAISS-style recipe (quantizer
   training never needs full-corpus passes: centroid placement
-  converges on a ~256·k sample); one TakeOrdered pass selects the
-  sample, so the fit is partition- and rerun-invariant, and
+  converges on a ~256·k sample); a sizing count + one bounded
+  TakeOrdered pass select the sample (content-keyed, null-free), so
+  the fit is partition- and rerun-invariant, and
   ``kmeans_fit`` / ``kmeans_assign`` split fit from assignment so
   centers persist and every rerun is bit-deterministic;
 - within-cluster dedup: ``applyInPandas`` per cluster — a TILED
@@ -55,13 +56,24 @@ _HASH_SPAN = 1 << 62  # pmod(xxhash64, 2^62): uniform, fits a long
 
 
 def _fit_sample_rows(df: DataFrame, vec_col: str, sample_size: int) -> list:
-    """The ``sample_size`` rows with the smallest non-negative content
-    hash, as collected Rows of (_v: array<double>, _h: long). See
-    :func:`kmeans_fit` for why a hash-threshold pre-filter bounds the
-    TakeOrdered merge at high partition counts."""
-    hashed = df.select(
-        F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_h", F.pmod(F.xxhash64("_v"), F.lit(_HASH_SPAN)))
+    """The ``sample_size`` non-null rows with the smallest non-negative
+    content hash, as collected Rows of (_v: array<double>, _h: long).
+    See :func:`kmeans_fit` for why a hash-threshold pre-filter bounds
+    the TakeOrdered merge at high partition counts.
+
+    NULL vectors are excluded BEFORE hashing: ``xxhash64(NULL)``
+    returns the seed (42), which under the non-negative pmod ordering
+    would sort every null row to the FRONT of the sample and crash the
+    driver-side fit (reviewed). The sizing ``count()`` is one extra
+    pass of the projected relation — near-free on a parquet scan
+    (row-group metadata), a real second evaluation on an expensive
+    derived plan; fit from a persisted relation (or persist centers,
+    the production shape) when that matters."""
+    hashed = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_h", F.pmod(F.xxhash64("_v"), F.lit(_HASH_SPAN)))
+    )
     n_total = hashed.count()
     if n_total > 1.25 * sample_size:
         thresh = max(1, int(1.25 * sample_size / n_total * _HASH_SPAN))
@@ -213,25 +225,11 @@ def _assign_to_centers(df: DataFrame, vec_col: str, centers: list) -> DataFrame:
     list: one Arrow-vectorized pandas kernel per batch, no fit, no
     shuffle. Ties break to the lowest center index (numpy argmin
     keeps the first occurrence), so the assignment is a pure
-    deterministic function of (row, centers)."""
-    import numpy as np
-
-    C = np.asarray(centers, dtype=np.float64)
-    if C.ndim != 2 or len(C) == 0:
-        raise ValueError(f"centers must be a non-empty k x d list, got shape {C.shape}")
-    c2 = (C * C).sum(axis=1)
-
-    @F.pandas_udf("int")
-    def _nearest(vs: pd.Series) -> pd.Series:
-        x = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
-        )
-        if len(x) == 0:
-            return pd.Series([], dtype="int32")
-        d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c2[None, :]
-        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
-
-    return df.withColumn("cluster", _nearest(F.col(vec_col)))
+    deterministic function of (row, centers). Delegates to the ONE
+    distance kernel (:func:`_assign_with_distance`) so assignment
+    semantics can never drift between the two entry points; the
+    dropped ``_dist`` costs one sqrt+gather next to the matmul."""
+    return _assign_with_distance(df, vec_col, centers).drop("_dist")
 
 
 def kmeans_assign(
@@ -397,7 +395,12 @@ def _assign_with_distance(
         )
 
     s = df.withColumn("_cd", _nearest_d(F.col(vec_col)))
-    return s.select(*df.columns, "_cd.cluster", "_cd._dist")
+    # REPLACE any pre-existing cluster/_dist (e.g. composing after
+    # kmeans_assign or semantic_dedup survivors) — appending would
+    # leave two 'cluster' columns and every downstream reference
+    # ambiguous (reviewed)
+    keep = [c for c in df.columns if c not in ("cluster", "_dist")]
+    return s.select(*keep, "_cd.cluster", "_cd._dist")
 
 
 def cluster_distance_filter(
@@ -419,9 +422,13 @@ def cluster_distance_filter(
     and ``_dist`` columns.
 
     Rank-exact, not quantile-approximate: rows are ranked per cluster
-    by (distance, id) — the id tiebreak makes the kept set a pure
-    deterministic function of (rows, centers), rerun- and
-    partition-invariant like every selection in this package
+    by (1e-9-quantized distance, id) — the quantization absorbs BLAS
+    batch-shape ulp noise and the id tiebreak makes the kept set a
+    pure deterministic function of (rows, centers), rerun- and
+    partition-invariant like every selection in this package. Drop
+    fractions resolve to basis points (1/10000) and the per-cluster
+    drop counts are exact integer floors of that rational — no binary
+    float rounding (0.29 of a 100-row cluster drops exactly 29)
     (``percentile_approx``'s sketch merge is partition-order
     sensitive, so it is deliberately not used). Cost: one broadcast
     assignment kernel + one per-cluster sort window — the same
@@ -440,18 +447,27 @@ def cluster_distance_filter(
             f"{drop_closest} + {drop_farthest} >= 1"
         )
     d = _assign_with_distance(df, vec_col, centers)
-    w = Window.partitionBy("cluster").orderBy(
-        F.col("_dist").asc(), F.col(id_col).asc()
-    )
+    # rank on the 1e-9-quantized distance (the package's quantized-
+    # integer ranking convention): BLAS may produce ulp-different
+    # distances under different Arrow batch shapes, and the id
+    # tiebreak only fires on exact equality — quantizing makes the
+    # rank a stable function of (row, centers) across partitionings
+    qdist = F.round(F.col("_dist") * F.lit(1e9)).cast("long")
+    w = Window.partitionBy("cluster").orderBy(qdist.asc(), F.col(id_col).asc())
     ranked = d.withColumn("_rk", F.row_number().over(w)).withColumn(
         "_cn", F.count("*").over(Window.partitionBy("cluster"))
     )
     # floor, not ceil: on tiny clusters a fraction below 1/|c| drops
     # NOTHING rather than a whole point per tail — conservative
     # (never annihilates a small cluster; a 2-point cluster at
-    # 0.2+0.1 would otherwise lose both ends)
-    lo = F.floor(F.lit(float(drop_closest)) * F.col("_cn"))
-    hi = F.col("_cn") - F.floor(F.lit(float(drop_farthest)) * F.col("_cn"))
+    # 0.2+0.1 would otherwise lose both ends). Integer basis-point
+    # arithmetic (`div`), not float multiply: 0.29*100 is
+    # 28.999999999999996 in float64 and floor would keep one extra
+    # row vs the documented exact fraction.
+    bp_lo = int(round(drop_closest * _BP))
+    bp_hi = int(round(drop_farthest * _BP))
+    lo = F.expr(f"({bp_lo}L * _cn) div {_BP}L")
+    hi = F.col("_cn") - F.expr(f"({bp_hi}L * _cn) div {_BP}L")
     return ranked.filter((F.col("_rk") > lo) & (F.col("_rk") <= hi)).drop(
         "_rk", "_cn"
     )

@@ -327,6 +327,54 @@ def test_cluster_distance_filter_prunes_rank_tails(spark):
         )
 
 
+def test_cluster_distance_filter_composes_and_floors_exactly(spark):
+    """(a) Composing after kmeans_assign/semantic_dedup (input already
+    carries 'cluster') must not produce ambiguous columns — the kernel
+    replaces them. (b) Drop counts are exact rational floors:
+    0.29 × 100 drops exactly 29, not the float64 28.999… → 28."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import (
+        cluster_distance_filter,
+    )
+
+    rows = [(i, [float(i), 0.0]) for i in range(1, 101)]
+    d = _vec_df(spark, rows)
+    centers = [[0.0, 0.0]]
+
+    assigned = kmeans_assign(d, centers=centers)  # has 'cluster'
+    out = cluster_distance_filter(assigned, centers, drop_closest=0.29)
+    assert out.columns.count("cluster") == 1
+    kept = sorted(r["vec_id"] for r in out.collect())
+    assert kept == list(range(30, 101))  # exactly 29 dropped
+
+    out2 = cluster_distance_filter(
+        d, centers, drop_closest=0.29, drop_farthest=0.57
+    )
+    # 29 closest and 57 farthest of 100 drop: ids 30..43 remain
+    assert sorted(r["vec_id"] for r in out2.collect()) == list(range(30, 44))
+
+
+def test_kmeans_fit_skips_null_vectors(spark):
+    """xxhash64(NULL) is the seed (42) — under the non-negative pmod
+    sample ordering a null embedding would sort to the FRONT of every
+    large-corpus fit sample and crash the driver-side fit. Nulls are
+    excluded before hashing; the fit over (rows ∪ nulls) equals the
+    fit over rows."""
+    rows = [(i, [1.0 * (i % 9), 0.5 * (i % 5), 0.1 * i]) for i in range(40)]
+    clean = _vec_df(spark, rows)
+    with_null = clean.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    assert kmeans_fit(with_null, n_clusters=2) == kmeans_fit(
+        clean, n_clusters=2
+    )
+    # and through the bounded-sample (pre-filter) path
+    assert kmeans_fit(
+        with_null, n_clusters=2, sample_size=16
+    ) == kmeans_fit(clean, n_clusters=2, sample_size=16)
+
+
 def test_cluster_balanced_sample_caps_hot_cluster(spark):
     rows = [(i, 0) for i in range(900)] + [(1000 + i, 1) for i in range(100)]
     d = spark.createDataFrame(rows, ["vec_id", "cluster"])
