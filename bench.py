@@ -87,6 +87,9 @@ HEADLINE = [
     "html_clean",
     "ivf_persisted_search",
     "embedding_curation",
+    # round 7 (continuation): D4-style distance-tail pruning — rows-
+    # only, so the oracle ratio subset is still unchanged
+    "prototype_pruning",
 ]
 
 
