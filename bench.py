@@ -87,9 +87,11 @@ HEADLINE = [
     "html_clean",
     "ivf_persisted_search",
     "embedding_curation",
-    # round 7 (continuation): D4-style distance-tail pruning — rows-
-    # only, so the oracle ratio subset is still unchanged
+    # round 7 (continuation): D4-style distance-tail pruning and the
+    # composed whiten→cluster→prune pipeline — rows-only, so the
+    # oracle ratio subset is still unchanged
     "prototype_pruning",
+    "pca_whiten_curation",
 ]
 
 

@@ -37,7 +37,11 @@ from .clustering import (  # noqa: F401
     kmeans_assign,
     kmeans_fit,
     load_centers,
+    load_projection,
+    pca_fit,
+    pca_project,
     save_centers,
+    save_projection,
     semantic_dedup,
 )
 from .domains import (  # noqa: F401

@@ -473,6 +473,137 @@ def cluster_distance_filter(
     )
 
 
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 32,
+    sample_size: int = _FIT_SAMPLE,
+) -> dict:
+    """Fit a PCA basis for embedding preprocessing (the D4-class
+    recipe whitens/reduces embeddings before clustering and semantic
+    dedup): collect the same bounded content-hash sample the k-means
+    fit uses (:func:`_fit_sample_rows` — partition- and rerun-
+    invariant, null-free, bounded merge), run one exact SVD on the
+    driver (a 64k × d float64 SVD is sub-second for d ≤ ~1k), and
+    return a plain persistable dict:
+
+    - ``mean`` — the sample mean (list[float], length d);
+    - ``components`` — the top ``n_components`` right singular
+      vectors as rows (list[list[float]], k × d);
+    - ``scale`` — per-component standard deviations
+      (singular value / sqrt(n-1)); :func:`pca_project` divides by
+      these when ``whiten=True``.
+
+    Deterministic: the sample is canonical-ordered and
+    ``numpy.linalg.svd`` is deterministic for a fixed input; each
+    component's sign is normalized (largest-|coefficient| entry made
+    positive) so the basis is unique even where SVD sign is
+    arbitrary. Persist with :func:`save_projection` for the same
+    fit-once/project-many contract as the k-means centers."""
+    import numpy as np
+
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    rows = _fit_sample_rows(df, vec_col, int(sample_size))
+    if not rows:
+        raise ValueError("cannot fit PCA on an empty relation")
+    pairs = sorted((r["_h"], tuple(r["_v"])) for r in rows)
+    sample = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    n, d = sample.shape
+    if n_components > d:
+        raise ValueError(f"n_components {n_components} exceeds dim {d}")
+    mean = sample.mean(axis=0)
+    centered = sample - mean
+    # exact thin SVD; rows of Vt are the principal axes
+    _, s, vt = np.linalg.svd(centered, full_matrices=False)
+    comps = vt[:n_components]
+    # sign convention: the largest-|coefficient| entry of each
+    # component is positive (ties impossible at the same |value| only
+    # for exact symmetric data; argmax keeps the first index)
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0.0] = 1.0
+    comps = comps * flip[:, None]
+    denom = max(n - 1, 1)
+    scale = (s[:n_components] / np.sqrt(denom)).tolist()
+    return {
+        "mean": [float(x) for x in mean],
+        "components": [[float(x) for x in c] for c in comps],
+        "scale": [float(x) for x in scale],
+    }
+
+
+def save_projection(spark, projection: dict, path: str) -> None:
+    """Persist a :func:`pca_fit` projection as a (k+1)-row parquet
+    table (row -1 holds the mean with the scales' slot unused) — the
+    durable half of fit-once/project-many, like :func:`save_centers`."""
+    rows = [(-1, projection["mean"], 0.0)] + [
+        (i, c, projection["scale"][i])
+        for i, c in enumerate(projection["components"])
+    ]
+    spark.createDataFrame(
+        rows, "idx INT, vec ARRAY<DOUBLE>, scale DOUBLE"
+    ).repartition(1).write.mode("overwrite").parquet(path)
+
+
+def load_projection(spark, path: str) -> dict:
+    """Read a projection persisted by :func:`save_projection` —
+    float64 both ways, so projections from a loaded basis match
+    projections from the in-memory fit bit-for-bit."""
+    rows = spark.read.parquet(path).orderBy("idx").collect()
+    if not rows or rows[0]["idx"] != -1:
+        raise ValueError(f"no PCA projection found at {path}")
+    return {
+        "mean": list(rows[0]["vec"]),
+        "components": [list(r["vec"]) for r in rows[1:]],
+        "scale": [float(r["scale"]) for r in rows[1:]],
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    projection: dict,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project ``vec_col`` onto a :func:`pca_fit` basis as ``out_col``
+    (array<float>): one broadcast Arrow matmul kernel per batch, no
+    shuffle — the same production shape as :func:`kmeans_assign` with
+    saved centers. ``whiten=True`` additionally divides each component
+    by its fitted standard deviation (unit-variance output — the
+    distance metric equalizer the D4 recipe uses before k-means).
+    Null vectors project to NULL (they carry no signal; filter or
+    impute upstream)."""
+    import numpy as np
+
+    C = np.asarray(projection["components"], dtype=np.float64)
+    mean = np.asarray(projection["mean"], dtype=np.float64)
+    scale = np.asarray(projection["scale"], dtype=np.float64)
+    if whiten:
+        safe = scale.copy()
+        safe[safe == 0.0] = 1.0  # degenerate components: pass through
+
+    @F.pandas_udf("array<float>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        out = []
+        mask = vs.notna()
+        if mask.any():
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vs[mask]],
+                dtype=np.float64,
+            )
+            y = (x - mean) @ C.T
+            if whiten:
+                y = y / safe
+            y32 = y.astype(np.float32)
+        it = iter(range(int(mask.sum())))
+        for ok in mask:
+            out.append(y32[next(it)].tolist() if ok else None)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
 def cluster_balanced_sample(
     assigned: DataFrame,
     id_col: str = "vec_id",

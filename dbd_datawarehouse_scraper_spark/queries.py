@@ -2927,6 +2927,36 @@ def prototype_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", F.round("_dist", 6).alias("center_dist"))
 
 
+@register("pca_whiten_curation", None)
+def pca_whiten_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The composed D4-style embedding-curation recipe
+    (operators/clustering.py): PCA-whiten the embeddings (pca_fit on
+    the bounded hash sample → broadcast projection kernel, unit
+    variance per component), k-means the whitened space with the
+    deterministic sample fit, then drop each cluster's distance-rank
+    tails (10% prototypes, 5% outliers). Whitening equalizes the
+    distance metric before clustering — the order the D4 pipeline
+    prescribes. Rows-only (driver-side SVD + broadcast kernels have no
+    SQL mirror); fit determinism, numpy-reference projection, whiten
+    variance, and prune semantics are pinned in
+    tests/test_clustering.py."""
+    from .operators.clustering import (
+        cluster_distance_filter,
+        kmeans_fit,
+        pca_fit,
+        pca_project,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    proj = pca_fit(e, n_components=16)
+    w = pca_project(e, proj, whiten=True)
+    centers = kmeans_fit(w, vec_col="embedding_pca", n_clusters=8)
+    return cluster_distance_filter(
+        w, centers, vec_col="embedding_pca",
+        drop_closest=0.10, drop_farthest=0.05,
+    ).select("vec_id", "cluster", F.round("_dist", 6).alias("center_dist"))
+
+
 @register("corpus_mix", None)
 def corpus_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Deterministic corpus mixing (operators/mixing.py): the

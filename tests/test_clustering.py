@@ -375,6 +375,72 @@ def test_kmeans_fit_skips_null_vectors(spark):
     ) == kmeans_fit(clean, n_clusters=2, sample_size=16)
 
 
+def test_pca_fit_project_roundtrip(spark, tmp_path):
+    """PCA preprocessing: the fit matches a numpy reference on the
+    same (full) sample, is bit-deterministic across partitionings,
+    round-trips through parquet, whitens to unit variance, and
+    projects nulls to NULL."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import (
+        load_projection,
+        pca_fit,
+        pca_project,
+        save_projection,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(80, 6) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    d = _vec_df(spark, rows)
+
+    proj = pca_fit(d, n_components=3)
+    assert pca_fit(d.repartition(9), n_components=3) == proj
+
+    out = {
+        r["vec_id"]: np.asarray(r["embedding_pca"])
+        for r in pca_project(d, proj).collect()
+    }
+    # numpy reference over the same sample (the corpus IS the sample)
+    mean = np.asarray(proj["mean"])
+    C = np.asarray(proj["components"])
+    for i in range(80):
+        ref = ((base[i] - mean) @ C.T).astype(np.float32)
+        assert np.allclose(out[i], ref, atol=1e-6)
+
+    # components capture the dominant axes: projected variance sorted
+    # descending and whitened variance ~1 per component
+    w = np.asarray(
+        [
+            r["embedding_pca"]
+            for r in pca_project(d, proj, whiten=True)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert np.allclose(w.var(axis=0, ddof=1), 1.0, atol=1e-5)
+
+    # persistence: bit-exact round trip -> identical projections
+    p = str(tmp_path / "proj")
+    save_projection(spark, proj, p)
+    assert load_projection(spark, p) == proj
+
+    # nulls pass through as NULL
+    with_null = d.unionByName(
+        spark.createDataFrame(
+            [(999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    got = {
+        r["vec_id"]: r["embedding_pca"]
+        for r in pca_project(with_null, proj).collect()
+    }
+    assert got[999] is None and got[0] is not None
+
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(d, n_components=0)
+    with pytest.raises(ValueError, match="exceeds dim"):
+        pca_fit(d, n_components=7)
+
+
 def test_cluster_balanced_sample_caps_hot_cluster(spark):
     rows = [(i, 0) for i in range(900)] + [(1000 + i, 1) for i in range(100)]
     d = spark.createDataFrame(rows, ["vec_id", "cluster"])
