@@ -167,6 +167,77 @@ def test_store_integrity_errors_are_loud(spark, blobs):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_store_folding_keeps_decisions(spark):
+    """With fold_store_after=2 the survivor-vector store folds its
+    committed epoch dirs mid-run; folded history must still suppress
+    cross-epoch duplicates exactly like unfolded history (the
+    near-dedup store pins the same property)."""
+    import math
+
+    work = tempfile.mkdtemp(prefix="sem_fold_")
+    out, store = f"{work}/out", f"{work}/store"
+    try:
+        # distinct directions 0.1 rad apart: adjacent cosine ~0.995,
+        # far below the 0.9999 threshold — only EXACT copies dedup, so
+        # every epoch keeps its rows and the cross-epoch drops below
+        # are attributable to the (folded) history alone
+        arc = _vec_df(
+            spark,
+            [
+                (i, [math.cos(0.1 * i), math.sin(0.1 * i), 0.0])
+                for i in range(24)
+            ],
+        )
+        centers = kmeans_fit(arc, n_clusters=2)
+        slices = [arc.filter(F.col("vec_id") % 4 == i) for i in range(3)]
+        for i, s in enumerate(slices):
+            semantic_dedup_epoch(
+                spark, s, i, out, store,
+                centers=centers if i == 0 else None,
+                threshold=0.9999, fold_store_after=2,
+            )
+        # epoch 3: exact dups of an epoch-0 and an epoch-1 survivor
+        # (their vectors live in the FOLDED generation now), plus a
+        # fresh far-away row
+        e0 = {r["vec_id"]: r["embedding"] for r in slices[0].collect()}
+        e1 = {r["vec_id"]: r["embedding"] for r in slices[1].collect()}
+        surv = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{out}/epoch=*").collect()
+        }
+        d0 = next(i for i in sorted(e0) if i in surv)
+        d1 = next(i for i in sorted(e1) if i in surv)
+        e3 = _vec_df(
+            spark,
+            [
+                (3000, [float(x) for x in e0[d0]]),
+                (3001, [float(x) for x in e1[d1]]),
+                (3002, [9.0, 9.0, 9.0]),
+            ],
+        )
+        semantic_dedup_epoch(
+            spark, e3, 3, out, store, threshold=0.9999, fold_store_after=2,
+        )
+        got3 = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{out}/epoch=3").collect()
+        }
+        assert got3 == {3002}
+        # the store folded: fewer epoch dirs than epochs written, and
+        # total stored vectors equal total survivors
+        from dbd_datawarehouse_scraper_spark.fsutil import fs_list_names
+
+        dirs = [
+            n for n in fs_list_names(spark, f"{store}/vecs")
+            if n.startswith("epoch=")
+        ]
+        assert len(dirs) < 4
+        n_surv = spark.read.parquet(f"{out}/epoch=*").count()
+        assert spark.read.parquet(f"{store}/vecs/epoch=*").count() == n_surv
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_stream_wrapper_end_to_end(spark, blobs):
     """foreachBatch wrapper: file-arrival epochs, fixed contract
     columns, cross-epoch drops through the real streaming engine."""
