@@ -146,6 +146,21 @@ def _lloyd(sample, n_clusters: int, seed: int, max_iter: int, tol: float):
     return C
 
 
+def _fit_sample_matrix(df: DataFrame, vec_col: str, sample_size: int):
+    """:func:`_fit_sample_rows` as a canonical-ordered (n × d) float64
+    matrix — the shared front half of :func:`kmeans_fit` and
+    :func:`pca_fit`. Collect order is partition-dependent even under
+    orderBy for tied hashes, so rows are re-sorted by (hash, values)
+    before any seeded computation sees them."""
+    import numpy as np
+
+    rows = _fit_sample_rows(df, vec_col, int(sample_size))
+    if not rows:
+        raise ValueError("cannot fit on an empty relation")
+    pairs = sorted((r["_h"], tuple(r["_v"])) for r in rows)
+    return np.asarray([p[1] for p in pairs], dtype=np.float64)
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -185,17 +200,9 @@ def kmeans_fit(
     makes a shortfall vanishingly rare, and a shortfall only shrinks
     the sample, never biases it).
     """
-    import numpy as np
-
     if n_clusters < 2:  # k=1 is "no clustering"
         raise ValueError(f"n_clusters must be >= 2 to fit, got {n_clusters}")
-    rows = _fit_sample_rows(df, vec_col, int(sample_size))
-    if not rows:
-        raise ValueError("cannot fit k-means on an empty relation")
-    # collect order is partition-dependent even under orderBy for tied
-    # hashes; re-sort by (hash, values) so init sees a canonical order
-    pairs = sorted((r["_h"], tuple(r["_v"])) for r in rows)
-    sample = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    sample = _fit_sample_matrix(df, vec_col, sample_size)
     centers = _lloyd(sample, n_clusters, seed, max_iter, tol)
     return [[float(x) for x in c] for c in centers]
 
@@ -504,14 +511,18 @@ def pca_fit(
 
     if n_components < 1:
         raise ValueError(f"n_components must be >= 1, got {n_components}")
-    rows = _fit_sample_rows(df, vec_col, int(sample_size))
-    if not rows:
-        raise ValueError("cannot fit PCA on an empty relation")
-    pairs = sorted((r["_h"], tuple(r["_v"])) for r in rows)
-    sample = np.asarray([p[1] for p in pairs], dtype=np.float64)
+    sample = _fit_sample_matrix(df, vec_col, sample_size)
     n, d = sample.shape
     if n_components > d:
         raise ValueError(f"n_components {n_components} exceeds dim {d}")
+    if n_components > n:
+        # thin SVD returns only n right singular vectors; silently
+        # returning fewer components than asked would propagate a
+        # wrong output dimension through every projection (reviewed)
+        raise ValueError(
+            f"n_components {n_components} exceeds the {n}-row fit "
+            "sample — raise sample_size or lower n_components"
+        )
     mean = sample.mean(axis=0)
     centered = sample - mean
     # exact thin SVD; rows of Vt are the principal axes
@@ -580,8 +591,14 @@ def pca_project(
     mean = np.asarray(projection["mean"], dtype=np.float64)
     scale = np.asarray(projection["scale"], dtype=np.float64)
     if whiten:
+        # degenerate (rank-deficient) components pass through rather
+        # than whiten: their singular values are float NOISE (~1e-15,
+        # never exactly 0.0), and dividing by them would blow noise up
+        # into coordinates that dominate every downstream distance —
+        # the guard is RELATIVE to the largest scale (reviewed)
         safe = scale.copy()
-        safe[safe == 0.0] = 1.0  # degenerate components: pass through
+        top = float(safe.max()) if len(safe) else 0.0
+        safe[safe <= top * 1e-9] = 1.0
 
     @F.pandas_udf("array<float>")
     def _proj(vs: pd.Series) -> pd.Series:

@@ -2947,9 +2947,15 @@ def pca_whiten_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pca_project,
     )
 
+    from .caching import tracked_persist
+
     e = t(spark, sf_dir, "embeddings")
     proj = pca_fit(e, n_components=16)
-    w = pca_project(e, proj, whiten=True)
+    # persist the projected relation: kmeans_fit's sizing count + its
+    # sample collect + the final prune pass would otherwise re-run the
+    # projection kernel over the corpus three times (released by the
+    # caller's release_caches, per the bench/driver contract)
+    w = tracked_persist(pca_project(e, proj, whiten=True))
     centers = kmeans_fit(w, vec_col="embedding_pca", n_clusters=8)
     return cluster_distance_filter(
         w, centers, vec_col="embedding_pca",

@@ -439,6 +439,43 @@ def test_pca_fit_project_roundtrip(spark, tmp_path):
         pca_fit(d, n_components=0)
     with pytest.raises(ValueError, match="exceeds dim"):
         pca_fit(d, n_components=7)
+    # thin SVD only yields as many components as sample rows —
+    # silently returning fewer than asked would be a wrong output
+    # dimension downstream, so it refuses
+    with pytest.raises(ValueError, match="fit sample"):
+        pca_fit(d, n_components=5, sample_size=4)
+
+
+def test_pca_whiten_rank_deficient_components_pass_through(spark):
+    """Rank-deficient directions have ~1e-15 float-noise singular
+    values (never exactly 0.0); whitening must NOT divide by them —
+    the blown-up noise would dominate every downstream distance. The
+    guard is relative to the largest scale: degenerate coordinates
+    stay tiny after whiten=True."""
+    from dbd_datawarehouse_scraper_spark.operators.clustering import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(1)
+    plane = rng.randn(60, 2)  # true rank 2 embedded in 6 dims
+    base = np.hstack([plane @ rng.randn(2, 2), np.zeros((60, 4))])
+    d = _vec_df(spark, [(i, [float(x) for x in base[i]]) for i in range(60)])
+
+    proj = pca_fit(d, n_components=4)
+    assert proj["scale"][0] > 1e-6 and proj["scale"][2] < 1e-9
+    w = np.asarray(
+        [
+            r["embedding_pca"]
+            for r in pca_project(d, proj, whiten=True)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    # real components whiten to ~unit variance; degenerate ones pass
+    # through as (tiny) raw projections instead of amplified noise
+    assert np.allclose(w[:, :2].var(axis=0, ddof=1), 1.0, atol=1e-4)
+    assert np.abs(w[:, 2:]).max() < 1e-6
 
 
 def test_cluster_balanced_sample_caps_hot_cluster(spark):
