@@ -235,6 +235,28 @@ def test_tfidf_no_cartesian_and_partitioned_window(spark, sf_dir):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_distance_tail_windows_are_cluster_partitioned(spark, sf_dir):
+    """The distance-tail prune's two windows (row_number rank, count)
+    both partition by cluster — never a global sort or an unbounded
+    single-partition stage — and the whitened composition keeps the
+    same shape plus exactly one projection kernel thanks to the
+    persist barrier."""
+    for name in ("prototype_pruning", "pca_whiten_curation"):
+        plan = plan_of(spark, sf_dir, name)
+        from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+        release_caches()
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        # every windowspecdefinition is anchored on the cluster column
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, name
+        for s in specs:
+            assert s.startswith("cluster#"), (name, s)
+
+
 def test_sql_frontend_exists_legs_become_semi_anti_joins(spark, sf_dir):
     """The correlated EXISTS / NOT EXISTS translations must plan as
     left-semi / left-anti joins (Catalyst's subquery decorrelation) —
