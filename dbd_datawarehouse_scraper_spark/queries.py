@@ -2927,6 +2927,21 @@ def prototype_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", F.round("_dist", 6).alias("center_dist"))
 
 
+@register("table_profile", None)
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-pass ANALYZE-style table profile
+    (operators/profiling.py profile_table): per-column null counts,
+    HLL++ approximate distinct counts, and min/max over the orders
+    table — one aggregate, one scan, a columns-count-sized report.
+    Rows-only: DuckDB's approx_count_distinct uses a different sketch,
+    so the estimates are engine-specific (the exact fields — counts,
+    nulls, min/max — are pinned exactly in tests/test_profiling.py,
+    along with HLL determinism across partitionings and rsd bounds)."""
+    from .operators.profiling import profile_table
+
+    return profile_table(t(spark, sf_dir, "orders")).orderBy("column")
+
+
 @register("pca_whiten_curation", None)
 def pca_whiten_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] The composed D4-style embedding-curation recipe
