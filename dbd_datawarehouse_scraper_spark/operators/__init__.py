@@ -55,6 +55,7 @@ from .mixing import mix_corpora, mix_rates  # noqa: F401
 from .sampling import quality_bucket_sample, sample_bucket  # noqa: F401
 from .segments import segment_dedup  # noqa: F401
 from .sharding import pack_shards  # noqa: F401
+from .chunking import chunk_documents  # noqa: F401
 from .profiling import profile_table  # noqa: F401
 from .windows import top1_per_group, topk_per_group  # noqa: F401
 from .unpivot import unpivot_financials  # noqa: F401

@@ -2927,6 +2927,22 @@ def prototype_pruning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "cluster", F.round("_dist", 6).alias("center_dist"))
 
 
+@register("chunk_documents", None)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sliding-window training-chunk fan-out
+    (operators/chunking.py chunk_documents): every document split
+    into overlapping 64-token windows at stride 48 with provenance
+    (doc_id, source, chunk_idx, chunk_tokens) — pure built-ins, one
+    posexplode_outer, no shuffle. Rows-only registration; the
+    window-start semantics (subset-tail suppression, min_tokens
+    floor, contiguous chunk_idx, empty docs) are fuzz-pinned against
+    a pure-Python model in tests/test_chunking.py."""
+    from .operators.chunking import chunk_documents
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return chunk_documents(d, window=64, stride=48, min_tokens=8)
+
+
 @register("table_profile", None)
 def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] One-pass ANALYZE-style table profile
