@@ -98,6 +98,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-min-docs", type=int, default=2,
                    help="Passage dedup: segments in >= this many "
                         "distinct docs are boilerplate")
+    p.add_argument("--chunk-window", type=int, default=None,
+                   help="Split exported documents into overlapping "
+                        "token windows of this size (default: off); "
+                        "chunking runs after split assignment and "
+                        "redaction, ids become <doc>#<chunk>")
+    p.add_argument("--chunk-stride", type=int, default=None,
+                   help="Stride between chunk windows (default: "
+                        "3/4 of --chunk-window)")
+    p.add_argument("--chunk-min-tokens", type=int, default=32,
+                   help="Drop non-first tail chunks shorter than "
+                        "this many tokens")
     p.add_argument("--quality-sample-rates", type=str, default=None,
                    help="CCNet-style per-quality-bucket keep rates in "
                         "basis points, low->high quality, e.g. "
@@ -367,6 +378,24 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "threshold": args.contamination_threshold,
                 "containment_threshold": args.containment_threshold,
             }
+        chunk_opts = None
+        if args.chunk_window is not None:
+            if args.chunk_window < 1:
+                raise ValueError(
+                    f"--chunk-window must be >= 1, got {args.chunk_window}"
+                )
+            stride = (
+                args.chunk_stride
+                if args.chunk_stride is not None
+                else max(1, args.chunk_window * 3 // 4)
+            )
+            chunk_opts = {
+                "window": args.chunk_window,
+                "stride": stride,
+                "min_tokens": args.chunk_min_tokens,
+            }
+        elif args.chunk_stride is not None:
+            raise ValueError("--chunk-stride requires --chunk-window")
         counts = export_training_set(
             spark.read.parquet(args.input),
             args.output,
@@ -379,6 +408,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             shard_token_budget=args.shard_token_budget,
             redact=not args.no_redact,
             curate_kwargs=curate_kwargs or None,
+            chunk_opts=chunk_opts,
         )
         release_caches()
         for label, n in counts.items():

@@ -12,6 +12,9 @@ verified operators —
       → content-hash split           (functions/splits.py: leakage-safe
                                       train/val/test, rerun-stable)
       → PII redaction                (functions/pii.py, optional)
+      → sliding-window chunking      (operators/chunking.py, optional:
+                                      over-context docs → overlapping
+                                      windows, split-safe by ordering)
       → token-budget shard packing   (operators/sharding.py: two-level
                                       prefix sum, per split)
       → gzip JSONL shards            (sources/sinks.py jsonl_sink,
@@ -57,12 +60,21 @@ def export_training_set(
     shard_token_budget: int = 1_000_000,
     redact: bool = True,
     curate_kwargs: dict | None = None,
+    chunk_opts: dict | None = None,
 ) -> dict[str, int]:
     """Run the full export; returns {split label: document count}.
 
     ``mix_weights=None`` skips mixing (single-source corpora);
     ``redact=False`` keeps original text. The curation funnel's knobs
-    pass through ``curate_kwargs``. Consumes its own intermediate
+    pass through ``curate_kwargs``. ``chunk_opts`` (kwargs for
+    ``operators.chunking.chunk_documents``, e.g. ``{"window": 512,
+    "stride": 384}``) splits over-context documents into overlapping
+    token windows AFTER split assignment and redaction — every chunk
+    inherits its document's split (chunking cannot leak content
+    across splits) and chunks carry redacted text; ids become
+    ``<doc id>#<zero-padded chunk idx>`` so shard packing keeps a
+    deterministic per-document order, and ``n_tokens`` is recomputed
+    per chunk. Consumes its own intermediate
     persists (the funnel's) via the standard pool discipline — callers
     still call ``caching.release_caches()`` after, like any consuming
     action in this package.
@@ -100,6 +112,26 @@ def export_training_set(
     )
     if redact:
         prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
+    if chunk_opts:
+        from ..operators.chunking import chunk_documents
+
+        prepared = chunk_documents(
+            prepared.drop("n_tokens"),
+            id_col=id_col, text_col=text_col, **chunk_opts,
+        )
+        prepared = (
+            prepared.withColumnRenamed("chunk_text", text_col)
+            .withColumn(
+                id_col,
+                F.concat_ws(
+                    "#",
+                    F.col(id_col).cast("string"),
+                    F.lpad(F.col("chunk_idx").cast("string"), 6, "0"),
+                ),
+            )
+            .drop("chunk_idx", "chunk_tokens")
+            .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        )
 
     # one pass computes curation + split for every label; each split's
     # packing job then reads the cached relation instead of re-running

@@ -1,6 +1,8 @@
 """CLI surface: flag parity with the reference argparse
 (scraper_v2.py:1568-1613) and end-to-end runs over the fake fetcher."""
 
+import random
+
 import pytest
 
 from dbd_datawarehouse_scraper_spark.__main__ import build_parser, main
@@ -213,6 +215,70 @@ def test_export_training_set_cli(spark, tmp_path):
     back = spark.read.json(f"{out}/split=train")
     assert back.count() > 0
     assert {"doc_id", "text", "n_tokens", "shard"} <= set(back.columns)
+
+
+_POOL = (
+    "the quick brown fox jumps over a lazy dog and then some other "
+    "words about weather market garden house river mountain paper "
+    "color number letter window table chair music light water bread "
+    "stone cloud winter summer spring autumn morning evening people "
+    "family friend story answer question matter reason season "
+    "system record report value place point world group company"
+).split()
+
+
+def test_export_training_set_cli_chunking_flags(spark, tmp_path):
+    """--chunk-window splits exported docs into overlapping windows;
+    ids become <doc>#<idx>; --chunk-stride without the window refuses
+    and stride defaults to 3/4 of the window."""
+    import glob
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            # English-looking but shingle-distinct per doc: a per-doc
+            # seeded shuffle of a word pool survives the lang/quality
+            # gates AND near-dup (random orderings share ~no 3-shingles)
+            (
+                i,
+                " ".join(random.Random(i).sample(_POOL, 40)),
+                f"src{i % 2}",
+            )
+            for i in range(120)
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "chunked")
+    rc = main([
+        "--export-training-set",
+        "--input", src,
+        "--output", out,
+        "--mix-weights", json.dumps({"src0": 0.6, "src1": 0.4}),
+        "--shard-token-budget", "500",
+        "--chunk-window", "16", "--chunk-min-tokens", "4",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/split=train/shard=*/*.gz")
+    back = spark.read.json(f"{out}/split=train")
+    ids = [r["doc_id"] for r in back.select("doc_id").collect()]
+    assert ids and all("#" in i for i in ids)
+    # 40-token docs at window 16 / stride 12: more chunks than docs
+    assert len({i.split("#")[0] for i in ids}) < len(ids)
+    with pytest.raises(ValueError, match="chunk-stride requires"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--chunk-stride", "8",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+    with pytest.raises(ValueError, match="chunk-window"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--chunk-window", "0",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
 
 
 def test_export_training_set_cli_curation_flags(spark, tmp_path):

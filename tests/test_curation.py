@@ -88,6 +88,61 @@ def test_funnel_drains_its_own_pool(spark, docs):
     assert live_scratch_count() == 0
 
 
+def test_export_training_set_with_chunking(spark, sf_dir, tmp_path):
+    """chunk_opts splits over-context documents into overlapping
+    windows AFTER split assignment: chunk ids are
+    '<doc>#<zero-padded idx>' with contiguous idx, all chunks of a
+    document land in ONE split (no cross-split leakage), and the
+    whole export stays rerun-deterministic."""
+    import glob
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans import export_training_set
+    from dbd_datawarehouse_scraper_spark.sources.files import (
+        jsonl_documents_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "chunked")
+    kwargs = dict(
+        shard_token_budget=2000,
+        curate_kwargs={"keep_langs": ("en", "de", "fr", "es", "zh", "und")},
+        chunk_opts={"window": 16, "stride": 12, "min_tokens": 4},
+    )
+    counts = export_training_set(docs, out, **kwargs)
+    release_caches()
+    assert counts["train"] > 0
+
+    split_of: dict[str, str] = {}
+    idxs: dict[str, list[int]] = {}
+    for label in counts:
+        if counts[label] == 0:
+            continue
+        assert glob.glob(f"{out}/split={label}/shard=*/*.gz")
+        good, bad = jsonl_documents_source(
+            spark, f"{out}/split={label}",
+            schema="doc_id STRING, text STRING, n_tokens LONG",
+        )
+        assert bad.count() == 0
+        for r in good.collect():
+            doc, _, idx = r["doc_id"].rpartition("#")
+            assert doc and len(idx) == 6, r["doc_id"]
+            assert 0 < r["n_tokens"], r
+            assert len(r["text"].split()) <= 16
+            assert split_of.setdefault(doc, label) == label, (
+                "chunks of one doc in two splits"
+            )
+            idxs.setdefault(doc, []).append(int(idx))
+    assert any(len(v) > 1 for v in idxs.values()), "nothing chunked"
+    for doc, ix in idxs.items():
+        assert sorted(ix) == list(range(len(ix))), (doc, ix)
+
+    out2 = str(tmp_path / "chunked2")
+    counts2 = export_training_set(docs, out2, **kwargs)
+    release_caches()
+    assert counts2 == counts
+
+
 def test_export_training_set_end_to_end(spark, sf_dir, tmp_path):
     """The full last-mile plan (plans/training_export.py): curate →
     mix → split → redact → pack → gzip JSONL. Asserts the on-disk
