@@ -91,3 +91,35 @@ def chunk_documents(
         F.col("_clen").alias("chunk_tokens"),
         F.array_join("_cpiece", " ").alias("chunk_text"),
     )
+
+
+def apply_chunk_stage(
+    df: DataFrame, id_col: str, text_col: str, chunk_opts: dict
+) -> DataFrame:
+    """The export-pipeline chunk stage, shared VERBATIM by the batch
+    plan (plans/training_export.py) and the incremental exporter
+    (streaming/export.py) so their outputs cannot drift: run
+    :func:`chunk_documents`, put the chunk text back under
+    ``text_col``, replace the id with ``<doc>#<zero-padded idx>``
+    (deterministic per-document shard order under a single string
+    sort key), drop the chunk bookkeeping columns, and recount
+    ``n_tokens`` on the final text. Stateless per-row — trivially
+    replay-idempotent in the streaming composition."""
+    from ..functions.text_analysis import token_count
+
+    out = chunk_documents(
+        df.drop("n_tokens"), id_col=id_col, text_col=text_col, **chunk_opts
+    )
+    return (
+        out.withColumnRenamed("chunk_text", text_col)
+        .withColumn(
+            id_col,
+            F.concat_ws(
+                "#",
+                F.col(id_col).cast("string"),
+                F.lpad(F.col("chunk_idx").cast("string"), 6, "0"),
+            ),
+        )
+        .drop("chunk_idx", "chunk_tokens")
+        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    )

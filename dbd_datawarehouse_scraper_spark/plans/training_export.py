@@ -113,25 +113,9 @@ def export_training_set(
     if redact:
         prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
     if chunk_opts:
-        from ..operators.chunking import chunk_documents
+        from ..operators.chunking import apply_chunk_stage
 
-        prepared = chunk_documents(
-            prepared.drop("n_tokens"),
-            id_col=id_col, text_col=text_col, **chunk_opts,
-        )
-        prepared = (
-            prepared.withColumnRenamed("chunk_text", text_col)
-            .withColumn(
-                id_col,
-                F.concat_ws(
-                    "#",
-                    F.col(id_col).cast("string"),
-                    F.lpad(F.col("chunk_idx").cast("string"), 6, "0"),
-                ),
-            )
-            .drop("chunk_idx", "chunk_tokens")
-            .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
-        )
+        prepared = apply_chunk_stage(prepared, id_col, text_col, chunk_opts)
 
     # one pass computes curation + split for every label; each split's
     # packing job then reads the cached relation instead of re-running

@@ -95,6 +95,7 @@ def stream_export_training_set(
     contamination_opts: dict | None = None,
     domain_opts: dict | None = None,
     html_opts: dict | None = None,
+    chunk_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -144,7 +145,15 @@ def stream_export_training_set(
     ``min_visible_ratio`` gate on raw markup, then ``strip`` or
     ``extract_main`` main-content extraction), in the same stage
     order: after the domain gate, before segment dedup, so shingles
-    and quality scores downstream see prose."""
+    and quality scores downstream see prose.
+
+    ``chunk_opts`` (``operators.chunking.chunk_documents`` kwargs)
+    splits over-context survivors into overlapping token windows via
+    the SAME ``apply_chunk_stage`` the batch plan uses, in the same
+    order (after split assignment and redaction — chunks inherit the
+    document's split, so chunking cannot leak across splits) —
+    stateless per-row, replay-idempotent; ids become
+    ``<doc>#<chunk>``."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -301,6 +310,13 @@ def stream_export_training_set(
         ).withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
         if redact:
             prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
+        if chunk_opts:
+            # the SAME stage (and stage order: after split assignment
+            # and redaction) as the batch plan — stateless per-row, so
+            # replays rewrite identical chunks
+            from ..operators.chunking import apply_chunk_stage
+
+            prepared = apply_chunk_stage(prepared, id_col, text_col, chunk_opts)
 
         from ..caching import pool_mark, release_since
 

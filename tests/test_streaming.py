@@ -1498,6 +1498,61 @@ def test_stream_export_domain_blocklist_and_cap_refusal(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_stream_export_chunking_stage(spark):
+    """chunk_opts in the incremental exporter: the shared
+    apply_chunk_stage splits over-context survivors after split
+    assignment — exported ids are '<doc>#<idx>', long docs yield
+    several chunks, all chunks of one doc stay in one split, and each
+    chunk's token text respects the window."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(40)))
+            for i in range(1, 25)
+        ],
+        "doc_id long, text string",
+    )
+    work = tempfile.mkdtemp(prefix="stream_chunk_")
+    src, out, state, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/state", f"{work}/ckpt"
+    )
+    try:
+        docs.coalesce(1).write.mode("append").parquet(src)
+        q = stream_export_training_set(
+            file_stream(spark, src, docs.schema, max_files_per_trigger=1),
+            out, state, ckpt,
+            chunk_opts={"window": 16, "stride": 12, "min_tokens": 4},
+            **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        rows = []
+        for f in glob.glob(f"{out}/split=*/epoch=*/shard=*/*.gz"):
+            label = f.split("split=")[1].split("/")[0]
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                rows += [(label, json.loads(l)) for l in fh if l.strip()]
+        assert rows
+        split_of, idxs = {}, {}
+        for label, r in rows:
+            doc, _, idx = str(r["doc_id"]).rpartition("#")
+            assert doc and len(idx) == 6, r["doc_id"]
+            assert len(r["text"].split()) <= 16
+            assert split_of.setdefault(doc, label) == label
+            idxs.setdefault(doc, []).append(int(idx))
+        # 40-token docs at window 16/stride 12: multiple chunks per doc
+        assert all(sorted(v) == list(range(len(v))) for v in idxs.values())
+        assert max(len(v) for v in idxs.values()) >= 3
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_stream_export_html_stage_and_domain_segment_order(spark):
     """Round-7: (a) html_opts strips markup per epoch via the SAME
     apply_html_stage as the batch funnel, so exported text is prose;
