@@ -458,6 +458,22 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "k": args.segment_dedup_k,
                 "min_docs": args.segment_min_docs,
             }
+        if args.chunk_window is not None:
+            if args.chunk_window < 1:
+                raise ValueError(
+                    f"--chunk-window must be >= 1, got {args.chunk_window}"
+                )
+            sopts["chunk_opts"] = {
+                "window": args.chunk_window,
+                "stride": (
+                    args.chunk_stride
+                    if args.chunk_stride is not None
+                    else max(1, args.chunk_window * 3 // 4)
+                ),
+                "min_tokens": args.chunk_min_tokens,
+            }
+        elif args.chunk_stride is not None:
+            raise ValueError("--chunk-stride requires --chunk-window")
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

@@ -470,6 +470,29 @@ def test_stream_export_cli_end_to_end_and_rerun(spark, tmp_path):
     with pytest.raises(ValueError, match="global property"):
         main(args + ["--max-docs-per-domain", "5"])
 
+    # chunking through the stream CLI: fresh state, long docs, ids
+    # become <doc>#<idx> with several chunks per doc
+    src3 = str(tmp_path / "docs_long")
+    out3 = str(tmp_path / "stream_chunked")
+    spark.createDataFrame(
+        [
+            (i, " ".join(random.Random(1000 + i).sample(_POOL, 40)))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src3)
+    rc = main([
+        "--stream-export", "--input", src3, "--output", out3,
+        "--stream-state", str(tmp_path / "st3"),
+        "--shard-token-budget", "400",
+        "--chunk-window", "16", "--chunk-min-tokens", "4",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    ids3 = read_ids(out3)
+    assert ids3 and all("#" in str(i) for i in ids3)
+    assert len({str(i).split("#")[0] for i in ids3}) < len(ids3)
+
 
 def test_export_cli_registrable_domain_keying(spark, tmp_path):
     """--block-domains keys on the registrable domain by default, so a
