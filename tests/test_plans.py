@@ -126,6 +126,20 @@ def test_generate_search_terms_no_inferred_filter_no_barrier(spark, sf_dir):
     assert "InMemoryRelation" not in plan, "no persist barrier expected"
 
 
+def test_chunk_documents_generate_is_outer_and_uninflated(spark, sf_dir):
+    """The chunk fan-out uses posexplode_outer + an output-attribute
+    null filter, so InferFiltersFromGenerate cannot clone the
+    starts-producing expression (split + sequence) into an inferred
+    size()>0 filter evaluated per input row; the split() population
+    of the whole plan stays at the one staged evaluation."""
+    plan = plan_of(spark, sf_dir, "chunk_documents")
+    assert "Generate posexplode" in plan
+    assert plan.count("split(") <= 4, plan.count("split(")
+    for line in plan.splitlines():
+        if "Filter" in line and "sequence(" in line:
+            raise AssertionError(f"inferred generator filter: {line[:200]}")
+
+
 def test_no_inferred_filter_duplicates_expensive_generators(spark, sf_dir):
     """Round-5 perf property, generalized: no query plan may contain a
     Filter that re-evaluates an Arrow UDF's or a tokenize tree's
