@@ -106,9 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-stride", type=int, default=None,
                    help="Stride between chunk windows (default: "
                         "3/4 of --chunk-window)")
-    p.add_argument("--chunk-min-tokens", type=int, default=32,
+    p.add_argument("--chunk-min-tokens", type=int, default=None,
                    help="Drop non-first tail chunks shorter than "
-                        "this many tokens")
+                        "this many tokens (default: min(32, window))")
     p.add_argument("--quality-sample-rates", type=str, default=None,
                    help="CCNet-style per-quality-bucket keep rates in "
                         "basis points, low->high quality, e.g. "
@@ -225,6 +225,32 @@ def _make_fetcher_factory(args, conf):
         return lambda: FakeDbdFetcher(registry)
 
     return build
+
+
+def _chunk_opts_from_args(args) -> dict | None:
+    """One construction for BOTH the batch and stream export paths
+    (same rationale as :func:`_html_opts_from_args`): --chunk-window
+    enables chunking, stride defaults to 3/4 of the window, and a
+    stride without a window refuses instead of silently no-opping."""
+    if args.chunk_window is None:
+        if args.chunk_stride is not None:
+            raise ValueError("--chunk-stride requires --chunk-window")
+        return None
+    if args.chunk_window < 1:
+        raise ValueError(
+            f"--chunk-window must be >= 1, got {args.chunk_window}"
+        )
+    opts = {
+        "window": args.chunk_window,
+        "stride": (
+            args.chunk_stride
+            if args.chunk_stride is not None
+            else max(1, args.chunk_window * 3 // 4)
+        ),
+    }
+    if args.chunk_min_tokens is not None:
+        opts["min_tokens"] = args.chunk_min_tokens
+    return opts
 
 
 def _html_opts_from_args(args) -> dict | None:
@@ -378,24 +404,7 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "threshold": args.contamination_threshold,
                 "containment_threshold": args.containment_threshold,
             }
-        chunk_opts = None
-        if args.chunk_window is not None:
-            if args.chunk_window < 1:
-                raise ValueError(
-                    f"--chunk-window must be >= 1, got {args.chunk_window}"
-                )
-            stride = (
-                args.chunk_stride
-                if args.chunk_stride is not None
-                else max(1, args.chunk_window * 3 // 4)
-            )
-            chunk_opts = {
-                "window": args.chunk_window,
-                "stride": stride,
-                "min_tokens": args.chunk_min_tokens,
-            }
-        elif args.chunk_stride is not None:
-            raise ValueError("--chunk-stride requires --chunk-window")
+        chunk_opts = _chunk_opts_from_args(args)
         counts = export_training_set(
             spark.read.parquet(args.input),
             args.output,
@@ -412,7 +421,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         )
         release_caches()
         for label, n in counts.items():
-            print(f"split={label}: {n} documents")
+            unit = "chunks" if chunk_opts else "documents"
+            print(f"split={label}: {n} {unit}")
         return 0
 
     if args.stream_export:
@@ -458,22 +468,9 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "k": args.segment_dedup_k,
                 "min_docs": args.segment_min_docs,
             }
-        if args.chunk_window is not None:
-            if args.chunk_window < 1:
-                raise ValueError(
-                    f"--chunk-window must be >= 1, got {args.chunk_window}"
-                )
-            sopts["chunk_opts"] = {
-                "window": args.chunk_window,
-                "stride": (
-                    args.chunk_stride
-                    if args.chunk_stride is not None
-                    else max(1, args.chunk_window * 3 // 4)
-                ),
-                "min_tokens": args.chunk_min_tokens,
-            }
-        elif args.chunk_stride is not None:
-            raise ValueError("--chunk-stride requires --chunk-window")
+        chunk_opts = _chunk_opts_from_args(args)
+        if chunk_opts is not None:
+            sopts["chunk_opts"] = chunk_opts
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

@@ -41,7 +41,7 @@ def chunk_documents(
     text_col: str = "text",
     window: int = 512,
     stride: int = 384,
-    min_tokens: int = 32,
+    min_tokens: int | None = None,
 ) -> DataFrame:
     """Explode each document into overlapping token-window chunks.
     Returns the input columns MINUS ``text_col`` plus ``chunk_idx``
@@ -56,11 +56,25 @@ def chunk_documents(
         raise ValueError(
             f"stride must be in [1, window]: stride={stride}, window={window}"
         )
-    if min_tokens < 1:
-        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    if min_tokens is None:
+        min_tokens = min(32, window)  # adaptive default for tiny windows
+    if not (1 <= min_tokens <= window):
+        # min_tokens above the window would silently drop every
+        # non-first chunk (full middle windows included) — a whole
+        # corpus truncated to first chunks with no error (reviewed)
+        raise ValueError(
+            f"min_tokens must be in [1, window]: min_tokens={min_tokens}, "
+            f"window={window}"
+        )
+    # strip ALL edge whitespace (trim() strips only spaces — a
+    # trailing newline would otherwise leave a phantom '' token after
+    # split, shifting every boundary and emitting junk tail chunks;
+    # reviewed with a repro), then split: no-edge-whitespace input
+    # cannot produce empty tokens, so token counts match len(s.split())
+    cleaned = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     toks = F.when(
-        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        cleaned == "", F.array().cast("array<string>")
+    ).otherwise(F.split(cleaned, r"\s+"))
     n = F.size(toks)
     # guard the n==0 case BEFORE sequence: sequence(0, -1, s) is a
     # DESCENDING [0, -1]-style surprise, not empty
@@ -105,11 +119,15 @@ def apply_chunk_stage(
     sort key), drop the chunk bookkeeping columns, and recount
     ``n_tokens`` on the final text. Stateless per-row — trivially
     replay-idempotent in the streaming composition."""
-    from ..functions.text_analysis import token_count
-
     out = chunk_documents(
         df.drop("n_tokens"), id_col=id_col, text_col=text_col, **chunk_opts
     )
+    # chunk_tokens IS token_count(chunk_text): the chunk text is the
+    # non-empty token slice joined by single spaces, so re-splitting
+    # the whole output corpus to recount would be pure waste (reviewed).
+    # format_string, not lpad: lpad TRUNCATES beyond the pad width —
+    # %09d only pads, so ids stay unique (and ordered up to 1e9 chunks
+    # per document) for any fan-out.
     return (
         out.withColumnRenamed("chunk_text", text_col)
         .withColumn(
@@ -117,9 +135,10 @@ def apply_chunk_stage(
             F.concat_ws(
                 "#",
                 F.col(id_col).cast("string"),
-                F.lpad(F.col("chunk_idx").cast("string"), 6, "0"),
+                F.format_string("%09d", F.col("chunk_idx")),
             ),
         )
-        .drop("chunk_idx", "chunk_tokens")
-        .withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        .drop("chunk_idx")
+        .withColumnRenamed("chunk_tokens", "n_tokens")
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
     )

@@ -29,6 +29,16 @@ _ORDERED_PREFIXES = (
 )
 
 
+def _orderable(dtype: str) -> bool:
+    """True iff min()/max() are supported and meaningful. The prefix
+    check alone would let 'interval…' match the 'int' prefix — and
+    Spark rejects min() over calendar intervals outright (reviewed),
+    so intervals get NULL min/max like the complex types."""
+    return dtype.startswith(_ORDERED_PREFIXES) and not dtype.startswith(
+        "interval"
+    )
+
+
 def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
@@ -63,13 +73,13 @@ def profile_table(
         aggs.append(
             F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"__ndv_{i}")
         )
-        if dtypes[c].startswith(_ORDERED_PREFIXES):
+        if _orderable(dtypes[c]):
             aggs.append(F.min(F.col(c)).cast("string").alias(f"__min_{i}"))
             aggs.append(F.max(F.col(c)).cast("string").alias(f"__max_{i}"))
     row = df.agg(*aggs).head()  # ONE row, O(columns) scalars
     out = []
     for i, c in enumerate(columns):
-        has_mm = dtypes[c].startswith(_ORDERED_PREFIXES)
+        has_mm = _orderable(dtypes[c])
         out.append(
             (
                 c,

@@ -62,7 +62,9 @@ def export_training_set(
     curate_kwargs: dict | None = None,
     chunk_opts: dict | None = None,
 ) -> dict[str, int]:
-    """Run the full export; returns {split label: document count}.
+    """Run the full export; returns {split label: exported row count}
+    (documents — or CHUNKS when ``chunk_opts`` is set, where one
+    document fans out to several rows).
 
     ``mix_weights=None`` skips mixing (single-source corpora);
     ``redact=False`` keeps original text. The curation funnel's knobs

@@ -48,7 +48,13 @@ def test_chunking_matches_python_model_fuzz(spark):
     texts = []
     for _ in range(120):
         n = rng.choice([0, 1, 3, 7, 15, 16, 17, 31, 32, 33, 64, 100, 250])
-        texts.append(" ".join(f"w{rng.randrange(50)}" for _ in range(n)))
+        sep = rng.choice([" ", "  ", "\n", "\t", " \n "])
+        body = sep.join(f"w{rng.randrange(50)}" for _ in range(n))
+        # random edge whitespace: trim() strips only spaces, so a
+        # trailing newline once produced a phantom '' token that
+        # shifted every boundary (reviewed with a repro)
+        texts.append(rng.choice(["", " ", "\n", "\t "]) + body
+                     + rng.choice(["", " ", "\n", "  \n"]))
     for window, stride, mt in [(16, 8, 4), (32, 32, 1), (64, 48, 8)]:
         got = _chunks(
             spark, texts, window=window, stride=stride, min_tokens=mt
@@ -73,10 +79,20 @@ def test_chunking_edge_semantics(spark):
     t40 = " ".join(f"t{i}" for i in range(40))
     got = _chunks(spark, [t40], window=16, stride=16, min_tokens=10)
     assert [c[0] for c in got[0]] == [0, 1]  # 8-token tail dropped
-    # short and empty docs: one chunk / zero chunks
-    got = _chunks(spark, ["one two", "", "   "], window=16, stride=8)
+    # short, empty and whitespace-only docs: one chunk / zero chunks
+    # (including non-space whitespace — '\n' is NOT a token)
+    got = _chunks(
+        spark, ["one two", "", "   ", "\n", "\t\n "], window=16, stride=8
+    )
     assert got[0] == [(0, 2, "one two")]
-    assert 1 not in got and 2 not in got
+    for i in (1, 2, 3, 4):
+        assert i not in got
+    # a trailing newline must not shift boundaries: 16 real tokens at
+    # window 16 is exactly ONE chunk either way
+    t16 = " ".join(f"t{i}" for i in range(16))
+    a = _chunks(spark, [t16], window=16, stride=8)
+    b = _chunks(spark, [t16 + "\n"], window=16, stride=8)
+    assert a == b and len(a[0]) == 1 and a[0][0][1] == 16
 
 
 def test_chunking_keeps_provenance_and_validates(spark):
@@ -93,3 +109,7 @@ def test_chunking_keeps_provenance_and_validates(spark):
         chunk_documents(df, window=8, stride=9)
     with pytest.raises(ValueError, match="min_tokens"):
         chunk_documents(df, min_tokens=0)
+    # min_tokens above the window would silently drop every non-first
+    # chunk (full middle windows included) — refuse instead
+    with pytest.raises(ValueError, match="min_tokens"):
+        chunk_documents(df, window=24, stride=18, min_tokens=32)

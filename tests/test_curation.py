@@ -126,7 +126,7 @@ def test_export_training_set_with_chunking(spark, sf_dir, tmp_path):
         assert bad.count() == 0
         for r in good.collect():
             doc, _, idx = r["doc_id"].rpartition("#")
-            assert doc and len(idx) == 6, r["doc_id"]
+            assert doc and len(idx) == 9, r["doc_id"]
             assert 0 < r["n_tokens"], r
             assert len(r["text"].split()) <= 16
             assert split_of.setdefault(doc, label) == label, (

@@ -38,6 +38,21 @@ def test_profile_exact_fields(spark):
     assert p["arr"]["min_value"] is None and p["arr"]["max_value"] is None
 
 
+def test_profile_interval_columns_get_null_minmax(spark):
+    """'interval' dtypes match the 'int' PREFIX but Spark refuses
+    min()/max() over calendar intervals — they must profile like the
+    complex types (counts + ndv, NULL min/max) instead of crashing
+    the whole-table sweep (reviewed)."""
+    df = spark.range(3).select(
+        F.col("id"), F.make_interval(years=F.lit(1)).alias("iv")
+    )
+    p = _profile_map(df)
+    assert p["iv"]["n_rows"] == 3 and p["iv"]["n_nulls"] == 0
+    assert p["iv"]["approx_ndv"] == 1
+    assert p["iv"]["min_value"] is None and p["iv"]["max_value"] is None
+    assert p["id"]["min_value"] == "0"  # plain ints still profiled
+
+
 def test_profile_partition_invariant_and_bounded(spark):
     df = spark.range(5000).select(
         F.col("id"), (F.col("id") % 977).alias("k")

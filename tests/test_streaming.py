@@ -1542,7 +1542,7 @@ def test_stream_export_chunking_stage(spark):
         split_of, idxs = {}, {}
         for label, r in rows:
             doc, _, idx = str(r["doc_id"]).rpartition("#")
-            assert doc and len(idx) == 6, r["doc_id"]
+            assert doc and len(idx) == 9, r["doc_id"]
             assert len(r["text"].split()) <= 16
             assert split_of.setdefault(doc, label) == label
             idxs.setdefault(doc, []).append(int(idx))
