@@ -92,6 +92,11 @@ HEADLINE = [
     # oracle ratio subset is still unchanged
     "prototype_pruning",
     "pca_whiten_curation",
+    # round 7 (late): one-pass table profiling and the sliding-window
+    # training-chunk fan-out — rows-only, oracle ratio subset unchanged
+    "table_profile",
+    "chunk_documents",
+    "ngram_lm_perplexity",
 ]
 
 

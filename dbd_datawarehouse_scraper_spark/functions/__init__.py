@@ -55,3 +55,10 @@ from .html import (  # noqa: F401
     html_visible_ratio,
     strip_html,
 )
+from .lm import (  # noqa: F401
+    ngram_lm_fit,
+    ngram_lm_score,
+    perplexity_filter,
+    save_lm,
+    load_lm,
+)

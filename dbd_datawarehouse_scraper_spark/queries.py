@@ -2958,6 +2958,29 @@ def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders")).orderBy("column")
 
 
+@register("ngram_lm_perplexity", None)
+def ngram_lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CCNet-style LM perplexity scoring (functions/lm.py): fit
+    the bigram stupid-backoff model on the corpus itself and score
+    every document's bits/token cross-entropy and perplexity under it
+    — the corpus-grounded fluency signal (self-perplexity flags the
+    gibberish/boilerplate tails). Per-token log-scores quantize to
+    1e-6 bigints before the per-document sum, so scores are partition-
+    and rerun-invariant. Rows-only: the final log2/pow floats have no
+    cross-engine-exact SQL mirror; the quantized scores are pinned
+    against a pure-Python model in tests/test_lm.py. The in-memory
+    model tables persist for the 3 model-side joins (the production
+    score-many path is save_lm/load_lm)."""
+    from .caching import tracked_persist
+    from .functions.lm import ngram_lm_fit, ngram_lm_score
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    model = ngram_lm_fit(d, text_col="text")
+    model["unigrams"] = tracked_persist(model["unigrams"])
+    model["bigrams"] = tracked_persist(model["bigrams"])
+    return ngram_lm_score(d, model, id_col="doc_id", text_col="text")
+
+
 @register("pca_whiten_curation", None)
 def pca_whiten_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] The composed D4-style embedding-curation recipe
