@@ -97,6 +97,7 @@ HEADLINE = [
     "table_profile",
     "chunk_documents",
     "ngram_lm_perplexity",
+    "sequence_packing",
 ]
 
 

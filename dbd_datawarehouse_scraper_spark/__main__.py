@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-min-tokens", type=int, default=None,
                    help="Drop non-first tail chunks shorter than "
                         "this many tokens (default: min(32, window))")
+    p.add_argument("--pack-context", type=int, default=None,
+                   help="Pack exported rows into training sequences of "
+                        "at most this many tokens (best-fit-decreasing, "
+                        "per split; default: off). Rows must already "
+                        "fit the context — use --chunk-window <= this")
+    p.add_argument("--pack-separator", type=str, default=None,
+                   help="Separator between packed member texts "
+                        "(default: blank line); requires --pack-context")
     p.add_argument("--quality-sample-rates", type=str, default=None,
                    help="CCNet-style per-quality-bucket keep rates in "
                         "basis points, low->high quality, e.g. "
@@ -250,6 +258,25 @@ def _chunk_opts_from_args(args) -> dict | None:
     }
     if args.chunk_min_tokens is not None:
         opts["min_tokens"] = args.chunk_min_tokens
+    return opts
+
+
+def _pack_opts_from_args(args) -> dict | None:
+    """One construction for BOTH the batch and stream export paths:
+    --pack-context enables sequence packing, and a separator without a
+    context refuses instead of silently no-opping (the
+    --chunk-stride-without-window precedent)."""
+    if args.pack_context is None:
+        if args.pack_separator is not None:
+            raise ValueError("--pack-separator requires --pack-context")
+        return None
+    if args.pack_context < 1:
+        raise ValueError(
+            f"--pack-context must be >= 1, got {args.pack_context}"
+        )
+    opts = {"context": args.pack_context}
+    if args.pack_separator is not None:
+        opts["separator"] = args.pack_separator
     return opts
 
 
@@ -405,6 +432,7 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "containment_threshold": args.containment_threshold,
             }
         chunk_opts = _chunk_opts_from_args(args)
+        pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(
             spark.read.parquet(args.input),
             args.output,
@@ -418,10 +446,15 @@ def main(argv: Sequence[str] | None = None) -> int:
             redact=not args.no_redact,
             curate_kwargs=curate_kwargs or None,
             chunk_opts=chunk_opts,
+            pack_opts=pack_opts,
         )
         release_caches()
         for label, n in counts.items():
-            unit = "chunks" if chunk_opts else "documents"
+            unit = (
+                "sequences"
+                if pack_opts
+                else "chunks" if chunk_opts else "documents"
+            )
             print(f"split={label}: {n} {unit}")
         return 0
 
@@ -471,6 +504,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         chunk_opts = _chunk_opts_from_args(args)
         if chunk_opts is not None:
             sopts["chunk_opts"] = chunk_opts
+        pack_opts = _pack_opts_from_args(args)
+        if pack_opts is not None:
+            sopts["pack_opts"] = pack_opts
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

@@ -69,3 +69,8 @@ from .similarity_search import (  # noqa: F401
     ivf_stats,
     ivf_topk,
 )
+from .packing import (  # noqa: F401
+    apply_pack_stage,
+    pack_sequences,
+    packing_stats,
+)

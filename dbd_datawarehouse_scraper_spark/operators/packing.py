@@ -1,0 +1,254 @@
+"""[EXT] Best-fit sequence packing for training batches.
+
+``pack_shards`` balances TOKEN MASS across output files;
+``chunk_documents`` bounds every piece at the context length. The step
+between them and the trainer is SEQUENCE PACKING (Krell et al. 2021,
+"Efficient Sequence Packing without Cross-contamination"): concatenate
+multiple short pieces into one context-length training sequence so the
+step isn't mostly padding — at typical web-corpus length distributions
+naive one-doc-per-sequence wastes 30-60% of compute, and packing
+recovers nearly all of it.
+
+Exact global bin packing is NP-hard and inherently sequential; the
+scalable recipe is two-level, like every global computation in this
+package:
+
+1. bucket rows into deterministic content-hash groups
+   (``pmod(xxhash64(id), n_groups)``), sized so a group's rows fit one
+   task comfortably (``docs_per_group``, derived from ONE count);
+2. run best-fit-decreasing inside each group via ``applyInPandas`` —
+   sort by (tokens DESC, id ASC), place each row into the open
+   sequence with the SMALLEST sufficient remaining capacity, open a
+   new one when none fits. BFD is the classic 11/9·OPT+1 heuristic;
+   within-group it is exact integer arithmetic, fully deterministic.
+
+Determinism: group membership is a content hash of the id, the
+within-group order is a total order (token count, then id), so the
+packing is a pure function of (rows, context, docs_per_group) —
+partition- and rerun-invariant, like every selection in this package.
+The group fan-out costs one key shuffle; the count that sizes the
+groups is a ~free aggregate over one long column.
+
+The cross-group efficiency loss is bounded and tiny: each group packs
+independently, so at most one under-filled tail sequence per group —
+waste ≤ n_groups·context tokens beyond BFD's own bound, a vanishing
+fraction at ``docs_per_group`` in the thousands. (Cross-contamination
+in Krell et al.'s sense — attention leaking across packed pieces — is
+the trainer's mask to solve; the packer's contract is the layout plus
+an honest fill report, :func:`packing_stats`.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPAN = 1 << 62  # pmod(xxhash64, 2^62): uniform, non-negative
+
+#: Default group size: 8k rows sort+pack in well under a second in the
+#: pandas kernel, and one group's rows (ids + token counts) are a few
+#: hundred KB of task input.
+_DOCS_PER_GROUP = 8192
+
+
+def _bfd_local(tokens, context: int):
+    """Best-fit-decreasing over ONE group: returns a list of (local
+    sequence index, position within sequence, sequence total) aligned
+    with the (tokens desc, id asc)-sorted order the caller provides.
+    Pure Python over a few thousand rows — the remaining-capacity scan
+    is the only O(n_bins) step and runs on a plain list."""
+    remaining: list[int] = []  # capacity left per open sequence
+    fill: list[int] = []  # token total per open sequence
+    npos: list[int] = []  # next position per open sequence
+    out = []
+    for tok in tokens:
+        best = -1
+        best_rem = context + 1
+        for j, rem in enumerate(remaining):
+            if tok <= rem < best_rem:
+                best, best_rem = j, rem
+                if rem == tok:  # perfect fit — can't do better
+                    break
+        if best < 0:
+            best = len(remaining)
+            remaining.append(context)
+            fill.append(0)
+            npos.append(0)
+        remaining[best] -= tok
+        fill[best] += tok
+        out.append((best, npos[best]))
+        npos[best] += 1
+    return [(seq, pos, fill[seq]) for seq, pos in out]
+
+
+def pack_sequences(
+    df: DataFrame,
+    context: int,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    docs_per_group: int = _DOCS_PER_GROUP,
+) -> DataFrame:
+    """Assign every row to a packed training sequence of at most
+    ``context`` tokens. Returns the input columns plus ``seq_id``
+    (string, ``<group>#<local idx>`` — globally unique, stable),
+    ``seq_pos`` (0-based position within the sequence, in packing
+    order) and ``seq_tokens`` (the sequence's total fill — the same
+    value on every member row, so downstream grouping is free).
+
+    ``id_col`` must be unique and non-null (it keys group membership
+    and the deterministic tiebreak). Rows with NULL or
+    over-``context`` token counts raise loudly in the kernel instead
+    of silently vanishing or silently overflowing — run
+    :func:`..operators.chunking.chunk_documents` first; its window is
+    the context bound.
+    """
+    if context < 1:
+        raise ValueError(f"context must be >= 1, got {context}")
+    if docs_per_group < 1:
+        raise ValueError(f"docs_per_group must be >= 1, got {docs_per_group}")
+    n = df.count()
+    if n == 0:
+        return (
+            df.withColumn("seq_id", F.lit(None).cast("string"))
+            .withColumn("seq_pos", F.lit(None).cast("int"))
+            .withColumn("seq_tokens", F.lit(None).cast("long"))
+        )
+    n_groups = max(1, math.ceil(n / docs_per_group))
+    grouped = df.withColumn(
+        "_grp",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_HASH_SPAN))
+        % F.lit(n_groups),
+    )
+    out_schema = (
+        grouped.drop("_grp").schema.add("seq_id", "string")
+        .add("seq_pos", "integer")
+        .add("seq_tokens", "long")
+    )
+    data_cols = grouped.drop("_grp").columns
+
+    def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["_grp"].iloc[0])
+        toks = pdf[token_col]
+        if toks.isna().any():
+            bad = pdf.loc[toks.isna(), id_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: NULL {token_col} (e.g. id {bad!r}) — "
+                f"recount tokens upstream; refusing to drop rows silently"
+            )
+        if (toks > context).any():
+            bad = pdf.loc[toks > context, id_col].iloc[0]
+            raise ValueError(
+                f"pack_sequences: row {bad!r} has {token_col} > context "
+                f"({int(toks.max())} > {context}) — chunk_documents first"
+            )
+        # the total order that defines the packing: tokens desc, id asc
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        placed = _bfd_local(pdf[token_col].astype("int64").tolist(), context)
+        pdf["seq_id"] = [f"{grp}#{seq:09d}" for seq, _, _ in placed]
+        pdf["seq_pos"] = pd.array([pos for _, pos, _ in placed], dtype="int32")
+        pdf["seq_tokens"] = pd.array(
+            [tot for _, _, tot in placed], dtype="int64"
+        )
+        return pdf[data_cols + ["seq_id", "seq_pos", "seq_tokens"]]
+
+    return grouped.groupBy("_grp").applyInPandas(_pack_group, schema=out_schema)
+
+
+def apply_pack_stage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pack_opts: dict,
+    id_prefix: str = "",
+) -> DataFrame:
+    """The export-pipeline packing stage, shared VERBATIM by the batch
+    plan (plans/training_export.py) and the incremental exporter
+    (streaming/export.py) so their outputs cannot drift: run
+    :func:`pack_sequences` over rows that already fit the context
+    (``apply_chunk_stage`` upstream is the bound), then collapse each
+    packed sequence to ONE output row — the JSONL row a trainer
+    actually loads:
+
+    - ``id_col`` = ``<id_prefix><seq_id>`` (the streaming exporter
+      passes ``"<epoch>#"`` so ids stay globally unique across epochs;
+      the batch plan packs per split, and seq ids only need to be
+      unique within a split's shard stream);
+    - ``text_col`` = the member texts joined by ``pack_opts
+      ["separator"]`` (default ``"\\n\\n"``) in ``seq_pos`` order —
+      the document boundary the trainer's attention mask keys on;
+    - ``n_tokens`` = the sequence's content-token sum (``seq_tokens``;
+      non-whitespace separators are NOT counted — the count stays the
+      sum of the members' counts, which is what the shard token
+      budget downstream should meter);
+    - ``doc_ids`` = the member ids in ``seq_pos`` order (provenance —
+      chunk ids are ``<doc>#<chunk>``, so lineage survives packing).
+
+    Any other input column is dropped: a packed sequence spans
+    documents, so per-document metadata has no single value to carry.
+    The collapse is one ``collect_list`` of (pos, text, id) structs
+    per sequence — bounded by ``context`` tokens by construction —
+    sorted by the unique ``seq_pos``, so the row is deterministic.
+
+    MUST run per split (both callers do): sequence membership ignores
+    any split column, so packing a mixed relation would concatenate
+    train and val text into one training row — cross-split leakage.
+    """
+    opts = dict(pack_opts)
+    separator = opts.pop("separator", "\n\n")
+    packed = pack_sequences(df, id_col=id_col, token_col="n_tokens", **opts)
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("seq_pos").alias("p"),
+                F.col(text_col).alias("t"),
+                F.col(id_col).cast("string").alias("i"),
+            )
+        )
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(members.alias("_m"), F.first("seq_tokens").alias("n_tokens"))
+        .select(
+            F.concat(F.lit(id_prefix), F.col("seq_id")).alias(id_col),
+            F.array_join(
+                F.transform("_m", lambda s: s["t"]), separator
+            ).alias(text_col),
+            F.col("n_tokens"),
+            F.transform("_m", lambda s: s["i"]).alias("doc_ids"),
+        )
+    )
+
+
+def packing_stats(packed: DataFrame, context: int) -> DataFrame:
+    """The honesty report for a :func:`pack_sequences` output: ONE row
+    of (n_rows, n_sequences, total_tokens, mean_fill_frac,
+    waste_frac) where ``waste_frac = 1 - total_tokens /
+    (n_sequences·context)`` — the padding share a trainer would pay.
+    Two small aggregates (per-sequence, then global); integer inputs,
+    so the fractions are deterministic."""
+    if context < 1:
+        raise ValueError(f"context must be >= 1, got {context}")
+    per_seq = packed.groupBy("seq_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.first("seq_tokens").alias("_fill"),
+    )
+    return per_seq.agg(
+        F.sum("_n").alias("n_rows"),
+        F.count("*").cast("long").alias("n_sequences"),
+        F.sum("_fill").alias("total_tokens"),
+        F.round(
+            F.avg(F.col("_fill").cast("double") / F.lit(float(context))), 6
+        ).alias("mean_fill_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("_fill").cast("double")
+            / (F.count("*") * F.lit(float(context))),
+            6,
+        ).alias("waste_frac"),
+    )

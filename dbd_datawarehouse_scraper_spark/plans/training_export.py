@@ -61,10 +61,12 @@ def export_training_set(
     redact: bool = True,
     curate_kwargs: dict | None = None,
     chunk_opts: dict | None = None,
+    pack_opts: dict | None = None,
 ) -> dict[str, int]:
     """Run the full export; returns {split label: exported row count}
-    (documents — or CHUNKS when ``chunk_opts`` is set, where one
-    document fans out to several rows).
+    (documents — CHUNKS when ``chunk_opts`` is set, where one document
+    fans out to several rows — packed SEQUENCES when ``pack_opts`` is
+    set, where several rows collapse to one).
 
     ``mix_weights=None`` skips mixing (single-source corpora);
     ``redact=False`` keeps original text. The curation funnel's knobs
@@ -76,7 +78,14 @@ def export_training_set(
     across splits) and chunks carry redacted text; ids become
     ``<doc id>#<zero-padded chunk idx>`` so shard packing keeps a
     deterministic per-document order, and ``n_tokens`` is recomputed
-    per chunk. Consumes its own intermediate
+    per chunk. ``pack_opts`` (kwargs for ``operators.packing
+    .pack_sequences`` plus an optional ``separator``, e.g.
+    ``{"context": 2048}``) additionally packs the (chunked) rows into
+    context-length training sequences — best-fit-decreasing per
+    content-hash group — and collapses each sequence to ONE exported
+    row (joined text, summed ``n_tokens``, member ids under
+    ``doc_ids``); packing runs PER SPLIT, after the split filter, so a
+    sequence never mixes splits. Consumes its own intermediate
     persists (the funnel's) via the standard pool discipline — callers
     still call ``caching.release_caches()`` after, like any consuming
     action in this package.
@@ -136,6 +145,11 @@ def export_training_set(
     counts: dict[str, int] = {}
     for label in (split_fractions or DEFAULT_FRACTIONS):
         subset = prepared.filter(F.col("split") == label).drop("split")
+        if pack_opts:
+            from ..operators.packing import apply_pack_stage
+
+            # per split — a packed sequence must never mix splits
+            subset = apply_pack_stage(subset, id_col, text_col, pack_opts)
         packed = pack_shards(
             subset,
             token_col="n_tokens",

@@ -2943,6 +2943,40 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, window=64, stride=48, min_tokens=8)
 
 
+@register("sequence_packing", None)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Best-fit sequence packing (operators/packing.py
+    pack_sequences): chunk every document into <=64-token windows,
+    then pack the chunks into 256-token training sequences —
+    deterministic content-hash groups, best-fit-decreasing inside
+    each via one applyInPandas kernel — and report each sequence's
+    member count and fill. Rows-only: within-group BFD has no SQL
+    mirror; the kernel is pinned against a pure-Python model and the
+    packing invariants (never over context, partition/rerun
+    invariance, waste bound vs naive) in tests/test_packing.py."""
+    from .operators.chunking import chunk_documents
+    from .operators.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(d, window=64, stride=64, min_tokens=1).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), "chunk_idx").alias(
+            "chunk_id"
+        ),
+        F.col("chunk_tokens").cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        chunks, context=256, id_col="chunk_id", token_col="n_tokens"
+    )
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.first("seq_tokens").alias("seq_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
 @register("table_profile", None)
 def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] One-pass ANALYZE-style table profile

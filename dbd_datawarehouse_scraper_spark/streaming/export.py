@@ -96,6 +96,7 @@ def stream_export_training_set(
     domain_opts: dict | None = None,
     html_opts: dict | None = None,
     chunk_opts: dict | None = None,
+    pack_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -153,7 +154,19 @@ def stream_export_training_set(
     order (after split assignment and redaction — chunks inherit the
     document's split, so chunking cannot leak across splits) —
     stateless per-row, replay-idempotent; ids become
-    ``<doc>#<chunk>``."""
+    ``<doc>#<chunk>``.
+
+    ``pack_opts`` (``operators.packing.pack_sequences`` kwargs plus an
+    optional ``separator``) packs each epoch's rows into
+    context-length training sequences via the SAME ``apply_pack_stage``
+    the batch plan uses, per split (a sequence never mixes splits).
+    Packing is NOT stateless per-row, but it IS a pure function of the
+    epoch's row set (content-hash groups, total-ordered best-fit) — a
+    replayed epoch repacks identically, so idempotence holds. Epoch-
+    local packing costs at most one under-filled tail sequence per
+    (group, split, epoch) vs packing at rest; sequence ids are
+    prefixed ``<epoch>#`` so they stay unique across the shard
+    stream."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -325,6 +338,15 @@ def stream_export_training_set(
         try:
             for label in fractions:
                 subset = prepared.filter(F.col("split") == label).drop("split")
+                if pack_opts:
+                    # the SAME stage as the batch plan, per split; the
+                    # epoch prefix keeps seq ids unique across epochs
+                    from ..operators.packing import apply_pack_stage
+
+                    subset = apply_pack_stage(
+                        subset, id_col, text_col, pack_opts,
+                        id_prefix=f"{epoch_id}#",
+                    )
                 pack_epoch(
                     spark,
                     subset,

@@ -281,6 +281,57 @@ def test_export_training_set_cli_chunking_flags(spark, tmp_path):
         ])
 
 
+def test_export_training_set_cli_packing_flags(spark, tmp_path):
+    """--pack-context packs chunked rows into training sequences (one
+    JSONL row per sequence, doc_ids lineage, n_tokens <= context);
+    --pack-separator without the context refuses."""
+    import glob
+    import json
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(random.Random(i).sample(_POOL, 40)), "src0")
+            for i in range(60)
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "packed")
+    rc = main([
+        "--export-training-set",
+        "--input", src,
+        "--output", out,
+        "--shard-token-budget", "500",
+        "--chunk-window", "16", "--chunk-min-tokens", "4",
+        "--pack-context", "48", "--pack-separator", " <doc> ",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/split=train/shard=*/*.gz")
+    back = spark.read.json(f"{out}/split=train")
+    rows = back.collect()
+    assert rows
+    assert all(0 < r["n_tokens"] <= 48 for r in rows)
+    assert all("#" in m for r in rows for m in r["doc_ids"])
+    assert any(len(r["doc_ids"]) > 1 for r in rows), "nothing packed"
+    assert all(
+        len(r["text"].split(" <doc> ")) == len(r["doc_ids"]) for r in rows
+    )
+    with pytest.raises(ValueError, match="pack-separator requires"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--pack-separator", "|",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+    with pytest.raises(ValueError, match="pack-context"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--pack-context", "0",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+
+
 def test_export_training_set_cli_curation_flags(spark, tmp_path):
     """--segment-dedup-k / --quality-sample-rates reach the funnel: an
     injected cross-doc boilerplate passage is absent from the exported

@@ -1603,3 +1603,78 @@ def test_stream_export_html_stage_and_domain_segment_order(spark):
         assert texts[1].startswith("clean prose words here")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_export_packing_stage(spark):
+    """pack_opts in the incremental exporter: each epoch's chunks are
+    packed into context-length sequences via the SAME apply_pack_stage
+    as the batch plan, per split — exported rows carry doc_ids lineage,
+    never exceed the context, sequence ids are '<epoch>#<grp>#<idx>'
+    (globally unique across epochs), and a sequence never mixes
+    members from two splits or two epochs."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(1, 25)],
+        "doc_id long, text string",
+    )
+    work = tempfile.mkdtemp(prefix="stream_pack_")
+    try:
+        # two source files → two epochs at max_files_per_trigger=1
+        docs.filter("doc_id <= 12").coalesce(1).write.mode("append").parquet(
+            f"{work}/src"
+        )
+        docs.filter("doc_id > 12").coalesce(1).write.mode("append").parquet(
+            f"{work}/src"
+        )
+        q = stream_export_training_set(
+            file_stream(spark, f"{work}/src", docs.schema, max_files_per_trigger=1),
+            f"{work}/out", f"{work}/state", f"{work}/ckpt",
+            chunk_opts={"window": 16, "stride": 16, "min_tokens": 1},
+            pack_opts={"context": 48},
+            **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        rows = []
+        for f in glob.glob(f"{work}/out/split=*/epoch=*/shard=*/*.gz"):
+            label = f.split("split=")[1].split("/")[0]
+            epoch = int(f.split("epoch=")[1].split("/")[0])
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                rows += [(label, epoch, json.loads(l)) for l in fh if l.strip()]
+        assert rows
+        seen_seq_ids = set()
+        members_by_split: dict[str, set] = {}
+        packed_somewhere = False
+        for label, epoch, r in rows:
+            # ids are unique within a split's shard stream (splits live
+            # in disjoint directory trees; packing runs per split)
+            sid = (label, str(r["doc_id"]))
+            assert sid not in seen_seq_ids, f"duplicate seq id {sid}"
+            seen_seq_ids.add(sid)
+            sid = sid[1]
+            # epoch prefix keeps ids unique across epochs
+            assert sid.split("#")[0] == str(epoch), (sid, epoch)
+            assert 0 < r["n_tokens"] <= 48
+            assert len(r["text"].split("\n\n")) == len(r["doc_ids"])
+            assert all("#" in m for m in r["doc_ids"])
+            packed_somewhere = packed_somewhere or len(r["doc_ids"]) > 1
+            members_by_split.setdefault(label, set()).update(r["doc_ids"])
+        assert packed_somewhere, "nothing packed"
+        labels = list(members_by_split)
+        for i, a in enumerate(labels):
+            for b in labels[i + 1:]:
+                assert not (members_by_split[a] & members_by_split[b])
+        # every source doc's chunks survive into some sequence (40
+        # tokens at window 16 → 3 chunks per doc, near_dup off for
+        # these unique-vocab texts)
+        docs_seen = {m.split("#")[0] for ms in members_by_split.values() for m in ms}
+        assert docs_seen == {str(i) for i in range(1, 25)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
