@@ -178,6 +178,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="State root for --stream-export (default: "
                         "<output>__state); holds the dedup store, pack "
                         "cursors, and the streaming checkpoint")
+    p.add_argument("--fit-lm", action="store_true",
+                   help="Maintenance mode: fit the bigram reference LM "
+                        "on --input (a documents parquet dir, column "
+                        "'text') and save it to --output as a save_lm "
+                        "directory, then exit — feed the result to "
+                        "--lm-model")
+    p.add_argument("--lm-min-count", type=int, default=1,
+                   help="Prune n-grams below this count from the "
+                        "--fit-lm model tables (totals keep the full "
+                        "corpus; pruned grams back off)")
+    p.add_argument("--lm-model", type=str, default=None,
+                   help="A --fit-lm (save_lm) model directory: gate "
+                        "exported documents on perplexity under it "
+                        "(requires --max-perplexity)")
+    p.add_argument("--max-perplexity", type=float, default=None,
+                   help="Keep only documents at or below this "
+                        "perplexity under --lm-model")
     return p
 
 
@@ -278,6 +295,19 @@ def _pack_opts_from_args(args) -> dict | None:
     if args.pack_separator is not None:
         opts["separator"] = args.pack_separator
     return opts
+
+
+def _lm_opts_from_args(args) -> dict | None:
+    """One construction for BOTH the batch and stream export paths:
+    --lm-model + --max-perplexity enable the reference-LM fluency
+    gate; either flag alone refuses instead of silently no-opping."""
+    if args.lm_model is None and args.max_perplexity is None:
+        return None
+    if args.lm_model is None or args.max_perplexity is None:
+        raise ValueError(
+            "--lm-model and --max-perplexity must be given together"
+        )
+    return {"model_path": args.lm_model, "max_perplexity": args.max_perplexity}
 
 
 def _html_opts_from_args(args) -> dict | None:
@@ -382,6 +412,19 @@ def main(argv: Sequence[str] | None = None) -> int:
             print(f"compacted {args.optimize_output}: {n} files")
         return 0
 
+    if args.fit_lm:
+        from .functions.lm import ngram_lm_fit, save_lm
+
+        model = ngram_lm_fit(
+            spark.read.parquet(args.input), text_col="text",
+            min_count=args.lm_min_count,
+        )
+        save_lm(spark, model, args.output)
+        print(
+            f"LM fitted on {model['n_tokens']} tokens -> {args.output}"
+        )
+        return 0
+
     if args.export_training_set:
         import json as _json
 
@@ -431,6 +474,9 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "threshold": args.contamination_threshold,
                 "containment_threshold": args.containment_threshold,
             }
+        lm_opts = _lm_opts_from_args(args)
+        if lm_opts is not None:
+            curate_kwargs["lm_opts"] = lm_opts
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(
@@ -507,6 +553,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         pack_opts = _pack_opts_from_args(args)
         if pack_opts is not None:
             sopts["pack_opts"] = pack_opts
+        lm_opts = _lm_opts_from_args(args)
+        if lm_opts is not None:
+            sopts["lm_opts"] = lm_opts
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

@@ -75,6 +75,7 @@ def curate_documents(
     domain_opts: dict | None = None,
     contamination_opts: dict | None = None,
     html_opts: dict | None = None,
+    lm_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -133,7 +134,17 @@ def curate_documents(
     (:func:`..functions.html.extract_main_content`): nav/footer/
     sidebar chrome blocks are dropped by link-density scoring before
     the entity-decoded strip, tunable via ``min_block_chars`` /
-    ``max_link_density``."""
+    ``max_link_density``.
+
+    ``lm_opts`` adds the CCNet-style reference-LM fluency gate
+    (:func:`..functions.lm.perplexity_filter`) AFTER exact dedup —
+    duplicates are gone, so each surviving document is scored once.
+    Keys: ``max_perplexity`` (float, required), and the model as
+    either ``model_path`` (a :func:`..functions.lm.save_lm` directory
+    — the score-many path: the model tables join from parquet) or
+    ``model`` (an in-memory :func:`..functions.lm.ngram_lm_fit`
+    result). Stateless per row given the model, so the incremental
+    exporter supports the same knob."""
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -218,6 +229,25 @@ def curate_documents(
     # (recomputing doc_fingerprint would re-run the normalize regex +
     # sha256 over every surviving document)
     exact = exact_dedup(gated, ["_fp"], id_col)
+
+    if lm_opts is not None:
+        from ..functions.lm import load_lm, perplexity_filter
+
+        l = dict(lm_opts)
+        if "max_perplexity" not in l:
+            raise ValueError("lm_opts requires 'max_perplexity'")
+        if ("model" in l) == ("model_path" in l):
+            raise ValueError(
+                "lm_opts requires exactly one of 'model' (an "
+                "ngram_lm_fit result) or 'model_path' (a save_lm dir)"
+            )
+        model = l.get("model") or load_lm(docs.sparkSession, l["model_path"])
+        # after exact dedup: duplicates are gone, each doc scores once;
+        # empties were already dropped by the min_tokens gate upstream
+        exact = perplexity_filter(
+            exact, model, l["max_perplexity"], id_col=id_col,
+            text_col=text_col,
+        )
 
     if contamination_opts is not None:
         from ..operators.dedup import contamination_pairs

@@ -97,6 +97,7 @@ def stream_export_training_set(
     html_opts: dict | None = None,
     chunk_opts: dict | None = None,
     pack_opts: dict | None = None,
+    lm_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -166,7 +167,17 @@ def stream_export_training_set(
     local packing costs at most one under-filled tail sequence per
     (group, split, epoch) vs packing at rest; sequence ids are
     prefixed ``<epoch>#`` so they stay unique across the shard
-    stream."""
+    stream.
+
+    ``lm_opts`` adds the CCNet-style reference-LM fluency gate
+    (functions/lm.py) alongside the lang/quality gates — stateless
+    per row given the model, trivially replay-idempotent. Keys:
+    ``max_perplexity`` (required) and exactly one of ``model_path``
+    (a ``save_lm`` directory — loaded ONCE at start; the score joins
+    read the persisted tables) or ``model`` (an in-memory fit). The
+    model is static state, like the benchmark index: refit-and-restart
+    to change it (a model that drifted mid-stream would silently
+    change which documents pass as epochs progress)."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -213,6 +224,21 @@ def stream_export_training_set(
             bench_text_col=contam["bench_text_col"],
             k=contam["k"],
         )
+    lm = None
+    if lm_opts is not None:
+        from ..functions.lm import load_lm
+
+        lm = dict(lm_opts)
+        if "max_perplexity" not in lm:
+            raise ValueError("lm_opts requires 'max_perplexity'")
+        if ("model" in lm) == ("model_path" in lm):
+            raise ValueError(
+                "lm_opts requires exactly one of 'model' (an "
+                "ngram_lm_fit result) or 'model_path' (a save_lm dir)"
+            )
+        # loaded ONCE — static state for the whole stream, like the
+        # benchmark index (see docstring)
+        lm["model"] = lm.get("model") or load_lm(spark, lm["model_path"])
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the curated hand-off dirs are single-epoch intermediates: only
@@ -302,6 +328,15 @@ def stream_export_training_set(
             & (quality_score(F.col(text_col)) >= min_quality)
             & (token_count(F.col(text_col)) >= min_tokens)
         )
+        if lm is not None:
+            # stateless per row given the static model — the same gate
+            # the batch funnel applies (there: after exact dedup)
+            from ..functions.lm import perplexity_filter
+
+            gated = perplexity_filter(
+                gated, lm["model"], lm["max_perplexity"],
+                id_col=id_col, text_col=text_col,
+            )
         had_rows = near_dedup_epoch(
             spark,
             gated.select(id_col, text_col),

@@ -686,3 +686,64 @@ def test_cli_optimize_output_mode(spark, tmp_path):
         with pytest.raises(ValueError, match="--target-file-mb"):
             main(["--optimize-output", path2, "--target-file-mb", bad,
                   "--config", str(tmp_path / "none.yaml")])
+
+
+def test_fit_lm_and_lm_gated_export_cli(spark, tmp_path):
+    """--fit-lm persists a save_lm model from a reference corpus;
+    --lm-model + --max-perplexity gate the batch export on it; either
+    LM flag alone refuses."""
+    import glob
+
+    ref = spark.createDataFrame(
+        [(i, " ".join(random.Random(i).sample(_POOL, 40)), "s")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    refp = str(tmp_path / "ref.parquet")
+    ref.write.parquet(refp)
+    lmdir = str(tmp_path / "lm")
+    rc = main([
+        "--fit-lm", "--input", refp, "--output", lmdir,
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    from dbd_datawarehouse_scraper_spark.functions.lm import load_lm
+
+    assert load_lm(spark, lmdir)["n_tokens"] == 40 * 40
+
+    # corpus: in-domain docs (drawn from the same pool) plus OOV soup
+    corpus = spark.createDataFrame(
+        [(i, " ".join(random.Random(100 + i).sample(_POOL, 40)), "s")
+         for i in range(20)]
+        + [(900, " ".join(f"zzqx{j}" for j in range(40)), "s")],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    out = str(tmp_path / "gated")
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--lm-model", lmdir, "--max-perplexity", "5000",
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/split=*/shard=*/*.gz")
+    ids = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", out)
+        .json(f"{out}/split=*").collect()
+    }
+    assert 900 not in ids and ids  # the OOV soup gated out
+    with pytest.raises(ValueError, match="together"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--lm-model", lmdir,
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+    with pytest.raises(ValueError, match="together"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--max-perplexity", "100",
+            "--config", str(tmp_path / "none.yaml"),
+        ])

@@ -403,3 +403,65 @@ def test_funnel_html_extract_main_mode(spark):
     assert set(out) == {1}
     assert "genuine article body prose" in out[1]
     assert "Menu item" not in out[1]
+
+
+def test_funnel_lm_perplexity_stage(spark):
+    """lm_opts: documents fluent under the reference LM pass, gibberish
+    (OOV soup) is dropped; model/model_path validation refuses loudly;
+    the in-memory and persisted model forms gate identically."""
+    from dbd_datawarehouse_scraper_spark.functions.lm import (
+        ngram_lm_fit, save_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(f"the quick brown fox jumps over the lazy dog near the old "
+          f"river bank and then walks home item {i}",)
+         for i in range(20)],
+        "text STRING",
+    )
+    model = ngram_lm_fit(ref, text_col="text")
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s"),
+            (2, "the old river bank and the lazy dog walks home", "s"),
+            (3, "zq xv qqj vxk zzw jqx wvv kqz xjx qwv zkx vjq", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=1)
+    # fluent docs score ~1.6/~3.0 (seen bigrams); the OOV soup pays
+    # the alpha/N floor every token (~926 on this tiny reference)
+    kept = {
+        r["doc_id"]
+        for r in curate_documents(
+            corpus, lm_opts={"model": model, "max_perplexity": 100.0},
+            **base,
+        ).collect()
+    }
+    assert kept == {1, 2}
+    # persisted-model path gates identically
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        save_lm(spark, model, f"{td}/lm")
+        kept_p = {
+            r["doc_id"]
+            for r in curate_documents(
+                corpus,
+                lm_opts={"model_path": f"{td}/lm", "max_perplexity": 100.0},
+                **base,
+            ).collect()
+        }
+    assert kept_p == kept
+    with pytest.raises(ValueError, match="max_perplexity"):
+        curate_documents(corpus, lm_opts={"model": model}, **base)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_documents(corpus, lm_opts={"max_perplexity": 10.0}, **base)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_documents(
+            corpus,
+            lm_opts={"model": model, "model_path": "x",
+                     "max_perplexity": 10.0},
+            **base,
+        )

@@ -1678,3 +1678,60 @@ def test_stream_export_packing_stage(spark):
         assert docs_seen == {str(i) for i in range(1, 25)}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_stream_export_lm_perplexity_gate(spark):
+    """lm_opts in the incremental exporter: the persisted reference
+    model is loaded once, each epoch gates on perplexity alongside the
+    lang/quality gates — gibberish never exports, fluent docs do; bad
+    lm_opts refuse at start, not mid-stream."""
+    from dbd_datawarehouse_scraper_spark.functions.lm import (
+        ngram_lm_fit, save_lm,
+    )
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    ref = spark.createDataFrame(
+        [(f"the quick brown fox jumps over the lazy dog near the old "
+          f"river bank and then walks home item {i}",)
+         for i in range(20)],
+        "text STRING",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the old river bank and the lazy dog walks home"),
+            (3, "zq xv qqj vxk zzw jqx wvv kqz xjx qwv zkx vjq"),
+        ],
+        "doc_id long, text string",
+    )
+    work = tempfile.mkdtemp(prefix="stream_lm_")
+    try:
+        save_lm(spark, ngram_lm_fit(ref, text_col="text"), f"{work}/lm")
+        docs.coalesce(1).write.mode("append").parquet(f"{work}/src")
+        with pytest.raises(ValueError, match="max_perplexity"):
+            stream_export_training_set(
+                file_stream(spark, f"{work}/src", docs.schema),
+                f"{work}/o0", f"{work}/s0", f"{work}/c0",
+                lm_opts={"model_path": f"{work}/lm"}, **_EXPORT_KW,
+            )
+        with pytest.raises(ValueError, match="exactly one"):
+            stream_export_training_set(
+                file_stream(spark, f"{work}/src", docs.schema),
+                f"{work}/o0", f"{work}/s0", f"{work}/c0",
+                lm_opts={"max_perplexity": 100.0}, **_EXPORT_KW,
+            )
+        q = stream_export_training_set(
+            file_stream(spark, f"{work}/src", docs.schema,
+                        max_files_per_trigger=1),
+            f"{work}/out", f"{work}/state", f"{work}/ckpt",
+            lm_opts={"model_path": f"{work}/lm", "max_perplexity": 100.0},
+            **_EXPORT_KW,
+        )
+        assert q.awaitTermination(240)
+        ids = _exported_ids(f"{work}/out")
+        assert set(ids) == {1, 2}, ids  # the OOV soup (doc 3) gated out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
