@@ -291,6 +291,15 @@ def _pack_opts_from_args(args) -> dict | None:
         raise ValueError(
             f"--pack-context must be >= 1, got {args.pack_context}"
         )
+    if args.chunk_window is not None and args.chunk_window > args.pack_context:
+        # both values are known now — refuse at parse time instead of
+        # hours later inside the packing kernel on the first over-
+        # context chunk
+        raise ValueError(
+            f"--chunk-window ({args.chunk_window}) must be <= "
+            f"--pack-context ({args.pack_context}): every chunk must "
+            f"fit one training sequence"
+        )
     opts = {"context": args.pack_context}
     if args.pack_separator is not None:
         opts["separator"] = args.pack_separator

@@ -193,8 +193,11 @@ def ngram_lm_score(
     """Score every document under the fitted model. Returns
     ``(id_col, n_tokens LONG, cross_entropy DOUBLE, perplexity
     DOUBLE)`` — cross-entropy in bits/token (mean -log2 S), perplexity
-    = 2**cross_entropy; empty documents score NULL on both (no tokens
-    to have an opinion about — callers gate on ``n_tokens`` first).
+    = 2**cross_entropy. Empty, whitespace-only and NULL-text documents
+    produce no token rows and are therefore ABSENT from the output
+    (there is no group to aggregate) — callers joining scores back
+    must left-join (or use :func:`perplexity_filter`, whose
+    ``keep_empty`` decides those rows' fate explicitly).
 
     The per-token -log2 is quantized to a 1e-6 bigint before the
     per-document sum, so scores are partition- and rerun-invariant
@@ -285,10 +288,11 @@ def perplexity_filter(
 ) -> DataFrame:
     """The gate form: keep documents whose perplexity under the
     reference model is at most ``max_perplexity`` (CCNet's "head"
-    selection, as a hard threshold). Empty documents have no score;
-    ``keep_empty`` decides their fate explicitly instead of letting a
-    NULL comparison silently drop them (the round-5 null-vanish class).
-    Returns the input columns unchanged.
+    selection, as a hard threshold). Empty, whitespace-only and
+    NULL-text documents have no score; ``keep_empty`` decides their
+    fate explicitly instead of letting a NULL comparison silently drop
+    them (the round-5 null-vanish class). Returns the input columns
+    unchanged.
 
     One score pass + a semi join back on ``id_col`` — the corpus rows
     never carry the score columns, so downstream schemas are stable.
@@ -299,11 +303,15 @@ def perplexity_filter(
     keep = scores.filter(F.col("perplexity") <= F.lit(float(max_perplexity)))
     kept = docs.join(keep.select(id_col), id_col, "left_semi")
     if keep_empty:
+        # the shared tokenizer definition (text_analysis.token_count),
+        # NULL coalesced first: size(split(NULL)) is NULL, and a NULL
+        # == 0 comparison would silently drop NULL-text rows from the
+        # "empties" side too — the exact vanish this flag exists to
+        # prevent
+        from .text_analysis import token_count
+
         empties = docs.filter(
-            F.size(
-                F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
-            )
-            == 0
+            token_count(F.coalesce(F.col(text_col), F.lit(""))) == 0
         )
         kept = kept.unionByName(empties)
     return kept

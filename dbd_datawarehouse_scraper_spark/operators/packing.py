@@ -182,10 +182,11 @@ def apply_pack_stage(
     - ``text_col`` = the member texts joined by ``pack_opts
       ["separator"]`` (default ``"\\n\\n"``) in ``seq_pos`` order —
       the document boundary the trainer's attention mask keys on;
-    - ``n_tokens`` = the sequence's content-token sum (``seq_tokens``;
-      non-whitespace separators are NOT counted — the count stays the
-      sum of the members' counts, which is what the shard token
-      budget downstream should meter);
+    - ``n_tokens`` = the sequence's content-token sum (separators are
+      NOT counted — the shard token budget meters content), but the
+      BFD capacity accounting DOES charge each joint a whitespace-
+      delimited separator's token cost, so the joined row never
+      retokenizes over ``context`` (see ``sep_cost`` below);
     - ``doc_ids`` = the member ids in ``seq_pos`` order (provenance —
       chunk ids are ``<doc>#<chunk>``, so lineage survives packing).
 
@@ -201,7 +202,35 @@ def apply_pack_stage(
     """
     opts = dict(pack_opts)
     separator = opts.pop("separator", "\n\n")
-    packed = pack_sequences(df, id_col=id_col, token_col="n_tokens", **opts)
+    # a non-whitespace separator ADDS tokens on retokenization: joining
+    # k members inserts k-1 separators, each worth `sep_cost`
+    # whitespace tokens. Packing item size tok+sep_cost into capacity
+    # context+sep_cost is exactly "content sum + (k-1)·sep_cost <=
+    # context", so the JOINED row never retokenizes over the context.
+    # A separator with no surrounding whitespace merges with the
+    # members' edge tokens (count can even shrink) — cost 0 is the
+    # conservative floor either way.
+    sep_cost = max(0, len(f"x{separator}x".split()) - 2)
+    if sep_cost:
+        context = opts.pop("context")
+        if context <= sep_cost:
+            raise ValueError(
+                f"context ({context}) must exceed the separator's "
+                f"token cost ({sep_cost})"
+            )
+        tok = "__pack_tokens"
+        packed = pack_sequences(
+            df.withColumn(tok, F.col("n_tokens") + sep_cost),
+            context=context + sep_cost,
+            id_col=id_col,
+            token_col=tok,
+            **opts,
+        ).drop(tok)
+        # seq_tokens counted the padded sizes (content + k·sep_cost);
+        # the collapse below restores the content sum from the member
+        # count (size of the collected struct list)
+    else:
+        packed = pack_sequences(df, id_col=id_col, token_col="n_tokens", **opts)
     members = F.array_sort(
         F.collect_list(
             F.struct(
@@ -213,13 +242,13 @@ def apply_pack_stage(
     )
     return (
         packed.groupBy("seq_id")
-        .agg(members.alias("_m"), F.first("seq_tokens").alias("n_tokens"))
+        .agg(members.alias("_m"), F.first("seq_tokens").alias("_st"))
         .select(
             F.concat(F.lit(id_prefix), F.col("seq_id")).alias(id_col),
             F.array_join(
                 F.transform("_m", lambda s: s["t"]), separator
             ).alias(text_col),
-            F.col("n_tokens"),
+            (F.col("_st") - F.lit(sep_cost) * F.size("_m")).alias("n_tokens"),
             F.transform("_m", lambda s: s["i"]).alias("doc_ids"),
         )
     )
@@ -231,7 +260,9 @@ def packing_stats(packed: DataFrame, context: int) -> DataFrame:
     waste_frac) where ``waste_frac = 1 - total_tokens /
     (n_sequences·context)`` — the padding share a trainer would pay.
     Two small aggregates (per-sequence, then global); integer inputs,
-    so the fractions are deterministic."""
+    so the fractions are deterministic. An EMPTY packing reports
+    honest zero counts with NULL fractions (a mean fill over zero
+    sequences is undefined, not 0% or 100%)."""
     if context < 1:
         raise ValueError(f"context must be >= 1, got {context}")
     per_seq = packed.groupBy("seq_id").agg(
@@ -239,9 +270,9 @@ def packing_stats(packed: DataFrame, context: int) -> DataFrame:
         F.first("seq_tokens").alias("_fill"),
     )
     return per_seq.agg(
-        F.sum("_n").alias("n_rows"),
+        F.coalesce(F.sum("_n"), F.lit(0).cast("long")).alias("n_rows"),
         F.count("*").cast("long").alias("n_sequences"),
-        F.sum("_fill").alias("total_tokens"),
+        F.coalesce(F.sum("_fill"), F.lit(0).cast("long")).alias("total_tokens"),
         F.round(
             F.avg(F.col("_fill").cast("double") / F.lit(float(context))), 6
         ).alias("mean_fill_frac"),

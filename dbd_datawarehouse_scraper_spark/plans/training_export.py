@@ -145,11 +145,19 @@ def export_training_set(
     counts: dict[str, int] = {}
     for label in (split_fractions or DEFAULT_FRACTIONS):
         subset = prepared.filter(F.col("split") == label).drop("split")
+        pack_mark = None
         if pack_opts:
+            from ..caching import pool_mark, release_since
             from ..operators.packing import apply_pack_stage
 
-            # per split — a packed sequence must never mix splits
-            subset = apply_pack_stage(subset, id_col, text_col, pack_opts)
+            # per split — a packed sequence must never mix splits.
+            # Persist: the pack shuffle + BFD kernel feed pack_shards'
+            # range sampling, its materialization, AND the count below
+            # — without the barrier the stage would run three times
+            pack_mark = pool_mark()
+            subset = tracked_persist(
+                apply_pack_stage(subset, id_col, text_col, pack_opts)
+            )
         packed = pack_shards(
             subset,
             token_col="n_tokens",
@@ -160,4 +168,6 @@ def export_training_set(
             packed, f"{out_path}/split={label}", partition_by=("shard",)
         )
         counts[label] = subset.count()
+        if pack_mark is not None:
+            release_since(pack_mark)
     return counts

@@ -375,12 +375,17 @@ def stream_export_training_set(
                 subset = prepared.filter(F.col("split") == label).drop("split")
                 if pack_opts:
                     # the SAME stage as the batch plan, per split; the
-                    # epoch prefix keeps seq ids unique across epochs
+                    # epoch prefix keeps seq ids unique across epochs.
+                    # Persisted (pack_epoch consumes it more than once);
+                    # release_since(mark) below reclaims it
+                    from ..caching import tracked_persist
                     from ..operators.packing import apply_pack_stage
 
-                    subset = apply_pack_stage(
-                        subset, id_col, text_col, pack_opts,
-                        id_prefix=f"{epoch_id}#",
+                    subset = tracked_persist(
+                        apply_pack_stage(
+                            subset, id_col, text_col, pack_opts,
+                            id_prefix=f"{epoch_id}#",
+                        )
                     )
                 pack_epoch(
                     spark,

@@ -330,6 +330,14 @@ def test_export_training_set_cli_packing_flags(spark, tmp_path):
             "--pack-context", "0",
             "--config", str(tmp_path / "none.yaml"),
         ])
+    # chunk windows that cannot fit one sequence refuse at parse time,
+    # not hours later inside the packing kernel
+    with pytest.raises(ValueError, match="must be <="):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--chunk-window", "64", "--pack-context", "48",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
 
 
 def test_export_training_set_cli_curation_flags(spark, tmp_path):

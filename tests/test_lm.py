@@ -131,7 +131,12 @@ def test_load_refuses_markerless_and_wrong_version(spark, tmp_path):
 
 def test_perplexity_filter_gate_and_empty_docs(spark):
     model = _fit(spark)
-    docs = spark.createDataFrame(SCORE_DOCS, "doc_id INT, text STRING")
+    # + a NULL-text row: unscoreable, so keep_empty decides its fate
+    # too (size(split(NULL)) is NULL — a bare ==0 check would silently
+    # drop it from BOTH sides, the round-5 null-vanish class)
+    docs = spark.createDataFrame(
+        SCORE_DOCS + [(8, None)], "doc_id INT, text STRING"
+    )
     ppl = {r["doc_id"]: r["perplexity"] for r in _score_df(spark, model).collect()}
     cut = (ppl[1] + ppl[2]) / 2  # keeps doc 1, drops 2/3/7; doc 4 depends
     kept = {
@@ -142,14 +147,15 @@ def test_perplexity_filter_gate_and_empty_docs(spark):
     }
     want = {d for d, p in ppl.items() if p <= cut}
     assert kept == want
-    assert 5 not in kept and 6 not in kept  # empty docs drop by default
+    # empty/whitespace/NULL text drops by default
+    assert not {5, 6, 8} & kept
     kept_e = {
         r["doc_id"]
         for r in perplexity_filter(
             docs, model, max_perplexity=cut, id_col="doc_id", keep_empty=True
         ).collect()
     }
-    assert kept_e == want | {5, 6}
+    assert kept_e == want | {5, 6, 8}
     with pytest.raises(ValueError, match="max_perplexity"):
         perplexity_filter(docs, model, max_perplexity=0.0)
 

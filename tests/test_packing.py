@@ -220,3 +220,40 @@ def test_export_with_pack_opts(spark, sf_dir, tmp_path):
     counts2 = export_training_set(docs, str(tmp_path / "out2"), **kwargs)
     release_caches()
     assert counts2 == counts
+
+
+def test_apply_pack_stage_separator_capacity(spark):
+    """A non-whitespace separator costs tokens on retokenization: the
+    stage charges each joint the separator's token cost, so the JOINED
+    text never retokenizes over the context, while n_tokens stays the
+    honest content sum; a context at or below the cost refuses."""
+    rows = [(f"d{i}", " ".join(f"t{i}w{j}" for j in range(4)), 4)
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id STRING, text STRING, n_tokens LONG")
+    out = apply_pack_stage(
+        df, "doc_id", "text", {"context": 9, "separator": " <doc> "}
+    ).collect()
+    assert sorted(i for r in out for i in r["doc_ids"]) == sorted(
+        r[0] for r in rows
+    )
+    for r in out:
+        # content sum: 4 per member
+        assert r["n_tokens"] == 4 * len(r["doc_ids"])
+        # retokenized length (content + k-1 separators) fits the context
+        assert len(r["text"].split()) <= 9
+    # 4+1+4 = 9 fits; a third member (14) would not: max 2 members
+    assert {len(r["doc_ids"]) for r in out} == {2}
+    with pytest.raises(ValueError, match="separator"):
+        apply_pack_stage(
+            df, "doc_id", "text",
+            {"context": 1, "separator": " a b c "},
+        )
+
+
+def test_packing_stats_empty_relation_reports_zeros(spark):
+    empty = pack_sequences(_df(spark).filter("n_tokens < 0"), context=100)
+    row = packing_stats(empty, context=100).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_sequences"] == 0
+    assert row["total_tokens"] == 0
+    assert row["mean_fill_frac"] is None and row["waste_frac"] is None
