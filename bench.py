@@ -98,6 +98,7 @@ HEADLINE = [
     "chunk_documents",
     "ngram_lm_perplexity",
     "sequence_packing",
+    "gopher_quality",
 ]
 
 

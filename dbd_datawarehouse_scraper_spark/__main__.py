@@ -188,6 +188,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Prune n-grams below this count from the "
                         "--fit-lm model tables (totals keep the full "
                         "corpus; pruned grams back off)")
+    p.add_argument("--gopher", action="store_true",
+                   help="Gate exported documents on the Gopher quality "
+                        "rules (word count, mean word length, symbol/"
+                        "bullet/ellipsis ratios, alphabetic-word and "
+                        "stop-word checks) at the published thresholds")
     p.add_argument("--lm-model", type=str, default=None,
                    help="A --fit-lm (save_lm) model directory: gate "
                         "exported documents on perplexity under it "
@@ -486,6 +491,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         lm_opts = _lm_opts_from_args(args)
         if lm_opts is not None:
             curate_kwargs["lm_opts"] = lm_opts
+        if args.gopher:
+            curate_kwargs["gopher_opts"] = {}
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(
@@ -565,6 +572,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         lm_opts = _lm_opts_from_args(args)
         if lm_opts is not None:
             sopts["lm_opts"] = lm_opts
+        if args.gopher:
+            sopts["gopher_opts"] = {}
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

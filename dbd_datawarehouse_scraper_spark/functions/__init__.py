@@ -34,6 +34,9 @@ from .pii import (  # noqa: F401
 )
 from .splits import content_split  # noqa: F401
 from .text_analysis import (  # noqa: F401
+    gopher_filter,
+    gopher_metrics,
+    gopher_quality_flags,
     token_count,
     char_classes,
     quality_score,

@@ -376,3 +376,138 @@ def tfidf_topk(
         .filter(F.col("rn") <= topk)
         .select(id_col, "token", "tf", "df", "score_q", "rn")
     )
+
+
+#: Gopher (Rae et al. 2021, table A1) stop-word list: a document must
+#: contain at least 2 of these to pass the stop-word rule. Shared with
+#: the DuckDB mirror in tests/test_text_functions.py — change both by
+#: changing THIS tuple.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Gopher rule thresholds (the published defaults); every comparison in
+#: :func:`gopher_quality_flags` reads from here so the Spark gate, the
+#:  DuckDB mirror test, and any caller override share one source.
+GOPHER_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_metrics(col: Column) -> list:
+    """The integer ingredients of the Gopher quality rules, as aliased
+    columns — all pure built-ins, all exact integers (the rule
+    booleans then divide/compare, so every engine computing these
+    agrees bit-for-bit):
+
+    ``g_words`` (whitespace tokens), ``g_word_chars`` (total non-
+    whitespace characters — the mean-word-length numerator),
+    ``g_symbols`` (``#`` occurrences + non-overlapping ``...`` runs),
+    ``g_lines`` (newline-split line count), ``g_bullet_lines`` (lines
+    whose first non-space char is a bullet: ``•``/``-``/``*``),
+    ``g_ellipsis_lines`` (lines ending with ``...`` or ``…``),
+    ``g_alpha_words`` (words containing at least one ASCII letter),
+    ``g_stop_hits`` (DISTINCT Gopher stop words present).
+
+    NULL text yields NULL metrics — gate callers coalesce to ``''``
+    first (:func:`gopher_quality_flags` does).
+    """
+    words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+    lines = F.split(col, r"\n")
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    return [
+        F.size(words).cast("long").alias("g_words"),
+        F.length(F.regexp_replace(col, r"\s+", "")).cast("long").alias(
+            "g_word_chars"
+        ),
+        (
+            F.size(F.regexp_extract_all(col, F.lit(r"#"), 0))
+            + F.size(F.regexp_extract_all(col, F.lit(r"\.\.\."), 0))
+        ).cast("long").alias("g_symbols"),
+        F.size(lines).cast("long").alias("g_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[\u2022\-\*]"))
+        ).cast("long").alias("g_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|\u2026)$"))
+        ).cast("long").alias("g_ellipsis_lines"),
+        F.size(
+            F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
+        ).cast("long").alias("g_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(lower_words),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).cast("long").alias("g_stop_hits"),
+    ]
+
+
+def gopher_quality_flags(col: Column, overrides: dict | None = None) -> Column:
+    """The Gopher quality-rule verdicts as ONE struct column:
+    ``(word_count, mean_word_len, symbol_ratio, bullet_lines,
+    ellipsis_lines, alpha_words, stop_words, pass)`` — seven rule
+    booleans plus their conjunction. NULL text is coalesced to ``''``
+    first (fails the word-count rule — explicitly, never a NULL
+    verdict). Ratio comparisons are single IEEE divisions of exact
+    integers — engine-independent. ``overrides`` replaces any
+    :data:`GOPHER_DEFAULTS` threshold; unknown keys refuse."""
+    t = dict(GOPHER_DEFAULTS)
+    if overrides:
+        unknown = set(overrides) - set(t)
+        if unknown:
+            raise ValueError(
+                f"unknown Gopher threshold overrides: {sorted(unknown)} "
+                f"(valid: {sorted(t)})"
+            )
+        t.update(overrides)
+    c = F.coalesce(col, F.lit(""))
+    # bind the metric expressions once via a struct so each ingredient
+    # is computed once per row even without CSE
+    ms = F.struct(*gopher_metrics(c))
+    w = ms["g_words"].cast("double")
+    rules = {
+        "word_count": (ms["g_words"] >= t["min_words"])
+        & (ms["g_words"] <= t["max_words"]),
+        "mean_word_len": (
+            ms["g_word_chars"] >= F.lit(float(t["min_mean_word_len"])) * w
+        )
+        & (ms["g_word_chars"] <= F.lit(float(t["max_mean_word_len"])) * w),
+        "symbol_ratio": ms["g_symbols"]
+        <= F.lit(float(t["max_symbol_ratio"])) * w,
+        "bullet_lines": ms["g_bullet_lines"].cast("double")
+        <= F.lit(float(t["max_bullet_line_frac"]))
+        * ms["g_lines"].cast("double"),
+        "ellipsis_lines": ms["g_ellipsis_lines"].cast("double")
+        <= F.lit(float(t["max_ellipsis_line_frac"]))
+        * ms["g_lines"].cast("double"),
+        "alpha_words": ms["g_alpha_words"].cast("double")
+        >= F.lit(float(t["min_alpha_word_frac"])) * w,
+        "stop_words": ms["g_stop_hits"] >= t["min_stop_hits"],
+    }
+    overall = None
+    for expr in rules.values():
+        overall = expr if overall is None else (overall & expr)
+    return F.struct(
+        *[v.alias(k) for k, v in rules.items()],
+        overall.alias("pass"),
+    )
+
+
+def gopher_filter(
+    docs, text_col: str = "text", overrides: dict | None = None
+):
+    """The gate form: keep documents passing ALL Gopher rules (with
+    optional threshold ``overrides``). Returns the input columns
+    unchanged; NULL text fails the word-count rule and drops —
+    explicit, never a NULL-comparison vanish. Pure per-row codegen'd
+    expressions: no shuffle, no UDF, scale-free."""
+    return docs.filter(
+        gopher_quality_flags(F.col(text_col), overrides)["pass"]
+    )

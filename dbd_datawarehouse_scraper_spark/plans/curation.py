@@ -76,6 +76,7 @@ def curate_documents(
     contamination_opts: dict | None = None,
     html_opts: dict | None = None,
     lm_opts: dict | None = None,
+    gopher_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -144,7 +145,14 @@ def curate_documents(
     — the score-many path: the model tables join from parquet) or
     ``model`` (an in-memory :func:`..functions.lm.ngram_lm_fit`
     result). Stateless per row given the model, so the incremental
-    exporter supports the same knob."""
+    exporter supports the same knob.
+
+    ``gopher_opts`` adds the Gopher rule set (Rae et al. 2021;
+    :func:`..functions.text_analysis.gopher_filter`) alongside the
+    lang/quality gates — pass ``{}`` for the published thresholds or
+    override any :data:`..functions.text_analysis.GOPHER_DEFAULTS`
+    key. Pure per-row codegen'd expressions; stateless, so the
+    incremental exporter supports the same knob."""
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -224,6 +232,10 @@ def curate_documents(
         & (F.col("quality") >= min_quality)
         & (F.col("n_tokens") >= min_tokens)
     )
+    if gopher_opts is not None:
+        from ..functions.text_analysis import gopher_filter
+
+        gated = gopher_filter(gated, text_col=text_col, overrides=gopher_opts)
     # exact dedup on the normalized-content fingerprint, lowest id wins
     # keep _fp through the funnel: the quality-sampling stage reuses it
     # (recomputing doc_fingerprint would re-run the normalize regex +

@@ -2943,6 +2943,33 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, window=64, stride=48, min_tokens=8)
 
 
+@register("gopher_quality", None)
+def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher quality rules (Rae et al. 2021; functions/
+    text_analysis.py gopher_metrics/gopher_quality_flags): the
+    published web-corpus heuristics — word count, mean word length,
+    symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stop-word presence — as pure codegen'd per-row
+    expressions over the documents table: the 8 integer ingredients
+    plus the 7 rule booleans and their conjunction. Rows-only
+    registration; the DuckDB mirror (built from the SAME
+    GOPHER_STOPWORDS/GOPHER_DEFAULTS constants) is pinned row-for-row
+    in tests/test_text_functions.py."""
+    from .functions.text_analysis import gopher_metrics, gopher_quality_flags
+
+    d = t(spark, sf_dir, "documents")
+    wide = d.select(
+        "doc_id",
+        *gopher_metrics(F.coalesce(F.col("text"), F.lit(""))),
+        gopher_quality_flags(F.col("text")).alias("g"),
+    )
+    flag_cols = [
+        F.col(f"g.{f.name}").alias(f"rule_{f.name}")
+        for f in wide.schema["g"].dataType.fields
+    ]
+    return wide.select(*[c for c in wide.columns if c != "g"], *flag_cols)
+
+
 @register("sequence_packing", None)
 def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Best-fit sequence packing (operators/packing.py

@@ -98,6 +98,7 @@ def stream_export_training_set(
     chunk_opts: dict | None = None,
     pack_opts: dict | None = None,
     lm_opts: dict | None = None,
+    gopher_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -177,7 +178,12 @@ def stream_export_training_set(
     read the persisted tables) or ``model`` (an in-memory fit). The
     model is static state, like the benchmark index: refit-and-restart
     to change it (a model that drifted mid-stream would silently
-    change which documents pass as epochs progress)."""
+    change which documents pass as epochs progress).
+
+    ``gopher_opts`` adds the Gopher rule set alongside the gates —
+    pure per-row expressions, trivially replay-idempotent; pass ``{}``
+    for the published thresholds or override GOPHER_DEFAULTS keys
+    (validated at start, like lm_opts)."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -239,6 +245,15 @@ def stream_export_training_set(
         # loaded ONCE — static state for the whole stream, like the
         # benchmark index (see docstring)
         lm["model"] = lm.get("model") or load_lm(spark, lm["model_path"])
+    if gopher_opts is not None:
+        from ..functions.text_analysis import GOPHER_DEFAULTS
+
+        unknown = set(gopher_opts) - set(GOPHER_DEFAULTS)
+        if unknown:  # refuse at start, not on the first epoch
+            raise ValueError(
+                f"unknown Gopher threshold overrides: {sorted(unknown)} "
+                f"(valid: {sorted(GOPHER_DEFAULTS)})"
+            )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the curated hand-off dirs are single-epoch intermediates: only
@@ -328,6 +343,12 @@ def stream_export_training_set(
             & (quality_score(F.col(text_col)) >= min_quality)
             & (token_count(F.col(text_col)) >= min_tokens)
         )
+        if gopher_opts is not None:
+            from ..functions.text_analysis import gopher_filter
+
+            gated = gopher_filter(
+                gated, text_col=text_col, overrides=gopher_opts
+            )
         if lm is not None:
             # stateless per row given the static model — the same gate
             # the batch funnel applies (there: after exact dedup)

@@ -340,6 +340,36 @@ def test_export_training_set_cli_packing_flags(spark, tmp_path):
         ])
 
 
+def test_export_training_set_cli_gopher_flag(spark, tmp_path):
+    """--gopher gates the export on the published Gopher rules: prose
+    with stop words survives, digit soup does not."""
+    import glob
+
+    docs = spark.createDataFrame(
+        [(1, ("The results that have been shared with the board be of "
+              "real interest to analysts and auditors alike. " * 8
+              ).strip(), "s"),
+         (2, " ".join("12345" for _ in range(80)), "s")],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "gophered")
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--gopher", "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/split=*/shard=*/*.gz")
+    ids = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).json(f"{out}/split=*")
+        .collect()
+    }
+    assert ids == {1}
+
+
 def test_export_training_set_cli_curation_flags(spark, tmp_path):
     """--segment-dedup-k / --quality-sample-rates reach the funnel: an
     injected cross-doc boilerplate passage is absent from the exported

@@ -253,3 +253,177 @@ def test_content_split_deterministic_and_proportional(spark):
 
     with _pytest.raises(ValueError, match="sum to 1"):
         content_split(F.lit("ab"), {"train": 0.5})
+
+
+# ---------------------------------------------------------------- gopher
+
+GOPHER_FIXTURE = [
+    (1, ("The results that have been shared with the board be of real "
+         "interest to analysts and auditors alike. " * 8).strip()),
+    (2, "far too short to pass the bar"),
+    (3, "\n".join(["• bullet item one", "- dashed item two",
+                   "* starred item three", "• bullet again"] * 20)),
+    (4, "\n".join(["a line that trails off..." for _ in range(30)]
+                  + ["and the final thought…"])),
+    (5, ("the data be good to read of and that have gone with us " * 6)
+        + " ### ... ... ### " * 15),
+    (6, " ".join("12345" for _ in range(80))),
+    (7, None),
+    (8, "   \n  \n "),
+    (9, ("the quick brown fox with all of that and have be to of it "
+         * 10) + "\n"),
+]
+
+
+def _gopher_mirror_sql(table: str) -> str:
+    """DuckDB twin of gopher_metrics + gopher_quality_flags, generated
+    from the SAME constants the Spark side reads — thresholds or the
+    stop list can only change in one place."""
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        GOPHER_DEFAULTS as T,
+        GOPHER_STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH m AS (
+      SELECT doc_id, coalesce(text, '') AS tx,
+        list_filter(str_split_regex(trim(coalesce(text, '')), '\\s+'),
+                    w -> w != '') AS words,
+        str_split(coalesce(text, ''), chr(10)) AS lines
+      FROM {table}),
+    g AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS g_words,
+        CAST(length(regexp_replace(tx, '\\s+', '', 'g')) AS BIGINT)
+          AS g_word_chars,
+        CAST(len(regexp_extract_all(tx, '#'))
+           + len(regexp_extract_all(tx, '\\.\\.\\.')) AS BIGINT)
+          AS g_symbols,
+        CAST(len(lines) AS BIGINT) AS g_lines,
+        CAST(len(list_filter(lines,
+          l -> regexp_matches(ltrim(l), '^[•\\-\\*]'))) AS BIGINT)
+          AS g_bullet_lines,
+        CAST(len(list_filter(lines,
+          l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT)
+          AS g_ellipsis_lines,
+        CAST(len(list_filter(words,
+          w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS g_alpha_words,
+        CAST(len(list_intersect(
+          list_distinct(list_transform(words, w -> lower(w))),
+          [{stop_list}])) AS BIGINT) AS g_stop_hits
+      FROM m)
+    SELECT doc_id, g_words, g_word_chars, g_symbols, g_lines,
+      g_bullet_lines, g_ellipsis_lines, g_alpha_words, g_stop_hits,
+      (g_words >= {T["min_words"]} AND g_words <= {T["max_words"]})
+        AS rule_word_count,
+      (g_word_chars >= {T["min_mean_word_len"]} * g_words
+        AND g_word_chars <= {T["max_mean_word_len"]} * g_words)
+        AS rule_mean_word_len,
+      (g_symbols <= {T["max_symbol_ratio"]} * g_words) AS rule_symbol_ratio,
+      (g_bullet_lines <= {T["max_bullet_line_frac"]} * g_lines)
+        AS rule_bullet_lines,
+      (g_ellipsis_lines <= {T["max_ellipsis_line_frac"]} * g_lines)
+        AS rule_ellipsis_lines,
+      (g_alpha_words >= {T["min_alpha_word_frac"]} * g_words)
+        AS rule_alpha_words,
+      (g_stop_hits >= {T["min_stop_hits"]}) AS rule_stop_words
+    FROM g ORDER BY doc_id
+    """
+
+
+def test_gopher_metrics_and_rules_match_duckdb_mirror(spark):
+    import duckdb
+
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        gopher_metrics,
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(GOPHER_FIXTURE, "doc_id INT, text STRING")
+    wide = docs.select(
+        "doc_id",
+        *gopher_metrics(F.coalesce(F.col("text"), F.lit(""))),
+        gopher_quality_flags(F.col("text")).alias("g"),
+    )
+    got = [
+        tuple(
+            [r["doc_id"], r["g_words"], r["g_word_chars"], r["g_symbols"],
+             r["g_lines"], r["g_bullet_lines"], r["g_ellipsis_lines"],
+             r["g_alpha_words"], r["g_stop_hits"],
+             r["g"]["word_count"], r["g"]["mean_word_len"],
+             r["g"]["symbol_ratio"], r["g"]["bullet_lines"],
+             r["g"]["ellipsis_lines"], r["g"]["alpha_words"],
+             r["g"]["stop_words"]]
+        )
+        for r in wide.orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.register(
+        "gdocs",
+        __import__("pandas").DataFrame(
+            GOPHER_FIXTURE, columns=["doc_id", "text"]
+        ),
+    )
+    want = [tuple(r) for r in con.execute(_gopher_mirror_sql("gdocs")).fetchall()]
+    assert got == want
+
+
+def test_gopher_filter_semantics_and_overrides(spark):
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        gopher_filter,
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(GOPHER_FIXTURE, "doc_id INT, text STRING")
+    kept = {r["doc_id"] for r in gopher_filter(docs).collect()}
+    # 1 and 9 are prose with stop words; everything else violates at
+    # least one rule (short, bullets, ellipses, symbols, digits, null)
+    assert kept == {1, 9}
+    # flags agree with the gate
+    flags = {
+        r["doc_id"]: r["g"]["pass"]
+        for r in docs.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert {d for d, p in flags.items() if p} == kept
+    # NULL text fails explicitly (word_count rule), never a NULL verdict
+    assert flags[7] is False
+    # overrides move the gate; unknown keys refuse
+    loose = {
+        r["doc_id"]
+        for r in gopher_filter(docs, overrides={"min_words": 4}).collect()
+    }
+    assert 2 in loose
+    with pytest.raises(ValueError, match="unknown Gopher"):
+        gopher_filter(docs, overrides={"min_wordz": 4})
+
+
+def test_gopher_funnel_and_stream_wiring(spark, tmp_path):
+    from dbd_datawarehouse_scraper_spark.plans import curate_documents
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, t, "s") for d, t in GOPHER_FIXTURE],
+        "doc_id long, text string, source string",
+    )
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=1)
+    without = {r["doc_id"] for r in curate_documents(docs, **base).collect()}
+    gated = {
+        r["doc_id"]
+        for r in curate_documents(docs, gopher_opts={}, **base).collect()
+    }
+    assert gated <= without and gated == {1, 9}
+    # stream: same gate, refusals at start
+    with pytest.raises(ValueError, match="unknown Gopher"):
+        stream_export_training_set(
+            file_stream(spark, str(tmp_path), docs.schema),
+            str(tmp_path / "o"), str(tmp_path / "s"), str(tmp_path / "c"),
+            gopher_opts={"bogus": 1},
+            keep_langs=("en", "und"), min_quality=0.0, min_tokens=1,
+        )
