@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mix-weights", type=str, default=None,
                    help='JSON {"source": weight} corpus-mix proportions '
                         "(default: no mixing)")
+    p.add_argument("--mix-temperature", type=float, default=None,
+                   help="Weightless mixing: flatten the curated "
+                        "per-source proportions with total**alpha "
+                        "normalization (mT5-style; 1 = natural, 0 = "
+                        "uniform); mutually exclusive with "
+                        "--mix-weights")
     p.add_argument("--split-fractions", type=str, default=None,
                    help='JSON {"label": fraction} summing to 1 '
                         "(default: train .9 / val .05 / test .05)")
@@ -501,6 +507,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             mix_weights=_json.loads(args.mix_weights)
             if args.mix_weights
             else None,
+            mix_temperature=args.mix_temperature,
             split_fractions=_json.loads(args.split_fractions)
             if args.split_fractions
             else None,
@@ -552,6 +559,13 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "--max-docs-per-domain is a global property and cannot run "
                 "incrementally — cap at rest over the exported set "
                 "(operators.domains.per_domain_cap)."
+            )
+        if args.mix_weights or args.mix_temperature is not None:
+            raise ValueError(
+                "corpus mixing is a global property (per-source totals) "
+                "and cannot run incrementally — mix at rest over the "
+                "exported set (operators.mixing.mix_corpora / "
+                "temperature_mix)."
             )
         if args.segment_dedup_k is not None:
             if args.segment_dedup_k < 1:

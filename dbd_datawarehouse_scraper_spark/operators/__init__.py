@@ -51,7 +51,12 @@ from .domains import (  # noqa: F401
     registrable_domain,
     registrable_host,
 )
-from .mixing import mix_corpora, mix_rates  # noqa: F401
+from .mixing import (  # noqa: F401
+    mix_corpora,
+    mix_rates,
+    temperature_mix,
+    temperature_weights,
+)
 from .sampling import quality_bucket_sample, sample_bucket  # noqa: F401
 from .segments import segment_dedup  # noqa: F401
 from .sharding import pack_shards  # noqa: F401

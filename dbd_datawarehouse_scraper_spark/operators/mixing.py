@@ -39,33 +39,57 @@ _BUCKETS = 10_000
 _SALT = "mix:"
 
 
+def _source_totals(
+    docs: DataFrame,
+    source_col: str,
+    token_col: str | None,
+    sources: list | None = None,
+) -> dict:
+    """One map-side-combined aggregate: per-source document counts (or
+    ``token_col`` mass), optionally restricted to ``sources``. The
+    SINGLE full scan behind both plain and temperature mixing."""
+    measure = (
+        F.coalesce(F.sum(token_col), F.lit(0)) if token_col else F.count("*")
+    )
+    scoped = (
+        docs.filter(F.col(source_col).isin(list(sources)))
+        if sources is not None
+        # NULL sources can never be selected by the per-source rate
+        # expression (== NULL is never true), so counting them would
+        # skew every discovered weight toward mass that cannot be kept
+        # — mixing drops unlabeled rows, explicitly, on both paths
+        else docs.filter(F.col(source_col).isNotNull())
+    )
+    return {
+        r[source_col]: r["_t"]
+        for r in scoped.groupBy(source_col).agg(measure.alias("_t")).collect()
+    }
+
+
 def mix_rates(
     docs: DataFrame,
     weights: dict[str, float],
     source_col: str = "source",
     token_col: str | None = None,
+    totals: dict | None = None,
 ) -> dict[str, float]:
     """The per-source keep rates the mix implies: ``weight * scale /
     total`` with ``scale = min(total/weight)`` over the weighted
     sources. Exposed separately so callers can inspect/log the realized
-    rates (and tests can assert the arithmetic)."""
+    rates (and tests can assert the arithmetic). ``totals`` passes
+    per-source totals already measured by the caller (the temperature
+    path measures once and derives weights AND rates from it — one
+    full scan, not two)."""
     if not weights:
         raise ValueError("weights must name at least one source")
     bad = {s: w for s, w in weights.items() if w < 0}
     if bad:
         raise ValueError(f"negative weights: {bad}")
-    measure = (
-        F.coalesce(F.sum(token_col), F.lit(0)) if token_col else F.count("*")
-    )
-    totals = {
-        r[source_col]: r["_t"]
-        for r in docs.filter(
-            F.col(source_col).isin([s for s, w in weights.items() if w > 0])
+    if totals is None:
+        totals = _source_totals(
+            docs, source_col, token_col,
+            sources=[s for s, w in weights.items() if w > 0],
         )
-        .groupBy(source_col)
-        .agg(measure.alias("_t"))
-        .collect()
-    }
     missing = [s for s, w in weights.items() if w > 0 and not totals.get(s)]
     if missing:
         raise ValueError(
@@ -87,6 +111,7 @@ def mix_corpora(
     text_col: str = "text",
     token_col: str | None = None,
     fingerprint_col: str | None = None,
+    totals: dict | None = None,
 ) -> DataFrame:
     """Downsample ``docs`` so per-source proportions (by ``token_col``
     mass when given, else by document count) match ``weights``.
@@ -102,7 +127,7 @@ def mix_corpora(
     hashing."""
     from ..functions.text_analysis import doc_fingerprint
 
-    rates = mix_rates(docs, weights, source_col, token_col)
+    rates = mix_rates(docs, weights, source_col, token_col, totals=totals)
     # coalesce: concat/regexp propagate null, so a null-text row would
     # hash to NULL, fail every `bucket < rate` predicate, and vanish
     # silently — even from a rate-1.0 binding source — while still
@@ -135,3 +160,64 @@ def mix_corpora(
         )
     rate_expr = rate_expr.otherwise(F.lit(0.0))
     return docs.filter(bucket < rate_expr * _BUCKETS)
+
+
+def temperature_weights(totals: dict, alpha: float) -> dict[str, float]:
+    """Temperature-flattened mixture weights from observed per-source
+    totals (mT5/XLM-R sampling: ``p_s ∝ total_s**alpha``, normalized).
+    ``alpha=1`` keeps natural proportions, ``alpha→0`` flattens toward
+    uniform, between is the standard low-resource up-weighting — and
+    since the mix layer never upsamples, "up-weighting" realizes as
+    keeping ALL of the small source and downsampling the big ones.
+    Pure dict arithmetic (the totals come from ONE aggregate) so tests
+    pin it without a session."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not totals:
+        raise ValueError("totals must name at least one source")
+    bad = {s: t for s, t in totals.items() if t <= 0}
+    if bad:
+        raise ValueError(
+            f"sources with no mass cannot be temperature-weighted: {bad}"
+        )
+    powered = {s: float(t) ** alpha for s, t in totals.items()}
+    z = sum(powered.values())
+    return {s: p / z for s, p in powered.items()}
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    sources: list | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    token_col: str | None = None,
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Mix by TEMPERATURE instead of explicit weights: measure each
+    source's mass, flatten with ``total**alpha`` normalization
+    (:func:`temperature_weights`), and downsample to the flattened
+    proportions through the same deterministic content-hash selection
+    as :func:`mix_corpora`. ``sources=None`` mixes every source
+    present (the totals aggregate discovers them); an explicit list is
+    the allowlist form. ONE full scan total: the measured totals feed
+    both the weights and the keep rates."""
+    totals = _source_totals(docs, source_col, token_col, sources=sources)
+    if sources is not None:
+        missing = [s for s in sources if not totals.get(s)]
+        if missing:
+            raise ValueError(
+                f"sources {missing} requested but have no rows/tokens — "
+                "a mix that silently omits a requested source is a "
+                "corrupted training set; drop them explicitly."
+            )
+    weights = temperature_weights(totals, alpha)
+    return mix_corpora(
+        docs,
+        weights,
+        source_col=source_col,
+        text_col=text_col,
+        token_col=token_col,
+        fingerprint_col=fingerprint_col,
+        totals=totals,
+    )

@@ -55,6 +55,7 @@ def export_training_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     mix_weights: dict[str, float] | None = None,
+    mix_temperature: float | None = None,
     source_col: str = "source",
     split_fractions: dict[str, float] | None = None,
     shard_token_budget: int = 1_000_000,
@@ -69,7 +70,11 @@ def export_training_set(
     set, where several rows collapse to one).
 
     ``mix_weights=None`` skips mixing (single-source corpora);
-    ``redact=False`` keeps original text. The curation funnel's knobs
+    ``mix_temperature`` is the weightless alternative (mutually
+    exclusive): flatten the CURATED per-source proportions with
+    ``total**alpha`` normalization (``operators.mixing
+    .temperature_mix`` — mT5-style low-resource up-weighting, one
+    totals scan). ``redact=False`` keeps original text. The curation funnel's knobs
     pass through ``curate_kwargs``. ``chunk_opts`` (kwargs for
     ``operators.chunking.chunk_documents``, e.g. ``{"window": 512,
     "stride": 384}``) splits over-context documents into overlapping
@@ -90,11 +95,17 @@ def export_training_set(
     still call ``caching.release_caches()`` after, like any consuming
     action in this package.
     """
+    if mix_weights and mix_temperature is not None:
+        raise ValueError(
+            "mix_weights and mix_temperature are mutually exclusive — "
+            "explicit proportions or temperature-flattened ones, not both"
+        )
+    mixing = bool(mix_weights) or mix_temperature is not None
     curated = curate_documents(
         docs,
         id_col=id_col,
         text_col=text_col,
-        carry_cols=(source_col,) if mix_weights else (),
+        carry_cols=(source_col,) if mixing else (),
         **(curate_kwargs or {}),
     )
     from ..caching import tracked_persist
@@ -104,7 +115,7 @@ def export_training_set(
     # the column (one full-text hash pass instead of two)
     curated = curated.withColumn("_fp", doc_fingerprint(F.col(text_col)))
     curated_cache = None
-    if mix_weights:
+    if mixing:
         # mixing AFTER curation: the proportions are over the mass that
         # actually survives dedup/gating, which is what the trainer sees.
         # Persist FIRST: mix_rates collects per-source totals eagerly,
@@ -112,10 +123,18 @@ def export_training_set(
         # funnel once for the totals and again for the packing pass
         # (round-5 review).
         curated_cache = tracked_persist(curated)
-        curated = mix_corpora(
-            curated_cache, mix_weights, source_col=source_col,
-            text_col=text_col, fingerprint_col="_fp",
-        ).drop(source_col)
+        if mix_weights:
+            curated = mix_corpora(
+                curated_cache, mix_weights, source_col=source_col,
+                text_col=text_col, fingerprint_col="_fp",
+            ).drop(source_col)
+        else:
+            from ..operators.mixing import temperature_mix
+
+            curated = temperature_mix(
+                curated_cache, mix_temperature, source_col=source_col,
+                text_col=text_col, fingerprint_col="_fp",
+            ).drop(source_col)
     prepared = curated.withColumn(
         "split", content_split(F.col("_fp"), split_fractions)
     ).drop("_fp").withColumn(

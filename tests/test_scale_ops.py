@@ -393,3 +393,107 @@ def test_mix_corpora_keeps_null_text_rows_of_full_rate_source(spark):
     out_fp = mix_corpora(with_fp, {"a": 0.99, "b": 0.01}, fingerprint_col="fp")
     kept_a_fp = {r["doc_id"] for r in out_fp.filter("source = 'a'").collect()}
     assert kept_a_fp == kept_a
+
+
+def test_temperature_weights_arithmetic():
+    """temperature_weights: alpha=1 reproduces natural proportions,
+    alpha=0 is uniform, alpha=0.5 sits between (small sources
+    up-weighted); validation refuses bad inputs — pure dict math."""
+    import math
+
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.operators.mixing import (
+        temperature_weights,
+    )
+
+    totals = {"big": 900, "small": 100}
+    nat = temperature_weights(totals, 1.0)
+    assert math.isclose(nat["big"], 0.9) and math.isclose(nat["small"], 0.1)
+    uni = temperature_weights(totals, 0.0)
+    assert math.isclose(uni["big"], 0.5) and math.isclose(uni["small"], 0.5)
+    mid = temperature_weights(totals, 0.5)
+    assert 0.1 < mid["small"] < 0.5 < mid["big"] < 0.9
+    assert math.isclose(sum(mid.values()), 1.0)
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(totals, -0.1)
+    with _pytest.raises(ValueError, match="no mass"):
+        temperature_weights({"a": 0}, 0.5)
+    with _pytest.raises(ValueError, match="at least one"):
+        temperature_weights({}, 0.5)
+
+
+def test_temperature_mix_matches_explicit_weights_and_flattens(spark):
+    """temperature_mix == mix_corpora(temperature_weights(totals)) row
+    for row; alpha=1 keeps everything (natural proportions need no
+    downsampling); alpha<1 keeps ALL of the small source and
+    downsamples the big one; NULL-source rows drop explicitly; a
+    requested-but-empty source refuses."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.operators.mixing import (
+        mix_corpora,
+        temperature_mix,
+        temperature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [("big", i, f"doc number {i} body text") for i in range(900)]
+        + [("small", 9000 + i, f"rare document {i} here") for i in range(100)]
+        + [(None, 99999, "unlabeled row")],
+        "source string, doc_id long, text string",
+    )
+    # alpha=1: natural proportions — nothing to downsample, the only
+    # loss is the NULL-source row
+    full = temperature_mix(docs, 1.0)
+    assert full.count() == 1000
+    mixed = temperature_mix(docs, 0.5)
+    rows = mixed.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in rows}
+    # small is the binding source (up-weighted): fully kept
+    assert got["small"] == 100
+    # big downsampled to ~small * (9**0.5) = ~300 (hash-threshold
+    # granularity: exact bucket counts, so allow a few % slack)
+    assert 250 < got["big"] < 350
+    # equivalence with the explicit-weights path on the same totals
+    w = temperature_weights({"big": 900, "small": 100}, 0.5)
+    explicit = mix_corpora(docs, w)
+    assert sorted(map(tuple, mixed.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # rerun/partition invariance
+    again = temperature_mix(docs.repartition(7), 0.5)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, mixed.collect())
+    )
+    with _pytest.raises(ValueError, match="no rows"):
+        temperature_mix(docs, 0.5, sources=["big", "ghost"])
+
+
+def test_export_with_mix_temperature(spark, tmp_path):
+    """export_training_set(mix_temperature=...): the flattened mix runs
+    in the batch export; combining it with mix_weights refuses."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans import export_training_set
+
+    docs = spark.createDataFrame(
+        [(i, ("the results that have been shared with the board be of "
+              f"real interest to analysts and auditors alike round {i} "
+              * 3).strip(), "big" if i < 270 else "small")
+         for i in range(300)],
+        "doc_id long, text string, source string",
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        export_training_set(
+            docs, str(tmp_path / "x"), mix_weights={"big": 1.0},
+            mix_temperature=0.5,
+        )
+    counts = export_training_set(
+        docs, str(tmp_path / "out"), mix_temperature=0.5,
+        shard_token_budget=2000,
+        curate_kwargs={"keep_langs": ("en", "de", "fr", "es", "zh", "und")},
+    )
+    release_caches()
+    assert sum(counts.values()) > 0
