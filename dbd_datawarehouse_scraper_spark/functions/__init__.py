@@ -37,6 +37,7 @@ from .text_analysis import (  # noqa: F401
     gopher_filter,
     gopher_metrics,
     gopher_quality_flags,
+    validate_gopher_overrides,
     token_count,
     char_classes,
     quality_score,

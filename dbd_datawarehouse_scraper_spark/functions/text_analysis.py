@@ -408,12 +408,15 @@ def gopher_metrics(col: Column) -> list:
 
     ``g_words`` (whitespace tokens), ``g_word_chars`` (total non-
     whitespace characters — the mean-word-length numerator),
-    ``g_symbols`` (``#`` occurrences + non-overlapping ``...`` runs),
-    ``g_lines`` (newline-split line count), ``g_bullet_lines`` (lines
-    whose first non-space char is a bullet: ``•``/``-``/``*``),
-    ``g_ellipsis_lines`` (lines ending with ``...`` or ``…``),
-    ``g_alpha_words`` (words containing at least one ASCII letter),
-    ``g_stop_hits`` (DISTINCT Gopher stop words present).
+    ``g_hash_symbols`` (``#`` occurrences) and ``g_ellipsis_symbols``
+    (non-overlapping ``...`` runs or ``…``) — SEPARATE, because
+    Gopher's rule is "ratio > 0.1 for EITHER the hash symbol or the
+    ellipsis", not a combined count — ``g_lines`` (newline-split line
+    count), ``g_bullet_lines`` (lines whose first non-space char is a
+    bullet: ``•``/``-``/``*``), ``g_ellipsis_lines`` (lines ending
+    with ``...`` or ``…``), ``g_alpha_words`` (words containing at
+    least one ASCII letter), ``g_stop_hits`` (DISTINCT Gopher stop
+    words present).
 
     NULL text yields NULL metrics — gate callers coalesce to ``''``
     first (:func:`gopher_quality_flags` does).
@@ -426,10 +429,12 @@ def gopher_metrics(col: Column) -> list:
         F.length(F.regexp_replace(col, r"\s+", "")).cast("long").alias(
             "g_word_chars"
         ),
-        (
-            F.size(F.regexp_extract_all(col, F.lit(r"#"), 0))
-            + F.size(F.regexp_extract_all(col, F.lit(r"\.\.\."), 0))
-        ).cast("long").alias("g_symbols"),
+        F.size(F.regexp_extract_all(col, F.lit(r"#"), 0)).cast("long").alias(
+            "g_hash_symbols"
+        ),
+        F.size(
+            F.regexp_extract_all(col, F.lit(r"(\.\.\.|…)"), 0)
+        ).cast("long").alias("g_ellipsis_symbols"),
         F.size(lines).cast("long").alias("g_lines"),
         F.size(
             F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[\u2022\-\*]"))
@@ -441,12 +446,45 @@ def gopher_metrics(col: Column) -> list:
             F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))
         ).cast("long").alias("g_alpha_words"),
         F.size(
+            # array_intersect already returns distinct elements — no
+            # extra dedup pass over the word array
             F.array_intersect(
-                F.array_distinct(lower_words),
+                lower_words,
                 F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
             )
         ).cast("long").alias("g_stop_hits"),
     ]
+
+
+#: Threshold keys that are counts (coerced with int); the rest are
+#: ratios/lengths coerced with float. One table so the validator and
+#: the rule builder cannot disagree.
+_GOPHER_INT_KEYS = frozenset({"min_words", "max_words", "min_stop_hits"})
+
+
+def validate_gopher_overrides(overrides: dict | None) -> dict:
+    """The ONE validation of Gopher threshold overrides (the gate and
+    the stream exporter's at-start check both call it): unknown keys
+    refuse, and every value is coerced numerically NOW — a stray
+    string would otherwise NULL the Spark comparison and silently drop
+    every row (the null-vanish class). Returns the merged thresholds.
+    """
+    t = dict(GOPHER_DEFAULTS)
+    if overrides:
+        unknown = set(overrides) - set(t)
+        if unknown:
+            raise ValueError(
+                f"unknown Gopher threshold overrides: {sorted(unknown)} "
+                f"(valid: {sorted(t)})"
+            )
+        for k, v in overrides.items():
+            try:
+                t[k] = int(v) if k in _GOPHER_INT_KEYS else float(v)
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    f"Gopher threshold {k!r} must be numeric, got {v!r}"
+                ) from exc
+    return t
 
 
 def gopher_quality_flags(col: Column, overrides: dict | None = None) -> Column:
@@ -457,16 +495,12 @@ def gopher_quality_flags(col: Column, overrides: dict | None = None) -> Column:
     first (fails the word-count rule — explicitly, never a NULL
     verdict). Ratio comparisons are single IEEE divisions of exact
     integers — engine-independent. ``overrides`` replaces any
-    :data:`GOPHER_DEFAULTS` threshold; unknown keys refuse."""
-    t = dict(GOPHER_DEFAULTS)
-    if overrides:
-        unknown = set(overrides) - set(t)
-        if unknown:
-            raise ValueError(
-                f"unknown Gopher threshold overrides: {sorted(unknown)} "
-                f"(valid: {sorted(t)})"
-            )
-        t.update(overrides)
+    :data:`GOPHER_DEFAULTS` threshold via
+    :func:`validate_gopher_overrides` (unknown keys and non-numeric
+    values refuse). The symbol rule follows the paper exactly: the
+    hash ratio AND the ellipsis ratio must EACH stay at or below
+    ``max_symbol_ratio`` — they are not pooled."""
+    t = validate_gopher_overrides(overrides)
     c = F.coalesce(col, F.lit(""))
     # bind the metric expressions once via a struct so each ingredient
     # is computed once per row even without CSE
@@ -479,8 +513,13 @@ def gopher_quality_flags(col: Column, overrides: dict | None = None) -> Column:
             ms["g_word_chars"] >= F.lit(float(t["min_mean_word_len"])) * w
         )
         & (ms["g_word_chars"] <= F.lit(float(t["max_mean_word_len"])) * w),
-        "symbol_ratio": ms["g_symbols"]
-        <= F.lit(float(t["max_symbol_ratio"])) * w,
+        "symbol_ratio": (
+            ms["g_hash_symbols"] <= F.lit(float(t["max_symbol_ratio"])) * w
+        )
+        & (
+            ms["g_ellipsis_symbols"]
+            <= F.lit(float(t["max_symbol_ratio"])) * w
+        ),
         "bullet_lines": ms["g_bullet_lines"].cast("double")
         <= F.lit(float(t["max_bullet_line_frac"]))
         * ms["g_lines"].cast("double"),

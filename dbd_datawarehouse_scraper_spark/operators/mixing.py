@@ -202,6 +202,8 @@ def temperature_mix(
     present (the totals aggregate discovers them); an explicit list is
     the allowlist form. ONE full scan total: the measured totals feed
     both the weights and the keep rates."""
+    if alpha < 0:  # refuse BEFORE the totals scan, not after it
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
     totals = _source_totals(docs, source_col, token_col, sources=sources)
     if sources is not None:
         missing = [s for s in sources if not totals.get(s)]

@@ -100,6 +100,9 @@ def export_training_set(
             "mix_weights and mix_temperature are mutually exclusive — "
             "explicit proportions or temperature-flattened ones, not both"
         )
+    if mix_temperature is not None and mix_temperature < 0:
+        # refuse before the funnel runs, not after hours of curation
+        raise ValueError(f"mix_temperature must be >= 0, got {mix_temperature}")
     mixing = bool(mix_weights) or mix_temperature is not None
     curated = curate_documents(
         docs,

@@ -246,14 +246,11 @@ def stream_export_training_set(
         # benchmark index (see docstring)
         lm["model"] = lm.get("model") or load_lm(spark, lm["model_path"])
     if gopher_opts is not None:
-        from ..functions.text_analysis import GOPHER_DEFAULTS
+        # the ONE validation (unknown keys, non-numeric values) — at
+        # start, not on the first epoch
+        from ..functions.text_analysis import validate_gopher_overrides
 
-        unknown = set(gopher_opts) - set(GOPHER_DEFAULTS)
-        if unknown:  # refuse at start, not on the first epoch
-            raise ValueError(
-                f"unknown Gopher threshold overrides: {sorted(unknown)} "
-                f"(valid: {sorted(GOPHER_DEFAULTS)})"
-            )
+        validate_gopher_overrides(gopher_opts)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the curated hand-off dirs are single-epoch intermediates: only

@@ -297,9 +297,10 @@ def _gopher_mirror_sql(table: str) -> str:
         CAST(len(words) AS BIGINT) AS g_words,
         CAST(length(regexp_replace(tx, '\\s+', '', 'g')) AS BIGINT)
           AS g_word_chars,
-        CAST(len(regexp_extract_all(tx, '#'))
-           + len(regexp_extract_all(tx, '\\.\\.\\.')) AS BIGINT)
-          AS g_symbols,
+        CAST(len(regexp_extract_all(tx, '#')) AS BIGINT)
+          AS g_hash_symbols,
+        CAST(len(regexp_extract_all(tx, '(\\.\\.\\.|…)')) AS BIGINT)
+          AS g_ellipsis_symbols,
         CAST(len(lines) AS BIGINT) AS g_lines,
         CAST(len(list_filter(lines,
           l -> regexp_matches(ltrim(l), '^[•\\-\\*]'))) AS BIGINT)
@@ -309,18 +310,21 @@ def _gopher_mirror_sql(table: str) -> str:
           AS g_ellipsis_lines,
         CAST(len(list_filter(words,
           w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS g_alpha_words,
-        CAST(len(list_intersect(
-          list_distinct(list_transform(words, w -> lower(w))),
-          [{stop_list}])) AS BIGINT) AS g_stop_hits
+        CAST(len(list_distinct(list_intersect(
+          list_transform(words, w -> lower(w)),
+          [{stop_list}]))) AS BIGINT) AS g_stop_hits
       FROM m)
-    SELECT doc_id, g_words, g_word_chars, g_symbols, g_lines,
+    SELECT doc_id, g_words, g_word_chars, g_hash_symbols,
+      g_ellipsis_symbols, g_lines,
       g_bullet_lines, g_ellipsis_lines, g_alpha_words, g_stop_hits,
       (g_words >= {T["min_words"]} AND g_words <= {T["max_words"]})
         AS rule_word_count,
       (g_word_chars >= {T["min_mean_word_len"]} * g_words
         AND g_word_chars <= {T["max_mean_word_len"]} * g_words)
         AS rule_mean_word_len,
-      (g_symbols <= {T["max_symbol_ratio"]} * g_words) AS rule_symbol_ratio,
+      (g_hash_symbols <= {T["max_symbol_ratio"]} * g_words
+        AND g_ellipsis_symbols <= {T["max_symbol_ratio"]} * g_words)
+        AS rule_symbol_ratio,
       (g_bullet_lines <= {T["max_bullet_line_frac"]} * g_lines)
         AS rule_bullet_lines,
       (g_ellipsis_lines <= {T["max_ellipsis_line_frac"]} * g_lines)
@@ -348,7 +352,8 @@ def test_gopher_metrics_and_rules_match_duckdb_mirror(spark):
     )
     got = [
         tuple(
-            [r["doc_id"], r["g_words"], r["g_word_chars"], r["g_symbols"],
+            [r["doc_id"], r["g_words"], r["g_word_chars"],
+             r["g_hash_symbols"], r["g_ellipsis_symbols"],
              r["g_lines"], r["g_bullet_lines"], r["g_ellipsis_lines"],
              r["g_alpha_words"], r["g_stop_hits"],
              r["g"]["word_count"], r["g"]["mean_word_len"],
@@ -398,6 +403,39 @@ def test_gopher_filter_semantics_and_overrides(spark):
     assert 2 in loose
     with pytest.raises(ValueError, match="unknown Gopher"):
         gopher_filter(docs, overrides={"min_wordz": 4})
+    # non-numeric override values refuse loudly instead of NULLing the
+    # predicate and silently dropping every row
+    with pytest.raises(ValueError, match="must be numeric"):
+        gopher_filter(docs, overrides={"min_words": "6O"})
+
+
+def test_gopher_symbol_rule_is_per_symbol(spark):
+    """Gopher's symbol rule gates the hash ratio and the ellipsis
+    ratio SEPARATELY (the paper: 'either the hash symbol or the
+    ellipsis'): 8% hash + 8% ellipsis passes (pooled 16% would not),
+    11% of either alone fails, and the unicode ellipsis counts."""
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    base = ("the results that have been shared with the board be of real "
+            "interest to analysts and auditors alike " * 9).strip()  # 162 w
+    docs = spark.createDataFrame(
+        [
+            (1, base + " #" * 11 + " ..." * 11),   # each 11/184 = 6%
+            (2, base + " #" * 21),                 # 21/183 = 11.5% hash
+            (3, base + " ..." * 21),               # 11.5% ascii ellipsis
+            (4, base + " …" * 21),                 # 11.5% unicode ellipsis
+        ],
+        "doc_id INT, text STRING",
+    )
+    flags = {
+        r["doc_id"]: r["g"]["symbol_ratio"]
+        for r in docs.select(
+            "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert flags == {1: True, 2: False, 3: False, 4: False}
 
 
 def test_gopher_funnel_and_stream_wiring(spark, tmp_path):
