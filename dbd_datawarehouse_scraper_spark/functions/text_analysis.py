@@ -236,8 +236,15 @@ def repetition_stats(
     shingles_vec-style Arrow kernel (same pattern, k=2, keep
     duplicates).
 
-    Returns (id_col, n_words, dup_word_frac, top_bigram_frac); both
-    fractions are 0.0 for docs too short to measure.
+    Returns (id_col, n_words, dup_word_frac, top_bigram_frac,
+    dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac); all fractions are 0.0 for docs too short to
+    measure. The line/paragraph signals are Gopher's other repetition
+    family: the share of non-blank lines (paragraphs: blank-line-
+    separated blocks) that are repeats of an earlier occurrence, and
+    the share of their CHARACTERS in those repeat occurrences —
+    computed as (total - distinct)/total over per-row arrays, so they
+    add no shuffle at all (the only shuffle stays the bigram leg).
     """
     # Tokenize ONCE per leg: `_w` is staged in its own projection and
     # every later expression references the attribute. CollapseProject
@@ -247,12 +254,34 @@ def repetition_stats(
     # _n_uniq, the short-doc predicate pushed into the scan with the
     # tree substituted, and the bigram lambda).
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-    staged = docs.select(F.col(id_col), words.alias("_w"))
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
+    )
+    paras = F.filter(
+        F.split(F.col(text_col), r"\n{2,}"), lambda p: F.trim(p) != ""
+    )
+
+    def _chars(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+
+    staged = docs.select(
+        F.col(id_col), words.alias("_w"), lines.alias("_l"), paras.alias("_p")
+    )
     base = staged.select(
         id_col,
         "_w",
         F.size("_w").cast("long").alias("n_words"),
         F.size(F.array_distinct("_w")).cast("long").alias("_n_uniq"),
+        F.size("_l").cast("long").alias("_n_lines"),
+        F.size(F.array_distinct("_l")).cast("long").alias("_n_uniq_lines"),
+        _chars(F.col("_l")).alias("_line_chars"),
+        _chars(F.array_distinct("_l")).alias("_uniq_line_chars"),
+        F.size("_p").cast("long").alias("_n_paras"),
+        F.size(F.array_distinct("_p")).cast("long").alias("_n_uniq_paras"),
+        _chars(F.col("_p")).alias("_para_chars"),
+        _chars(F.array_distinct("_p")).alias("_uniq_para_chars"),
     )
     # Short docs are excluded via a NULL bigram array + outer explode +
     # output-attribute null filter instead of a `n_words >= 2`
@@ -301,6 +330,26 @@ def repetition_stats(
             ),
             6,
         ).alias("top_bigram_frac"),
+        _dup_frac("_n_lines", "_n_uniq_lines").alias("dup_line_frac"),
+        _dup_frac("_line_chars", "_uniq_line_chars").alias(
+            "dup_line_char_frac"
+        ),
+        _dup_frac("_n_paras", "_n_uniq_paras").alias("dup_para_frac"),
+        _dup_frac("_para_chars", "_uniq_para_chars").alias(
+            "dup_para_char_frac"
+        ),
+    )
+
+
+def _dup_frac(total: str, uniq: str):
+    """(total - distinct) / total, 0.0 on an empty total — the repeat
+    share used by all four line/paragraph repetition signals."""
+    return F.round(
+        F.when(
+            F.col(total) > 0,
+            (F.col(total) - F.col(uniq)).cast("double") / F.col(total),
+        ).otherwise(F.lit(0.0)),
+        6,
     )
 
 

@@ -2748,10 +2748,19 @@ def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition_stats",
     """
     WITH words AS (
-      SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '') AS w
+      SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '') AS w,
+             list_filter(str_split(text, chr(10)), l -> trim(l) != '') AS ln,
+             list_filter(str_split_regex(text, '\\n{2,}'), p -> trim(p) != '') AS pr
       FROM documents),
     wstats AS (
-      SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq FROM words),
+      SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
+             len(ln) AS n_lines, len(list_distinct(ln)) AS n_uniq_lines,
+             COALESCE(list_sum(list_transform(ln, x -> length(x))), 0) AS line_chars,
+             COALESCE(list_sum(list_transform(list_distinct(ln), x -> length(x))), 0) AS uniq_line_chars,
+             len(pr) AS n_paras, len(list_distinct(pr)) AS n_uniq_paras,
+             COALESCE(list_sum(list_transform(pr, x -> length(x))), 0) AS para_chars,
+             COALESCE(list_sum(list_transform(list_distinct(pr), x -> length(x))), 0) AS uniq_para_chars
+      FROM words),
     grams AS (
       SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
       FROM words WHERE len(w) >= 2),
@@ -2761,16 +2770,30 @@ def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN s.n_words > 0
                  THEN CAST(s.n_words - s.n_uniq AS DOUBLE) / s.n_words
                  ELSE 0.0 END, 6) AS dup_word_frac,
-           round(COALESCE(CAST(g.top_c AS DOUBLE) / g.n_grams, 0.0), 6) AS top_bigram_frac
+           round(COALESCE(CAST(g.top_c AS DOUBLE) / g.n_grams, 0.0), 6) AS top_bigram_frac,
+           round(CASE WHEN s.n_lines > 0
+                 THEN CAST(s.n_lines - s.n_uniq_lines AS DOUBLE) / s.n_lines
+                 ELSE 0.0 END, 6) AS dup_line_frac,
+           round(CASE WHEN s.line_chars > 0
+                 THEN CAST(s.line_chars - s.uniq_line_chars AS DOUBLE) / s.line_chars
+                 ELSE 0.0 END, 6) AS dup_line_char_frac,
+           round(CASE WHEN s.n_paras > 0
+                 THEN CAST(s.n_paras - s.n_uniq_paras AS DOUBLE) / s.n_paras
+                 ELSE 0.0 END, 6) AS dup_para_frac,
+           round(CASE WHEN s.para_chars > 0
+                 THEN CAST(s.para_chars - s.uniq_para_chars AS DOUBLE) / s.para_chars
+                 ELSE 0.0 END, 6) AS dup_para_char_frac
     FROM wstats s LEFT JOIN gstats g USING (doc_id)
     """,
 )
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Gopher-style repetition signals (functions/text_analysis.py
-    repetition_stats): repeated-word share and top-bigram mass share --
-    the standard template/degenerate-repetition detectors a curation
-    funnel runs alongside quality scoring. Integer ratios, so the
-    oracle value-matches exactly."""
+    repetition_stats): repeated-word share, top-bigram mass share, and
+    (r7) the duplicate LINE and PARAGRAPH count/character fractions --
+    the full Gopher repetition family a curation funnel runs alongside
+    quality scoring. Integer ratios, so the oracle value-matches
+    exactly; the line/paragraph legs are pure per-row array
+    expressions (no extra shuffle)."""
     from .functions.text_analysis import repetition_stats
 
     return repetition_stats(t(spark, sf_dir, "documents"))

@@ -465,3 +465,47 @@ def test_gopher_funnel_and_stream_wiring(spark, tmp_path):
             gopher_opts={"bogus": 1},
             keep_langs=("en", "und"), min_quality=0.0, min_tokens=1,
         )
+
+
+def test_repetition_stats_line_and_paragraph_fractions(spark):
+    """The r7 Gopher line/paragraph repetition signals: exact fractions
+    on crafted docs — repeats beyond the first occurrence count, blank
+    lines are not lines, paragraphs split on blank lines, and short/
+    empty docs report honest zeros."""
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "same line" twice (5 chars x 9? no: len counted
+            # exactly below); 2 paragraphs, distinct
+            (1, "same line\nsame line\nother\n\nsecond para"),
+            # all 3 lines identical; 1 paragraph
+            (2, "dup\ndup\ndup"),
+            # blank lines don't count as lines
+            (3, "a\n\n\na"),
+            (4, ""),
+            (5, "no newlines at all"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["dup_line_frac"], r["dup_line_char_frac"],
+            r["dup_para_frac"], r["dup_para_char_frac"],
+        )
+        for r in repetition_stats(docs).collect()
+    }
+    # doc 1: lines [same line, same line, other, second para] -> 4
+    # lines, 3 distinct -> 1/4; chars 9+9+5+11=34, distinct 9+5+11=25
+    # -> 9/34; paragraphs: ["same line\nsame line\nother", "second
+    # para"] distinct -> 0
+    assert got[1] == (0.25, round(9 / 34, 6), 0.0, 0.0)
+    # doc 2: 3 lines 1 distinct -> 2/3; chars 9 vs 3 -> 6/9; one para
+    assert got[2] == (round(2 / 3, 6), round(2 / 3, 6), 0.0, 0.0)
+    # doc 3: two non-blank lines "a","a" -> 1/2; paragraphs: split on
+    # blank runs -> ["a", "a"] -> 1/2
+    assert got[3] == (0.5, 0.5, 0.5, 0.5)
+    assert got[4] == (0.0, 0.0, 0.0, 0.0)
+    assert got[5] == (0.0, 0.0, 0.0, 0.0)
