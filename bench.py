@@ -99,6 +99,7 @@ HEADLINE = [
     "ngram_lm_perplexity",
     "sequence_packing",
     "gopher_quality",
+    "dsir_selection",
 ]
 
 

@@ -79,3 +79,10 @@ from .packing import (  # noqa: F401
     pack_sequences,
     packing_stats,
 )
+from .dsir import (  # noqa: F401
+    dsir_filter,
+    dsir_fit,
+    dsir_score,
+    load_dsir,
+    save_dsir,
+)

@@ -2966,6 +2966,26 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, window=64, stride=48, min_tokens=8)
 
 
+@register("dsir_selection", None)
+def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR importance scoring (operators/dsir.py; Xie et al.
+    2023): fit the hashed-n-gram importance model with the English
+    documents as the TARGET and the whole corpus as RAW, then score
+    every document's log importance weight — "how target-like is this
+    document". Two fit aggregates (shuffle = n_buckets), one broadcast
+    join at score time, quantized-bigint sums (partition/rerun
+    invariant). Rows-only: bucket log-ratios pass through libm log;
+    the sha256 bucketing and scoring arithmetic are pinned against a
+    DuckDB mirror in tests/test_dsir.py."""
+    from .operators.dsir import dsir_fit, dsir_score
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = dsir_fit(
+        d.filter(F.col("lang") == "en"), d, text_col="text", n_buckets=2048
+    )
+    return dsir_score(d, model, id_col="doc_id", text_col="text")
+
+
 @register("gopher_quality", None)
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Gopher quality rules (Rae et al. 2021; functions/
