@@ -152,7 +152,14 @@ def save_lm(spark: SparkSession, model: dict, path: str) -> None:
     alpha, n_tokens) — loading refuses anything unversioned or
     parameter-drifted, the same loud-refusal contract as the streaming
     stores. Marker written LAST: a crash mid-save leaves a markerless
-    directory that :func:`load_lm` refuses."""
+    directory that :func:`load_lm` refuses. On RE-save, any existing
+    marker is deleted FIRST — otherwise a crash between the table
+    overwrites and the marker rewrite would leave new tables under the
+    old still-valid marker (wrong alpha/n_tokens scoring silently; the
+    ivf_build torn-rebuild class)."""
+    from ..fsutil import fs_delete
+
+    fs_delete(spark, f"{path}/_meta")
     model["unigrams"].write.mode("overwrite").parquet(f"{path}/unigrams")
     model["bigrams"].write.mode("overwrite").parquet(f"{path}/bigrams")
     spark.createDataFrame(

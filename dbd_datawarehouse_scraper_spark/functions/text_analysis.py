@@ -103,6 +103,26 @@ def doc_fingerprint(col: Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+def word_bigrams(words: Column) -> Column:
+    """Adjacent word pairs (``"w1 w2"`` strings) from a word array —
+    THE one bigram builder (repetition_stats and operators/dsir.py both
+    consume it; the 1-based sequence bounds and int casts live here
+    only). Documents with fewer than 2 words yield NULL (the
+    explode_outer-then-null-filter marker form); callers that need an
+    empty array instead wrap in ``F.coalesce(..., F.array()...)``."""
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i.cast("int")),
+                F.element_at(words, (i + 1).cast("int")),
+            ),
+        ),
+    )
+
+
 def shingles(col: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct) for Jaccard/MinHash dedup.
 
@@ -254,11 +274,18 @@ def repetition_stats(
     # _n_uniq, the short-doc predicate pushed into the scan with the
     # tree substituted, and the bigram lambda).
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    # \r?\n so CRLF text splits the same as Unix text; "blank" means
+    # whitespace-only (trim() strips only spaces — a ' \t' or '\r'
+    # line must still not count), hence the \S containment check
     lines = F.filter(
-        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
+        F.split(F.col(text_col), r"\r?\n"), lambda l: l.rlike(r"\S")
     )
+    # a paragraph break is a newline followed by >=1 BLANK line —
+    # including blank lines that carry spaces/tabs/CR (' \n \n' and
+    # '\r\n\r\n' separate paragraphs just like '\n\n')
     paras = F.filter(
-        F.split(F.col(text_col), r"\n{2,}"), lambda p: F.trim(p) != ""
+        F.split(F.col(text_col), r"\r?\n(?:[ \t]*\r?\n)+"),
+        lambda p: p.rlike(r"\S"),
     )
 
     def _chars(arr):
@@ -292,19 +319,7 @@ def repetition_stats(
     # null, so the null filter drops exactly the short-doc marker rows.
     grams = base.select(
         id_col,
-        F.explode_outer(
-            F.when(
-                F.col("n_words") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1).cast("long"), F.col("n_words") - 1),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("_w"), i.cast("int")),
-                        F.element_at(F.col("_w"), (i + 1).cast("int")),
-                    ),
-                ),
-            )
-        ).alias("_g"),
+        F.explode_outer(word_bigrams(F.col("_w"))).alias("_g"),
     ).filter(F.col("_g").isNotNull())
     gstats = (
         grams.groupBy(id_col, "_g")
@@ -316,14 +331,7 @@ def repetition_stats(
     return out.select(
         id_col,
         "n_words",
-        F.round(
-            F.when(
-                F.col("n_words") > 0,
-                (F.col("n_words") - F.col("_n_uniq")).cast("double")
-                / F.col("n_words"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_word_frac"),
+        _dup_frac("n_words", "_n_uniq").alias("dup_word_frac"),
         F.round(
             F.coalesce(
                 F.col("_top").cast("double") / F.col("_ngrams"), F.lit(0.0)
@@ -471,7 +479,7 @@ def gopher_metrics(col: Column) -> list:
     first (:func:`gopher_quality_flags` does).
     """
     words = F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
-    lines = F.split(col, r"\n")
+    lines = F.split(col, r"\r?\n")  # CRLF text splits like Unix text
     lower_words = F.transform(words, lambda w: F.lower(w))
     return [
         F.size(words).cast("long").alias("g_words"),
@@ -485,11 +493,14 @@ def gopher_metrics(col: Column) -> list:
             F.regexp_extract_all(col, F.lit(r"(\.\.\.|…)"), 0)
         ).cast("long").alias("g_ellipsis_symbols"),
         F.size(lines).cast("long").alias("g_lines"),
+        # [ \t]* padding instead of ltrim/rtrim: trim() strips only
+        # ASCII spaces, so a tab-indented bullet or a '... ' tail with
+        # a stray tab would otherwise dodge the check
         F.size(
-            F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[\u2022\-\*]"))
+            F.filter(lines, lambda l: l.rlike(r"^[ \t]*[\u2022\-\*]"))
         ).cast("long").alias("g_bullet_lines"),
         F.size(
-            F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|\u2026)$"))
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|\u2026)[ \t]*$"))
         ).cast("long").alias("g_ellipsis_lines"),
         F.size(
             F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))

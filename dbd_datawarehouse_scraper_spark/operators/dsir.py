@@ -58,21 +58,15 @@ def _hashed_grams(docs: DataFrame, id_col, text_col: str, n_buckets: int):
     InferFiltersFromGenerate trap)."""
     # stage the tokenize once (the repetition_stats precedent: without
     # the projection barrier the split/filter tree is re-inlined into
-    # every consumer — size, both element_at legs, the concat)
+    # every consumer), and build bigrams with THE shared builder —
+    # coalesced to empty (its short-doc NULL would null the concat and
+    # drop the unigrams with it)
+    from ..functions.text_analysis import word_bigrams
+
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
     staged = docs.select(id_col, words.alias("_w"))
     w = F.col("_w")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1).cast("long"), F.size(w) - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i.cast("int")),
-                F.element_at(w, (i + 1).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = F.coalesce(word_bigrams(w), F.array().cast("array<string>"))
     exploded = staged.select(
         id_col, F.explode_outer(F.concat(w, bigrams)).alias("_gram")
     ).filter(F.col("_gram").isNotNull())
@@ -160,7 +154,13 @@ def dsir_fit(
 def save_dsir(spark: SparkSession, model: dict, path: str) -> None:
     """Persist: ``buckets/`` parquet + ``_meta`` marker written LAST
     (a crash mid-save leaves a markerless dir that :func:`load_dsir`
-    refuses loudly)."""
+    refuses loudly). On RE-save, any existing marker is deleted FIRST
+    — otherwise a crash between the buckets overwrite and the marker
+    rewrite would leave NEW buckets under the OLD still-valid marker
+    (the ivf_build torn-rebuild class)."""
+    from ..fsutil import fs_delete
+
+    fs_delete(spark, f"{path}/_meta")
     model["buckets"].write.mode("overwrite").parquet(f"{path}/buckets")
     spark.createDataFrame(
         [(
@@ -188,8 +188,16 @@ def load_dsir(spark: SparkSession, path: str) -> dict:
             f"DSIR marker at {path} has version "
             f"{meta[0]['version'] if meta else '?'}, expected {_MARKER_VERSION}"
         )
+    buckets = spark.read.parquet(f"{path}/buckets")
+    n_rows = buckets.count()  # the model is n_buckets rows — cheap
+    if n_rows != int(meta[0]["n_buckets"]):
+        raise ValueError(
+            f"DSIR store at {path} is torn: marker says "
+            f"{meta[0]['n_buckets']} buckets but the table has {n_rows} "
+            f"rows — a crashed re-save; refit and re-save."
+        )
     return {
-        "buckets": spark.read.parquet(f"{path}/buckets"),
+        "buckets": buckets,
         "n_buckets": int(meta[0]["n_buckets"]),
         "n_target": int(meta[0]["n_target"]),
         "n_raw": int(meta[0]["n_raw"]),

@@ -2749,8 +2749,8 @@ def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH words AS (
       SELECT doc_id, list_filter(str_split_regex(trim(text), '\\s+'), w -> w != '') AS w,
-             list_filter(str_split(text, chr(10)), l -> trim(l) != '') AS ln,
-             list_filter(str_split_regex(text, '\\n{2,}'), p -> trim(p) != '') AS pr
+             list_filter(str_split_regex(text, '\\r?\\n'), l -> regexp_matches(l, '\\S')) AS ln,
+             list_filter(str_split_regex(text, '\\r?\\n(?:[ \\t]*\\r?\\n)+'), p -> regexp_matches(p, '\\S')) AS pr
       FROM documents),
     wstats AS (
       SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,

@@ -159,6 +159,23 @@ def test_save_load_round_trip_and_marker_matrix(spark, tmp_path):
     ).repartition(1).write.mode("overwrite").parquet(f"{path}/_meta")
     with pytest.raises(ValueError, match="version 99"):
         load_dsir(spark, path)
+    # torn re-save: new buckets under an old still-valid marker (the
+    # crash window between the buckets overwrite and the marker
+    # rewrite) is detected by the row-count cross-check
+    path2 = str(tmp_path / "torn")
+    save_dsir(spark, model, path2)
+    spark.range(32).select(
+        F.col("id").alias("_bucket"), F.lit(0).cast("long").alias("_lrq")
+    ).write.mode("overwrite").parquet(f"{path2}/buckets")
+    with pytest.raises(ValueError, match="torn"):
+        load_dsir(spark, path2)
+    # and the delete-marker-first step means a crash BEFORE the marker
+    # rewrite always lands in the refused markerless state
+    from dbd_datawarehouse_scraper_spark.fsutil import fs_delete
+
+    fs_delete(spark, f"{path2}/_meta")
+    with pytest.raises(ValueError, match="no DSIR marker"):
+        load_dsir(spark, path2)
 
 
 def test_validation(spark):

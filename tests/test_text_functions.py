@@ -290,7 +290,7 @@ def _gopher_mirror_sql(table: str) -> str:
       SELECT doc_id, coalesce(text, '') AS tx,
         list_filter(str_split_regex(trim(coalesce(text, '')), '\\s+'),
                     w -> w != '') AS words,
-        str_split(coalesce(text, ''), chr(10)) AS lines
+        str_split_regex(coalesce(text, ''), '\\r?\\n') AS lines
       FROM {table}),
     g AS (
       SELECT doc_id,
@@ -303,10 +303,10 @@ def _gopher_mirror_sql(table: str) -> str:
           AS g_ellipsis_symbols,
         CAST(len(lines) AS BIGINT) AS g_lines,
         CAST(len(list_filter(lines,
-          l -> regexp_matches(ltrim(l), '^[•\\-\\*]'))) AS BIGINT)
+          l -> regexp_matches(l, '^[ \\t]*[•\\-\\*]'))) AS BIGINT)
           AS g_bullet_lines,
         CAST(len(list_filter(lines,
-          l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT)
+          l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) AS BIGINT)
           AS g_ellipsis_lines,
         CAST(len(list_filter(words,
           w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS g_alpha_words,
@@ -509,3 +509,25 @@ def test_repetition_stats_line_and_paragraph_fractions(spark):
     assert got[3] == (0.5, 0.5, 0.5, 0.5)
     assert got[4] == (0.0, 0.0, 0.0, 0.0)
     assert got[5] == (0.0, 0.0, 0.0, 0.0)
+    # CRLF and whitespace-bearing blank lines separate paragraphs and
+    # terminate lines just like plain '\n' (the r7 review fix: dup
+    # spam with '\r\n\r\n' or ' \n \n' separators must not score 0)
+    crlf = {
+        r["doc_id"]: (
+            r["dup_line_frac"], r["dup_line_char_frac"],
+            r["dup_para_frac"], r["dup_para_char_frac"],
+        )
+        for r in repetition_stats(
+            spark.createDataFrame(
+                [
+                    (6, "same para\r\n\r\nsame para"),
+                    (7, "same para\n \t\nsame para"),
+                    (8, "dup\r\ndup\r\nother"),
+                ],
+                "doc_id INT, text STRING",
+            )
+        ).collect()
+    }
+    assert crlf[6] == (0.5, 0.5, 0.5, 0.5)
+    assert crlf[7] == (0.5, 0.5, 0.5, 0.5)
+    assert crlf[8][:2] == (round(1 / 3, 6), round(3 / 11, 6))
