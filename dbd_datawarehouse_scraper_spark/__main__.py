@@ -199,6 +199,25 @@ def build_parser() -> argparse.ArgumentParser:
                         "rules (word count, mean word length, symbol/"
                         "bullet/ellipsis ratios, alphabetic-word and "
                         "stop-word checks) at the published thresholds")
+    p.add_argument("--fit-dsir", action="store_true",
+                   help="Maintenance mode: fit the DSIR importance "
+                        "model with --dsir-target (a documents parquet "
+                        "dir, column 'text') as the target and --input "
+                        "as the raw corpus, save to --output, then "
+                        "exit — feed the result to --dsir-model")
+    p.add_argument("--dsir-target", type=str, default=None,
+                   help="Target-corpus parquet dir for --fit-dsir")
+    p.add_argument("--dsir-buckets", type=int, default=10_000,
+                   help="Hashed n-gram buckets for --fit-dsir")
+    p.add_argument("--dsir-model", type=str, default=None,
+                   help="A --fit-dsir (save_dsir) model directory: gate "
+                        "exported documents on DSIR target similarity "
+                        "(requires --min-dsir-weight)")
+    p.add_argument("--min-dsir-weight", type=float, default=None,
+                   help="Keep only documents whose per-gram mean log "
+                        "importance weight under --dsir-model is at "
+                        "least this (0 = at least as target-like as "
+                        "the raw corpus)")
     p.add_argument("--lm-model", type=str, default=None,
                    help="A --fit-lm (save_lm) model directory: gate "
                         "exported documents on perplexity under it "
@@ -330,6 +349,21 @@ def _lm_opts_from_args(args) -> dict | None:
     return {"model_path": args.lm_model, "max_perplexity": args.max_perplexity}
 
 
+def _dsir_opts_from_args(args) -> dict | None:
+    """One construction for BOTH export paths: --dsir-model +
+    --min-dsir-weight enable the DSIR gate; either alone refuses."""
+    if args.dsir_model is None and args.min_dsir_weight is None:
+        return None
+    if args.dsir_model is None or args.min_dsir_weight is None:
+        raise ValueError(
+            "--dsir-model and --min-dsir-weight must be given together"
+        )
+    return {
+        "model_path": args.dsir_model,
+        "min_avg_log_weight": args.min_dsir_weight,
+    }
+
+
 def _html_opts_from_args(args) -> dict | None:
     """One construction for BOTH the batch and stream export paths —
     a flag added in one place can't silently desynchronize the two.
@@ -445,6 +479,27 @@ def main(argv: Sequence[str] | None = None) -> int:
         )
         return 0
 
+    if args.fit_dsir:
+        from .caching import release_caches
+        from .operators.dsir import dsir_fit, save_dsir
+
+        if not args.dsir_target:
+            raise ValueError("--fit-dsir requires --dsir-target")
+        model = dsir_fit(
+            spark.read.parquet(args.dsir_target),
+            spark.read.parquet(args.input),
+            text_col="text",
+            n_buckets=args.dsir_buckets,
+        )
+        save_dsir(spark, model, args.output)
+        release_caches()
+        print(
+            f"DSIR fitted: target {model['n_target']} grams, raw "
+            f"{model['n_raw']} grams, {model['n_buckets']} buckets -> "
+            f"{args.output}"
+        )
+        return 0
+
     if args.export_training_set:
         import json as _json
 
@@ -499,6 +554,9 @@ def main(argv: Sequence[str] | None = None) -> int:
             curate_kwargs["lm_opts"] = lm_opts
         if args.gopher:
             curate_kwargs["gopher_opts"] = {}
+        dsir_opts = _dsir_opts_from_args(args)
+        if dsir_opts is not None:
+            curate_kwargs["dsir_opts"] = dsir_opts
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(
@@ -588,6 +646,9 @@ def main(argv: Sequence[str] | None = None) -> int:
             sopts["lm_opts"] = lm_opts
         if args.gopher:
             sopts["gopher_opts"] = {}
+        dsir_opts = _dsir_opts_from_args(args)
+        if dsir_opts is not None:
+            sopts["dsir_opts"] = dsir_opts
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

@@ -77,6 +77,7 @@ def curate_documents(
     html_opts: dict | None = None,
     lm_opts: dict | None = None,
     gopher_opts: dict | None = None,
+    dsir_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -152,7 +153,16 @@ def curate_documents(
     lang/quality gates — pass ``{}`` for the published thresholds or
     override any :data:`..functions.text_analysis.GOPHER_DEFAULTS`
     key. Pure per-row codegen'd expressions; stateless, so the
-    incremental exporter supports the same knob."""
+    incremental exporter supports the same knob.
+
+    ``dsir_opts`` adds the DSIR target-similarity gate
+    (:func:`..operators.dsir.dsir_filter`) right after the LM stage —
+    also on the deduplicated survivors, also stateless given the
+    model. Keys: ``min_avg_log_weight`` (float, required — 0.0 = "at
+    least as target-like as raw") and the model as ``model_path`` (a
+    :func:`..operators.dsir.save_dsir` directory) or ``model`` (an
+    in-memory :func:`..operators.dsir.dsir_fit` result), exactly one.
+    """
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -258,6 +268,23 @@ def curate_documents(
         # empties were already dropped by the min_tokens gate upstream
         exact = perplexity_filter(
             exact, model, l["max_perplexity"], id_col=id_col,
+            text_col=text_col,
+        )
+
+    if dsir_opts is not None:
+        from ..operators.dsir import dsir_filter, load_dsir
+
+        d = dict(dsir_opts)
+        if "min_avg_log_weight" not in d:
+            raise ValueError("dsir_opts requires 'min_avg_log_weight'")
+        if ("model" in d) == ("model_path" in d):
+            raise ValueError(
+                "dsir_opts requires exactly one of 'model' (a dsir_fit "
+                "result) or 'model_path' (a save_dsir dir)"
+            )
+        dmodel = d.get("model") or load_dsir(docs.sparkSession, d["model_path"])
+        exact = dsir_filter(
+            exact, dmodel, d["min_avg_log_weight"], id_col=id_col,
             text_col=text_col,
         )
 

@@ -99,6 +99,7 @@ def stream_export_training_set(
     pack_opts: dict | None = None,
     lm_opts: dict | None = None,
     gopher_opts: dict | None = None,
+    dsir_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -183,7 +184,13 @@ def stream_export_training_set(
     ``gopher_opts`` adds the Gopher rule set alongside the gates —
     pure per-row expressions, trivially replay-idempotent; pass ``{}``
     for the published thresholds or override GOPHER_DEFAULTS keys
-    (validated at start, like lm_opts)."""
+    (validated at start, like lm_opts).
+
+    ``dsir_opts`` adds the DSIR target-similarity gate
+    (operators/dsir.py) alongside the gates: ``min_avg_log_weight``
+    (required) plus exactly one of ``model_path`` (a ``save_dsir``
+    directory, loaded ONCE at start) or ``model``. Static state like
+    the LM and the benchmark index — refit-and-restart to change."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -245,6 +252,22 @@ def stream_export_training_set(
         # loaded ONCE — static state for the whole stream, like the
         # benchmark index (see docstring)
         lm["model"] = lm.get("model") or load_lm(spark, lm["model_path"])
+    dsir = None
+    if dsir_opts is not None:
+        from ..operators.dsir import load_dsir
+
+        dsir = dict(dsir_opts)
+        if "min_avg_log_weight" not in dsir:
+            raise ValueError("dsir_opts requires 'min_avg_log_weight'")
+        if ("model" in dsir) == ("model_path" in dsir):
+            raise ValueError(
+                "dsir_opts requires exactly one of 'model' (a dsir_fit "
+                "result) or 'model_path' (a save_dsir dir)"
+            )
+        # loaded ONCE — static state, like the LM model
+        dsir["model"] = dsir.get("model") or load_dsir(
+            spark, dsir["model_path"]
+        )
     if gopher_opts is not None:
         # the ONE validation (unknown keys, non-numeric values) — at
         # start, not on the first epoch
@@ -353,6 +376,13 @@ def stream_export_training_set(
 
             gated = perplexity_filter(
                 gated, lm["model"], lm["max_perplexity"],
+                id_col=id_col, text_col=text_col,
+            )
+        if dsir is not None:
+            from ..operators.dsir import dsir_filter
+
+            gated = dsir_filter(
+                gated, dsir["model"], dsir["min_avg_log_weight"],
                 id_col=id_col, text_col=text_col,
             )
         had_rows = near_dedup_epoch(

@@ -785,3 +785,60 @@ def test_fit_lm_and_lm_gated_export_cli(spark, tmp_path):
             "--max-perplexity", "100",
             "--config", str(tmp_path / "none.yaml"),
         ])
+
+
+def test_fit_dsir_and_dsir_gated_export_cli(spark, tmp_path):
+    """--fit-dsir persists a save_dsir model; --dsir-model +
+    --min-dsir-weight gate the batch export on it; either flag alone
+    (or --fit-dsir without --dsir-target) refuses."""
+    import glob
+
+    target = spark.createDataFrame(
+        [(i, " ".join(random.Random(i).sample(_POOL, 40)), "s")
+         for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    tp = str(tmp_path / "target.parquet")
+    target.write.parquet(tp)
+    # raw: 15 in-domain docs (drawn exactly like target docs 0-14, so
+    # their n-grams hit the target buckets) + 5 OOV-soup docs
+    corpus = spark.createDataFrame(
+        [(i, " ".join(random.Random(i).sample(_POOL, 40)), "s")
+         for i in range(15)]
+        + [(900 + j, " ".join(f"qz{j}x{k}" for k in range(40)), "s")
+           for j in range(5)],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    mdir = str(tmp_path / "dsir")
+    with pytest.raises(ValueError, match="dsir-target"):
+        main(["--fit-dsir", "--input", src, "--output", mdir,
+              "--config", str(tmp_path / "none.yaml")])
+    rc = main([
+        "--fit-dsir", "--input", src, "--dsir-target", tp,
+        "--dsir-buckets", "512", "--output", mdir,
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    out = str(tmp_path / "gated")
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--dsir-model", mdir, "--min-dsir-weight", "0",
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/split=*/shard=*/*.gz")
+    ids = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).json(f"{out}/split=*")
+        .collect()
+    }
+    assert ids and all(i < 900 for i in ids), ids  # OOV soup gated out
+    with pytest.raises(ValueError, match="together"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--dsir-model", mdir,
+            "--config", str(tmp_path / "none.yaml"),
+        ])

@@ -187,3 +187,95 @@ def test_validation(spark):
         dsir_fit(empty, r, n_buckets=B)
     with pytest.raises(ValueError, match="raw corpus"):
         dsir_fit(t, empty, n_buckets=B)
+
+
+def test_funnel_dsir_gate(spark, tmp_path):
+    """dsir_opts in the curation funnel: target-like survivors pass,
+    off-target docs drop; in-memory == persisted model; validation
+    refuses loudly."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans import curate_documents
+
+    t, _ = _dfs(spark)
+    corpus = spark.createDataFrame(
+        [(d, x, "s") for d, x in RAW if x],
+        "doc_id long, text string, source string",
+    )
+    model = dsir_fit(t, corpus, n_buckets=B)
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=1)
+    kept = {
+        r["doc_id"]
+        for r in curate_documents(
+            corpus,
+            dsir_opts={"model": model, "min_avg_log_weight": 0.0},
+            **base,
+        ).collect()
+    }
+    release_caches()
+    assert 100 in kept and 101 in kept
+    assert 102 not in kept and 103 not in kept
+    save_dsir(spark, model, str(tmp_path / "m"))
+    kept_p = {
+        r["doc_id"]
+        for r in curate_documents(
+            corpus,
+            dsir_opts={"model_path": str(tmp_path / "m"),
+                       "min_avg_log_weight": 0.0},
+            **base,
+        ).collect()
+    }
+    release_caches()
+    assert kept_p == kept
+    with pytest.raises(ValueError, match="min_avg_log_weight"):
+        curate_documents(corpus, dsir_opts={"model": model}, **base)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate_documents(
+            corpus, dsir_opts={"min_avg_log_weight": 0.0}, **base
+        )
+
+
+def test_stream_export_dsir_gate(spark, tmp_path):
+    """dsir_opts in the incremental exporter: model loaded once at
+    start, off-target docs never export; bad opts refuse at start."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    t, _ = _dfs(spark)
+    docs = spark.createDataFrame(
+        [(d, x) for d, x in RAW if x], "doc_id long, text string"
+    )
+    model = dsir_fit(t, docs, n_buckets=B)
+    save_dsir(spark, model, str(tmp_path / "m"))
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+    docs.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="exactly one"):
+        stream_export_training_set(
+            file_stream(spark, str(tmp_path / "src"), docs.schema),
+            str(tmp_path / "o0"), str(tmp_path / "s0"), str(tmp_path / "c0"),
+            dsir_opts={"min_avg_log_weight": 0.0},
+            keep_langs=("en", "und"), min_quality=0.0, min_tokens=1,
+        )
+    q = stream_export_training_set(
+        file_stream(spark, str(tmp_path / "src"), docs.schema),
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        dsir_opts={"model_path": str(tmp_path / "m"),
+                   "min_avg_log_weight": 0.0},
+        keep_langs=("en", "de", "fr", "es", "zh", "und"),
+        min_quality=0.0, min_tokens=1, near_dup_threshold=0.95,
+    )
+    assert q.awaitTermination(240)
+    ids = set()
+    for f in glob.glob(str(tmp_path / "out/split=*/epoch=*/shard=*/*.gz")):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            ids |= {json.loads(l)["doc_id"] for l in fh if l.strip()}
+    assert 100 in ids or 101 in ids
+    assert 102 not in ids and 103 not in ids
