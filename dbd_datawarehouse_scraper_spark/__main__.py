@@ -199,6 +199,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "rules (word count, mean word length, symbol/"
                         "bullet/ellipsis ratios, alphabetic-word and "
                         "stop-word checks) at the published thresholds")
+    p.add_argument("--write-manifest", type=str, default=None,
+                   help="Maintenance mode: audit the given training-set "
+                        "export directory — per-shard row/token/char "
+                        "totals + order-invariant content checksums "
+                        "into <dir>/_manifest, print per-split totals, "
+                        "then exit")
+    p.add_argument("--verify-manifest", type=str, default=None,
+                   help="Maintenance mode: recompute the manifest of "
+                        "the given export directory and diff it against "
+                        "<dir>/_manifest; non-zero exit on any drift")
     p.add_argument("--fit-dsir", action="store_true",
                    help="Maintenance mode: fit the DSIR importance "
                         "model with --dsir-target (a documents parquet "
@@ -477,6 +487,28 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(
             f"LM fitted on {model['n_tokens']} tokens -> {args.output}"
         )
+        return 0
+
+    if args.write_manifest:
+        from .plans.manifest import write_manifest
+
+        totals = write_manifest(spark, args.write_manifest)
+        for label, t_ in sorted(totals.items()):
+            print(
+                f"split={label}: {t_['n_rows']} rows, "
+                f"{t_['n_tokens']} tokens, {t_['n_shards']} shards"
+            )
+        return 0
+
+    if args.verify_manifest:
+        from .plans.manifest import verify_manifest
+
+        drift = verify_manifest(spark, args.verify_manifest).collect()
+        if drift:
+            for r in drift:
+                print(f"DRIFT [{r['side']}]: {r.asDict()}")
+            return 1
+        print(f"manifest verified: {args.verify_manifest} matches its tree")
         return 0
 
     if args.fit_dsir:

@@ -1,0 +1,159 @@
+"""[EXT] Export manifest — the audit record of a training-set export.
+
+A 100 TB export is consumed by trainers that cannot re-derive what
+they were given; the manifest is the contract: one row per
+(split[, epoch], shard) with row/token/char totals and an
+ORDER-INVARIANT content checksum, plus per-split totals. With it a
+consumer can verify a copied shard tree bit-for-bit-equivalent
+(checksums), budget a training run (token totals), and detect a
+silently dropped or duplicated shard (row counts) — the dataset-card
+numbers, derived from the data instead of asserted.
+
+Shape: ONE scan of the exported JSONL, one groupBy on the partition
+columns (shuffle = number of shards — tiny), one write. The checksum
+is the EXACT decimal(38,0) sum of each row's 63-bit sha256-prefix
+signature (ANSI mode forbids wrapping long sums; a decimal-38 sum
+cannot overflow below ~1e24 rows per shard), so it is independent of
+row order and file layout — recompaction preserves it, any content
+change breaks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _row_sig(id_col: str, text_col: str) -> F.Column:
+    """Order-invariant per-row signature: the first 15 hex chars of
+    sha256 over the row's identity and content (63 bits — never
+    negative; the caller sums into decimal(38,0), exact at any shard
+    size)."""
+    payload = F.concat_ws(
+        "\x1f",
+        F.col(id_col).cast("string"),
+        F.coalesce(F.col(text_col), F.lit("\x00null")),
+    )
+    return F.conv(
+        F.substring(F.sha2(payload, 256), 1, 15), 16, 10
+    ).cast("long")
+
+
+def export_manifest(
+    spark: SparkSession,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+    streaming_layout: bool | None = None,
+) -> DataFrame:
+    """Compute the manifest of an :func:`..plans.training_export
+    .export_training_set` (or ``stream_export_training_set``) output
+    directory. Returns one row per (split[, epoch], shard):
+    ``(split[, epoch], shard, n_rows, n_tokens, n_chars,
+    content_checksum)`` ordered by the partition columns.
+
+    ``streaming_layout`` selects ``split=*/epoch=*/shard=*`` (True)
+    vs the batch ``split=*/shard=*`` (False); ``None`` autodetects by
+    probing for an ``epoch=`` directory under the first split. The
+    read uses an explicit schema over exactly the three audited
+    columns — extra columns in the rows (``doc_ids`` lineage, etc.)
+    are ignored, so packed and plain exports audit alike.
+    """
+    from ..fsutil import fs_list_names
+
+    splits = [
+        n for n in fs_list_names(spark, out_path) if n.startswith("split=")
+    ]
+    if not splits:
+        raise ValueError(
+            f"no split=* directories under {out_path} — not a training-set "
+            f"export (or an empty one); nothing to audit"
+        )
+    if streaming_layout is None:
+        first = f"{out_path}/{splits[0]}"
+        streaming_layout = any(
+            n.startswith("epoch=") for n in fs_list_names(spark, first)
+        )
+    part_cols = ["split", "epoch", "shard"] if streaming_layout else [
+        "split", "shard",
+    ]
+    glob = (
+        f"{out_path}/split=*/epoch=*/shard=*"
+        if streaming_layout
+        else f"{out_path}/split=*/shard=*"
+    )
+    rows = (
+        spark.read.option("basePath", out_path)
+        .schema(f"{id_col} STRING, {text_col} STRING, {token_col} LONG")
+        .json(glob)
+    )
+    return (
+        rows.groupBy(*part_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.coalesce(F.sum(token_col), F.lit(0).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.coalesce(
+                F.sum(F.length(F.col(text_col)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("n_chars"),
+            F.sum(
+                _row_sig(id_col, text_col).cast("decimal(38,0)")
+            ).alias("content_checksum"),
+        )
+        .orderBy(*part_cols)
+    )
+
+
+def write_manifest(
+    spark: SparkSession,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+) -> dict:
+    """Compute and persist the manifest under ``out_path/_manifest``
+    (parquet, one file — it is shards-count sized) and return the
+    per-split totals ``{split: {"n_rows": ..., "n_tokens": ...,
+    "n_shards": ...}}`` for logging/dataset cards. Overwrites any
+    previous manifest — the manifest describes the CURRENT tree."""
+    m = export_manifest(
+        spark, out_path, id_col=id_col, text_col=text_col,
+        token_col=token_col,
+    )
+    m.repartition(1).write.mode("overwrite").parquet(f"{out_path}/_manifest")
+    totals: dict = {}
+    for r in spark.read.parquet(f"{out_path}/_manifest").collect():
+        t = totals.setdefault(
+            r["split"], {"n_rows": 0, "n_tokens": 0, "n_shards": 0}
+        )
+        t["n_rows"] += r["n_rows"]
+        t["n_tokens"] += r["n_tokens"]
+        t["n_shards"] += 1
+    return totals
+
+
+def verify_manifest(
+    spark: SparkSession,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Recompute the manifest and diff it against the persisted one:
+    returns the rows that DISAGREE (empty = the tree still matches its
+    manifest). Any added/removed/modified row in any shard changes
+    that shard's n_rows/n_tokens/checksum; a vanished or new shard
+    appears as a one-sided row. The consumer-side integrity check."""
+    stored = spark.read.parquet(f"{out_path}/_manifest")
+    fresh = export_manifest(
+        spark, out_path, id_col=id_col, text_col=text_col,
+        token_col=token_col,
+    )
+    return stored.exceptAll(fresh).withColumn(
+        "side", F.lit("manifest")
+    ).unionByName(
+        fresh.exceptAll(stored).withColumn("side", F.lit("tree"))
+    )

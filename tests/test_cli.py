@@ -842,3 +842,34 @@ def test_fit_dsir_and_dsir_gated_export_cli(spark, tmp_path):
             "--dsir-model", mdir,
             "--config", str(tmp_path / "none.yaml"),
         ])
+
+
+def test_write_and_verify_manifest_cli(spark, tmp_path):
+    """--write-manifest audits an export and prints totals;
+    --verify-manifest exits 0 on a clean tree and 1 on drift."""
+    docs = spark.createDataFrame(
+        [(i, ("the results that have been shared with the board be of "
+              f"real interest to analysts and auditors alike row {i} "
+              * 2).strip(), "s") for i in range(50)],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ]) == 0
+    assert main(["--write-manifest", out,
+                 "--config", str(tmp_path / "none.yaml")]) == 0
+    assert main(["--verify-manifest", out,
+                 "--config", str(tmp_path / "none.yaml")]) == 0
+    # drift: remove one shard directory entirely
+    import glob
+    import shutil
+
+    victim = sorted(glob.glob(f"{out}/split=train/shard=*"))[0]
+    shutil.rmtree(victim)
+    assert main(["--verify-manifest", out,
+                 "--config", str(tmp_path / "none.yaml")]) == 1
