@@ -501,9 +501,11 @@ def main(argv: Sequence[str] | None = None) -> int:
         return 0
 
     if args.verify_manifest:
+        from .caching import release_caches
         from .plans.manifest import verify_manifest
 
         drift = verify_manifest(spark, args.verify_manifest).collect()
+        release_caches()
         if drift:
             for r in drift:
                 print(f"DRIFT [{r['side']}]: {r.asDict()}")

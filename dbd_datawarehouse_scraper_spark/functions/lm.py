@@ -367,3 +367,27 @@ def lm_reference_score(model: dict, toks: list[str]) -> tuple:
     ce = round(total_q / len(toks) / _QUANT, 6)
     ppl = round(2.0 ** (total_q / len(toks) / _QUANT), 6)
     return len(toks), ce, ppl
+
+
+def resolve_lm_opts(spark: SparkSession, opts: dict) -> dict:
+    """THE one validation + resolution of an ``lm_opts`` dict — the
+    batch funnel and the stream exporter both call it, so batch and
+    stream refusal semantics cannot drift. Requires
+    ``max_perplexity`` and exactly one NON-NULL of ``model`` /
+    ``model_path`` (an explicit ``model=None`` counts as absent);
+    loads a persisted model. Returns ``{"model": <dict>,
+    "max_perplexity": <float>}``."""
+    l = dict(opts)
+    if "max_perplexity" not in l:
+        raise ValueError("lm_opts requires 'max_perplexity'")
+    has_model = l.get("model") is not None
+    has_path = l.get("model_path") is not None
+    if has_model == has_path:
+        raise ValueError(
+            "lm_opts requires exactly one of 'model' (an "
+            "ngram_lm_fit result) or 'model_path' (a save_lm dir)"
+        )
+    return {
+        "model": l["model"] if has_model else load_lm(spark, l["model_path"]),
+        "max_perplexity": float(l["max_perplexity"]),
+    }

@@ -268,3 +268,28 @@ def dsir_filter(
         )
         kept = kept.unionByName(empties)
     return kept
+
+
+def resolve_dsir_opts(spark: SparkSession, opts: dict) -> dict:
+    """THE one validation + resolution of a ``dsir_opts`` dict — the
+    batch funnel and the stream exporter both call it, so batch and
+    stream refusal semantics cannot drift (the
+    validate_gopher_overrides precedent). Requires
+    ``min_avg_log_weight`` and exactly one NON-NULL of ``model`` /
+    ``model_path`` (an explicit ``model=None`` counts as absent, not
+    as a key that dodges the check); loads a persisted model. Returns
+    ``{"model": <dict>, "min_avg_log_weight": <float>}``."""
+    d = dict(opts)
+    if "min_avg_log_weight" not in d:
+        raise ValueError("dsir_opts requires 'min_avg_log_weight'")
+    has_model = d.get("model") is not None
+    has_path = d.get("model_path") is not None
+    if has_model == has_path:
+        raise ValueError(
+            "dsir_opts requires exactly one of 'model' (a dsir_fit "
+            "result) or 'model_path' (a save_dsir dir)"
+        )
+    return {
+        "model": d["model"] if has_model else load_dsir(spark, d["model_path"]),
+        "min_avg_log_weight": float(d["min_avg_log_weight"]),
+    }

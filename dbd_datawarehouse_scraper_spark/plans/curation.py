@@ -253,38 +253,22 @@ def curate_documents(
     exact = exact_dedup(gated, ["_fp"], id_col)
 
     if lm_opts is not None:
-        from ..functions.lm import load_lm, perplexity_filter
+        from ..functions.lm import perplexity_filter, resolve_lm_opts
 
-        l = dict(lm_opts)
-        if "max_perplexity" not in l:
-            raise ValueError("lm_opts requires 'max_perplexity'")
-        if ("model" in l) == ("model_path" in l):
-            raise ValueError(
-                "lm_opts requires exactly one of 'model' (an "
-                "ngram_lm_fit result) or 'model_path' (a save_lm dir)"
-            )
-        model = l.get("model") or load_lm(docs.sparkSession, l["model_path"])
+        l = resolve_lm_opts(docs.sparkSession, lm_opts)
         # after exact dedup: duplicates are gone, each doc scores once;
         # empties were already dropped by the min_tokens gate upstream
         exact = perplexity_filter(
-            exact, model, l["max_perplexity"], id_col=id_col,
+            exact, l["model"], l["max_perplexity"], id_col=id_col,
             text_col=text_col,
         )
 
     if dsir_opts is not None:
-        from ..operators.dsir import dsir_filter, load_dsir
+        from ..operators.dsir import dsir_filter, resolve_dsir_opts
 
-        d = dict(dsir_opts)
-        if "min_avg_log_weight" not in d:
-            raise ValueError("dsir_opts requires 'min_avg_log_weight'")
-        if ("model" in d) == ("model_path" in d):
-            raise ValueError(
-                "dsir_opts requires exactly one of 'model' (a dsir_fit "
-                "result) or 'model_path' (a save_dsir dir)"
-            )
-        dmodel = d.get("model") or load_dsir(docs.sparkSession, d["model_path"])
+        d = resolve_dsir_opts(docs.sparkSession, dsir_opts)
         exact = dsir_filter(
-            exact, dmodel, d["min_avg_log_weight"], id_col=id_col,
+            exact, d["model"], d["min_avg_log_weight"], id_col=id_col,
             text_col=text_col,
         )
 

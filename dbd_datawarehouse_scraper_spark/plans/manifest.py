@@ -11,11 +11,11 @@ numbers, derived from the data instead of asserted.
 
 Shape: ONE scan of the exported JSONL, one groupBy on the partition
 columns (shuffle = number of shards — tiny), one write. The checksum
-is the EXACT decimal(38,0) sum of each row's 63-bit sha256-prefix
-signature (ANSI mode forbids wrapping long sums; a decimal-38 sum
-cannot overflow below ~1e24 rows per shard), so it is independent of
-row order and file layout — recompaction preserves it, any content
-change breaks it.
+is the EXACT decimal(38,0) sum of each row's 60-bit sha256-prefix
+signature over (id, token count, text) — ANSI mode forbids wrapping
+long sums; a decimal-38 sum cannot overflow below ~8.7e19 rows per
+shard — so it is independent of row order and file layout:
+recompaction preserves it, any audited-column change breaks it.
 """
 
 from __future__ import annotations
@@ -24,14 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _row_sig(id_col: str, text_col: str) -> F.Column:
+def _row_sig(id_col: str, text_col: str, token_col: str) -> F.Column:
     """Order-invariant per-row signature: the first 15 hex chars of
-    sha256 over the row's identity and content (63 bits — never
-    negative; the caller sums into decimal(38,0), exact at any shard
-    size)."""
+    sha256 over ALL audited fields — id, token count, and text (a
+    checksum that skipped ``token_col`` would bless compensating
+    token-count edits). 60 bits, never negative; the caller sums into
+    decimal(38,0), exact at any shard size."""
     payload = F.concat_ws(
         "\x1f",
         F.col(id_col).cast("string"),
+        F.coalesce(F.col(token_col).cast("string"), F.lit("\x00null")),
         F.coalesce(F.col(text_col), F.lit("\x00null")),
     )
     return F.conv(
@@ -85,6 +87,10 @@ def export_manifest(
     )
     rows = (
         spark.read.option("basePath", out_path)
+        # FAILFAST: an audit that silently folded malformed lines into
+        # the totals as null rows would BLESS a corrupt tree — a torn
+        # shard must fail the audit, not pad the dataset card
+        .option("mode", "FAILFAST")
         .schema(f"{id_col} STRING, {text_col} STRING, {token_col} LONG")
         .json(glob)
     )
@@ -100,7 +106,7 @@ def export_manifest(
                 F.lit(0).cast("long"),
             ).alias("n_chars"),
             F.sum(
-                _row_sig(id_col, text_col).cast("decimal(38,0)")
+                _row_sig(id_col, text_col, token_col).cast("decimal(38,0)")
             ).alias("content_checksum"),
         )
         .orderBy(*part_cols)
@@ -146,11 +152,23 @@ def verify_manifest(
     returns the rows that DISAGREE (empty = the tree still matches its
     manifest). Any added/removed/modified row in any shard changes
     that shard's n_rows/n_tokens/checksum; a vanished or new shard
-    appears as a one-sided row. The consumer-side integrity check."""
+    appears as a one-sided row. The consumer-side integrity check.
+    The recomputed manifest is pinned (tracked_persist) so the tree is
+    scanned once, not once per diff leg — call
+    ``caching.release_caches()`` after consuming the result, and
+    ALWAYS before re-verifying a tree that changed since (a still-
+    cached identical plan would serve the stale aggregate)."""
+    from ..caching import tracked_persist
+
     stored = spark.read.parquet(f"{out_path}/_manifest")
-    fresh = export_manifest(
-        spark, out_path, id_col=id_col, text_col=text_col,
-        token_col=token_col,
+    # both exceptAll legs consume the recomputed manifest — pin it so
+    # the verify scans the (100 TB) tree once, not twice (standard
+    # pool discipline: caller release_caches() after consuming)
+    fresh = tracked_persist(
+        export_manifest(
+            spark, out_path, id_col=id_col, text_col=text_col,
+            token_col=token_col,
+        )
     )
     return stored.exceptAll(fresh).withColumn(
         "side", F.lit("manifest")

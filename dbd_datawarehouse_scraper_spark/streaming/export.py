@@ -239,35 +239,17 @@ def stream_export_training_set(
         )
     lm = None
     if lm_opts is not None:
-        from ..functions.lm import load_lm
-
-        lm = dict(lm_opts)
-        if "max_perplexity" not in lm:
-            raise ValueError("lm_opts requires 'max_perplexity'")
-        if ("model" in lm) == ("model_path" in lm):
-            raise ValueError(
-                "lm_opts requires exactly one of 'model' (an "
-                "ngram_lm_fit result) or 'model_path' (a save_lm dir)"
-            )
-        # loaded ONCE — static state for the whole stream, like the
+        # THE shared resolver (same refusals as the batch funnel);
+        # resolved ONCE — static state for the whole stream, like the
         # benchmark index (see docstring)
-        lm["model"] = lm.get("model") or load_lm(spark, lm["model_path"])
+        from ..functions.lm import resolve_lm_opts
+
+        lm = resolve_lm_opts(spark, lm_opts)
     dsir = None
     if dsir_opts is not None:
-        from ..operators.dsir import load_dsir
+        from ..operators.dsir import resolve_dsir_opts
 
-        dsir = dict(dsir_opts)
-        if "min_avg_log_weight" not in dsir:
-            raise ValueError("dsir_opts requires 'min_avg_log_weight'")
-        if ("model" in dsir) == ("model_path" in dsir):
-            raise ValueError(
-                "dsir_opts requires exactly one of 'model' (a dsir_fit "
-                "result) or 'model_path' (a save_dsir dir)"
-            )
-        # loaded ONCE — static state, like the LM model
-        dsir["model"] = dsir.get("model") or load_dsir(
-            spark, dsir["model_path"]
-        )
+        dsir = resolve_dsir_opts(spark, dsir_opts)
     if gopher_opts is not None:
         # the ONE validation (unknown keys, non-numeric values) — at
         # start, not on the first epoch

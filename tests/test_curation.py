@@ -500,6 +500,9 @@ def test_export_manifest_write_and_verify(spark, sf_dir, tmp_path):
     assert train_rows == back.count() == totals["train"]["n_rows"]
     # untouched tree verifies clean; rewritten manifest is idempotent
     assert verify_manifest(spark, out).count() == 0
+    release_caches()  # verify pins its recomputed manifest (pool
+    # contract) — release before re-verifying a tree we MUTATE below,
+    # or the cached pre-tamper aggregate would be served again
     assert write_manifest(spark, out) == totals
     # tamper: truncate one shard file -> that shard disagrees
     victim = sorted(glob.glob(f"{out}/split=train/shard=*/*.gz"))[0]
@@ -518,3 +521,4 @@ def test_export_manifest_write_and_verify(spark, sf_dir, tmp_path):
     bad = verify_manifest(spark, out).collect()
     assert bad and {r["side"] for r in bad} == {"manifest", "tree"}
     assert all(r["split"] == "train" for r in bad)
+    release_caches()

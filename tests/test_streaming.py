@@ -1676,6 +1676,19 @@ def test_stream_export_packing_stage(spark):
         # these unique-vocab texts)
         docs_seen = {m.split("#")[0] for ms in members_by_split.values() for m in ms}
         assert docs_seen == {str(i) for i in range(1, 25)}
+        # the manifest autodetects the streaming epoch layout and
+        # audits per (split, epoch, shard); a clean tree verifies empty
+        from dbd_datawarehouse_scraper_spark.caching import release_caches
+        from dbd_datawarehouse_scraper_spark.plans import (
+            verify_manifest, write_manifest,
+        )
+
+        totals = write_manifest(spark, f"{work}/out")
+        assert sum(t["n_rows"] for t in totals.values()) == len(rows)
+        m = spark.read.parquet(f"{work}/out/_manifest")
+        assert "epoch" in m.columns
+        assert verify_manifest(spark, f"{work}/out").count() == 0
+        release_caches()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
