@@ -100,6 +100,7 @@ HEADLINE = [
     "sequence_packing",
     "gopher_quality",
     "dsir_selection",
+    "c4_clean",
 ]
 
 

@@ -194,6 +194,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Prune n-grams below this count from the "
                         "--fit-lm model tables (totals keep the full "
                         "corpus; pruned grams back off)")
+    p.add_argument("--c4-clean", action="store_true",
+                   help="Apply the C4 line/page cleaning rules before "
+                        "curation scoring: keep terminal-punctuation "
+                        "lines of >=3 words without 'javascript'; drop "
+                        "pages under 5 remaining sentences or "
+                        "containing 'lorem ipsum' / '{'")
     p.add_argument("--gopher", action="store_true",
                    help="Gate exported documents on the Gopher quality "
                         "rules (word count, mean word length, symbol/"
@@ -588,6 +594,8 @@ def main(argv: Sequence[str] | None = None) -> int:
             curate_kwargs["lm_opts"] = lm_opts
         if args.gopher:
             curate_kwargs["gopher_opts"] = {}
+        if args.c4_clean:
+            curate_kwargs["c4_opts"] = {}
         dsir_opts = _dsir_opts_from_args(args)
         if dsir_opts is not None:
             curate_kwargs["dsir_opts"] = dsir_opts
@@ -680,6 +688,8 @@ def main(argv: Sequence[str] | None = None) -> int:
             sopts["lm_opts"] = lm_opts
         if args.gopher:
             sopts["gopher_opts"] = {}
+        if args.c4_clean:
+            sopts["c4_opts"] = {}
         dsir_opts = _dsir_opts_from_args(args)
         if dsir_opts is not None:
             sopts["dsir_opts"] = dsir_opts

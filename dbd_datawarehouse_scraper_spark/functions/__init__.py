@@ -66,3 +66,8 @@ from .lm import (  # noqa: F401
     save_lm,
     load_lm,
 )
+from .c4 import (  # noqa: F401
+    c4_clean,
+    c4_clean_text,
+    c4_page_flags,
+)

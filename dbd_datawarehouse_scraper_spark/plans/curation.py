@@ -78,6 +78,7 @@ def curate_documents(
     lm_opts: dict | None = None,
     gopher_opts: dict | None = None,
     dsir_opts: dict | None = None,
+    c4_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -162,7 +163,14 @@ def curate_documents(
     least as target-like as raw") and the model as ``model_path`` (a
     :func:`..operators.dsir.save_dsir` directory) or ``model`` (an
     in-memory :func:`..operators.dsir.dsir_fit` result), exactly one.
-    """
+
+    ``c4_opts`` runs the C4 line/page cleaning
+    (:func:`..functions.c4.c4_clean` — terminal-punctuation line
+    rewrite + sentence-floor/lorem-ipsum/brace page gate) right after
+    the HTML stage and before segment dedup, so all downstream scoring
+    sees the line-cleaned prose. Pass ``{}`` for the paper's defaults
+    or override ``min_words_per_line`` / ``min_sentences`` /
+    ``page_block_patterns``."""
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -216,6 +224,13 @@ def curate_documents(
         # the single-evaluation explode_outer barrier (plan-pinned in
         # tests/test_plans.py::test_curation_html_gate_strips_once)
         docs = apply_html_stage(docs, text_col, html_opts)
+    if c4_opts is not None:
+        from ..functions.c4 import c4_clean
+
+        # AFTER the HTML stage (C4's rules assume visible text) and
+        # before segment dedup / scoring, so shingles and quality see
+        # the line-cleaned prose; stateless per-row
+        docs = c4_clean(docs, text_col=text_col, **c4_opts)
     if segment_dedup_opts is not None:
         from ..operators.segments import segment_dedup
 

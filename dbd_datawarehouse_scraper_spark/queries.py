@@ -2966,6 +2966,36 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, window=64, stride=48, min_tokens=8)
 
 
+@register("c4_clean", None)
+def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] C4-style line/page cleaning (functions/c4.py; Raffel et
+    al. 2020 §2.2): rewrite every document to its terminal-punctuation
+    lines (>=3 words, no 'javascript'), then gate pages on the
+    5-sentence floor and the lorem-ipsum/brace blockers — all pure
+    per-row codegen'd expressions, no shuffle. Returns the survivors
+    with the rewritten text plus the per-page verdict ingredients.
+    Rows-only; the rules are pinned row-for-row against a DuckDB
+    mirror generated from the same constants in tests/test_c4.py.
+    The synthetic documents are single unpunctuated lines (C4 would
+    strip them all — correctly), so the query first shapes each into
+    10-word sentences/lines deterministically; the measured work is
+    the full rule sweep over realistic line structure."""
+    from .functions.c4 import c4_clean, c4_page_flags
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){9}\S+)\s+", "$1.\n"
+        ).alias("text"),
+    )
+    out = c4_clean(d, text_col="text", min_sentences=2)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("clean_chars"),
+        c4_page_flags(F.col("text"))["n_sentences"].alias("n_sentences"),
+    )
+
+
 @register("dsir_selection", None)
 def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] DSIR importance scoring (operators/dsir.py; Xie et al.

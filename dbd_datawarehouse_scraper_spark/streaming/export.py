@@ -100,6 +100,7 @@ def stream_export_training_set(
     lm_opts: dict | None = None,
     gopher_opts: dict | None = None,
     dsir_opts: dict | None = None,
+    c4_opts: dict | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -190,7 +191,12 @@ def stream_export_training_set(
     (operators/dsir.py) alongside the gates: ``min_avg_log_weight``
     (required) plus exactly one of ``model_path`` (a ``save_dsir``
     directory, loaded ONCE at start) or ``model``. Static state like
-    the LM and the benchmark index — refit-and-restart to change."""
+    the LM and the benchmark index — refit-and-restart to change.
+
+    ``c4_opts`` runs the C4 line/page cleaning per epoch via the SAME
+    ``c4_clean`` the batch funnel uses, in the same stage order (after
+    the HTML stage, before segment dedup) — stateless per-row,
+    trivially replay-idempotent."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -292,6 +298,11 @@ def stream_export_training_set(
             # same stage, same order as the batch funnel (after the
             # domain gate, before segment dedup); stateless per-row
             source = apply_html_stage(source, text_col, html_opts)
+        if c4_opts is not None:
+            # the SAME stage (and stage order) as the batch funnel
+            from ..functions.c4 import c4_clean
+
+            source = c4_clean(source, text_col=text_col, **c4_opts)
         if segment_dedup_opts is not None:
             from .segments import segment_dedup_epoch
 

@@ -1,0 +1,164 @@
+"""C4 line/page cleaning (functions/c4.py): row-for-row DuckDB mirror
+generated from the same constants, rule semantics on adversarial
+fixtures, funnel + stream wiring, CLI flag, validation."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.functions.c4 import (
+    C4_DEFAULTS,
+    C4_PAGE_BLOCK_PATTERNS,
+    C4_TERMINAL_RE,
+    c4_clean,
+    c4_clean_text,
+    c4_page_flags,
+)
+
+GOOD_LINE = "This sentence has enough words and ends properly."
+FIXTURE = [
+    # 5+ proper sentences -> survives, text unchanged
+    (1, "\n".join(GOOD_LINE for _ in range(6))),
+    # menu fragments (no terminal punct) are stripped; page then fails
+    # the sentence floor
+    (2, "Home\nAbout us\nContact\n" + GOOD_LINE),
+    # short lines stripped even with terminal punctuation
+    (3, "\n".join(["Yes.", "No!", GOOD_LINE, GOOD_LINE, GOOD_LINE,
+                   GOOD_LINE, GOOD_LINE])),
+    # javascript boilerplate stripped (case-insensitive)
+    (4, "\n".join(["Please enable JavaScript to view this page."]
+                  + [GOOD_LINE] * 5)),
+    # lorem ipsum blocks the whole page regardless of line survivors
+    (5, "\n".join([GOOD_LINE] * 6) + "\nlorem ipsum dolor sit amet."),
+    # a brace blocks the page (code filter)
+    (6, "\n".join([GOOD_LINE] * 6) + "\nfunction f() { return 1; }"),
+    # quotes and trailing spaces count as terminal
+    (7, "\n".join(['He said "this counts as a sentence." ',
+                   "Does a question count too? "] + [GOOD_LINE] * 4)),
+    # CRLF text splits like Unix text
+    (8, "\r\n".join([GOOD_LINE] * 6)),
+    (9, None),
+    (10, ""),
+]
+
+
+def _mirror_sql(table: str) -> str:
+    """DuckDB twin generated from the SAME constants (terminal regex,
+    block patterns, thresholds) — the Gopher-mirror convention."""
+    t = C4_DEFAULTS
+    blocked = " OR ".join(
+        f"contains(lower(coalesce(text, '')), '{p}')"
+        for p in C4_PAGE_BLOCK_PATTERNS
+    )
+    # DuckDB RE2 accepts the Spark pattern verbatim; escape for the
+    # SQL string literal (backslashes and the single quote the
+    # terminal class contains)
+    term = C4_TERMINAL_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+    WITH cleaned AS (
+      SELECT doc_id,
+        list_aggr(list_filter(str_split_regex(coalesce(text, ''), '\\r?\\n'),
+          l -> regexp_matches(l, '{term}')
+           AND len(list_filter(str_split_regex(trim(l), '\\s+'), w -> w != '')) >= {t["min_words_per_line"]}
+           AND NOT contains(lower(l), 'javascript')), 'string_agg', chr(10)) AS ct,
+        ({blocked}) AS blocked
+      FROM {table}),
+    flagged AS (
+      SELECT doc_id, coalesce(ct, '') AS ct, blocked,
+             len(regexp_extract_all(coalesce(ct, ''), '[.!?]')) AS n_sent
+      FROM cleaned)
+    SELECT doc_id, ct AS text,
+           CAST(length(ct) AS BIGINT) AS clean_chars,
+           CAST(n_sent AS BIGINT) AS n_sentences,
+           (n_sent >= {t["min_sentences"]} AND NOT blocked) AS pass
+    FROM flagged ORDER BY doc_id
+    """
+
+
+def test_rules_match_duckdb_mirror(spark):
+    import duckdb
+    import pandas as pd
+
+    docs = spark.createDataFrame(FIXTURE, "doc_id INT, text STRING")
+    got = [
+        (r["doc_id"], r["_ct"], r["clean_chars"], r["g"]["n_sentences"],
+         r["g"]["pass"])
+        for r in docs.select(
+            "doc_id",
+            c4_clean_text(F.coalesce(F.col("text"), F.lit(""))).alias("_ct"),
+            F.length(
+                c4_clean_text(F.coalesce(F.col("text"), F.lit("")))
+            ).cast("long").alias("clean_chars"),
+            c4_page_flags(F.col("text")).alias("g"),
+        ).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.register("cdocs", pd.DataFrame(FIXTURE, columns=["doc_id", "text"]))
+    want = [tuple(r) for r in con.execute(_mirror_sql("cdocs")).fetchall()]
+    assert got == [tuple(w) for w in want]
+
+
+def test_clean_semantics(spark):
+    docs = spark.createDataFrame(FIXTURE, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r["text"] for r in c4_clean(docs).collect()}
+    # survivors: 1 (clean), 3 (shorts stripped), 4 (js stripped),
+    # 7 (quote/question terminals), 8 (CRLF)
+    assert set(out) == {1, 3, 4, 7, 8}
+    assert out[1] == FIXTURE[0][1]
+    assert "Yes." not in out[3] and out[3].count("\n") == 4
+    assert "JavaScript" not in out[4]
+    assert out[7].startswith('He said "this counts')
+    assert out[8] == "\n".join([GOOD_LINE] * 6)
+    # overrides move the gate
+    loose = {
+        r["doc_id"]
+        for r in c4_clean(docs, min_sentences=1).collect()
+    }
+    assert 2 in loose  # one good line survives the rewrite
+    with pytest.raises(ValueError, match="min_words_per_line"):
+        c4_clean(docs, min_words_per_line=0)
+    with pytest.raises(ValueError, match="min_sentences"):
+        c4_clean(docs, min_sentences=-1)
+
+
+def test_funnel_and_stream_wiring(spark, tmp_path):
+    from dbd_datawarehouse_scraper_spark.plans import curate_documents
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, t_, "s") for d, t_ in FIXTURE],
+        "doc_id long, text string, source string",
+    )
+    base = dict(keep_langs=("en", "de", "fr", "es", "zh", "und"),
+                min_quality=0.0, min_tokens=1)
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in curate_documents(docs, c4_opts={}, **base).collect()
+    }
+    # near-dup dedup collapses the identical cleaned pages (1/3/4/8
+    # all reduce to 6x GOOD_LINE after the rewrite, 7 differs) — what
+    # matters here: blocked/short pages are gone and text is rewritten
+    assert set(kept) <= {1, 3, 4, 7, 8} and kept
+    assert all("lorem" not in t_ and "{" not in t_ for t_ in kept.values())
+    # stream: same stage; a blocked page never exports
+    import glob
+    import gzip
+    import json
+
+    docs.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+    q = stream_export_training_set(
+        file_stream(spark, str(tmp_path / "src"), docs.schema),
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        c4_opts={}, keep_langs=("en", "de", "fr", "es", "zh", "und"),
+        min_quality=0.0, min_tokens=1, near_dup_threshold=0.99,
+    )
+    assert q.awaitTermination(240)
+    ids = set()
+    for f in glob.glob(str(tmp_path / "out/split=*/epoch=*/shard=*/*.gz")):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            ids |= {json.loads(l)["doc_id"] for l in fh if l.strip()}
+    assert ids <= {1, 3, 4, 7, 8} and ids
+    assert not ids & {2, 5, 6, 9, 10}

@@ -873,3 +873,32 @@ def test_write_and_verify_manifest_cli(spark, tmp_path):
     shutil.rmtree(victim)
     assert main(["--verify-manifest", out,
                  "--config", str(tmp_path / "none.yaml")]) == 1
+
+
+def test_export_training_set_cli_c4_flag(spark, tmp_path):
+    """--c4-clean strips non-sentence lines and gates pages: a
+    nav-fragment page drops, prose survives with rewritten text."""
+    good = "This sentence has enough words and ends properly."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good] * 6), "s"),
+            (2, "Home\nAbout\nContact\n" + good, "s"),
+            (3, "Menu\n" + "\n".join([good] * 6), "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "c4")
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--c4-clean", "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    rows = spark.read.option("basePath", out).json(f"{out}/split=*").collect()
+    ids = {r["doc_id"] for r in rows}
+    # docs 1 and 3 rewrite to the same 6 good lines -> exact dedup
+    # keeps one of them; doc 2 fails the sentence floor
+    assert ids and 2 not in ids and ids <= {1, 3}
+    assert all("Menu" not in r["text"] for r in rows)
