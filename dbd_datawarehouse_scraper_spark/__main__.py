@@ -199,7 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "curation scoring: keep terminal-punctuation "
                         "lines of >=3 words without 'javascript'; drop "
                         "pages under 5 remaining sentences or "
-                        "containing 'lorem ipsum' / '{'")
+                        "containing 'lorem ipsum' / '{'. English-only "
+                        "by design (the paper's rules): CJK pages are "
+                        "stripped wholesale — split by language first")
     p.add_argument("--gopher", action="store_true",
                    help="Gate exported documents on the Gopher quality "
                         "rules (word count, mean word length, symbol/"

@@ -25,6 +25,15 @@ test generated from THE SAME constants (tests/test_c4.py), the
 Gopher-rule convention. The paper's bad-words list is deliberately NOT
 shipped (policy lists belong to the deployment, not the engine); pass
 extra page-level blockers via ``page_block_patterns``.
+
+SCOPE — these rules assume WHITESPACE-DELIMITED, ASCII-PUNCTUATED
+text, exactly like the paper (C4 is an English corpus): a zh/ja page
+has no whitespace words and no ASCII terminals, so BOTH the word
+floor and the terminal rule strip every line and the page drops.
+Running ``--c4-clean`` over a multilingual corpus therefore removes
+the CJK slice wholesale — partition by language first and apply C4
+only to the whitespace-delimited languages (the limitation is
+test-pinned, not hidden: tests/test_c4.py doc 11).
 """
 
 from __future__ import annotations
@@ -40,6 +49,10 @@ C4_TERMINAL_RE = r"[.!?\"'][)\"']*[ \t]*$"
 #: Default page-level blockers (case-insensitive substring patterns),
 #: per the paper: template filler and code pages.
 C4_PAGE_BLOCK_PATTERNS = ("lorem ipsum", "{")
+
+#: Sentence proxy: terminal-punctuation occurrences in the kept text.
+#: Shared with the DuckDB mirror, like the terminal class.
+C4_SENTENCE_RE = r"[.!?]"
 
 C4_DEFAULTS = {
     "min_words_per_line": 3,
@@ -67,6 +80,54 @@ def c4_clean_text(
     return F.array_join(kept, "\n")
 
 
+def _page_verdict(
+    cleaned: Column,
+    original: Column,
+    min_sentences: int,
+    page_block_patterns: tuple,
+):
+    """THE one page-verdict construction (c4_page_flags and c4_clean
+    both consume it, so the struct form and the gate can never drift):
+    ``(n_sentences, blocked, pass)`` expressions over a CLEANED text
+    column and the ORIGINAL text (a code page is a code page even if
+    the line rules strip the braces)."""
+    n_sent = F.size(
+        F.regexp_extract_all(cleaned, F.lit(C4_SENTENCE_RE), 0)
+    ).cast("long")
+    blocked = F.lit(False)
+    for pat in page_block_patterns:
+        blocked = blocked | F.lower(original).contains(pat.lower())
+    return n_sent, blocked, (n_sent >= min_sentences) & ~blocked
+
+
+def validate_c4_opts(opts: dict) -> dict:
+    """THE one validation of C4 options — the gate and the stream
+    exporter's at-start check both call it (the
+    validate_gopher_overrides precedent): unknown keys refuse, numeric
+    bounds checked NOW, not on the first epoch. Returns the merged
+    options."""
+    merged = {**C4_DEFAULTS, "page_block_patterns": C4_PAGE_BLOCK_PATTERNS}
+    unknown = set(opts) - set(merged)
+    if unknown:
+        raise ValueError(
+            f"unknown C4 options: {sorted(unknown)} "
+            f"(valid: {sorted(merged)})"
+        )
+    merged.update(opts)
+    if int(merged["min_words_per_line"]) < 1:
+        raise ValueError(
+            f"min_words_per_line must be >= 1, got "
+            f"{merged['min_words_per_line']}"
+        )
+    if int(merged["min_sentences"]) < 0:
+        raise ValueError(
+            f"min_sentences must be >= 0, got {merged['min_sentences']}"
+        )
+    merged["min_words_per_line"] = int(merged["min_words_per_line"])
+    merged["min_sentences"] = int(merged["min_sentences"])
+    return merged
+
+
 def c4_page_flags(
     col: Column,
     min_words_per_line: int = C4_DEFAULTS["min_words_per_line"],
@@ -76,21 +137,17 @@ def c4_page_flags(
     """Verdict struct over the CLEANED text: ``(n_sentences,
     blocked BOOLEAN, pass BOOLEAN)`` — sentence count is the
     terminal-punctuation occurrence count in the kept lines, blocked
-    means a page-level pattern matched the ORIGINAL text (a code page
-    is a code page even if the line rules strip the braces). NULL text
+    means a page-level pattern matched the ORIGINAL text. NULL text
     coalesces to '' and fails the sentence floor explicitly."""
     c = F.coalesce(col, F.lit(""))
-    cleaned = c4_clean_text(c, min_words_per_line)
-    n_sent = F.size(
-        F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), 0)
-    ).cast("long")
-    blocked = F.lit(False)
-    for pat in page_block_patterns:
-        blocked = blocked | F.lower(c).contains(pat.lower())
+    n_sent, blocked, ok = _page_verdict(
+        c4_clean_text(c, min_words_per_line), c, min_sentences,
+        page_block_patterns,
+    )
     return F.struct(
         n_sent.alias("n_sentences"),
         blocked.alias("blocked"),
-        ((n_sent >= min_sentences) & ~blocked).alias("pass"),
+        ok.alias("pass"),
     )
 
 
@@ -103,32 +160,30 @@ def c4_clean(
 ) -> DataFrame:
     """The full C4 pass: rewrite ``text_col`` to its surviving lines
     and keep only passing pages. Returns the input columns with
-    ``text_col`` rewritten. Pure per-row expressions; the one subtlety
-    is binding the cleaned text ONCE via an intermediate projection so
-    the line sweep isn't re-evaluated per consumer (the
-    repetition_stats staging precedent)."""
-    if min_words_per_line < 1:
-        raise ValueError(
-            f"min_words_per_line must be >= 1, got {min_words_per_line}"
-        )
-    if min_sentences < 0:
-        raise ValueError(f"min_sentences must be >= 0, got {min_sentences}")
+    ``text_col`` rewritten.
+
+    The cleaned text is bound ONCE behind an
+    ``explode_outer(array(...))`` Generate barrier — a plain
+    withColumn+filter would let PushDownPredicates substitute the
+    alias into the pushed filter and run the whole line sweep twice
+    per row (the apply_html_stage precedent; plan-pinned in
+    tests/test_plans.py::test_c4_clean_sweeps_once)."""
+    validate_c4_opts(
+        {
+            "min_words_per_line": min_words_per_line,
+            "min_sentences": min_sentences,
+            "page_block_patterns": page_block_patterns,
+        }
+    )
+    orig = F.coalesce(F.col(text_col), F.lit(""))
+    tmp = "_c4_clean"
+    while tmp in docs.columns:  # never clobber a caller's column
+        tmp += "_"
     staged = docs.withColumn(
-        "_c4_clean",
-        c4_clean_text(
-            F.coalesce(F.col(text_col), F.lit("")), min_words_per_line
-        ),
+        tmp,
+        F.explode_outer(F.array(c4_clean_text(orig, min_words_per_line))),
     )
-    n_sent = F.size(
-        F.regexp_extract_all(F.col("_c4_clean"), F.lit(r"[.!?]"), 0)
+    _, _, ok = _page_verdict(
+        F.col(tmp), orig, min_sentences, page_block_patterns
     )
-    blocked = F.lit(False)
-    for pat in page_block_patterns:
-        blocked = blocked | F.lower(
-            F.coalesce(F.col(text_col), F.lit(""))
-        ).contains(pat.lower())
-    return (
-        staged.filter((n_sent >= min_sentences) & ~blocked)
-        .withColumn(text_col, F.col("_c4_clean"))
-        .drop("_c4_clean")
-    )
+    return staged.filter(ok).withColumn(text_col, F.col(tmp)).drop(tmp)

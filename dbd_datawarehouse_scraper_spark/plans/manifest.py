@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Checksum-format version, stamped into every manifest row. A
+#: checksum-algorithm change bumps this, and verify REFUSES a manifest
+#: written under another version instead of reporting every shard as
+#: drift (a false corruption report, indistinguishable from the real
+#: thing). v2 = sha256 over (id, token count, text).
+MANIFEST_VERSION = 2
+
 
 def _row_sig(id_col: str, text_col: str, token_col: str) -> F.Column:
     """Order-invariant per-row signature: the first 15 hex chars of
@@ -30,9 +37,13 @@ def _row_sig(id_col: str, text_col: str, token_col: str) -> F.Column:
     checksum that skipped ``token_col`` would bless compensating
     token-count edits). 60 bits, never negative; the caller sums into
     decimal(38,0), exact at any shard size."""
+    # every field coalesced: concat_ws SKIPS null args, so an
+    # unguarded NULL id would both collapse distinct rows onto one
+    # signature and let a wrong id_col silently degrade the audit to
+    # token+text
     payload = F.concat_ws(
         "\x1f",
-        F.col(id_col).cast("string"),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null")),
         F.coalesce(F.col(token_col).cast("string"), F.lit("\x00null")),
         F.coalesce(F.col(text_col), F.lit("\x00null")),
     )
@@ -109,6 +120,7 @@ def export_manifest(
                 _row_sig(id_col, text_col, token_col).cast("decimal(38,0)")
             ).alias("content_checksum"),
         )
+        .withColumn("manifest_version", F.lit(MANIFEST_VERSION))
         .orderBy(*part_cols)
     )
 
@@ -153,25 +165,50 @@ def verify_manifest(
     manifest). Any added/removed/modified row in any shard changes
     that shard's n_rows/n_tokens/checksum; a vanished or new shard
     appears as a one-sided row. The consumer-side integrity check.
-    The recomputed manifest is pinned (tracked_persist) so the tree is
-    scanned once, not once per diff leg — call
-    ``caching.release_caches()`` after consuming the result, and
-    ALWAYS before re-verifying a tree that changed since (a still-
-    cached identical plan would serve the stale aggregate)."""
-    from ..caching import tracked_persist
+
+    A manifest written under another checksum-format version REFUSES
+    loudly (re-run :func:`write_manifest`) instead of reporting every
+    shard as drift — a false corruption report would be
+    indistinguishable from the real thing.
+
+    The result is MATERIALIZED internally (it is bounded: at most
+    2 × shard-count rows) and returned as a local relation, so the
+    tree is scanned exactly once, no persist outlives the call, and a
+    later write/verify over a changed tree can never be served a
+    stale cached aggregate."""
+    from ..caching import pool_mark, release_since, tracked_persist
 
     stored = spark.read.parquet(f"{out_path}/_manifest")
-    # both exceptAll legs consume the recomputed manifest — pin it so
-    # the verify scans the (100 TB) tree once, not twice (standard
-    # pool discipline: caller release_caches() after consuming)
-    fresh = tracked_persist(
-        export_manifest(
-            spark, out_path, id_col=id_col, text_col=text_col,
-            token_col=token_col,
+    if "manifest_version" not in stored.columns:
+        raise ValueError(
+            f"manifest at {out_path}/_manifest predates checksum-format "
+            f"versioning — re-run write_manifest (current format: "
+            f"v{MANIFEST_VERSION})"
         )
-    )
-    return stored.exceptAll(fresh).withColumn(
-        "side", F.lit("manifest")
-    ).unionByName(
-        fresh.exceptAll(stored).withColumn("side", F.lit("tree"))
-    )
+    versions = [r[0] for r in stored.select("manifest_version").distinct().collect()]
+    if versions != [MANIFEST_VERSION]:
+        raise ValueError(
+            f"manifest at {out_path}/_manifest has checksum-format "
+            f"version(s) {versions}, expected {MANIFEST_VERSION} — "
+            f"re-run write_manifest before verifying"
+        )
+    mark = pool_mark()
+    try:
+        # both exceptAll legs consume the recomputed manifest — pin it
+        # so the verify scans the (100 TB) tree once, not twice
+        fresh = tracked_persist(
+            export_manifest(
+                spark, out_path, id_col=id_col, text_col=text_col,
+                token_col=token_col,
+            )
+        )
+        drift = stored.exceptAll(fresh).withColumn(
+            "side", F.lit("manifest")
+        ).unionByName(
+            fresh.exceptAll(stored).withColumn("side", F.lit("tree"))
+        )
+        rows = drift.collect()  # bounded: <= 2 x shard count
+        schema = drift.schema
+    finally:
+        release_since(mark)
+    return spark.createDataFrame(rows, schema)

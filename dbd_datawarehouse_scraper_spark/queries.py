@@ -2980,7 +2980,7 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     strip them all — correctly), so the query first shapes each into
     10-word sentences/lines deterministically; the measured work is
     the full rule sweep over realistic line structure."""
-    from .functions.c4 import c4_clean, c4_page_flags
+    from .functions.c4 import C4_SENTENCE_RE, c4_clean
 
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2989,10 +2989,14 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     out = c4_clean(d, text_col="text", min_sentences=2)
+    # count sentences from the CLEANED output directly — re-running
+    # c4_page_flags here would re-execute the whole line sweep
     return out.select(
         "doc_id",
         F.length("text").cast("long").alias("clean_chars"),
-        c4_page_flags(F.col("text"))["n_sentences"].alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(C4_SENTENCE_RE), 0)
+        ).cast("long").alias("n_sentences"),
     )
 
 

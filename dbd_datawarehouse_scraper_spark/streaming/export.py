@@ -262,6 +262,11 @@ def stream_export_training_set(
         from ..functions.text_analysis import validate_gopher_overrides
 
         validate_gopher_overrides(gopher_opts)
+    if c4_opts is not None:
+        # same contract: refuse bad C4 options before the stream starts
+        from ..functions.c4 import validate_c4_opts
+
+        validate_c4_opts(c4_opts)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the curated hand-off dirs are single-epoch intermediates: only

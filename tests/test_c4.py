@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from dbd_datawarehouse_scraper_spark.functions.c4 import (
     C4_DEFAULTS,
+    C4_SENTENCE_RE,
     C4_PAGE_BLOCK_PATTERNS,
     C4_TERMINAL_RE,
     c4_clean,
@@ -39,6 +40,10 @@ FIXTURE = [
     (8, "\r\n".join([GOOD_LINE] * 6)),
     (9, None),
     (10, ""),
+    # the DOCUMENTED English-only scope: a zh page has no whitespace
+    # words and no ASCII terminals, so C4 strips it entirely — pinned
+    # here so the limitation stays visible, per the module docstring
+    (11, "\n".join(["这是一个足够长的中文句子。"] * 6)),
 ]
 
 
@@ -54,6 +59,7 @@ def _mirror_sql(table: str) -> str:
     # SQL string literal (backslashes and the single quote the
     # terminal class contains)
     term = C4_TERMINAL_RE.replace("\\", "\\\\").replace("'", "''")
+    sent = C4_SENTENCE_RE
     return f"""
     WITH cleaned AS (
       SELECT doc_id,
@@ -65,7 +71,7 @@ def _mirror_sql(table: str) -> str:
       FROM {table}),
     flagged AS (
       SELECT doc_id, coalesce(ct, '') AS ct, blocked,
-             len(regexp_extract_all(coalesce(ct, ''), '[.!?]')) AS n_sent
+             len(regexp_extract_all(coalesce(ct, ''), '{sent}')) AS n_sent
       FROM cleaned)
     SELECT doc_id, ct AS text,
            CAST(length(ct) AS BIGINT) AS clean_chars,

@@ -500,9 +500,6 @@ def test_export_manifest_write_and_verify(spark, sf_dir, tmp_path):
     assert train_rows == back.count() == totals["train"]["n_rows"]
     # untouched tree verifies clean; rewritten manifest is idempotent
     assert verify_manifest(spark, out).count() == 0
-    release_caches()  # verify pins its recomputed manifest (pool
-    # contract) — release before re-verifying a tree we MUTATE below,
-    # or the cached pre-tamper aggregate would be served again
     assert write_manifest(spark, out) == totals
     # tamper: truncate one shard file -> that shard disagrees
     victim = sorted(glob.glob(f"{out}/split=train/shard=*/*.gz"))[0]
@@ -518,7 +515,22 @@ def test_export_manifest_write_and_verify(spark, sf_dir, tmp_path):
                        f".{os.path.basename(victim)}.crc")
     if os.path.exists(crc):
         os.remove(crc)
+    # verify self-drains its pin, so the tamper is seen WITHOUT any
+    # release_caches() between the clean verify above and this one (a
+    # still-cached pre-tamper aggregate was a real round-7 bug class)
     bad = verify_manifest(spark, out).collect()
     assert bad and {r["side"] for r in bad} == {"manifest", "tree"}
     assert all(r["split"] == "train" for r in bad)
+    # a manifest from another checksum-format version refuses loudly
+    # instead of reporting every shard as drift
+    m2 = spark.read.parquet(f"{out}/_manifest").withColumn(
+        "manifest_version", F.lit(1)
+    )
+    m2.repartition(1).write.mode("overwrite").parquet(f"{out}/_manifest_v1")
+    import shutil as _sh
+
+    _sh.rmtree(f"{out}/_manifest")
+    _sh.move(f"{out}/_manifest_v1", f"{out}/_manifest")
+    with pytest.raises(ValueError, match="checksum-format"):
+        verify_manifest(spark, out)
     release_caches()

@@ -333,3 +333,23 @@ def test_no_coalesce1_local_relation_writes():
         if ".coalesce(1).write" in p.read_text(encoding="utf-8")
     ]
     assert offenders == [], offenders
+
+
+def test_c4_clean_sweeps_once(spark):
+    """Round-7 perf property: c4_clean evaluates the line sweep
+    (split + terminal/word-count/javascript lambda + array_join) ONCE
+    per row — behind the explode_outer(array(...)) Generate barrier.
+    A plain withColumn+filter lets PushDownPredicates substitute the
+    alias into the pushed filter and run the sweep twice (confirmed
+    in the round-7 review by dumping the collapsed plan). The
+    'javascript' literal is the unique per-evaluation marker."""
+    from dbd_datawarehouse_scraper_spark.functions.c4 import c4_clean
+
+    docs = spark.createDataFrame(
+        [(1, "This line is long enough to survive the sweep.")],
+        "doc_id long, text string",
+    )
+    out = c4_clean(docs, min_sentences=1)
+    qe = out._jdf.queryExecution()
+    for plan in (qe.optimizedPlan().toString(), qe.executedPlan().toString()):
+        assert plan.lower().count("javascript") == 1, plan
