@@ -123,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-separator", type=str, default=None,
                    help="Separator between packed member texts "
                         "(default: blank line); requires --pack-context")
+    p.add_argument("--shuffle-salt", type=str, default=None,
+                   help="Pack shards in deterministic sha256(salt||id) "
+                        "order instead of id order — a reproducible "
+                        "corpus shuffle (trainers reading shards "
+                        "sequentially see source-decorrelated rows); "
+                        "a different salt is a fresh permutation")
     p.add_argument("--quality-sample-rates", type=str, default=None,
                    help="CCNet-style per-quality-bucket keep rates in "
                         "basis points, low->high quality, e.g. "
@@ -618,6 +624,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             curate_kwargs=curate_kwargs or None,
             chunk_opts=chunk_opts,
             pack_opts=pack_opts,
+            shuffle_salt=args.shuffle_salt,
         )
         release_caches()
         for label, n in counts.items():
@@ -702,6 +709,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             f"{state_root}/ckpt",
             shard_token_budget=args.shard_token_budget,
             redact=not args.no_redact,
+            shuffle_salt=args.shuffle_salt,
             **sopts,
         )
         if not q.awaitTermination(3600):

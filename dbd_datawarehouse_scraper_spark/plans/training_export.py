@@ -63,6 +63,7 @@ def export_training_set(
     curate_kwargs: dict | None = None,
     chunk_opts: dict | None = None,
     pack_opts: dict | None = None,
+    shuffle_salt: str | None = None,
 ) -> dict[str, int]:
     """Run the full export; returns {split label: exported row count}
     (documents — CHUNKS when ``chunk_opts`` is set, where one document
@@ -90,7 +91,17 @@ def export_training_set(
     content-hash group — and collapses each sequence to ONE exported
     row (joined text, summed ``n_tokens``, member ids under
     ``doc_ids``); packing runs PER SPLIT, after the split filter, so a
-    sequence never mixes splits. Consumes its own intermediate
+    sequence never mixes splits.
+
+    ``shuffle_salt`` (string) replaces the id-ordered shard layout
+    with a DETERMINISTIC shuffle: the packing order key becomes
+    ``sha256(salt || id)``, so shard contents and within-shard order
+    are pseudo-random with respect to source/document order (trainers
+    reading shards sequentially see an i.i.d.-ish stream without a
+    shuffle buffer the size of the corpus) yet bit-stable for a given
+    salt — rerun-identical, and a different salt is a fresh
+    permutation. No extra pass: the key feeds the same range sort
+    shard packing already does. Consumes its own intermediate
     persists (the funnel's) via the standard pool discipline — callers
     still call ``caching.release_caches()`` after, like any consuming
     action in this package.
@@ -180,12 +191,29 @@ def export_training_set(
             subset = tracked_persist(
                 apply_pack_stage(subset, id_col, text_col, pack_opts)
             )
+        order_col = id_col
+        if shuffle_salt is not None:
+            # deterministic shuffle: pack in sha256(salt||id) order
+            order_col = "_shuffle_key"
+            subset = subset.withColumn(
+                order_col,
+                F.sha2(
+                    F.concat(
+                        F.lit(f"shuffle:{shuffle_salt}:"),
+                        F.col(id_col).cast("string"),
+                    ),
+                    256,
+                ),
+            )
         packed = pack_shards(
             subset,
             token_col="n_tokens",
             budget=shard_token_budget,
-            order_col=id_col,
+            order_col=order_col,
         )
+        if shuffle_salt is not None:
+            packed = packed.drop(order_col)
+            subset = subset.drop(order_col)
         jsonl_sink(
             packed, f"{out_path}/split={label}", partition_by=("shard",)
         )

@@ -101,6 +101,7 @@ def stream_export_training_set(
     gopher_opts: dict | None = None,
     dsir_opts: dict | None = None,
     c4_opts: dict | None = None,
+    shuffle_salt: str | None = None,
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -196,7 +197,15 @@ def stream_export_training_set(
     ``c4_opts`` runs the C4 line/page cleaning per epoch via the SAME
     ``c4_clean`` the batch funnel uses, in the same stage order (after
     the HTML stage, before segment dedup) — stateless per-row,
-    trivially replay-idempotent."""
+    trivially replay-idempotent.
+
+    ``shuffle_salt`` packs each epoch's shards in deterministic
+    ``sha256(salt || id)`` order instead of id order (the batch
+    exporter's knob): within-epoch shard contents are pseudo-random
+    w.r.t. arrival/document order yet replay-identical. The shuffle
+    is epoch-LOCAL — a trainer wanting cross-epoch mixing shuffles
+    its shard list; the stream cannot reorder rows it has already
+    committed."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -433,6 +442,20 @@ def stream_export_training_set(
                             id_prefix=f"{epoch_id}#",
                         )
                     )
+                order_col = id_col
+                if shuffle_salt is not None:
+                    # the batch exporter's deterministic-shuffle key
+                    order_col = "_shuffle_key"
+                    subset = subset.withColumn(
+                        order_col,
+                        F.sha2(
+                            F.concat(
+                                F.lit(f"shuffle:{shuffle_salt}:"),
+                                F.col(id_col).cast("string"),
+                            ),
+                            256,
+                        ),
+                    )
                 pack_epoch(
                     spark,
                     subset,
@@ -441,7 +464,8 @@ def stream_export_training_set(
                     state_path=f"{state_path}/pack/split={label}",
                     token_col="n_tokens",
                     budget=shard_token_budget,
-                    order_col=id_col,
+                    order_col=order_col,
+                    drop_cols=(order_col,) if order_col != id_col else (),
                     fmt="jsonl",
                     # no folding on the JSONL output: epochs here are
                     # trainer-consumed shards (read once, sequentially),

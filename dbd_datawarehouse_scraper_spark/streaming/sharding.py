@@ -137,6 +137,7 @@ def pack_epoch(
     fold_output_after: int | None = 16,
     keep_cursor_snapshots: int = 4,
     fmt: str = "parquet",
+    drop_cols: tuple = (),
 ) -> None:
     """One epoch of the incremental packer, as a plain function so
     composed incremental pipelines (streaming/export.py) can run it —
@@ -145,7 +146,9 @@ def pack_epoch(
     wrapper. ``fmt="jsonl"`` writes gzip JSONL partitioned by the shard
     column (``epoch=N/shard=<n>/``, the trainer-facing layout) instead
     of plain parquet; both are epoch-suffixed overwrites, so replay
-    idempotence is format-independent."""
+    idempotence is format-independent. ``drop_cols`` names bookkeeping
+    columns (e.g. a shuffle-order key) to exclude from the written
+    rows AFTER packing — they may serve as ``order_col``."""
     from ..caching import pool_mark, release_since
 
     if fold_output_after:
@@ -205,6 +208,8 @@ def pack_epoch(
         batch_df, token_col=token_col, budget=budget,
         order_col=order_col, shard_col=shard_col, start_offset=offset,
     )
+    if drop_cols:
+        packed = packed.drop(*drop_cols)
     if fmt == "jsonl":
         from ..sources.sinks import jsonl_sink
 

@@ -534,3 +534,54 @@ def test_export_manifest_write_and_verify(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="checksum-format"):
         verify_manifest(spark, out)
     release_caches()
+
+
+def test_export_shuffle_salt(spark, sf_dir, tmp_path):
+    """shuffle_salt packs shards in sha256(salt||id) order: same docs
+    exported, shard CONTENTS decorrelated from id order, bit-stable
+    per salt (rerun-identical), different salt = different layout, no
+    bookkeeping column leaks into the rows; the streaming exporter
+    honors the same knob."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans import export_training_set
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kwargs = dict(
+        shard_token_budget=2000,
+        curate_kwargs={"keep_langs": ("en", "de", "fr", "es", "zh", "und")},
+    )
+
+    def layout(out):
+        rows = spark.read.option("basePath", out).json(
+            f"{out}/split=train"
+        ).select("doc_id", "shard").collect()
+        return {r["doc_id"]: r["shard"] for r in rows}
+
+    export_training_set(docs, str(tmp_path / "plain"), **kwargs)
+    release_caches()
+    export_training_set(
+        docs, str(tmp_path / "s1"), shuffle_salt="epoch0", **kwargs
+    )
+    release_caches()
+    export_training_set(
+        docs, str(tmp_path / "s1b"), shuffle_salt="epoch0", **kwargs
+    )
+    release_caches()
+    export_training_set(
+        docs, str(tmp_path / "s2"), shuffle_salt="epoch1", **kwargs
+    )
+    release_caches()
+    plain, s1, s1b, s2 = (
+        layout(str(tmp_path / n)) for n in ("plain", "s1", "s1b", "s2")
+    )
+    # same membership everywhere; same salt = identical layout
+    assert set(plain) == set(s1) == set(s2)
+    assert s1 == s1b
+    # shuffled layout differs from both the id layout and other salts
+    assert s1 != plain and s1 != s2
+    # no bookkeeping column leaked
+    cols = set(
+        spark.read.option("basePath", str(tmp_path / "s1"))
+        .json(f"{tmp_path}/s1/split=train").columns
+    )
+    assert "_shuffle_key" not in cols

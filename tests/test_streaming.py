@@ -1748,3 +1748,54 @@ def test_stream_export_lm_perplexity_gate(spark):
         assert set(ids) == {1, 2}, ids  # the OOV soup (doc 3) gated out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_EXPORT_KW_NO_BUDGET = {
+    k: v for k, v in _EXPORT_KW.items() if k != "shard_token_budget"
+}
+
+
+def test_stream_export_shuffle_salt(spark):
+    """shuffle_salt in the incremental exporter: shard order is the
+    deterministic sha256(salt||id) permutation, replay-identical, and
+    the shuffle key never leaks into the exported rows."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(1, 30)],
+        "doc_id long, text string",
+    )
+    work = tempfile.mkdtemp(prefix="stream_shuf_")
+    try:
+        docs.coalesce(1).write.mode("append").parquet(f"{work}/src")
+
+        def run(tag):
+            q = stream_export_training_set(
+                file_stream(spark, f"{work}/src", docs.schema),
+                f"{work}/{tag}/out", f"{work}/{tag}/state",
+                f"{work}/{tag}/ckpt", shuffle_salt="s0",
+                shard_token_budget=300, **_EXPORT_KW_NO_BUDGET,
+            )
+            assert q.awaitTermination(240)
+            shards = {}
+            for f in glob.glob(f"{work}/{tag}/out/split=*/epoch=*/shard=*/*.gz"):
+                shard = int(f.split("shard=")[1].split("/")[0])
+                with gzip.open(f, "rt", encoding="utf-8") as fh:
+                    for line in fh:
+                        r = json.loads(line)
+                        assert "_shuffle_key" not in r
+                        shards[r["doc_id"]] = shard
+            return shards
+
+        a = run("a")
+        b = run("b")
+        assert a and a == b  # same salt -> identical shard layout
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
