@@ -585,3 +585,128 @@ def test_export_shuffle_salt(spark, sf_dir, tmp_path):
         .json(f"{tmp_path}/s1/split=train").columns
     )
     assert "_shuffle_key" not in cols
+
+
+def test_full_stack_export_batch_stream_parity(spark, tmp_path):
+    """EVERY optional stage composed at once — domain blocklist, HTML
+    cleanup, C4 line rules, segment dedup, contamination screen,
+    Gopher, reference-LM perplexity, DSIR, chunking, sequence packing,
+    shuffle-salt — runs end to end in BOTH exporters, and the set of
+    surviving source documents is identical (every gate is
+    content-deterministic; fixtures are built so gates and near-dedup
+    don't interact)."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.functions.lm import (
+        ngram_lm_fit, save_lm,
+    )
+    from dbd_datawarehouse_scraper_spark.operators.dsir import (
+        dsir_fit, save_dsir,
+    )
+    from dbd_datawarehouse_scraper_spark.plans import export_training_set
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    sent = ("The quarterly report that we have shared with the board "
+            "includes results of real interest to the analysts.")
+    prose = " ".join(
+        sent.replace("quarterly", w)
+        for w in ("quarterly", "annual", "monthly", "weekly", "daily",
+                  "final")
+    )
+    bench_text = "the held out benchmark question nobody may train on"
+    docs = spark.createDataFrame(
+        [
+            (1, prose, "good.com"),                              # survives
+            (2, prose, "spam.com"),                              # blocked domain
+            (3, f"<html><script>x()</script><p>{prose}</p></html>",
+             "good.com"),                                        # html strip -> near-dup of 1 -> deduped
+            (4, prose + " " + bench_text, "good.com"),           # contaminated
+            (5, "zq vx jq wv kq xz qq zz vv ww " * 12, "good.com"),  # gibberish
+            (6, " ".join(
+                sent.replace("report", f"memo{i}") for i in range(6)
+            ), "good.com"),                                      # survives, distinct
+        ],
+        "doc_id long, text string, source string",
+    )
+    ref = spark.createDataFrame([(prose,)], "text STRING")
+    save_lm(spark, ngram_lm_fit(ref, text_col="text"), str(tmp_path / "lm"))
+    save_dsir(
+        spark,
+        dsir_fit(ref, docs.select("text"), n_buckets=256),
+        str(tmp_path / "dsir"),
+    )
+    release_caches()
+    bench = spark.createDataFrame([(1, bench_text)], "bench_id long, text string")
+
+    gates = dict(
+        domain_opts={"blocklist": ["spam.com"], "domain_col": "source"},
+        html_opts={"strip": True},
+        c4_opts={"min_sentences": 2},
+        segment_dedup_opts={"mode": "chunk", "k": 6, "min_docs": 3},
+        contamination_opts={"benchmark": bench, "threshold": 0.05,
+                            "containment_threshold": 0.5},
+        gopher_opts={"min_words": 20, "max_mean_word_len": 12.0},
+        lm_opts={"model_path": str(tmp_path / "lm"),
+                 "max_perplexity": 500.0},
+        dsir_opts={"model_path": str(tmp_path / "dsir"),
+                   "min_avg_log_weight": -1.0},
+    )
+    common = dict(
+        keep_langs=("en", "de", "fr", "es", "zh", "und"),
+        min_quality=0.0, min_tokens=5,
+    )
+    counts = export_training_set(
+        docs, str(tmp_path / "batch"),
+        curate_kwargs={**gates, **common},
+        chunk_opts={"window": 24, "stride": 24, "min_tokens": 1},
+        pack_opts={"context": 48},
+        shuffle_salt="s0",
+        shard_token_budget=400,
+        split_fractions={"train": 1.0},
+    )
+    release_caches()
+    assert counts["train"] > 0
+
+    def source_docs(pattern):
+        members = set()
+        for f in glob.glob(pattern):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    r = json.loads(line)
+                    for m in r["doc_ids"]:
+                        members.add(int(m.split("#")[0].split("#")[0]
+                                        if "#" in m else m))
+        return members
+
+    batch_docs = source_docs(str(tmp_path / "batch/split=*/shard=*/*.gz"))
+    # 1 survives; 3 strips to ~prose and near-dups against 1 (one of
+    # the two remains); 2/4/5 gated; 6 survives
+    assert 6 in batch_docs and (1 in batch_docs or 3 in batch_docs)
+    assert not batch_docs & {2, 4, 5}
+
+    docs.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+    q = stream_export_training_set(
+        file_stream(spark, str(tmp_path / "src"), docs.schema),
+        str(tmp_path / "stream/out"), str(tmp_path / "stream/state"),
+        str(tmp_path / "stream/ckpt"),
+        **gates,
+        **common,
+        near_dup_threshold=0.8,
+        chunk_opts={"window": 24, "stride": 24, "min_tokens": 1},
+        pack_opts={"context": 48},
+        shuffle_salt="s0",
+        shard_token_budget=400,
+        split_fractions={"train": 1.0},
+    )
+    assert q.awaitTermination(300)
+    stream_docs = source_docs(
+        str(tmp_path / "stream/out/split=*/epoch=*/shard=*/*.gz")
+    )
+    # member-for-member parity with the batch export
+    assert stream_docs == batch_docs
