@@ -101,6 +101,7 @@ HEADLINE = [
     "gopher_quality",
     "dsir_selection",
     "c4_clean",
+    "gate_report",
 ]
 
 

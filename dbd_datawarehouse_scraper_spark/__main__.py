@@ -213,6 +213,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "rules (word count, mean word length, symbol/"
                         "bullet/ellipsis ratios, alphabetic-word and "
                         "stop-word checks) at the published thresholds")
+    p.add_argument("--gate-report", type=str, default=None,
+                   help="Maintenance mode: one-scan report over the "
+                        "given documents parquet dir — how much each "
+                        "stateless curation gate (lang/quality/tokens; "
+                        "plus Gopher with --gopher, C4 with --c4-clean) "
+                        "would drop, alone and combined, then exit")
+    p.add_argument("--profile", type=str, default=None,
+                   help="Maintenance mode: one-pass ANALYZE-style "
+                        "profile of the given parquet directory (per-"
+                        "column nulls, approx distincts, min/max), "
+                        "printed as a table, then exit")
     p.add_argument("--write-manifest", type=str, default=None,
                    help="Maintenance mode: audit the given training-set "
                         "export directory — per-shard row/token/char "
@@ -501,6 +512,32 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(
             f"LM fitted on {model['n_tokens']} tokens -> {args.output}"
         )
+        return 0
+
+    if args.gate_report:
+        from .plans.curation import curation_gate_report
+
+        rep = curation_gate_report(
+            spark.read.parquet(args.gate_report),
+            gopher_opts={} if args.gopher else None,
+            c4_opts={} if args.c4_clean else None,
+        )
+        for r in rep.collect():
+            frac = "" if r["fail_frac"] is None else f" ({r['fail_frac']:.1%})"
+            print(f"{r['gate']}: {r['n_fail']}{frac}")
+        return 0
+
+    if args.profile:
+        from .operators.profiling import profile_table
+
+        prof = profile_table(spark.read.parquet(args.profile))
+        for r in prof.orderBy("column").collect():
+            d = r.asDict()
+            print(
+                f"{d['column']} ({d['dtype']}): n={d['n_rows']} "
+                f"nulls={d['n_nulls']} approx_ndv={d['approx_ndv']} "
+                f"min={d['min_value']} max={d['max_value']}"
+            )
         return 0
 
     if args.write_manifest:

@@ -365,3 +365,93 @@ def curate_documents(
             near, "lang", sample_fractions, [id_col]
         )
     return near.drop("_fp")
+
+
+def curation_gate_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    keep_langs: tuple = ("en", "de", "fr"),
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    gopher_opts: dict | None = None,
+    c4_opts: dict | None = None,
+) -> DataFrame:
+    """Threshold-tuning observability: ONE scan that answers "how much
+    would each stateless gate drop, alone and combined?" BEFORE paying
+    for a full funnel run — the question every 100 TB curation run
+    starts with. Returns one row per gate plus ``any`` (fails at
+    least one gate) and ``corpus_size`` (the scanned row count, with
+    NULL ``fail_frac``): ``(gate, n_fail, fail_frac)`` with
+    ``fail_frac`` over the corpus.
+
+    Gates covered: ``lang``, ``quality``, ``tokens``, and optionally
+    ``gopher`` (:func:`..functions.text_analysis.gopher_quality_flags`
+    with ``gopher_opts`` overrides) and ``c4``
+    (:func:`..functions.c4.c4_page_flags` page verdict over
+    ``c4_opts``). These are pure column flags, so the report is one
+    projection + one aggregate — no shuffle beyond the 1-row
+    aggregation. Stateful stages (dedup, contamination, LM/DSIR — they
+    need fits or joins) are deliberately out of scope: run them on the
+    gate-surviving subset this report sizes."""
+    from ..functions.text_analysis import (
+        gopher_quality_flags,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    flags = {
+        "lang": lang_id(c).isin(list(keep_langs)),
+        "quality": quality_score(c) >= min_quality,
+        "tokens": token_count(c) >= min_tokens,
+    }
+    if gopher_opts is not None:
+        flags["gopher"] = gopher_quality_flags(c, gopher_opts)["pass"]
+    if c4_opts is not None:
+        from ..functions.c4 import c4_page_flags, validate_c4_opts
+
+        o = validate_c4_opts(c4_opts)
+        flags["c4"] = c4_page_flags(
+            c,
+            min_words_per_line=o["min_words_per_line"],
+            min_sentences=o["min_sentences"],
+            page_block_patterns=o["page_block_patterns"],
+        )["pass"]
+    all_pass = None
+    for expr in flags.values():
+        all_pass = expr if all_pass is None else (all_pass & expr)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, expr in flags.items():
+        aggs.append(
+            F.sum((~expr).cast("long")).alias(f"__fail_{name}")
+        )
+    aggs.append(F.sum((~all_pass).cast("long")).alias("__fail_any"))
+    row = docs.agg(*aggs)
+    stacked = [
+        F.struct(F.lit(name).alias("gate"), F.col(f"__fail_{name}").alias("n"))
+        for name in flags
+    ] + [
+        F.struct(F.lit("any").alias("gate"), F.col("__fail_any").alias("n")),
+        F.struct(
+            F.lit("corpus_size").alias("gate"), F.col("__n").alias("n")
+        ),
+    ]
+    return (
+        row.select(F.col("__n"), F.explode(F.array(*stacked)).alias("_g"))
+        .select(
+            F.col("_g.gate").alias("gate"),
+            F.col("_g.n").alias("n_fail"),
+            F.when(
+                F.col("_g.gate") != "corpus_size",
+                F.round(
+                    F.when(
+                        F.col("__n") > 0,
+                        F.col("_g.n").cast("double") / F.col("__n"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                ),
+            ).alias("fail_frac"),
+        )
+        .orderBy("gate")
+    )

@@ -2966,6 +2966,26 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, window=64, stride=48, min_tokens=8)
 
 
+@register("gate_report", None)
+def gate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-scan curation gate report (plans/curation.py
+    curation_gate_report): per-gate drop counts/fractions for the
+    stateless gates (lang, quality, tokens, Gopher, C4) plus the
+    union and corpus size — the threshold-tuning question every
+    curation run starts with, answered without running the funnel.
+    One projection + one 1-row aggregate; rows-only (the report is a
+    derived summary; its flag semantics are each oracle- or
+    mirror-pinned on their own operators)."""
+    from .plans.curation import curation_gate_report
+
+    return curation_gate_report(
+        t(spark, sf_dir, "documents"),
+        keep_langs=("en", "de", "fr", "es", "zh", "und"),
+        gopher_opts={},
+        c4_opts={},
+    )
+
+
 @register("c4_clean", None)
 def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] C4-style line/page cleaning (functions/c4.py; Raffel et

@@ -902,3 +902,29 @@ def test_export_training_set_cli_c4_flag(spark, tmp_path):
     # keeps one of them; doc 2 fails the sentence floor
     assert ids and 2 not in ids and ids <= {1, 3}
     assert all("Menu" not in r["text"] for r in rows)
+
+
+def test_gate_report_and_profile_cli(spark, tmp_path, capsys):
+    """--gate-report prints per-gate drop counts (Gopher/C4 toggled by
+    their flags); --profile prints the one-pass column profile."""
+    good = ("The results that have been shared with the board be of "
+            "real interest to analysts and auditors alike. " * 8).strip()
+    docs = spark.createDataFrame(
+        [(1, good), (2, "short."), (3, None)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    rc = main([
+        "--gate-report", src, "--gopher", "--c4-clean",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "corpus_size: 3" in out
+    assert "gopher:" in out and "c4:" in out and "any:" in out
+    rc = main(["--profile", src, "--config", str(tmp_path / "none.yaml")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "doc_id (bigint): n=3 nulls=0" in out
+    assert "text (string): n=3 nulls=1" in out

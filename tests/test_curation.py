@@ -710,3 +710,34 @@ def test_full_stack_export_batch_stream_parity(spark, tmp_path):
     )
     # member-for-member parity with the batch export
     assert stream_docs == batch_docs
+
+
+def test_curation_gate_report(spark):
+    """The one-scan threshold-tuning report: per-gate drop counts and
+    fractions agree with direct evaluation, 'any' is the union, and
+    corpus_size carries the scanned rows."""
+    from dbd_datawarehouse_scraper_spark.plans import curation_gate_report
+
+    good = ("The results that have been shared with the board be of "
+            "real interest to analysts and auditors alike. " * 8).strip()
+    docs = spark.createDataFrame(
+        [(1, good), (2, "short text."), (3, None),
+         (4, " ".join("12345" for _ in range(80))),
+         (5, good + "\nlorem ipsum {")],
+        "doc_id INT, text STRING",
+    )
+    rep = {
+        r["gate"]: (r["n_fail"], r["fail_frac"])
+        for r in curation_gate_report(
+            docs, keep_langs=("en", "und"), min_quality=0.0,
+            min_tokens=5, gopher_opts={}, c4_opts={"min_sentences": 2},
+        ).collect()
+    }
+    assert rep["corpus_size"] == (5, None)
+    assert rep["tokens"][0] == 2        # the short doc and the NULL
+    assert rep["gopher"][0] >= 3        # short, NULL, digit soup
+    assert rep["c4"][0] >= 3            # short, NULL, soup; 5 blocked
+    # 'any' >= every individual gate and <= corpus
+    assert max(v[0] for k, v in rep.items()
+               if k not in ("any", "corpus_size")) <= rep["any"][0] <= 5
+    assert rep["any"][1] == round(rep["any"][0] / 5, 6)
