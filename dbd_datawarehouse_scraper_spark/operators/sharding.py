@@ -127,3 +127,17 @@ def pack_shards(
         .withColumn(shard_col, F.expr(f"_tot_off div {int(budget)}L"))
     )
     return out.drop("_pid", "_local_prefix", "_offset", "_tot_off")
+
+
+def shuffle_order_key(id_col: str, salt: str):
+    """THE one deterministic-shuffle order key (the batch and stream
+    exporters both call it, so the same salt can never produce two
+    different shard layouts): ``sha256('shuffle:<salt>:' || id)`` —
+    pack in this order and shard contents are pseudo-random w.r.t.
+    document order yet bit-stable per salt."""
+    from pyspark.sql import functions as F
+
+    return F.sha2(
+        F.concat(F.lit(f"shuffle:{salt}:"), F.col(id_col).cast("string")),
+        256,
+    )

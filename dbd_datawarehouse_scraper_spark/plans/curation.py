@@ -392,7 +392,14 @@ def curation_gate_report(
     projection + one aggregate — no shuffle beyond the 1-row
     aggregation. Stateful stages (dedup, contamination, LM/DSIR — they
     need fits or joins) are deliberately out of scope: run them on the
-    gate-surviving subset this report sizes."""
+    gate-surviving subset this report sizes.
+
+    Stage-order fidelity: with ``c4_opts`` the funnel rewrites text
+    BEFORE the gates, so this report scores quality/tokens/gopher over
+    the C4-CLEANED text too (bound once behind a Generate barrier) —
+    otherwise the numbers would not predict the funnel's drops. The
+    HTML stage is out of scope (pass pre-stripped text, or accept
+    that markup-heavy corpora gate differently after html_opts)."""
     from ..functions.text_analysis import (
         gopher_quality_flags,
         lang_id,
@@ -401,17 +408,36 @@ def curation_gate_report(
     )
 
     c = F.coalesce(F.col(text_col), F.lit(""))
-    flags = {
-        "lang": lang_id(c).isin(list(keep_langs)),
-        "quality": quality_score(c) >= min_quality,
-        "tokens": token_count(c) >= min_tokens,
-    }
-    if gopher_opts is not None:
-        flags["gopher"] = gopher_quality_flags(c, gopher_opts)["pass"]
+    gate_input = c
+    o = None
     if c4_opts is not None:
-        from ..functions.c4 import c4_page_flags, validate_c4_opts
+        from ..functions.c4 import c4_clean_text, validate_c4_opts
 
         o = validate_c4_opts(c4_opts)
+        # the funnel rewrites before gating — score gates over the
+        # cleaned text, bound ONCE behind the Generate barrier (the
+        # c4_clean precedent: a plain withColumn would be re-inlined
+        # into every flag expression)
+        tmp = "_gr_clean"
+        while tmp in docs.columns:
+            tmp += "_"
+        docs = docs.withColumn(
+            tmp,
+            F.explode_outer(
+                F.array(c4_clean_text(c, o["min_words_per_line"]))
+            ),
+        )
+        gate_input = F.col(tmp)
+    flags = {
+        "lang": lang_id(gate_input).isin(list(keep_langs)),
+        "quality": quality_score(gate_input) >= min_quality,
+        "tokens": token_count(gate_input) >= min_tokens,
+    }
+    if gopher_opts is not None:
+        flags["gopher"] = gopher_quality_flags(gate_input, gopher_opts)["pass"]
+    if c4_opts is not None:
+        from ..functions.c4 import c4_page_flags
+
         flags["c4"] = c4_page_flags(
             c,
             min_words_per_line=o["min_words_per_line"],
@@ -424,9 +450,13 @@ def curation_gate_report(
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, expr in flags.items():
         aggs.append(
-            F.sum((~expr).cast("long")).alias(f"__fail_{name}")
+            F.coalesce(F.sum((~expr).cast("long")), F.lit(0).cast("long"))
+            .alias(f"__fail_{name}")
         )
-    aggs.append(F.sum((~all_pass).cast("long")).alias("__fail_any"))
+    aggs.append(
+        F.coalesce(F.sum((~all_pass).cast("long")), F.lit(0).cast("long"))
+        .alias("__fail_any")
+    )
     row = docs.agg(*aggs)
     stacked = [
         F.struct(F.lit(name).alias("gate"), F.col(f"__fail_{name}").alias("n"))

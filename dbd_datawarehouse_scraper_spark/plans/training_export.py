@@ -193,17 +193,12 @@ def export_training_set(
             )
         order_col = id_col
         if shuffle_salt is not None:
-            # deterministic shuffle: pack in sha256(salt||id) order
+            from ..operators.sharding import shuffle_order_key
+
+            # deterministic shuffle: pack in THE shared key's order
             order_col = "_shuffle_key"
             subset = subset.withColumn(
-                order_col,
-                F.sha2(
-                    F.concat(
-                        F.lit(f"shuffle:{shuffle_salt}:"),
-                        F.col(id_col).cast("string"),
-                    ),
-                    256,
-                ),
+                order_col, shuffle_order_key(id_col, shuffle_salt)
             )
         packed = pack_shards(
             subset,
@@ -212,8 +207,7 @@ def export_training_set(
             order_col=order_col,
         )
         if shuffle_salt is not None:
-            packed = packed.drop(order_col)
-            subset = subset.drop(order_col)
+            packed = packed.drop(order_col)  # bookkeeping only
         jsonl_sink(
             packed, f"{out_path}/split={label}", partition_by=("shard",)
         )

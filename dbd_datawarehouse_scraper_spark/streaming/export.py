@@ -444,17 +444,12 @@ def stream_export_training_set(
                     )
                 order_col = id_col
                 if shuffle_salt is not None:
-                    # the batch exporter's deterministic-shuffle key
+                    from ..operators.sharding import shuffle_order_key
+
+                    # THE shared key — same salt, same layout as batch
                     order_col = "_shuffle_key"
                     subset = subset.withColumn(
-                        order_col,
-                        F.sha2(
-                            F.concat(
-                                F.lit(f"shuffle:{shuffle_salt}:"),
-                                F.col(id_col).cast("string"),
-                            ),
-                            256,
-                        ),
+                        order_col, shuffle_order_key(id_col, shuffle_salt)
                     )
                 pack_epoch(
                     spark,

@@ -734,10 +734,23 @@ def test_curation_gate_report(spark):
         ).collect()
     }
     assert rep["corpus_size"] == (5, None)
-    assert rep["tokens"][0] == 2        # the short doc and the NULL
+    # with c4_opts on, the gates score the C4-CLEANED text — doc 4's
+    # digit soup has no terminal punctuation, cleans to "", and now
+    # fails tokens too (stage-order fidelity with the funnel)
+    assert rep["tokens"][0] == 3        # short, NULL, cleaned-away soup
     assert rep["gopher"][0] >= 3        # short, NULL, digit soup
     assert rep["c4"][0] >= 3            # short, NULL, soup; 5 blocked
     # 'any' >= every individual gate and <= corpus
     assert max(v[0] for k, v in rep.items()
                if k not in ("any", "corpus_size")) <= rep["any"][0] <= 5
     assert rep["any"][1] == round(rep["any"][0] / 5, 6)
+    # an empty corpus reports zeros, never NULL counts
+    empty = {
+        r["gate"]: (r["n_fail"], r["fail_frac"])
+        for r in curation_gate_report(
+            docs.filter("doc_id < 0"), gopher_opts={}, c4_opts={},
+        ).collect()
+    }
+    assert empty["corpus_size"] == (0, None)
+    assert all(v == (0, 0.0) for k, v in empty.items()
+               if k != "corpus_size")
