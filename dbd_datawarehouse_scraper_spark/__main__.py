@@ -123,6 +123,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pack-separator", type=str, default=None,
                    help="Separator between packed member texts "
                         "(default: blank line); requires --pack-context")
+    p.add_argument("--token-counter", type=str, default="whitespace",
+                   choices=("whitespace", "bpe_ish"),
+                   help="Counter metering shard budgets / pack contexts "
+                        "/ the exported n_tokens: whitespace (default) "
+                        "or bpe_ish (sub-word-ish — shard sizes land "
+                        "closer to a real tokenizer's)")
     p.add_argument("--shuffle-salt", type=str, default=None,
                    help="Pack shards in deterministic sha256(salt||id) "
                         "order instead of id order — a reproducible "
@@ -662,6 +668,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             chunk_opts=chunk_opts,
             pack_opts=pack_opts,
             shuffle_salt=args.shuffle_salt,
+            token_counter=args.token_counter,
         )
         release_caches()
         for label, n in counts.items():
@@ -747,6 +754,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             shard_token_budget=args.shard_token_budget,
             redact=not args.no_redact,
             shuffle_salt=args.shuffle_salt,
+            token_counter=args.token_counter,
             **sopts,
         )
         if not q.awaitTermination(3600):

@@ -610,3 +610,26 @@ def gopher_filter(
     return docs.filter(
         gopher_quality_flags(F.col(text_col), overrides)["pass"]
     )
+
+
+#: Named token counters for budget metering. ``whitespace`` is the
+#: package-wide default (len(s.split()) parity everywhere);
+#: ``bpe_ish`` approximates sub-word tokenizers (word pieces, numbers
+#: and punctuation counted separately) for sizing shards in units
+#: closer to what a trainer's tokenizer will produce.
+TOKEN_COUNTERS = {
+    "whitespace": token_count,
+    "bpe_ish": bpe_ish_token_count,
+}
+
+
+def resolve_token_counter(name: str):
+    """THE one lookup of a named token counter (both exporters and the
+    CLI call it): unknown names refuse with the valid list."""
+    try:
+        return TOKEN_COUNTERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown token counter {name!r} "
+            f"(valid: {sorted(TOKEN_COUNTERS)})"
+        ) from None

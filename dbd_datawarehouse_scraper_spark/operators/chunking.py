@@ -108,7 +108,11 @@ def chunk_documents(
 
 
 def apply_chunk_stage(
-    df: DataFrame, id_col: str, text_col: str, chunk_opts: dict
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_opts: dict,
+    recount=None,
 ) -> DataFrame:
     """The export-pipeline chunk stage, shared VERBATIM by the batch
     plan (plans/training_export.py) and the incremental exporter
@@ -118,7 +122,15 @@ def apply_chunk_stage(
     (deterministic per-document shard order under a single string
     sort key), drop the chunk bookkeeping columns, and recount
     ``n_tokens`` on the final text. Stateless per-row — trivially
-    replay-idempotent in the streaming composition."""
+    replay-idempotent in the streaming composition.
+
+    ``recount`` (a Column-producing callable, e.g.
+    ``bpe_ish_token_count``) re-measures ``n_tokens`` on the chunk
+    text with a DIFFERENT counter than the whitespace one the window
+    boundaries use — for exporters metering shard budgets in
+    sub-word-ish units. ``None`` keeps the free identity (chunk text
+    is the whitespace-token slice re-joined, so ``chunk_tokens``
+    already IS its whitespace count)."""
     out = chunk_documents(
         df.drop("n_tokens"), id_col=id_col, text_col=text_col, **chunk_opts
     )
@@ -128,7 +140,7 @@ def apply_chunk_stage(
     # format_string, not lpad: lpad TRUNCATES beyond the pad width —
     # %09d only pads, so ids stay unique (and ordered up to 1e9 chunks
     # per document) for any fan-out.
-    return (
+    out = (
         out.withColumnRenamed("chunk_text", text_col)
         .withColumn(
             id_col,
@@ -142,3 +154,8 @@ def apply_chunk_stage(
         .withColumnRenamed("chunk_tokens", "n_tokens")
         .withColumn("n_tokens", F.col("n_tokens").cast("long"))
     )
+    if recount is not None:
+        out = out.withColumn(
+            "n_tokens", recount(F.col(text_col)).cast("long")
+        )
+    return out

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions.pii import redact_pii
 from ..functions.splits import DEFAULT_FRACTIONS, content_split
-from ..functions.text_analysis import doc_fingerprint, token_count
+from ..functions.text_analysis import doc_fingerprint
 from ..operators.mixing import mix_corpora
 from ..operators.sharding import pack_shards
 from ..sources.sinks import jsonl_sink
@@ -64,6 +64,7 @@ def export_training_set(
     chunk_opts: dict | None = None,
     pack_opts: dict | None = None,
     shuffle_salt: str | None = None,
+    token_counter: str = "whitespace",
 ) -> dict[str, int]:
     """Run the full export; returns {split label: exported row count}
     (documents — CHUNKS when ``chunk_opts`` is set, where one document
@@ -101,7 +102,20 @@ def export_training_set(
     shuffle buffer the size of the corpus) yet bit-stable for a given
     salt — rerun-identical, and a different salt is a fresh
     permutation. No extra pass: the key feeds the same range sort
-    shard packing already does. Consumes its own intermediate
+    shard packing already does.
+
+    ``token_counter`` names the counter that METERS the export —
+    shard budgets, packed-sequence contexts, the exported ``n_tokens``
+    column: ``"whitespace"`` (default) or ``"bpe_ish"`` (sub-word-ish:
+    word pieces/numbers/punctuation counted separately — shard sizes
+    land closer to what a real tokenizer will produce). The curation
+    gates and chunk WINDOW boundaries stay whitespace-defined either
+    way (they are corpus semantics, not budget units); under
+    ``bpe_ish``, chunk text is recounted after chunking, and a
+    ``pack_opts`` context is in bpe-ish units — size it accordingly
+    (a whitespace window of W words can exceed W bpe-ish tokens, and
+    the packing kernel refuses over-context rows loudly). Consumes
+    its own intermediate
     persists (the funnel's) via the standard pool discipline — callers
     still call ``caching.release_caches()`` after, like any consuming
     action in this package.
@@ -149,17 +163,25 @@ def export_training_set(
                 curated_cache, mix_temperature, source_col=source_col,
                 text_col=text_col, fingerprint_col="_fp",
             ).drop(source_col)
+    from ..functions.text_analysis import resolve_token_counter
+
+    counter = resolve_token_counter(token_counter)
     prepared = curated.withColumn(
         "split", content_split(F.col("_fp"), split_fractions)
     ).drop("_fp").withColumn(
-        "n_tokens", token_count(F.col(text_col)).cast("long")
+        "n_tokens", counter(F.col(text_col)).cast("long")
     )
     if redact:
         prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
     if chunk_opts:
         from ..operators.chunking import apply_chunk_stage
 
-        prepared = apply_chunk_stage(prepared, id_col, text_col, chunk_opts)
+        prepared = apply_chunk_stage(
+            prepared, id_col, text_col, chunk_opts,
+            # whitespace chunk counts are free (identity); any other
+            # counter re-measures the chunk text
+            recount=None if token_counter == "whitespace" else counter,
+        )
 
     # one pass computes curation + split for every label; each split's
     # packing job then reads the cached relation instead of re-running

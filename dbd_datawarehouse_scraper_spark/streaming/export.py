@@ -102,6 +102,7 @@ def stream_export_training_set(
     dsir_opts: dict | None = None,
     c4_opts: dict | None = None,
     shuffle_salt: str | None = None,
+    token_counter: str = "whitespace",
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -205,7 +206,16 @@ def stream_export_training_set(
     w.r.t. arrival/document order yet replay-identical. The shuffle
     is epoch-LOCAL — a trainer wanting cross-epoch mixing shuffles
     its shard list; the stream cannot reorder rows it has already
-    committed."""
+    committed.
+
+    ``token_counter`` (``"whitespace"`` default, ``"bpe_ish"``) names
+    the counter metering shard budgets / pack contexts / the exported
+    ``n_tokens`` — same semantics and caveats as the batch exporter;
+    gates and chunk windows stay whitespace-defined. Validated (and a
+    DIFFERENT counter than the one a resumed stream's shards were
+    budgeted with is the operator's responsibility — the counter is
+    not recorded in the pack cursor, so keep it constant per export
+    like the salt)."""
     spark = stream_docs.sparkSession
     fractions = split_fractions or DEFAULT_FRACTIONS
     dom = None
@@ -276,6 +286,9 @@ def stream_export_training_set(
         from ..functions.c4 import validate_c4_opts
 
         validate_c4_opts(c4_opts)
+    from ..functions.text_analysis import resolve_token_counter
+
+    _counter = resolve_token_counter(token_counter)  # refuse at start
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # the curated hand-off dirs are single-epoch intermediates: only
@@ -410,7 +423,7 @@ def stream_export_training_set(
         survivors = spark.read.parquet(f"{state_path}/curated/epoch={epoch_id}")
         prepared = survivors.withColumn(
             "split", content_split(doc_fingerprint(F.col(text_col)), fractions)
-        ).withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+        ).withColumn("n_tokens", _counter(F.col(text_col)).cast("long"))
         if redact:
             prepared = prepared.withColumn(text_col, redact_pii(F.col(text_col)))
         if chunk_opts:
@@ -419,7 +432,10 @@ def stream_export_training_set(
             # replays rewrite identical chunks
             from ..operators.chunking import apply_chunk_stage
 
-            prepared = apply_chunk_stage(prepared, id_col, text_col, chunk_opts)
+            prepared = apply_chunk_stage(
+                prepared, id_col, text_col, chunk_opts,
+                recount=None if token_counter == "whitespace" else _counter,
+            )
 
         from ..caching import pool_mark, release_since
 

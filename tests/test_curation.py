@@ -754,3 +754,67 @@ def test_curation_gate_report(spark):
     assert empty["corpus_size"] == (0, None)
     assert all(v == (0, 0.0) for k, v in empty.items()
                if k != "corpus_size")
+
+
+def test_export_token_counter_bpe_ish(spark, tmp_path):
+    """token_counter='bpe_ish' meters the export in sub-word-ish
+    units: the exported n_tokens equals the bpe_ish count of each
+    row's text (both plain and chunked paths), membership is
+    unchanged, and an unknown counter refuses."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans import export_training_set
+
+    good = ("The results, that we have shared with the board, include "
+            "items of real interest to analysts (and auditors). " * 6
+            ).strip()
+    docs = spark.createDataFrame(
+        [(i, good + f" row {i}.", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    kwargs = dict(
+        shard_token_budget=2000, redact=False,
+        curate_kwargs={"keep_langs": ("en", "und"),
+                       "near_dup_threshold": 0.99},
+    )
+    with _pytest.raises(ValueError, match="unknown token counter"):
+        export_training_set(
+            docs, str(tmp_path / "x"), token_counter="tiktoken", **kwargs
+        )
+    export_training_set(
+        docs, str(tmp_path / "ws"), token_counter="whitespace", **kwargs
+    )
+    release_caches()
+    export_training_set(
+        docs, str(tmp_path / "bpe"), token_counter="bpe_ish", **kwargs
+    )
+    release_caches()
+    export_training_set(
+        docs, str(tmp_path / "bpec"), token_counter="bpe_ish",
+        chunk_opts={"window": 24, "stride": 24, "min_tokens": 1}, **kwargs
+    )
+    release_caches()
+
+    import re
+
+    def rows(out):
+        return spark.read.option("basePath", str(tmp_path / out)).json(
+            str(tmp_path / out / "split=*")
+        ).collect()
+
+    def bpe(s):
+        return len(re.findall(r"\w+|[^\w\s]", s))
+
+    ws, bp, bpc = rows("ws"), rows("bpe"), rows("bpec")
+    assert {r["doc_id"] for r in ws} == {r["doc_id"] for r in bp}
+    for r in ws:
+        assert r["n_tokens"] == len(r["text"].split())
+    for r in bp:
+        assert r["n_tokens"] == bpe(r["text"])
+        assert r["n_tokens"] > len(r["text"].split())  # punct counted
+    # chunked path: windows stay whitespace-defined, counts re-measured
+    for r in bpc:
+        assert "#" in r["doc_id"]
+        assert len(r["text"].split()) <= 24
+        assert r["n_tokens"] == bpe(r["text"])
