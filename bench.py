@@ -78,6 +78,9 @@ HEADLINE = [
     "token_rarity",
     # round 5: corpus-curation additions
     "segment_dedup",
+    # round 8: variable-length exact-substring dedup — rows-only, so
+    # the oracle-backed ratio subset is unchanged
+    "substring_dedup",
     "quality_sampling",
     "tfidf_topk",
     # round 7: the r6/r7 curation surface, previously untracked — all

@@ -59,6 +59,7 @@ from .mixing import (  # noqa: F401
 )
 from .sampling import quality_bucket_sample, sample_bucket  # noqa: F401
 from .segments import segment_dedup  # noqa: F401
+from .substrings import substring_dedup  # noqa: F401
 from .sharding import pack_shards  # noqa: F401
 from .chunking import chunk_documents  # noqa: F401
 from .profiling import profile_table  # noqa: F401

@@ -3350,6 +3350,34 @@ def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(d, mode="chunk", k=8, min_docs=2)
 
 
+@register("substring_dedup", None)
+def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact-substring (variable-length span) dedup
+    (operators/substrings.py; Lee et al. 2022 semantics at token
+    granularity): every duplicated span of >= 14 tokens is struck from
+    all but its first occurrence — whatever its length, offset, or
+    chunk alignment (the family segment_dedup's fixed-k grid provably
+    misses; pinned in tests/test_substrings.py). The synthetic corpus
+    has no long verbatim repeats, so the query plants a shared
+    14-token disclaimer: APPENDED to every 7th document and PREPENDED
+    to every 14th — two different offsets, so the strike is exercised
+    on both sides of the window grid. Rows-only (the sorted-shingle-
+    run construction is not tractably SQL-expressible at this size);
+    semantics are pinned against an independent pure-Python model,
+    including fuzz, in tests/test_substrings.py."""
+    from .operators.substrings import substring_dedup
+
+    span = " ".join(f"boiler{i}" for i in range(14))
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 14 == 0, F.concat_ws(" ", F.lit(span), "text"))
+        .when(F.col("doc_id") % 7 == 0, F.concat_ws(" ", "text", F.lit(span)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return substring_dedup(d, min_len=14, min_docs=2)
+
+
 @register(
     "quality_sampling",
     r"""
