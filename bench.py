@@ -81,6 +81,7 @@ HEADLINE = [
     # round 8: variable-length exact-substring dedup — rows-only, so
     # the oracle-backed ratio subset is unchanged
     "substring_dedup",
+    "trigram_lang_id",
     "quality_sampling",
     "tfidf_topk",
     # round 7: the r6/r7 curation surface, previously untracked — all

@@ -51,7 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     # processing (1600-1613)
     p.add_argument("--test", type=int, help="Test with N companies")
     p.add_argument("--start", type=int, default=0,
-                   help="Start from Nth company (0-indexed, name order)")
+                   help="Start from Nth company (0-indexed, name order). "
+                        "Positions via a GLOBAL sort — fine for the "
+                        "reference-parity small-input path; for large "
+                        "inputs prefer --resume (a scalable anti-join "
+                        "against what the outputs already hold)")
     p.add_argument("--resume", action="store_true",
                    help="Skip companies already present in the outputs")
     p.add_argument("--visible", action="store_true",
@@ -124,11 +128,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Separator between packed member texts "
                         "(default: blank line); requires --pack-context")
     p.add_argument("--token-counter", type=str, default="whitespace",
-                   choices=("whitespace", "bpe_ish"),
                    help="Counter metering shard budgets / pack contexts "
-                        "/ the exported n_tokens: whitespace (default) "
-                        "or bpe_ish (sub-word-ish — shard sizes land "
-                        "closer to a real tokenizer's)")
+                        "/ the exported n_tokens: whitespace (default), "
+                        "bpe_ish (sub-word-ish proxy), or "
+                        "vocab:<merges path> (exact byte-level BPE "
+                        "under a GPT-2-style merges file — TRUE "
+                        "tokenizer tokens)")
     p.add_argument("--shuffle-salt", type=str, default=None,
                    help="Pack shards in deterministic sha256(salt||id) "
                         "order instead of id order — a reproducible "
@@ -225,6 +230,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "stateless curation gate (lang/quality/tokens; "
                         "plus Gopher with --gopher, C4 with --c4-clean) "
                         "would drop, alone and combined, then exit")
+    p.add_argument("--lang-id", type=str, default="fast",
+                   choices=("fast", "trigram"),
+                   help="Language identifier for the curation funnel "
+                        "and --gate-report: fast (default; 5-language "
+                        "stopword heuristic — scores Thai and every "
+                        "other unlisted language 'und') or trigram "
+                        "(12-language byte-trigram profiles incl. th)")
     p.add_argument("--profile", type=str, default=None,
                    help="Maintenance mode: one-pass ANALYZE-style "
                         "profile of the given parquet directory (per-"
@@ -527,6 +539,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             spark.read.parquet(args.gate_report),
             gopher_opts={} if args.gopher else None,
             c4_opts={} if args.c4_clean else None,
+            lang_id_impl=args.lang_id,
         )
         for r in rep.collect():
             frac = "" if r["fail_frac"] is None else f" ({r['fail_frac']:.1%})"
@@ -650,6 +663,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         dsir_opts = _dsir_opts_from_args(args)
         if dsir_opts is not None:
             curate_kwargs["dsir_opts"] = dsir_opts
+        if args.lang_id != "fast":
+            curate_kwargs["lang_id_impl"] = args.lang_id
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(

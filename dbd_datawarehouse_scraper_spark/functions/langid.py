@@ -1,0 +1,216 @@
+"""[EXT] Byte-trigram language identification (fastText-lite).
+
+:func:`..text_analysis.lang_id` is a 5-language stopword/CJK-char
+heuristic — deliberately SQL-expressible (the ``text_features`` oracle
+pins it), but it cannot identify Thai (the reference corpus's own
+language scores ``und``), and Latin-script languages beyond its
+marker lists misfire. This module is the next rung: a pinned
+byte-trigram profile scorer over 12 languages (en es de fr pt it ru
+zh ja ko th ar), the standard n-gram-profile construction (Cavnar &
+Trenkle 1994; fastText's character n-gram features):
+
+- per language, an L2-normalized count vector of hashed UTF-8 byte
+  trigrams built from the PINNED in-repo sample text below (the
+  "profile table" — it ships with the package, so classifications are
+  bit-stable across runs and machines);
+- per document, the same vector over the first ``max_bytes`` bytes of
+  the lowercased text; prediction = argmax cosine against the
+  profiles, ``und`` when the best score falls under ``min_score`` or
+  the text has fewer than 3 bytes.
+
+Scale shape: scoring is one Arrow-batched pandas UDF — per-row,
+partition-local, no shuffle, no model fit, nothing collected. The
+profile matrix is ~12×4096 floats built once per executor process.
+
+Determinism: trigram hashing is a fixed integer mix, profiles derive
+from pinned strings, cosine ties break by the fixed language order of
+:data:`SAMPLES` — same text, same verdict, everywhere.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+
+#: Pinned per-language sample text (the profile table's source).
+#: Order matters: it is the deterministic tie-break order. Extending a
+#: language's sample or adding a language CHANGES CLASSIFICATIONS —
+#: treat edits like a model version bump (tests pin the fixture set).
+SAMPLES: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the results "
+        "that have been shared with the board are of real interest to "
+        "the analysts and the auditors of the company this year while "
+        "the data warehouse was processing information every day with "
+        "which they could not have worked before and there is more to "
+        "come for all of us in this report about the new system"
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso y los "
+        "resultados que se han compartido con la junta directiva son de "
+        "gran interés para los analistas y los auditores de la empresa "
+        "este año mientras el almacén de datos procesaba la información "
+        "cada día con la que no podían haber trabajado antes y hay más "
+        "para todos nosotros en este informe sobre el nuevo sistema"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und die "
+        "ergebnisse die mit dem vorstand geteilt wurden sind für die "
+        "analysten und die prüfer des unternehmens in diesem jahr von "
+        "großem interesse während das datenlager jeden tag informationen "
+        "verarbeitete mit denen sie zuvor nicht arbeiten konnten und es "
+        "gibt noch mehr für uns alle in diesem bericht über das system"
+    ),
+    "fr": (
+        "le rapide renard brun saute par-dessus le chien paresseux et "
+        "les résultats qui ont été partagés avec le conseil sont d'un "
+        "grand intérêt pour les analystes et les auditeurs de la société "
+        "cette année pendant que l'entrepôt de données traitait chaque "
+        "jour des informations avec lesquelles ils ne pouvaient pas "
+        "travailler auparavant et il y en a plus pour nous tous ici"
+    ),
+    "pt": (
+        "a rápida raposa marrom pula sobre o cão preguiçoso e os "
+        "resultados que foram compartilhados com o conselho são de "
+        "grande interesse para os analistas e os auditores da empresa "
+        "este ano enquanto o armazém de dados processava informações "
+        "todos os dias com as quais eles não podiam ter trabalhado "
+        "antes e há mais para todos nós neste relatório sobre o sistema"
+    ),
+    "it": (
+        "la veloce volpe marrone salta sopra il cane pigro e i risultati "
+        "che sono stati condivisi con il consiglio sono di grande "
+        "interesse per gli analisti e i revisori della società di "
+        "quest'anno mentre il magazzino dei dati elaborava ogni giorno "
+        "le informazioni con cui non avrebbero potuto lavorare prima e "
+        "ce n'è di più per tutti noi in questo rapporto sul sistema"
+    ),
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку и "
+        "результаты которыми поделились с советом директоров вызывают "
+        "большой интерес у аналитиков и аудиторов компании в этом году "
+        "пока хранилище данных каждый день обрабатывало информацию с "
+        "которой они не могли работать раньше и в этом отчёте о новой "
+        "системе есть ещё больше для всех нас"
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗。董事会分享的结果让公司的分析师"
+        "和审计师今年非常感兴趣。数据仓库每天都在处理大量的信息,这些"
+        "信息是他们以前无法使用的。关于新系统的报告里还有更多的内容,"
+        "值得我们所有人仔细阅读和研究。"
+    ),
+    "ja": (
+        "素早い茶色の狐は怠け者の犬を飛び越えます。取締役会と共有された"
+        "結果は、今年の会社のアナリストと監査人にとって大きな関心事です。"
+        "データウェアハウスは毎日大量の情報を処理していました。新しい"
+        "システムについての報告書には、私たち全員のためにさらに多くの"
+        "内容が含まれています。"
+    ),
+    "ko": (
+        "빠른 갈색 여우가 게으른 개를 뛰어넘습니다. 이사회와 공유된 "
+        "결과는 올해 회사의 분석가와 감사인에게 큰 관심사입니다. 데이터 "
+        "웨어하우스는 매일 방대한 정보를 처리하고 있었습니다. 새로운 "
+        "시스템에 관한 보고서에는 우리 모두를 위한 더 많은 내용이 "
+        "담겨 있습니다."
+    ),
+    "th": (
+        "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ ผลลัพธ์ที่แบ่งปันกับคณะกรรมการ"
+        "เป็นที่สนใจอย่างมากของนักวิเคราะห์และผู้ตรวจสอบบัญชีของบริษัทในปีนี้ "
+        "คลังข้อมูลประมวลผลข้อมูลจำนวนมากทุกวัน บริษัทจำกัดมหาชนจดทะเบียน"
+        "ในประเทศไทยและรายงานเกี่ยวกับระบบใหม่ยังมีอีกมากสำหรับเราทุกคน"
+    ),
+    "ar": (
+        "الثعلب البني السريع يقفز فوق الكلب الكسول والنتائج التي تمت "
+        "مشاركتها مع مجلس الإدارة تحظى باهتمام كبير من المحللين ومدققي "
+        "حسابات الشركة هذا العام بينما كان مستودع البيانات يعالج كل يوم "
+        "معلومات لم يتمكنوا من العمل بها من قبل وهناك المزيد لنا جميعا "
+        "في هذا التقرير عن النظام الجديد"
+    ),
+}
+
+#: Hashed-trigram space. 4096 buckets keep the profile matrix tiny
+#: while collisions stay rare enough for 12 well-separated languages.
+N_BUCKETS = 4096
+
+#: Cosine floor below which the verdict is ``und`` — tuned on the
+#: pinned fixtures (gibberish/digit strings score < 0.1 against every
+#: profile; real text of a profiled language scores > 0.3).
+MIN_SCORE = 0.18
+
+_MIX = 2654435761  # Knuth multiplicative hash constant
+
+
+def _trigram_vector(data: bytes) -> np.ndarray:
+    """L2-normalized hashed byte-trigram count vector (float64)."""
+    v = np.zeros(N_BUCKETS, dtype=np.float64)
+    if len(data) < 3:
+        return v
+    a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    tri = (a[:-2] << np.uint64(16)) | (a[1:-1] << np.uint64(8)) | a[2:]
+    idx = ((tri * np.uint64(_MIX)) & np.uint64(0xFFFFFFFF)) % np.uint64(N_BUCKETS)
+    np.add.at(v, idx.astype(np.int64), 1.0)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+@lru_cache(maxsize=1)
+def _profiles() -> tuple[list[str], np.ndarray]:
+    langs = list(SAMPLES)
+    mat = np.stack(
+        [_trigram_vector(SAMPLES[lang].lower().encode("utf-8")) for lang in langs]
+    )
+    return langs, mat
+
+
+def classify(text: str | None, max_bytes: int = 1000, min_score: float = MIN_SCORE) -> str:
+    """Driver/test-side single-string form of the classifier — the
+    pandas UDF below runs exactly this per row."""
+    if not text:
+        return "und"
+    data = text.lower().encode("utf-8")[:max_bytes]
+    v = _trigram_vector(data)
+    if not v.any():
+        return "und"
+    langs, mat = _profiles()
+    scores = mat @ v
+    best = int(np.argmax(scores))  # first max wins: SAMPLES order
+    return langs[best] if scores[best] >= min_score else "und"
+
+
+def lang_id_trigram(
+    col: Column, max_bytes: int = 1000, min_score: float = MIN_SCORE
+) -> Column:
+    """Byte-trigram language verdict over 12 languages (incl. Thai) —
+    the quality path. Arrow-batched, per-row, no shuffle; NULL/empty
+    text scores ``und``. Not SQL-expressible — oracle-facing queries
+    keep :func:`..text_analysis.lang_id` (the pinned heuristic)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _lid(texts: pd.Series) -> pd.Series:
+        return pd.Series([classify(t, max_bytes, min_score) for t in texts])
+
+    return _lid(col)
+
+
+def resolve_lang_id(name: str):
+    """THE one lookup of a language-ID implementation (funnel, gate
+    report, and CLI all call it): ``fast`` = the 5-language
+    SQL-expressible heuristic (:func:`..text_analysis.lang_id`),
+    ``trigram`` = this module's 12-language profile scorer. Unknown
+    names refuse with the valid list."""
+    from .text_analysis import lang_id
+
+    impls = {"fast": lang_id, "trigram": lang_id_trigram}
+    try:
+        return impls[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown lang_id implementation {name!r} "
+            f"(valid: {sorted(impls)})"
+        ) from None

@@ -39,7 +39,11 @@ def token_count(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """Sub-word-ish token count: word pieces, numbers, and punctuation
     counted separately (a cheap proxy for BPE token counts — a 100 TB
-    corpus cost estimator doesn't need the exact tokenizer)."""
+    corpus cost estimator doesn't need the exact tokenizer). The proxy
+    runs ±15-30% off a real tokenizer on code/CJK; budgets that must
+    hold in TRUE token units (context packing) should use the exact
+    ``vocab:<merges path>`` counter (functions/bpe.py) via
+    :func:`resolve_token_counter`."""
     return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
 
 
@@ -78,7 +82,15 @@ def lang_id(col: Column) -> Column:
     Scores = count of language-marker stopwords (CJK: count of CJK
     chars / 2); argmax with a fixed priority order on ties
     (en > es > de > fr > zh), 'und' when all scores are 0. Exactly
-    replicable in ANSI SQL for the oracle."""
+    replicable in ANSI SQL for the oracle.
+
+    CAVEAT (load-bearing at curation time): every language outside the
+    five marker sets — INCLUDING Thai, the reference corpus's own
+    language — scores ``und``. Funnel/gate-report callers whose
+    ``keep_langs`` reaches beyond {en, es, de, fr, zh} must pass
+    ``lang_id_impl="trigram"`` (functions/langid.py — 12 languages
+    incl. th); this form stays the default only because it is the
+    SQL-expressible oracle-pinned path."""
     lowered = F.lower(col)
     scores = {
         lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), 0))
@@ -92,6 +104,12 @@ def lang_id(col: Column) -> Column:
     for lang in ["en", "es", "de", "fr", "zh"]:
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
+
+
+#: Explicit alias for the heuristic path now that the byte-trigram
+#: scorer (functions/langid.py) exists — call sites that deliberately
+#: want the cheap 5-language form should name it ``lang_id_fast``.
+lang_id_fast = lang_id
 
 
 def doc_fingerprint(col: Column) -> Column:
@@ -625,11 +643,24 @@ TOKEN_COUNTERS = {
 
 def resolve_token_counter(name: str):
     """THE one lookup of a named token counter (both exporters and the
-    CLI call it): unknown names refuse with the valid list."""
+    CLI call it): unknown names refuse with the valid list.
+
+    ``vocab:<path>`` resolves to exact byte-level BPE counting under
+    the GPT-2-style merges file at ``<path>`` (functions/bpe.py) — the
+    TRUE-tokenizer budget metering the proxy counters approximate. The
+    file is loaded (and so validated) here, driver-side, so a missing
+    or malformed merges file refuses at plan time."""
+    if name.startswith("vocab:"):
+        from .bpe import bpe_token_count
+
+        path = name[len("vocab:"):]
+        if not path:
+            raise ValueError("vocab: token counter needs a merges path")
+        return bpe_token_count(path)
     try:
         return TOKEN_COUNTERS[name]
     except KeyError:
         raise ValueError(
             f"unknown token counter {name!r} "
-            f"(valid: {sorted(TOKEN_COUNTERS)})"
+            f"(valid: {sorted(TOKEN_COUNTERS)} or 'vocab:<merges path>')"
         ) from None

@@ -51,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text_analysis import doc_fingerprint, lang_id, quality_score, token_count
+from ..functions.text_analysis import doc_fingerprint, quality_score, token_count
 from ..operators.dedup import (
     deterministic_stratified_sample,
     exact_dedup,
@@ -79,9 +79,20 @@ def curate_documents(
     gopher_opts: dict | None = None,
     dsir_opts: dict | None = None,
     c4_opts: dict | None = None,
+    lang_id_impl: str = "fast",
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
+
+    ``lang_id_impl`` picks the language identifier behind the ``lang``
+    column and gate (:func:`..functions.langid.resolve_lang_id`):
+    ``"fast"`` (default) is the SQL-expressible 5-language stopword
+    heuristic — CAVEAT: it only distinguishes {en, es, de, fr, zh} and
+    scores everything else ``und``, INCLUDING Thai, the reference
+    corpus's own language; ``"trigram"`` is the 12-language byte-
+    trigram profile scorer (functions/langid.py, covers th) — use it
+    whenever ``keep_langs`` names a language outside the fast set, or
+    the corpus is not known-English.
     ``carry_cols`` names extra input columns (source tags, URLs,
     licenses) to pass through the funnel unchanged — downstream stages
     like corpus mixing key on them.
@@ -171,6 +182,9 @@ def curate_documents(
     sees the line-cleaned prose. Pass ``{}`` for the paper's defaults
     or override ``min_words_per_line`` / ``min_sentences`` /
     ``page_block_patterns``."""
+    from ..functions.langid import resolve_lang_id
+
+    lang_id_fn = resolve_lang_id(lang_id_impl)  # refuse at start
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -247,7 +261,7 @@ def curate_documents(
         id_col,
         text_col,
         *carry_cols,
-        lang_id(F.col(text_col)).alias("lang"),
+        lang_id_fn(F.col(text_col)).alias("lang"),
         quality_score(F.col(text_col)).alias("quality"),
         token_count(F.col(text_col)).alias("n_tokens"),
         doc_fingerprint(F.col(text_col)).alias("_fp"),
@@ -375,6 +389,7 @@ def curation_gate_report(
     min_tokens: int = 5,
     gopher_opts: dict | None = None,
     c4_opts: dict | None = None,
+    lang_id_impl: str = "fast",
 ) -> DataFrame:
     """Threshold-tuning observability: ONE scan that answers "how much
     would each stateless gate drop, alone and combined?" BEFORE paying
@@ -399,14 +414,23 @@ def curation_gate_report(
     the C4-CLEANED text too (bound once behind a Generate barrier) —
     otherwise the numbers would not predict the funnel's drops. The
     HTML stage is out of scope (pass pre-stripped text, or accept
-    that markup-heavy corpora gate differently after html_opts)."""
+    that markup-heavy corpora gate differently after html_opts).
+
+    ``lang_id_impl`` mirrors the funnel's knob (``"fast"`` default /
+    ``"trigram"``) — the report MUST use the same implementation the
+    funnel will, or the ``lang`` row predicts the wrong drop. The
+    fast heuristic's caveat applies here with teeth: it scores every
+    language outside {en, es, de, fr, zh} — including Thai — as
+    ``und``, and this report's ``lang`` gate keys the whole funnel's
+    headline drop number."""
+    from ..functions.langid import resolve_lang_id
     from ..functions.text_analysis import (
         gopher_quality_flags,
-        lang_id,
         quality_score,
         token_count,
     )
 
+    lang_id_fn = resolve_lang_id(lang_id_impl)  # refuse at start
     c = F.coalesce(F.col(text_col), F.lit(""))
     gate_input = c
     o = None
@@ -429,7 +453,7 @@ def curation_gate_report(
         )
         gate_input = F.col(tmp)
     flags = {
-        "lang": lang_id(gate_input).isin(list(keep_langs)),
+        "lang": lang_id_fn(gate_input).isin(list(keep_langs)),
         "quality": quality_score(gate_input) >= min_quality,
         "tokens": token_count(gate_input) >= min_tokens,
     }

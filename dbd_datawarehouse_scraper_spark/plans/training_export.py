@@ -106,9 +106,13 @@ def export_training_set(
 
     ``token_counter`` names the counter that METERS the export —
     shard budgets, packed-sequence contexts, the exported ``n_tokens``
-    column: ``"whitespace"`` (default) or ``"bpe_ish"`` (sub-word-ish:
-    word pieces/numbers/punctuation counted separately — shard sizes
-    land closer to what a real tokenizer will produce). The curation
+    column: ``"whitespace"`` (default), ``"bpe_ish"`` (sub-word-ish
+    proxy: word pieces/numbers/punctuation counted separately — shard
+    sizes land closer to a real tokenizer's, but still ±15-30% off on
+    code/CJK), or ``"vocab:<merges path>"`` (EXACT byte-level BPE
+    under a GPT-2-style merges file, functions/bpe.py — use this when
+    the context budget must hold in the trainer's true token units;
+    proxies can over-pack). The curation
     gates and chunk WINDOW boundaries stay whitespace-defined either
     way (they are corpus semantics, not budget units); under
     ``bpe_ish``, chunk text is recounted after chunking, and a

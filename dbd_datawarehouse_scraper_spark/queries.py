@@ -3350,6 +3350,35 @@ def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(d, mode="chunk", k=8, min_docs=2)
 
 
+@register("trigram_lang_id", None)
+def trigram_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Byte-trigram language identification
+    (functions/langid.py): the 12-language pinned-profile scorer —
+    the quality path past the SQL-expressible 5-language heuristic
+    the text_features oracle pins (which scores Thai, the reference
+    corpus's own language, 'und'). The documents table is English, so
+    the query plants one held-out sentence per profiled language
+    (incl. a Thai company string) alongside it and returns per-
+    predicted-language doc counts — every planted language must
+    surface. Rows-only (numpy cosine argmax is not SQL-expressible);
+    per-language fixtures, the und floor, and funnel/gate-report
+    wiring are pinned in tests/test_langid.py."""
+    from .functions.langid import SAMPLES, lang_id_trigram
+
+    planted = spark.createDataFrame(
+        [(-(i + 1), s) for i, s in enumerate(SAMPLES.values())],
+        "doc_id LONG, text STRING",
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        planted
+    )
+    return (
+        d.select(lang_id_trigram(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 @register("substring_dedup", None)
 def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Exact-substring (variable-length span) dedup

@@ -208,7 +208,8 @@ def stream_export_training_set(
     its shard list; the stream cannot reorder rows it has already
     committed.
 
-    ``token_counter`` (``"whitespace"`` default, ``"bpe_ish"``) names
+    ``token_counter`` (``"whitespace"`` default, ``"bpe_ish"``, or
+    ``"vocab:<merges path>"`` for exact byte-level BPE) names
     the counter metering shard budgets / pack contexts / the exported
     ``n_tokens`` — same semantics and caveats as the batch exporter;
     gates and chunk windows stay whitespace-defined. Validated (and a
