@@ -49,7 +49,6 @@ HEADLINE = [
     "generate_search_terms",
     "exact_core_join",
     "similarity_fallback_join",
-    "thai_filter",
     "text_norm_suite",
     "parsing_suite",
     "regnum_validate",
@@ -70,7 +69,6 @@ HEADLINE = [
     "asof_join",
     "exact_percentiles",
     "heavy_hitters_tokens",
-    "pivot_wide",
     "minhash_lsh_dedup",
     "embedding_cosine_dedup",
     "pack_shards",
@@ -90,6 +88,8 @@ HEADLINE = [
     "domain_curation",
     "html_clean",
     "ivf_persisted_search",
+    # round 8: SQ8-compressed IVF — rows-only, oracle ratio unchanged
+    "ivf_sq8_search",
     "embedding_curation",
     # round 7 (continuation): D4-style distance-tail pruning and the
     # composed whiten→cluster→prune pipeline — rows-only, so the

@@ -71,6 +71,7 @@ from .similarity_search import (  # noqa: F401
     ivf_append,
     ivf_build,
     ivf_rebuild_advised,
+    ivf_recall_check,
     ivf_search,
     ivf_stats,
     ivf_topk,

@@ -85,12 +85,55 @@ def _bfd_local(tokens, context: int):
     return [(seq, pos, fill[seq]) for seq, pos in out]
 
 
+def _validated_bfd(pdf: pd.DataFrame, token_col: str, id_col: str, context: int):
+    """Shared kernel core: validate token counts loudly, apply THE
+    total order that defines the packing (tokens desc, id asc), run
+    BFD. Returns (sorted pdf, [(seq idx, pos, seq fill), ...] aligned
+    with it). Both kernels (per-row assignment and pack-and-collapse)
+    call this, so their packings cannot drift."""
+    toks = pdf[token_col]
+    if toks.isna().any():
+        bad = pdf.loc[toks.isna(), id_col].iloc[0]
+        raise ValueError(
+            f"pack_sequences: NULL {token_col} (e.g. id {bad!r}) — "
+            f"recount tokens upstream; refusing to drop rows silently"
+        )
+    if (toks > context).any():
+        bad = pdf.loc[toks > context, id_col].iloc[0]
+        raise ValueError(
+            f"pack_sequences: row {bad!r} has {token_col} > context "
+            f"({int(toks.max())} > {context}) — chunk_documents first"
+        )
+    pdf = pdf.sort_values(
+        [token_col, id_col], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    placed = _bfd_local(pdf[token_col].astype("int64").tolist(), context)
+    return pdf, placed
+
+
+def _n_groups_for(df: DataFrame, docs_per_group: int, n_hint: int | None) -> int:
+    """Group count sizing: from ``n_hint`` when the caller already
+    knows the row count (export funnels counted survivors — don't pay
+    a corpus scan again), else ONE narrow count. 0 means empty input.
+    An n_hint that misses the true count only changes group SIZES
+    (still deterministic for a given hint) — the kernel bound is the
+    reason to keep hints within ~2× of the truth."""
+    if n_hint is not None:
+        if n_hint < 0:
+            raise ValueError(f"n_hint must be >= 0, got {n_hint}")
+        n = n_hint
+    else:
+        n = df.count()
+    return 0 if n == 0 else max(1, math.ceil(n / docs_per_group))
+
+
 def pack_sequences(
     df: DataFrame,
     context: int,
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     docs_per_group: int = _DOCS_PER_GROUP,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Assign every row to a packed training sequence of at most
     ``context`` tokens. Returns the input columns plus ``seq_id``
@@ -105,19 +148,28 @@ def pack_sequences(
     of silently vanishing or silently overflowing — run
     :func:`..operators.chunking.chunk_documents` first; its window is
     the context bound.
+
+    ``n_hint`` skips the group-sizing ``count()`` when the caller
+    already knows the row count (see :func:`_n_groups_for`).
+
+    NOTE for wide inputs: every input column rides through the group
+    shuffle and the kernel. For the export path that would ship text
+    TWICE (once here, once in the sequence collapse) —
+    :func:`apply_pack_stage` therefore packs and collapses in ONE
+    kernel instead of calling this; use this form when you need the
+    per-row assignment itself.
     """
     if context < 1:
         raise ValueError(f"context must be >= 1, got {context}")
     if docs_per_group < 1:
         raise ValueError(f"docs_per_group must be >= 1, got {docs_per_group}")
-    n = df.count()
-    if n == 0:
+    n_groups = _n_groups_for(df, docs_per_group, n_hint)
+    if n_groups == 0:
         return (
             df.withColumn("seq_id", F.lit(None).cast("string"))
             .withColumn("seq_pos", F.lit(None).cast("int"))
             .withColumn("seq_tokens", F.lit(None).cast("long"))
         )
-    n_groups = max(1, math.ceil(n / docs_per_group))
     grouped = df.withColumn(
         "_grp",
         F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_HASH_SPAN))
@@ -132,24 +184,7 @@ def pack_sequences(
 
     def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["_grp"].iloc[0])
-        toks = pdf[token_col]
-        if toks.isna().any():
-            bad = pdf.loc[toks.isna(), id_col].iloc[0]
-            raise ValueError(
-                f"pack_sequences: NULL {token_col} (e.g. id {bad!r}) — "
-                f"recount tokens upstream; refusing to drop rows silently"
-            )
-        if (toks > context).any():
-            bad = pdf.loc[toks > context, id_col].iloc[0]
-            raise ValueError(
-                f"pack_sequences: row {bad!r} has {token_col} > context "
-                f"({int(toks.max())} > {context}) — chunk_documents first"
-            )
-        # the total order that defines the packing: tokens desc, id asc
-        pdf = pdf.sort_values(
-            [token_col, id_col], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        placed = _bfd_local(pdf[token_col].astype("int64").tolist(), context)
+        pdf, placed = _validated_bfd(pdf, token_col, id_col, context)
         pdf["seq_id"] = [f"{grp}#{seq:09d}" for seq, _, _ in placed]
         pdf["seq_pos"] = pd.array([pos for _, pos, _ in placed], dtype="int32")
         pdf["seq_tokens"] = pd.array(
@@ -199,9 +234,36 @@ def apply_pack_stage(
     MUST run per split (both callers do): sequence membership ignores
     any split column, so packing a mixed relation would concatenate
     train and val text into one training row — cross-split leakage.
+
+    Shuffle shape (the reason this does NOT call
+    :func:`pack_sequences` + a groupBy collapse): text moves exactly
+    ONCE — into the content-hash groups — and the kernel emits the
+    collapsed one-row-per-sequence output directly (sequences never
+    span groups, so the collapse is group-local by construction). The
+    two-step form shipped every text byte through a second
+    ``seq_id``-keyed shuffle — pure overhead that doubled the stage's
+    shuffle bytes at corpus scale (round-7 verdict). Packing decisions
+    are :func:`_validated_bfd` in both forms, so the layouts are
+    identical.
+
+    ``pack_opts``: ``context`` (required), ``separator``,
+    ``docs_per_group``, ``n_hint`` (skips the group-sizing count —
+    pass it when the caller already counted the rows).
     """
     opts = dict(pack_opts)
     separator = opts.pop("separator", "\n\n")
+    context = opts.pop("context")
+    docs_per_group = opts.pop("docs_per_group", _DOCS_PER_GROUP)
+    n_hint = opts.pop("n_hint", None)
+    if opts:
+        raise ValueError(
+            f"unknown pack_opts keys: {sorted(opts)} (valid: context, "
+            f"separator, docs_per_group, n_hint)"
+        )
+    if context < 1:
+        raise ValueError(f"context must be >= 1, got {context}")
+    if docs_per_group < 1:
+        raise ValueError(f"docs_per_group must be >= 1, got {docs_per_group}")
     # a non-whitespace separator ADDS tokens on retokenization: joining
     # k members inserts k-1 separators, each worth `sep_cost`
     # whitespace tokens. Packing item size tok+sep_cost into capacity
@@ -211,47 +273,53 @@ def apply_pack_stage(
     # members' edge tokens (count can even shrink) — cost 0 is the
     # conservative floor either way.
     sep_cost = max(0, len(f"x{separator}x".split()) - 2)
-    if sep_cost:
-        context = opts.pop("context")
-        if context <= sep_cost:
-            raise ValueError(
-                f"context ({context}) must exceed the separator's "
-                f"token cost ({sep_cost})"
-            )
-        tok = "__pack_tokens"
-        packed = pack_sequences(
-            df.withColumn(tok, F.col("n_tokens") + sep_cost),
-            context=context + sep_cost,
-            id_col=id_col,
-            token_col=tok,
-            **opts,
-        ).drop(tok)
-        # seq_tokens counted the padded sizes (content + k·sep_cost);
-        # the collapse below restores the content sum from the member
-        # count (size of the collected struct list)
-    else:
-        packed = pack_sequences(df, id_col=id_col, token_col="n_tokens", **opts)
-    members = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("seq_pos").alias("p"),
-                F.col(text_col).alias("t"),
-                F.col(id_col).cast("string").alias("i"),
-            )
+    if sep_cost and context <= sep_cost:
+        raise ValueError(
+            f"context ({context}) must exceed the separator's "
+            f"token cost ({sep_cost})"
         )
+    out_schema = (
+        f"`{id_col}` string, `{text_col}` string, "
+        f"n_tokens long, doc_ids array<string>"
     )
-    return (
-        packed.groupBy("seq_id")
-        .agg(members.alias("_m"), F.first("seq_tokens").alias("_st"))
-        .select(
-            F.concat(F.lit(id_prefix), F.col("seq_id")).alias(id_col),
-            F.array_join(
-                F.transform("_m", lambda s: s["t"]), separator
-            ).alias(text_col),
-            (F.col("_st") - F.lit(sep_cost) * F.size("_m")).alias("n_tokens"),
-            F.transform("_m", lambda s: s["i"]).alias("doc_ids"),
+    slim = df.select(
+        F.col(id_col), F.col(text_col), F.col("n_tokens").cast("long")
+    )
+    n_groups = _n_groups_for(slim, docs_per_group, n_hint)
+    if n_groups == 0:
+        return df.sparkSession.createDataFrame([], out_schema)
+    grouped = slim.withColumn(
+        "_grp",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_HASH_SPAN))
+        % F.lit(n_groups),
+    )
+    tok = "__pack_tokens"
+    capacity = context + sep_cost
+
+    def _pack_collapse(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["_grp"].iloc[0])
+        pdf = pdf.assign(**{tok: pdf["n_tokens"] + sep_cost})
+        pdf, placed = _validated_bfd(pdf, tok, id_col, capacity)
+        texts: dict[int, list] = {}
+        ids: dict[int, list] = {}
+        toks: dict[int, int] = {}
+        # placement order IS seq_pos order — append as placed
+        for row_i, (seq, _pos, _fill) in enumerate(placed):
+            texts.setdefault(seq, []).append(pdf[text_col].iloc[row_i])
+            ids.setdefault(seq, []).append(str(pdf[id_col].iloc[row_i]))
+            toks[seq] = toks.get(seq, 0) + int(pdf["n_tokens"].iloc[row_i])
+        return pd.DataFrame(
+            {
+                id_col: [f"{id_prefix}{grp}#{s:09d}" for s in sorted(texts)],
+                text_col: [separator.join(texts[s]) for s in sorted(texts)],
+                "n_tokens": pd.array(
+                    [toks[s] for s in sorted(texts)], dtype="int64"
+                ),
+                "doc_ids": [ids[s] for s in sorted(texts)],
+            }
         )
-    )
+
+    return grouped.groupBy("_grp").applyInPandas(_pack_collapse, schema=out_schema)
 
 
 def packing_stats(packed: DataFrame, context: int) -> DataFrame:

@@ -464,10 +464,102 @@ def ivf_topk(
 #: incompatibly; searches refuse to read a mismatched index.
 IVF_FORMAT_VERSION = 1
 
+#: ``compression`` was added round 8 WITHOUT a version bump: the field
+#: reads as NULL from a pre-round-8 marker and NULL means "none", so
+#: every existing index stays valid (the schema-read-with-missing-field
+#: convention, not a layout change).
 _IVF_MARKER_SCHEMA = (
     "format_version INT, n_lists INT, dim INT, seed INT, "
-    "corpus_id STRING, corpus_vec STRING"
+    "corpus_id STRING, corpus_vec STRING, compression STRING"
 )
+
+_IVF_COMPRESSIONS = ("none", "sq8")
+
+
+def _sq8_bounds(corpus: DataFrame, vec_col: str, dim: int):
+    """Per-dimension (min, max) over the corpus as two float lists —
+    the SQ8 codebook. One posexplode to (dim index, value) rows that
+    combine map-side down to ``dim`` rows per partition before the
+    single narrow shuffle; the collect is ``dim`` rows (a config-scale
+    scalar, like the centers)."""
+    rows = (
+        corpus.select(F.posexplode_outer(F.col(vec_col)).alias("_d", "_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_d")
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+        .collect()
+    )
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in rows:
+        lo[r["_d"]] = float(r["_lo"])
+        hi[r["_d"]] = float(r["_hi"])
+    return lo, hi
+
+
+def _sq8_encode(vec_col: Column, lo: list, hi: list) -> Column:
+    """array<float> → BINARY of dim uint8 codes:
+    ``code[d] = clip(round((x[d] − lo[d]) / (hi[d] − lo[d]) · 255))``
+    (constant dimensions encode 0). 4× smaller than float32 at rest;
+    appended values outside the frozen [lo, hi] clamp — the same
+    freeze-at-build contract as the centers."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    lo_a = np.asarray(lo, dtype=np.float64)
+    span = np.asarray(hi, dtype=np.float64) - lo_a
+    span[span == 0] = 1.0
+
+    @pandas_udf(BinaryType())
+    def _enc(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = (np.asarray(v, dtype=np.float64) - lo_a) / span
+            out.append(
+                np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8).tobytes()
+            )
+        return pd.Series(out)
+
+    return _enc(vec_col)
+
+
+def _sq8_decode(code_col: Column, lo: list, hi: list) -> Column:
+    """BINARY codes → array<double> reconstruction
+    ``x̂[d] = lo[d] + code[d] · (hi[d] − lo[d]) / 255`` — the
+    asymmetric-distance convention: queries stay full-precision, only
+    the stored side is approximated."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    lo_a = np.asarray(lo, dtype=np.float64)
+    step = (np.asarray(hi, dtype=np.float64) - lo_a) / 255.0
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _dec(codes: pd.Series) -> pd.Series:
+        out = []
+        for c in codes:
+            if c is None:
+                out.append(None)
+                continue
+            out.append(
+                (lo_a + np.frombuffer(c, dtype=np.uint8) * step).tolist()
+            )
+        return pd.Series(out)
+
+    return _dec(code_col)
+
+
+def _read_sq8_bounds(spark, index_path: str, dim: int):
+    rows = spark.read.parquet(f"{index_path}/quant").collect()
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in rows:
+        lo[r["_d"]] = float(r["_lo"])
+        hi[r["_d"]] = float(r["_hi"])
+    return lo, hi
 
 
 def ivf_build(
@@ -478,6 +570,7 @@ def ivf_build(
     corpus_vec: str = "embedding",
     seed: int = 42,
     centers: list | None = None,
+    compression: str = "none",
 ) -> None:
     """Build a PERSISTED IVF index at ``index_path`` — the build-once/
     probe-many form of :func:`ivf_topk` (which refits per call).
@@ -507,10 +600,24 @@ def ivf_build(
     is a pure deterministic function of (corpus, seed) — partition-
     and rerun-invariant. Pass ``centers`` (e.g. from
     ``clustering.load_centers``) to skip the fit entirely, e.g. to
-    rebuild an appended-to index under its ORIGINAL centers."""
+    rebuild an appended-to index under its ORIGINAL centers.
+
+    ``compression="sq8"`` stores int8 scalar-quantized codes instead
+    of raw float vectors: per-dimension (min, max) over the corpus
+    (one narrow aggregate, persisted under ``quant/`` and frozen like
+    the centers), ``code = round((x−min)/(max−min)·255)`` packed into
+    ONE binary column — 4× smaller at rest, the fix for the index
+    itself becoming the storage problem at corpus-scale embedding
+    counts. Search decodes candidates on the fly (asymmetric
+    distance: probes stay full-precision); recall cost is bounded by
+    the quantization step — validate with :func:`ivf_recall_check`."""
     from ..fsutil import fs_delete, fs_exists
     from .clustering import _assign_to_centers, kmeans_fit
 
+    if compression not in _IVF_COMPRESSIONS:
+        raise ValueError(
+            f"unknown compression {compression!r} (valid: {_IVF_COMPRESSIONS})"
+        )
     spark = corpus.sparkSession
     head = corpus.select(corpus_vec).head()
     if head is None:
@@ -524,6 +631,11 @@ def ivf_build(
         centers = kmeans_fit(
             corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed
         )
+    quant = None
+    if compression == "sq8":
+        # bounds BEFORE the un-commit below: a failure here leaves the
+        # old index fully valid
+        quant = _sq8_bounds(corpus, corpus_vec, dim)
     # un-commit as LATE as possible — after input validation AND the
     # (potentially long) fit, immediately before the first write to
     # lists/. A failure anywhere up to here leaves the old index
@@ -536,6 +648,12 @@ def ivf_build(
     assigned = _assign_to_centers(
         corpus.select(corpus_id, corpus_vec), corpus_vec, centers
     ).withColumnRenamed("cluster", "_list")
+    if compression == "sq8":
+        assigned = assigned.select(
+            corpus_id,
+            _sq8_encode(F.col(corpus_vec), *quant).alias("_code"),
+            "_list",
+        )
     # repartition by the partition column BEFORE the dynamic
     # partitionBy write: each task then writes only its own lists —
     # without it every input task opens a file per list it touches
@@ -545,12 +663,27 @@ def ivf_build(
     assigned.repartition("_list").write.partitionBy("_list").mode(
         "overwrite"
     ).parquet(f"{index_path}/lists")
+    if compression == "sq8":
+        spark.createDataFrame(
+            [(d, quant[0][d], quant[1][d]) for d in range(dim)],
+            "_d INT, _lo DOUBLE, _hi DOUBLE",
+        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/quant")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "_list INT, _center ARRAY<DOUBLE>",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/centers")
     spark.createDataFrame(
-        [(IVF_FORMAT_VERSION, n_lists, dim, seed, corpus_id, corpus_vec)],
+        [
+            (
+                IVF_FORMAT_VERSION,
+                n_lists,
+                dim,
+                seed,
+                corpus_id,
+                corpus_vec,
+                compression,
+            )
+        ],
         _IVF_MARKER_SCHEMA,
     ).repartition(1).write.mode("overwrite").json(f"{index_path}/format")
 
@@ -605,12 +738,19 @@ def ivf_search(
     cand = probe_lists.join(lists, "_list").filter(
         F.col(probe_id) != F.col(corpus_id)
     )
+    if (row["compression"] or "none") == "sq8":
+        # asymmetric distance: decode the stored codes per batch, keep
+        # the probe side full-precision; same quantized-cosine kernel
+        lo, hi = _read_sq8_bounds(spark, index_path, row["dim"])
+        cand_vec = _sq8_decode(F.col("_code"), lo, hi)
+    else:
+        cand_vec = F.col(row["corpus_vec"])
     reranked = cand.select(
         probe_id,
         corpus_id,
-        F.round(
-            _qcosine_pandas(F.col(probe_vec), F.col(row["corpus_vec"])), 6
-        ).alias("cosine_sim"),
+        F.round(_qcosine_pandas(F.col(probe_vec), cand_vec), 6).alias(
+            "cosine_sim"
+        ),
     )
     return topk_per_group(
         reranked, [probe_id], [F.col("cosine_sim").desc(), F.col(corpus_id).asc()], k
@@ -647,6 +787,17 @@ def ivf_append(
         row["corpus_vec"],
         centers,
     ).withColumnRenamed("cluster", "_list")
+    if (row["compression"] or "none") == "sq8":
+        # encode with the STORED bounds (frozen at build like the
+        # centers); appended values outside them clamp — the same
+        # drift-degrades-recall-never-correctness contract, visible in
+        # ivf_stats/ivf_recall_check
+        lo, hi = _read_sq8_bounds(spark, index_path, row["dim"])
+        assigned = assigned.select(
+            row["corpus_id"],
+            _sq8_encode(F.col(row["corpus_vec"]), lo, hi).alias("_code"),
+            "_list",
+        )
     # same repartition-before-partitionBy shape as ivf_build: one new
     # file per touched list per append, not per task per list
     assigned.repartition("_list").write.partitionBy("_list").mode(
@@ -693,6 +844,13 @@ def ivf_stats(spark, index_path: str) -> DataFrame:
     row = _ivf_marker_row(spark, index_path)
     lists = spark.read.parquet(f"{index_path}/lists")
     centers = spark.read.parquet(f"{index_path}/centers")
+    if (row["compression"] or "none") == "sq8":
+        # distances over the RECONSTRUCTED vectors — what the search
+        # actually ranks with, so drift readings match search behavior
+        lo, hi = _read_sq8_bounds(spark, index_path, row["dim"])
+        lists = lists.withColumn(
+            row["corpus_vec"], _sq8_decode(F.col("_code"), lo, hi)
+        )
     d2 = F.aggregate(
         F.zip_with(
             F.col(row["corpus_vec"]),
@@ -760,3 +918,56 @@ def ivf_rebuild_advised(
     return False, (
         f"balanced: max/mean={imbalance:.2f}, {empty}/{n_lists} empty"
     )
+
+
+def ivf_recall_check(
+    probes: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    k: int = 10,
+    nprobe: int = 4,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> dict:
+    """Recall@k of the persisted index against EXACT brute-force cosine
+    over the original ``corpus`` — the validation knob for both probe
+    breadth (``nprobe``) and SQ8 quantization loss. Returns
+    ``{"n_probes", "k", "recall_at_k"}`` where recall is the mean
+    per-probe overlap fraction between the index's top-k and the exact
+    top-k.
+
+    The probe set must be a bounded SAMPLE (the same broadcast-side
+    contract as ``cosine_topk_bruteforce_np`` — this is an audit, not
+    a production query); the corpus streams through one exact scan.
+    Driver traffic is 2·|probes|·k id pairs."""
+    exact = cosine_topk_bruteforce_np(
+        probes,
+        corpus,
+        k,
+        probe_id=probe_id,
+        corpus_id=corpus_id,
+        probe_vec=probe_vec,
+        corpus_vec=corpus_vec,
+    )
+    approx = ivf_search(
+        probes, index_path, k=k, nprobe=nprobe,
+        probe_id=probe_id, probe_vec=probe_vec,
+    )
+    want: dict = {}
+    for r in exact.collect():
+        want.setdefault(r[probe_id], set()).add(r[corpus_id])
+    got: dict = {}
+    for r in approx.collect():
+        got.setdefault(r[probe_id], set()).add(r[corpus_id])
+    if not want:
+        return {"n_probes": 0, "k": k, "recall_at_k": None}
+    recalls = [
+        len(want[p] & got.get(p, set())) / len(want[p]) for p in want
+    ]
+    return {
+        "n_probes": len(want),
+        "k": k,
+        "recall_at_k": sum(recalls) / len(recalls),
+    }

@@ -214,24 +214,6 @@ def _thai_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "thai_filter",
-    f"""
-    WITH decorated AS ({_THAI_DECOR})
-    SELECT c_custkey, company_name FROM decorated
-    WHERE length(trim(coalesce(company_name, ''))) > 0
-      AND (company_name LIKE '%จำกัด%' OR company_name LIKE '%มหาชน%')
-    """,
-)
-def thai_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.2 nonempty_filter + thai_filter chained over noisy names (the
-    reference's load-time order, scraper_v2.py:516-517)."""
-    from .operators.filters import nonempty_filter, thai_filter
-
-    d = _thai_decorated(spark, sf_dir)
-    return thai_filter(nonempty_filter(d))
-
-
-@register(
     "regnum_validate",
     """
     WITH regs AS (
@@ -297,8 +279,9 @@ def _decorated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_norm_suite",
     f"""
-    WITH d AS ({_DECORATED_PARTS})
-    SELECT p_partkey,
+    WITH d AS ({_DECORATED_PARTS}),
+    norm AS (
+    SELECT 'norm' AS leg, p_partkey AS key,
            trim(regexp_replace(
                replace(replace(replace(company_name, 'บริษัท', ''),
                        'ห้างหุ้นส่วนจำกัด', ''), 'ห้างหุ้นส่วนสามัญ', ''),
@@ -319,7 +302,18 @@ def _decorated_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              regexp_replace(regexp_replace(company_name, '\\(\\d+\\)', '', 'g'),
                             '\\s+\\d+\\s*$', ''),
              '\\s+', ' ', 'g')) AS no_numbers
-    FROM d
+    FROM d),
+    thai AS (
+    SELECT 'thai_filter' AS leg, c_custkey AS key,
+           company_name AS normalized,
+           CAST(NULL AS VARCHAR) AS core_name,
+           CAST(NULL AS VARCHAR) AS cleaned,
+           CAST(NULL AS VARCHAR) AS no_parens,
+           CAST(NULL AS VARCHAR) AS no_numbers
+    FROM ({_THAI_DECOR}) decorated
+    WHERE length(trim(coalesce(company_name, ''))) > 0
+      AND (company_name LIKE '%จำกัด%' OR company_name LIKE '%มหาชน%'))
+    SELECT * FROM norm UNION ALL SELECT * FROM thai
     """,
 )
 def text_norm_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,17 +323,39 @@ def text_norm_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     each column mirrors the reference's function (scraper_v2.py:640-712)
     and the per-function fuzz suite still covers them individually
     (tests/test_property_fuzz.py). Decorated parts carry no partnership
-    prefixes, so the core-name oracle reduces to the จำกัด split."""
+    prefixes, so the core-name oracle reduces to the จำกัด split.
+
+    Round-8 fold (driver-window rotation): the former ``thai_filter``
+    slot — nonempty_filter + thai_filter chained over noisy names, the
+    reference's load-time order (scraper_v2.py:516-517) — rides along
+    as the ``leg='thai_filter'`` rows, freeing its slot for the
+    Gopher/C4 oracle registrations."""
+    from .operators.filters import nonempty_filter, thai_filter
+
     d = _decorated_parts(spark, sf_dir)
     c = F.col("company_name")
-    return d.select(
-        "p_partkey",
+    ns = F.lit(None).cast("string")
+    thai_leg = thai_filter(
+        nonempty_filter(_thai_decorated(spark, sf_dir))
+    ).select(
+        F.lit("thai_filter").alias("leg"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("company_name").alias("normalized"),
+        ns.alias("core_name"),
+        ns.alias("cleaned"),
+        ns.alias("no_parens"),
+        ns.alias("no_numbers"),
+    )
+    norm_leg = d.select(
+        F.lit("norm").alias("leg"),
+        F.col("p_partkey").cast("long").alias("key"),
         normalize_company_name(c).alias("normalized"),
         extract_core_name(c).alias("core_name"),
         clean_filler_words(c).alias("cleaned"),
         remove_parentheses(c).alias("no_parens"),
         remove_trailing_numbers(c).alias("no_numbers"),
     )
+    return norm_leg.unionByName(thai_leg)
 
 
 # ---------------------------------------------------------------------------
@@ -832,12 +848,26 @@ def exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*), {DSUM.format(x='l_quantity')}
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'pivot', l_returnflag, 'O', CAST(NULL AS BIGINT),
+           {DSUM.format(x="CASE WHEN l_linestatus = 'O' THEN l_quantity END")}
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'pivot', l_returnflag, 'F', CAST(NULL AS BIGINT),
+           {DSUM.format(x="CASE WHEN l_linestatus = 'F' THEN l_quantity END")}
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 def rollup_cube_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP and CUBE grouping sets in one result (round-4 fold of
     the former `rollup_aggregate` and `cube_aggregate` registrations
-    -- same two operators, one driver-window slot)."""
+    -- same two operators, one driver-window slot).
+
+    Round-8 fold (driver-window rotation): the former ``pivot_wide``
+    slot rides along as the ``grp='pivot'`` rows — the Spark side
+    still exercises the PIVOT operator itself (groupBy().pivot() over
+    pinned values), melted back long via stack() so the union schema
+    holds; the oracle mirrors with the standard CASE-WHEN pivot."""
     o = t(spark, sf_dir, "orders")
     rollup_leg = (
         o.rollup("o_orderstatus", "o_orderpriority")
@@ -862,7 +892,19 @@ def rollup_cube_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
-    return rollup_leg.unionByName(cube_leg)
+    pivot_leg = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity")))
+        .select(
+            F.lit("pivot").alias("grp"),
+            F.col("l_returnflag").alias("k1"),
+            F.expr("stack(2, 'O', O, 'F', F) AS (k2, total)"),
+        )
+        .withColumn("n", F.lit(None).cast("long"))
+        .select("grp", "k1", "k2", "n", "total")
+    )
+    return rollup_leg.unionByName(cube_leg).unionByName(pivot_leg)
 
 
 @register(
@@ -2174,27 +2216,6 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pivot_wide",
-    f"""
-    SELECT l_returnflag,
-           {DSUM.format(x="CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
-           {DSUM.format(x="CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    out = (
-        li.groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(dsum(F.col("l_quantity")))
-    )
-    return out.select(
-        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
-    )
-
-
-@register(
     "exact_percentiles",
     """
     SELECT o_orderstatus,
@@ -2297,6 +2318,40 @@ def ivf_persisted_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build(e, f"{work}/ivf", n_lists=8)
         out = ivf_search(probes, f"{work}/ivf", k=5, nprobe=4)
         # materialize before the index dir vanishes
+        res = spark.createDataFrame(out.collect(), out.schema)
+        from .caching import release_caches
+
+        release_caches()
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register("ivf_sq8_search", None)
+def ivf_sq8_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SQ8-compressed persisted IVF (round 8): int8 scalar
+    quantization at build (per-dim min/max frozen in quant/, codes in
+    ONE binary column — 4x smaller at rest, the fix for the index
+    itself becoming the storage problem at corpus-scale embedding
+    counts), asymmetric distance at probe (queries stay float; codes
+    decode per Arrow batch into the same quantized-cosine kernel).
+    Returns the top-5 search results; the >=3x-size and recall@10
+    >= 0.95 acceptance gates are pinned in
+    tests/test_similarity_search.py::test_ivf_sq8_smaller_index_and_recall
+    via ivf_recall_check. Rows-only."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity_search import ivf_build, ivf_search
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    work = tempfile.mkdtemp(prefix="ivf_sq8_q_")
+    try:
+        ivf_build(e, f"{work}/ivf", n_lists=8, compression="sq8")
+        out = ivf_search(probes, f"{work}/ivf", k=5, nprobe=4)
         res = spark.createDataFrame(out.collect(), out.schema)
         from .caching import release_caches
 
@@ -2986,7 +3041,54 @@ def gate_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c4_clean", None)
+def _c4_oracle_sql() -> str:
+    """DuckDB twin of the c4_clean query below, generated from the SAME
+    constants (terminal regex, sentence proxy, block patterns) as the
+    Spark side — promoted to a driver oracle in the round-8 window
+    rotation; the adversarial-fixture mirror stays in tests/test_c4.py.
+    The sentence-reshape regexp_replace uses RE2 ``\\1`` where Spark
+    uses ``$1`` — same backreference."""
+    from .functions.c4 import (
+        C4_PAGE_BLOCK_PATTERNS,
+        C4_SENTENCE_RE,
+        C4_TERMINAL_RE,
+    )
+
+    blocked = " OR ".join(
+        f"contains(lower(coalesce(text, '')), '{p}')"
+        for p in C4_PAGE_BLOCK_PATTERNS
+    )
+    term = C4_TERMINAL_RE.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+    WITH shaped AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\\S+\\s+){{9}}\\S+)\\s+', '\\1.
+', 'g') AS text
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id,
+        coalesce(list_aggr(list_filter(
+          str_split_regex(coalesce(text, ''), '\\r?\\n'),
+          l -> regexp_matches(l, '{term}')
+           AND len(list_filter(str_split_regex(trim(l), '\\s+'),
+                               w -> w != '')) >= 3
+           AND NOT contains(lower(l), 'javascript')),
+          'string_agg', chr(10)), '') AS ct,
+        ({blocked}) AS blocked
+      FROM shaped),
+    flagged AS (
+      SELECT doc_id, ct, blocked,
+             len(regexp_extract_all(ct, '{C4_SENTENCE_RE}')) AS n_sent
+      FROM cleaned)
+    SELECT doc_id,
+           CAST(length(ct) AS BIGINT) AS clean_chars,
+           CAST(n_sent AS BIGINT) AS n_sentences
+    FROM flagged
+    WHERE n_sent >= 2 AND NOT blocked
+    """
+
+
+@register("c4_clean", _c4_oracle_sql())
 def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] C4-style line/page cleaning (functions/c4.py; Raffel et
     al. 2020 §2.2): rewrite every document to its terminal-punctuation
@@ -2994,8 +3096,9 @@ def c4_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-sentence floor and the lorem-ipsum/brace blockers — all pure
     per-row codegen'd expressions, no shuffle. Returns the survivors
     with the rewritten text plus the per-page verdict ingredients.
-    Rows-only; the rules are pinned row-for-row against a DuckDB
-    mirror generated from the same constants in tests/test_c4.py.
+    Oracle-backed since round 8 (window rotation): the DuckDB side is
+    generated from the same constants; the adversarial-fixture mirror
+    stays in tests/test_c4.py.
     The synthetic documents are single unpunctuated lines (C4 would
     strip them all — correctly), so the query first shapes each into
     10-word sentences/lines deterministically; the measured work is
@@ -3040,7 +3143,72 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score(d, model, id_col="doc_id", text_col="text")
 
 
-@register("gopher_quality", None)
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of gopher_metrics + gopher_quality_flags, generated
+    from the SAME constants the Spark side reads (thresholds and the
+    stop list can only change in one place) — promoted to a driver
+    oracle in the round-8 window rotation; the fixture-level
+    row-for-row mirror stays in tests/test_text_functions.py."""
+    from .functions.text_analysis import GOPHER_DEFAULTS as T
+    from .functions.text_analysis import GOPHER_STOPWORDS
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+    WITH m AS (
+      SELECT doc_id, coalesce(text, '') AS tx,
+        list_filter(str_split_regex(trim(coalesce(text, '')), '\\s+'),
+                    w -> w != '') AS words,
+        str_split_regex(coalesce(text, ''), '\\r?\\n') AS lines
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS g_words,
+        CAST(length(regexp_replace(tx, '\\s+', '', 'g')) AS BIGINT)
+          AS g_word_chars,
+        CAST(len(regexp_extract_all(tx, '#')) AS BIGINT)
+          AS g_hash_symbols,
+        CAST(len(regexp_extract_all(tx, '(\\.\\.\\.|…)')) AS BIGINT)
+          AS g_ellipsis_symbols,
+        CAST(len(lines) AS BIGINT) AS g_lines,
+        CAST(len(list_filter(lines,
+          l -> regexp_matches(l, '^[ \\t]*[•\\-\\*]'))) AS BIGINT)
+          AS g_bullet_lines,
+        CAST(len(list_filter(lines,
+          l -> regexp_matches(l, '(\\.\\.\\.|…)[ \\t]*$'))) AS BIGINT)
+          AS g_ellipsis_lines,
+        CAST(len(list_filter(words,
+          w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS g_alpha_words,
+        CAST(len(list_distinct(list_intersect(
+          list_transform(words, w -> lower(w)),
+          [{stop_list}]))) AS BIGINT) AS g_stop_hits
+      FROM m),
+    r AS (
+      SELECT *,
+        (g_words >= {T["min_words"]} AND g_words <= {T["max_words"]})
+          AS rule_word_count,
+        (g_word_chars >= {T["min_mean_word_len"]} * g_words
+          AND g_word_chars <= {T["max_mean_word_len"]} * g_words)
+          AS rule_mean_word_len,
+        (g_hash_symbols <= {T["max_symbol_ratio"]} * g_words
+          AND g_ellipsis_symbols <= {T["max_symbol_ratio"]} * g_words)
+          AS rule_symbol_ratio,
+        (g_bullet_lines <= {T["max_bullet_line_frac"]} * g_lines)
+          AS rule_bullet_lines,
+        (g_ellipsis_lines <= {T["max_ellipsis_line_frac"]} * g_lines)
+          AS rule_ellipsis_lines,
+        (g_alpha_words >= {T["min_alpha_word_frac"]} * g_words)
+          AS rule_alpha_words,
+        (g_stop_hits >= {T["min_stop_hits"]}) AS rule_stop_words
+      FROM g)
+    SELECT *, (rule_word_count AND rule_mean_word_len AND
+               rule_symbol_ratio AND rule_bullet_lines AND
+               rule_ellipsis_lines AND rule_alpha_words AND
+               rule_stop_words) AS rule_pass
+    FROM r
+    """
+
+
+@register("gopher_quality", _gopher_oracle_sql())
 def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Gopher quality rules (Rae et al. 2021; functions/
     text_analysis.py gopher_metrics/gopher_quality_flags): the
@@ -3048,10 +3216,10 @@ def gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol ratio, bullet/ellipsis line fractions, alphabetic-word
     fraction, stop-word presence — as pure codegen'd per-row
     expressions over the documents table: the 8 integer ingredients
-    plus the 7 rule booleans and their conjunction. Rows-only
-    registration; the DuckDB mirror (built from the SAME
-    GOPHER_STOPWORDS/GOPHER_DEFAULTS constants) is pinned row-for-row
-    in tests/test_text_functions.py."""
+    plus the 7 rule booleans and their conjunction. Oracle-backed
+    since round 8 (window rotation): the DuckDB side is generated
+    from the SAME GOPHER_STOPWORDS/GOPHER_DEFAULTS constants; the
+    adversarial-fixture mirror stays in tests/test_text_functions.py."""
     from .functions.text_analysis import gopher_metrics, gopher_quality_flags
 
     d = t(spark, sf_dir, "documents")

@@ -27,9 +27,11 @@ def test_q1_pushdown_and_partial_agg(spark, sf_dir):
 
 
 def test_thai_filter_pushed_to_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "thai_filter")
-    # the contains-filter applies to a derived column so it can't push to
-    # parquet, but the scan must still prune to the two needed columns
+    # thai_filter rides inside text_norm_suite since the round-8
+    # window rotation; its leg's customer scan must still prune to the
+    # two needed columns (the contains-filter applies to a derived
+    # column so it can't push to parquet)
+    plan = plan_of(spark, sf_dir, "text_norm_suite")
     assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
 
 

@@ -473,3 +473,121 @@ def test_ivf_stats_and_rebuild_guidance(spark, emb, tmp_path):
     # stats refuses a marker-less dir like every other index entry point
     with pytest.raises(ValueError, match="marker"):
         ivf_stats(spark, str(tmp_path / "nowhere"))
+
+
+# ------------------------------------------------------------------- sq8
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(".") and not f.endswith(".crc")
+        )
+    return total
+
+
+def test_ivf_sq8_smaller_index_and_recall(spark, emb, probes, tmp_path):
+    """The round-8 acceptance gates: the sq8 lists are >=3x smaller at
+    rest than the float index, and recall@10 vs EXACT brute force
+    stays >= 0.95 in the existing recall harness (nprobe = n_lists
+    isolates pure quantization loss; the production nprobe=4 is also
+    checked against the float index's own recall)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_build,
+        ivf_recall_check,
+        ivf_search,
+    )
+
+    fidx, qidx = str(tmp_path / "f"), str(tmp_path / "q")
+    ivf_build(emb, fidx, n_lists=8)
+    ivf_build(emb, qidx, n_lists=8, compression="sq8")
+
+    assert _dir_bytes(f"{fidx}/lists") >= 3 * _dir_bytes(f"{qidx}/lists")
+
+    rep = ivf_recall_check(probes, emb, qidx, k=10, nprobe=8)
+    release_caches()
+    assert rep["n_probes"] > 0
+    assert rep["recall_at_k"] >= 0.95, rep
+
+    # at the production nprobe the sq8 index keeps pace with float
+    rep_f = ivf_recall_check(probes, emb, fidx, k=10, nprobe=4)
+    rep_q = ivf_recall_check(probes, emb, qidx, k=10, nprobe=4)
+    release_caches()
+    assert rep_q["recall_at_k"] >= rep_f["recall_at_k"] - 0.05, (rep_f, rep_q)
+
+    # probe-many determinism holds for the compressed form too
+    a = sorted(map(tuple, ivf_search(probes, qidx, k=10, nprobe=4).collect()))
+    b = sorted(map(tuple, ivf_search(probes, qidx, k=10, nprobe=4).collect()))
+    release_caches()
+    assert a == b
+
+    with pytest.raises(ValueError, match="unknown compression"):
+        ivf_build(emb, str(tmp_path / "x"), n_lists=8, compression="pq4")
+
+
+def test_ivf_sq8_append_and_stats(spark, emb, probes, tmp_path):
+    """Appends into an sq8 index encode with the STORED bounds (frozen
+    like the centers): appended ids are searchable, rebuild-from-same-
+    centers determinism holds, and ivf_stats decodes codes (non-null
+    center distances)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_append,
+        ivf_build,
+        ivf_search,
+        ivf_stats,
+    )
+
+    n = emb.count()
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "grow")
+    ivf_build(half_a, idx, n_lists=8, compression="sq8")
+    ivf_append(half_b, idx)
+
+    stats = ivf_stats(spark, idx).collect()
+    assert sum(r["n_vectors"] for r in stats) == n
+    assert all(
+        r["mean_center_dist"] is not None for r in stats if r["n_vectors"] > 0
+    )
+
+    got = ivf_search(probes, idx, k=10, nprobe=8).collect()
+    release_caches()
+    appended_ids = {r["vec_id"] for r in half_b.select("vec_id").collect()}
+    assert {r["vec_id"] for r in got} & appended_ids, "appended rows unsearchable"
+
+
+def test_ivf_pre_round8_marker_reads_as_uncompressed(spark, emb, probes, tmp_path):
+    """A marker written before the compression field existed (the field
+    is absent from the JSON) must read as compression=none — no version
+    bump, every existing index stays valid."""
+    import glob
+    import os
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_search,
+    )
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_build,
+    )
+
+    idx = str(tmp_path / "old")
+    ivf_build(emb, idx, n_lists=8)
+    # rewrite the marker WITHOUT the compression field (the r7 schema)
+    spark.createDataFrame(
+        [(1, 8, 64, 42, "vec_id", "embedding")],
+        "format_version INT, n_lists INT, dim INT, seed INT, "
+        "corpus_id STRING, corpus_vec STRING",
+    ).repartition(1).write.mode("overwrite").json(f"{idx}/format")
+    for crc in glob.glob(f"{idx}/format/.*.crc"):
+        os.remove(crc)
+    out = ivf_search(probes, idx, k=5, nprobe=4).collect()
+    release_caches()
+    assert len(out) > 0
