@@ -79,15 +79,18 @@ _BYTE_SYM = bytes_to_unicode()
 
 
 def load_merges(path: str) -> dict[tuple[str, str], int]:
-    """Parse a merges file into {(left, right): rank}. Lines that are
-    empty or start with ``#`` are skipped; a line must hold exactly two
-    space-separated symbols; duplicate pairs refuse (two ranks for one
-    pair would make counting order-dependent)."""
+    """Parse a merges file into {(left, right): rank}. A ``#``-prefixed
+    FIRST line is the conventional version header (only there — a
+    ``#``-heavy training corpus can legitimately produce merges whose
+    left symbol is ``#``, so later lines are never comment-skipped);
+    empty lines are skipped; a line must hold exactly two space-
+    separated symbols; duplicate pairs refuse (two ranks for one pair
+    would make counting order-dependent)."""
     ranks: dict[tuple[str, str], int] = {}
     with open(path, encoding="utf-8") as fh:
         for lineno, raw in enumerate(fh, 1):
             line = raw.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            if not line.strip() or (lineno == 1 and line.startswith("#")):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not all(parts):

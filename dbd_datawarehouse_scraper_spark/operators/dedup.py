@@ -330,8 +330,24 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
+
+    ``max_bucket_size`` is the production megacluster guard: a band
+    bucket holding ``m`` documents contributes ``m·(m−1)/2`` candidate
+    pairs, so ONE templated-boilerplate cluster of 10⁵ docs yields
+    ~5·10⁹ pairs and the verification join drowns the stage (the
+    round-8 sf1 smoke hit exactly this: 120-doc medium-similarity
+    clusters × 5k bases → a 2·10⁹-row verify join OOM). With the cap,
+    buckets larger than the cap are SKIPPED before the self-join (one
+    map-side-combined (band, bucket) count) — the standard web-dedup
+    practice: members of such buckets are near-identical boilerplate
+    that exact/segment dedup already handles, and a pair loses
+    candidacy only if EVERY band it agrees on is oversized. ``None``
+    (default) keeps exhaustive candidacy; the curation funnel exposes
+    it via ``near_dup_opts``. Recall trade is explicit and bounded:
+    pairs inside capped buckets only.
 
     ``bands`` bands of ``num_hashes/bands`` rows: pairs agreeing on any
     band become candidates (P[candidate] ≈ 1-(1-j^r)^b), then exact
@@ -392,9 +408,29 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bucket"),
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2, got {max_bucket_size}"
+            )
+        # one map-side-combined count per (band, bucket); the OVERSIZED
+        # set anti-joins back — that side is genuinely tiny (only
+        # megacluster buckets), so its broadcast is safe, where a
+        # keep-list semi join would put a corpus-sized relation on the
+        # broadcast side (the same hazard this round fixed twice)
+        fat_buckets = (
+            banded.groupBy("_band", "_bucket")
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") > max_bucket_size)
+            .select("_band", "_bucket")
+        )
+        banded = banded.join(fat_buckets, ["_band", "_bucket"], "left_anti")
     right = banded.select(F.col("_id").alias("_id2"), "_band", "_bucket")
+    # the banded self-join's sides are both |corpus|·bands rows — same
+    # compile-time-broadcast hazard as the verification leg below
+    # (merge, not shuffle_hash: per-partition hash maps OOM at scale)
     cand = (
-        banded.join(right, ["_band", "_bucket"])
+        banded.join(right.hint("merge"), ["_band", "_bucket"])
         .filter(F.col("_id") < F.col("_id2"))
         .select("_id", "_id2")
         .dropDuplicates(["_id", "_id2"])
@@ -402,9 +438,29 @@ def minhash_lsh_pairs(
     # verify: count shared hashed shingles per candidate pair, then
     # attach per-doc shingle counts from the (already aggregated)
     # signature relation — no extra pass over the corpus, no arrays.
+    #
+    # Every join side here is CORPUS-SIZED (the shingle index `ex` is
+    # |corpus|·~shingles rows; `n_a`/`n_b` are |corpus| rows), so each
+    # carries an explicit merge (sort-merge) hint: Catalyst's static
+    # size-in-bytes estimate scales a Project by row-width ratio but
+    # does NOT multiply through a Generate, so the narrow (id, hash)
+    # projection of the exploded shingles is estimated at ~1% of the
+    # source scan — under the broadcast threshold — and the planner
+    # compile-time BROADCASTS the whole inverted index. Invisible at
+    # test SF (4 MB), OOM at scale (the round-8 sf1 smoke: a 54M-row
+    # build side → "Not enough memory to build and broadcast", a 2 GiB
+    # page allocation). The hint pins a sort-merge join — the only
+    # strategy here that degrades gracefully: a shuffled HASH join
+    # builds a per-partition map that must fit a task's memory share,
+    # and the smoke's second failure mode was exactly that ("not
+    # enough memory to build hash map" under 32 concurrent tasks);
+    # SMJ spills to disk instead.
     inter = (
-        cand.join(ex, "_id")
-        .join(ex.select(F.col("_id").alias("_id2"), "_hs"), ["_id2", "_hs"])
+        cand.join(ex.hint("merge"), "_id")
+        .join(
+            ex.select(F.col("_id").alias("_id2"), "_hs").hint("merge"),
+            ["_id2", "_hs"],
+        )
         .groupBy("_id", "_id2")
         .agg(F.count("*").alias("_c"))
     )
@@ -412,8 +468,8 @@ def minhash_lsh_pairs(
     n_b = sig.select(F.col("_id").alias("_id2"), F.col("_n").alias("_nb"))
     union = F.col("_na") + F.col("_nb") - F.col("_c")
     return (
-        inter.join(n_a, "_id")
-        .join(n_b, "_id2")
+        inter.join(n_a.hint("merge"), "_id")
+        .join(n_b.hint("merge"), "_id2")
         .select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),

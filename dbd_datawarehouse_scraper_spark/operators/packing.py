@@ -112,15 +112,21 @@ def _validated_bfd(pdf: pd.DataFrame, token_col: str, id_col: str, context: int)
 
 
 def _n_groups_for(df: DataFrame, docs_per_group: int, n_hint: int | None) -> int:
-    """Group count sizing: from ``n_hint`` when the caller already
-    knows the row count (export funnels counted survivors — don't pay
-    a corpus scan again), else ONE narrow count. 0 means empty input.
-    An n_hint that misses the true count only changes group SIZES
-    (still deterministic for a given hint) — the kernel bound is the
-    reason to keep hints within ~2× of the truth."""
+    """Group count sizing: from ``n_hint`` (>= 1) when the caller
+    already knows the row count (export funnels counted survivors —
+    don't pay a corpus scan again), else ONE narrow count (whose 0
+    means genuinely empty input). A positive n_hint that misses the
+    true count only changes group SIZES (still deterministic for a
+    given hint) — the kernel bound is the reason to keep hints within
+    ~2× of the truth."""
     if n_hint is not None:
-        if n_hint < 0:
-            raise ValueError(f"n_hint must be >= 0, got {n_hint}")
+        # >= 1, not >= 0: a hint of 0 would be conflated with "counted
+        # zero rows" and silently empty the output (round-8 review) —
+        # a slightly-wrong positive hint only changes group sizes, and
+        # a genuinely empty input packs to empty through the kernel
+        # path under any positive hint anyway
+        if n_hint < 1:
+            raise ValueError(f"n_hint must be >= 1, got {n_hint}")
         n = n_hint
     else:
         n = df.count()
@@ -298,6 +304,14 @@ def apply_pack_stage(
 
     def _pack_collapse(pdf: pd.DataFrame) -> pd.DataFrame:
         grp = int(pdf["_grp"].iloc[0])
+        if pdf[text_col].isna().any():
+            bad = pdf.loc[pdf[text_col].isna(), id_col].iloc[0]
+            raise ValueError(
+                f"apply_pack_stage: NULL {text_col} (e.g. id {bad!r}) — "
+                f"a NULL text can carry a 0 token count (the vocab: "
+                f"counter) and would corrupt the joined sequence; drop "
+                f"or fill upstream"
+            )
         pdf = pdf.assign(**{tok: pdf["n_tokens"] + sep_cost})
         pdf, placed = _validated_bfd(pdf, tok, id_col, capacity)
         texts: dict[int, list] = {}

@@ -277,7 +277,11 @@ def cosine_topk_lsh(
     cand = (
         p_b.select(F.col("_id").alias(probe_id), "_band", "_bucket")
         .join(
-            c_b.select(F.col("_id").alias(corpus_id), "_band", "_bucket"),
+            # corpus side: corpus-sized — never compile-time broadcast
+            # (probe side stays broadcast-eligible: bounded by contract)
+            c_b.select(
+                F.col("_id").alias(corpus_id), "_band", "_bucket"
+            ).hint("merge"),
             ["_band", "_bucket"],
         )
         .filter(F.col(probe_id) != F.col(corpus_id))
@@ -288,7 +292,7 @@ def cosine_topk_lsh(
     cv = corpus.select(corpus_id, corpus_vec)
     scored = (
         cand.join(pv, probe_id)
-        .join(cv, corpus_id)
+        .join(cv.hint("merge"), corpus_id)
         .select(
             probe_id,
             corpus_id,
@@ -363,8 +367,12 @@ def embedding_cosine_dedup(
         banded_buckets_np(keyed, "_id", "_v", dim, bands, bits_per_band)
     )
     right = banded.select(F.col("_id").alias("_id2"), "_band", "_bucket")
+    # every join side here is corpus-sized — explicit merge (sort-
+    # merge) hints, or Catalyst's width-scaled static estimate compile-time
+    # BROADCASTS a corpus side (the round-8 sf1-smoke OOM class found
+    # in minhash_lsh_pairs; same shape here)
     cand = (
-        banded.join(right, ["_band", "_bucket"])
+        banded.join(right.hint("merge"), ["_band", "_bucket"])
         .filter(F.col("_id") < F.col("_id2"))
         .select("_id", "_id2")
         .dropDuplicates(["_id", "_id2"])
@@ -373,8 +381,8 @@ def embedding_cosine_dedup(
     v1 = keyed
     v2 = keyed.select(F.col("_id").alias("_id2"), F.col("_v").alias("_v2"))
     scored = (
-        cand.join(v1, "_id")
-        .join(v2, "_id2")
+        cand.join(v1.hint("merge"), "_id")
+        .join(v2.hint("merge"), "_id2")
         .select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
@@ -476,6 +484,18 @@ _IVF_MARKER_SCHEMA = (
 _IVF_COMPRESSIONS = ("none", "sq8")
 
 
+def _bounds_from_rows(rows, dim: int):
+    """(_d, _lo, _hi) rows → two dim-length float lists — THE one fold
+    shared by the build-time aggregate and the quant/ reader, so the
+    layout can only change in one place (round-8 review)."""
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in rows:
+        lo[r["_d"]] = float(r["_lo"])
+        hi[r["_d"]] = float(r["_hi"])
+    return lo, hi
+
+
 def _sq8_bounds(corpus: DataFrame, vec_col: str, dim: int):
     """Per-dimension (min, max) over the corpus as two float lists —
     the SQ8 codebook. One posexplode to (dim index, value) rows that
@@ -489,12 +509,7 @@ def _sq8_bounds(corpus: DataFrame, vec_col: str, dim: int):
         .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
         .collect()
     )
-    lo = [0.0] * dim
-    hi = [0.0] * dim
-    for r in rows:
-        lo[r["_d"]] = float(r["_lo"])
-        hi[r["_d"]] = float(r["_hi"])
-    return lo, hi
+    return _bounds_from_rows(rows, dim)
 
 
 def _sq8_encode(vec_col: Column, lo: list, hi: list) -> Column:
@@ -554,12 +569,7 @@ def _sq8_decode(code_col: Column, lo: list, hi: list) -> Column:
 
 def _read_sq8_bounds(spark, index_path: str, dim: int):
     rows = spark.read.parquet(f"{index_path}/quant").collect()
-    lo = [0.0] * dim
-    hi = [0.0] * dim
-    for r in rows:
-        lo[r["_d"]] = float(r["_lo"])
-        hi[r["_d"]] = float(r["_hi"])
-    return lo, hi
+    return _bounds_from_rows(rows, dim)
 
 
 def ivf_build(

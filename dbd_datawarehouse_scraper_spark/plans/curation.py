@@ -80,6 +80,7 @@ def curate_documents(
     dsir_opts: dict | None = None,
     c4_opts: dict | None = None,
     lang_id_impl: str = "fast",
+    near_dup_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -93,6 +94,12 @@ def curate_documents(
     trigram profile scorer (functions/langid.py, covers th) — use it
     whenever ``keep_langs`` names a language outside the fast set, or
     the corpus is not known-English.
+
+    ``near_dup_opts`` passes extra kwargs to
+    :func:`..operators.dedup.minhash_lsh_pairs` (``num_hashes``,
+    ``bands``, ``k``, and above all ``max_bucket_size`` — the
+    megacluster guard web-scale corpora need; see its docstring for
+    the recall trade).
     ``carry_cols`` names extra input columns (source tags, URLs,
     licenses) to pass through the funnel unchanged — downstream stages
     like corpus mixing key on them.
@@ -345,7 +352,11 @@ def curate_documents(
     spark = docs.sparkSession
     mark = pool_mark()
     pairs = minhash_lsh_pairs(
-        exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=near_dup_threshold,
+        **(near_dup_opts or {}),
     )
     losers_base = scratch_base(spark)
     losers_path = losers_base + "/curation-losers"

@@ -3058,7 +3058,12 @@ def _c4_oracle_sql() -> str:
         f"contains(lower(coalesce(text, '')), '{p}')"
         for p in C4_PAGE_BLOCK_PATTERNS
     )
-    term = C4_TERMINAL_RE.replace("\\", "\\\\").replace("'", "''")
+    # escape ONLY the quote: DuckDB single-quoted literals pass
+    # backslashes through raw to RE2, so doubling them would turn
+    # `[ \t]*$` into `[ \\t]*$` (space OR backslash OR literal t) and
+    # the oracle would diverge from Spark on tab-trailing lines
+    # (round-8 self-review finding, verified empirically)
+    term = C4_TERMINAL_RE.replace("'", "''")
     return f"""
     WITH shaped AS (
       SELECT doc_id,

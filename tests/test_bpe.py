@@ -102,6 +102,10 @@ def test_load_merges_validation(tmp_path):
     p = tmp_path / "m.txt"
     p.write_text("#version: x\n\na b\nc d\n")
     assert load_merges(str(p)) == {("a", "b"): 0, ("c", "d"): 1}
+    # '#' is only a header convention on the FIRST line — a later merge
+    # whose left symbol is '#' (hash-heavy training corpus) must load
+    p.write_text("#version: x\na b\n# #\n")
+    assert load_merges(str(p)) == {("a", "b"): 0, ("#", "#"): 1}
     p.write_text("a b c\n")
     with pytest.raises(ValueError, match="two space-separated"):
         load_merges(str(p))

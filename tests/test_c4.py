@@ -44,6 +44,15 @@ FIXTURE = [
     # words and no ASCII terminals, so C4 strips it entirely — pinned
     # here so the limitation stays visible, per the module docstring
     (11, "\n".join(["这是一个足够长的中文句子。"] * 6)),
+    # escaping pins (round-8 review): a TAB after the terminal must
+    # count (the `[ \t]*$` tail) — a backslash-doubled mirror pattern
+    # (`[ \\t]`) fails this line...
+    (12, "\n".join(["This line ends with a terminal then a tab.\t"]
+                   + [GOOD_LINE] * 5)),
+    # ...and a line ending in a bare 't' after an apostrophe must NOT
+    # count — the corrupted tail class would consume the 't'
+    (13, "\n".join(["Some lines just end in words like isn't"]
+                   + [GOOD_LINE] * 5)),
 ]
 
 
@@ -55,10 +64,11 @@ def _mirror_sql(table: str) -> str:
         f"contains(lower(coalesce(text, '')), '{p}')"
         for p in C4_PAGE_BLOCK_PATTERNS
     )
-    # DuckDB RE2 accepts the Spark pattern verbatim; escape for the
-    # SQL string literal (backslashes and the single quote the
-    # terminal class contains)
-    term = C4_TERMINAL_RE.replace("\\", "\\\\").replace("'", "''")
+    # DuckDB RE2 accepts the Spark pattern verbatim; escape ONLY the
+    # single quote — DuckDB string literals pass backslashes through
+    # raw, so doubling them would corrupt `[ \t]` into
+    # `[ space|backslash|t ]` (round-8 self-review finding)
+    term = C4_TERMINAL_RE.replace("'", "''")
     sent = C4_SENTENCE_RE
     return f"""
     WITH cleaned AS (
@@ -109,7 +119,10 @@ def test_clean_semantics(spark):
     out = {r["doc_id"]: r["text"] for r in c4_clean(docs).collect()}
     # survivors: 1 (clean), 3 (shorts stripped), 4 (js stripped),
     # 7 (quote/question terminals), 8 (CRLF)
-    assert set(out) == {1, 3, 4, 7, 8}
+    assert set(out) == {1, 3, 4, 7, 8, 12, 13}
+    # tab-after-terminal line survives; the isn't line is stripped
+    assert "then a tab" in out[12]
+    assert "isn't" not in out[13]
     assert out[1] == FIXTURE[0][1]
     assert "Yes." not in out[3] and out[3].count("\n") == 4
     assert "JavaScript" not in out[4]
@@ -145,9 +158,9 @@ def test_funnel_and_stream_wiring(spark, tmp_path):
         for r in curate_documents(docs, c4_opts={}, **base).collect()
     }
     # near-dup dedup collapses the identical cleaned pages (1/3/4/8
-    # all reduce to 6x GOOD_LINE after the rewrite, 7 differs) — what
-    # matters here: blocked/short pages are gone and text is rewritten
-    assert set(kept) <= {1, 3, 4, 7, 8} and kept
+    # all reduce to 6x GOOD_LINE after the rewrite, 7/12/13 differ) —
+    # what matters here: blocked/short pages are gone, text rewritten
+    assert set(kept) <= {1, 3, 4, 7, 8, 12, 13} and kept
     assert all("lorem" not in t_ and "{" not in t_ for t_ in kept.values())
     # stream: same stage; a blocked page never exports
     import glob
@@ -166,5 +179,5 @@ def test_funnel_and_stream_wiring(spark, tmp_path):
     for f in glob.glob(str(tmp_path / "out/split=*/epoch=*/shard=*/*.gz")):
         with gzip.open(f, "rt", encoding="utf-8") as fh:
             ids |= {json.loads(l)["doc_id"] for l in fh if l.strip()}
-    assert ids <= {1, 3, 4, 7, 8} and ids
+    assert ids <= {1, 3, 4, 7, 8, 12, 13} and ids
     assert not ids & {2, 5, 6, 9, 10}

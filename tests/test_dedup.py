@@ -160,3 +160,70 @@ def test_ngram_probe_filter_null_flag_pairs_kept(spark):
 
     release_caches()
     assert got == [(7, 9000)]
+
+
+def test_minhash_bucket_cap_skips_megaclusters_only(spark):
+    """max_bucket_size (the round-8 megacluster guard): a large
+    near-identical cluster whose band buckets exceed the cap loses its
+    internal pairs, while small-cluster pairs survive untouched; the
+    capped run's pairs are a subset of the exhaustive run's."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    mega = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, f"{mega} v{i % 3}") for i in range(40)]  # ~40-doc cluster
+    rows += [
+        (100, "completely different text about spark shuffles and joins ok"),
+        (101, "completely different text about spark shuffles and joins ok!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    release_caches()
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=8
+        ).collect()
+    }
+    release_caches()
+    assert capped <= full
+    assert (100, 101) in capped, "small-cluster pair must survive the cap"
+    # the megacluster's internal pairs dominate `full` and are skipped
+    mega_full = {p for p in full if p[0] < 100 and p[1] < 100}
+    mega_capped = {p for p in capped if p[0] < 100 and p[1] < 100}
+    assert len(mega_full) > 100
+    assert len(mega_capped) < len(mega_full) / 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_lsh_pairs(docs, max_bucket_size=1)
+
+
+def test_funnel_near_dup_opts_passthrough(spark):
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans.curation import (
+        curate_documents,
+    )
+
+    base = ("the board approved the quarterly statements and the auditors "
+            "signed the annual report for the shareholders of the company")
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i % 2}") for i in range(6)],
+        "doc_id INT, text STRING",
+    )
+    out = curate_documents(
+        docs,
+        min_quality=0.0,
+        min_tokens=1,
+        keep_langs=("en",),
+        near_dup_opts={"max_bucket_size": 64, "num_hashes": 32, "bands": 8},
+    ).collect()
+    release_caches()
+    assert len(out) >= 1  # near-dups collapse; the knob is accepted

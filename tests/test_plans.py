@@ -355,3 +355,62 @@ def test_c4_clean_sweeps_once(spark):
     qe = out._jdf.queryExecution()
     for plan in (qe.optimizedPlan().toString(), qe.executedPlan().toString()):
         assert plan.lower().count("javascript") == 1, plan
+
+
+def test_minhash_pair_plan_never_broadcasts_corpus_sides(spark, sf_dir):
+    """Round-8 sf1-smoke regression: Catalyst's static size estimate
+    scales a Project by row-width ratio but does not multiply through
+    a Generate, so the narrow (id, hash) projection of the exploded
+    shingle index was estimated at ~1% of its source scan and
+    compile-time BROADCAST — a 54M-row build side OOM'd the 600k-doc
+    export ("Not enough memory to build and broadcast"). Every join
+    side in minhash_lsh_pairs' verification leg is corpus-sized and
+    now carries a merge (sort-merge) hint — SMJ spills gracefully
+    where a shuffled-hash build map OOMs a task's memory share (the
+    smoke's second failure mode); the static plan must contain NO
+    BroadcastHashJoin."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_embedding_lsh_plans_never_broadcast_corpus_sides(spark, sf_dir):
+    """Same hazard, embedding side: embedding_cosine_dedup's banded
+    self-join and both vector-attach joins are corpus-sized on every
+    side (zero static broadcasts); cosine_topk_lsh's corpus bucket leg
+    and vector attach are hinted while the PROBE side stays broadcast-
+    eligible (bounded by contract)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        cosine_topk_lsh,
+        embedding_cosine_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dd = embedding_cosine_dedup(emb, threshold=0.9, dim=64)
+    plan = dd._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+    probes = emb.filter("vec_id % 50 = 0").select(
+        emb.vec_id.alias("probe_id"), emb.embedding.alias("probe_vec")
+    )
+    lsh = cosine_topk_lsh(probes, emb, k=5, dim=64)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    # corpus sides shuffle; only probe-side broadcasts may remain
+    import re
+
+    for m in re.finditer(
+        r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan
+    ):
+        assert "probe_id" in m.group(1) or "probe_id" in m.group(2), (
+            m.group(0),
+        )
