@@ -108,6 +108,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-min-docs", type=int, default=2,
                    help="Passage dedup: segments in >= this many "
                         "distinct docs are boilerplate")
+    p.add_argument("--substring-dedup-minlen", type=int, default=None,
+                   help="Enable variable-length exact-substring dedup "
+                        "before curation scoring: minimum duplicated "
+                        "span length in tokens (Lee et al. 2022 "
+                        "semantics; catches spans that straddle the "
+                        "fixed segment grid; default: off)")
+    p.add_argument("--substring-min-docs", type=int, default=2,
+                   help="Substring dedup: spans in >= this many "
+                        "distinct docs are duplicates (first "
+                        "occurrence survives)")
     p.add_argument("--chunk-window", type=int, default=None,
                    help="Split exported documents into overlapping "
                         "token windows of this size (default: off); "
@@ -622,6 +632,16 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "mode": "chunk",
                 "k": args.segment_dedup_k,
                 "min_docs": args.segment_min_docs,
+            }
+        if args.substring_dedup_minlen is not None:
+            if args.substring_dedup_minlen < 1:
+                raise ValueError(
+                    f"--substring-dedup-minlen must be >= 1, got "
+                    f"{args.substring_dedup_minlen}"
+                )
+            curate_kwargs["substring_dedup_opts"] = {
+                "min_len": args.substring_dedup_minlen,
+                "min_docs": args.substring_min_docs,
             }
         if args.quality_sample_rates:
             curate_kwargs["quality_sample_rates"] = tuple(

@@ -87,6 +87,14 @@ def release_caches(blocking: bool = False) -> int:
     a stopped SparkContext are swallowed — release during interpreter
     teardown must not mask the real error.
     """
+    # a non-bool (e.g. a SparkSession passed by a confused caller)
+    # would make every unpersist raise INSIDE the swallowing loop and
+    # silently release nothing (round-8 test bug) — coerce loudly here
+    if not isinstance(blocking, bool):
+        raise TypeError(
+            f"release_caches(blocking=...) takes a bool, got "
+            f"{type(blocking).__name__}"
+        )
     released = 0
     from .fsutil import fs_delete
 

@@ -98,9 +98,17 @@ def ngram_jaccard_pairs(
         )
     )
     ex = sh.select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s"))
+    # merge hints on the corpus-sized sides: the inverted index comes
+    # from cache -> explode -> project with NO exchange in between, so
+    # AQE never sees its true size and the compile-time width-scaled
+    # estimate can put a corpus side under the broadcast threshold
+    # (the round-8 minhash OOM class; sides behind an aggregate's
+    # exchange are AQE-replanned and need no hint)
     if probe_filter is None:
         joined = ex.join(
-            ex.select(F.col("_id").alias("_id2"), F.col("_n").alias("_n2"), "_s"),
+            ex.select(
+                F.col("_id").alias("_id2"), F.col("_n").alias("_n2"), "_s"
+            ).hint("merge"),
             "_s",
         ).filter(F.col("_id") < F.col("_id2"))
     else:
@@ -117,7 +125,7 @@ def ngram_jaccard_pairs(
         )
         joined = (
             ex.filter(probe_filter)
-            .join(right, "_s")
+            .join(right.hint("merge"), "_s")
             .filter(
                 (F.col("_id") != F.col("_id2"))
                 & (~F.col("_isp2") | (F.col("_id") < F.col("_id2")))
@@ -567,8 +575,10 @@ def simhash_pairs(
     right = blocked.select(
         F.col("_id").alias("_id2"), F.col("_h").alias("_h2"), "_blk", "_val"
     )
+    # merge hint: same exchange-free-build-side broadcast hazard as
+    # ngram_jaccard_pairs above (the blocked relation is corpus-sized)
     return (
-        blocked.join(right, ["_blk", "_val"])
+        blocked.join(right.hint("merge"), ["_blk", "_val"])
         .filter(F.col("_id") < F.col("_id2"))
         .select(
             F.col("_id").alias("id_a"),

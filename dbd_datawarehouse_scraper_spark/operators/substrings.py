@@ -220,6 +220,48 @@ def duplicated_windows(
     )
 
 
+def marked_positions(
+    occ: DataFrame, dup: DataFrame, keep_first: bool
+) -> DataFrame:
+    """Occurrences to strike: join the duplicated-window set (with its
+    survivor) onto the occurrence relation; under ``keep_first`` the
+    survivor occurrence itself is exempt. Shared by the batch operator
+    and the incremental epoch (streaming/substrings.py), so their
+    marking semantics cannot drift."""
+    marked = occ.join(dup, _H)
+    if keep_first:
+        marked = marked.filter(
+            ~(
+                (F.col(_ID) == F.col("_ss_surv_id"))
+                & (F.col(_POS) == F.col("_ss_surv_pos"))
+            )
+        )
+    return marked
+
+
+def apply_strikes(
+    docs: DataFrame,
+    marked: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """Fold marked positions per document and rewrite the text: returns
+    ``docs`` (minus ``text_col``) joined with the strike kernel's
+    ``_ss_out`` struct (clean_text, n_tokens, n_removed, n_spans) —
+    callers select their own output shape. The marks side sits behind
+    an aggregation exchange, so AQE sizes its join strategy from the
+    materialized stage (broadcast when the affected set is small —
+    document text never shuffles then). Shared by batch + streaming."""
+    marks = marked.groupBy(_ID).agg(
+        F.sort_array(F.collect_list(F.col(_POS))).alias("_ss_marks")
+    )
+    struck = _strike_udf(min_len)(F.col(text_col), F.col("_ss_marks"))
+    return docs.join(marks, docs[id_col] == marks[_ID], "left").withColumn(
+        "_ss_out", struck
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -263,21 +305,9 @@ def substring_dedup(
     # release via caching.release_caches()) so window hashing runs once
     occ = tracked_persist(window_occurrences(docs, id_col, text_col, min_len))
     dup = duplicated_windows(occ, min_docs, within_doc)
-    marked = occ.join(dup, _H)
-    if keep_first:
-        marked = marked.filter(
-            ~(
-                (F.col(_ID) == F.col("_ss_surv_id"))
-                & (F.col(_POS) == F.col("_ss_surv_pos"))
-            )
-        )
-    marks = marked.groupBy(_ID).agg(
-        F.sort_array(F.collect_list(F.col(_POS))).alias("_ss_marks")
-    )
-    struck = _strike_udf(min_len)(F.col(text_col), F.col("_ss_marks"))
+    marked = marked_positions(occ, dup, keep_first)
     return (
-        docs.join(marks, docs[id_col] == marks[_ID], "left")
-        .withColumn("_ss_out", struck)
+        apply_strikes(docs, marked, id_col, text_col, min_len)
         .select(
             id_col,
             F.col("_ss_out.clean_text").alias("clean_text"),

@@ -81,6 +81,7 @@ def curate_documents(
     c4_opts: dict | None = None,
     lang_id_impl: str = "fast",
     near_dup_opts: dict | None = None,
+    substring_dedup_opts: dict | None = None,
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
@@ -100,6 +101,16 @@ def curate_documents(
     ``bands``, ``k``, and above all ``max_bucket_size`` — the
     megacluster guard web-scale corpora need; see its docstring for
     the recall trade).
+
+    ``substring_dedup_opts`` (round 8; kwargs for
+    :func:`..operators.substrings.substring_dedup`, e.g.
+    ``{"min_len": 50, "min_docs": 2}``) runs variable-length
+    exact-substring span removal right after the fixed-grid segment
+    stage — the Lee-et-al-2022 rule that catches duplicated spans
+    straddling ``segment_dedup``'s chunk boundaries. Like the segment
+    stage it rewrites text BEFORE scoring, so quality scores and
+    near-dup distances see the deduplicated prose. Batch-only (the
+    incremental exporter has no window-hash epoch store yet).
     ``carry_cols`` names extra input columns (source tags, URLs,
     licenses) to pass through the funnel unchanged — downstream stages
     like corpus mixing key on them.
@@ -257,6 +268,20 @@ def curate_documents(
 
         cleaned = segment_dedup(
             docs, id_col=id_col, text_col=text_col, **segment_dedup_opts
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(
+                cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
+            )
+        )
+    if substring_dedup_opts is not None:
+        from ..operators.substrings import substring_dedup
+
+        # after segment dedup (coarse grid first, then the exact
+        # variable-length rule), before scoring — same rewrite shape
+        cleaned = substring_dedup(
+            docs, id_col=id_col, text_col=text_col, **substring_dedup_opts
         )
         docs = (
             docs.drop(text_col)

@@ -1755,6 +1755,59 @@ def stream_segment_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register("stream_substring_dedup_hermetic", None)
+def stream_substring_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental exact-substring dedup through the window-hash
+    statistics store (streaming/substrings.py): two file-stream epochs
+    over documents with a 14-token span planted at DIFFERENT offsets
+    per epoch; epoch 2's copies are struck against the cumulative
+    store (the epoch-1 occurrence is the keep-first survivor).
+    Returns the struck epoch-2 rows. Rows-only (foreachBatch +
+    streaming trigger); prefix-consistency vs the batch operator,
+    replay idempotence, and store refusals are pinned in
+    tests/test_substring_stream.py."""
+    import shutil
+    import tempfile
+
+    from .streaming import file_stream
+    from .streaming.substrings import stream_substring_dedup
+
+    work = tempfile.mkdtemp(prefix="ss_dedup_q_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    span = " ".join(f"boiler{i}" for i in range(14))
+    try:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+            F.col("doc_id") < 40
+        )
+        e1 = docs.select(
+            "doc_id", F.concat_ws(" ", "text", F.lit(span)).alias("text")
+        )
+        e1.repartition(1).write.mode("append").parquet(src)
+        q = stream_substring_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, min_len=14, min_docs=2,
+        )
+        _await_or_die(q, 180)
+        e2 = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", F.lit(span), "text").alias("text"),
+        )
+        e2.repartition(1).write.mode("append").parquet(src)
+        q2 = stream_substring_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, min_len=14, min_docs=2,
+        )
+        _await_or_die(q2, 180)
+        struck = spark.read.parquet(f"{out}/epoch=1").select(
+            "doc_id", "text", "n_tokens", "n_removed", "n_spans"
+        )
+        return spark.createDataFrame(struck.collect(), struck.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("stream_near_dedup_hermetic", None)
 def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental near-dup dedup through the signature store

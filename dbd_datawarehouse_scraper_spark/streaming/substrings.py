@@ -1,0 +1,266 @@
+"""[EXT] Incremental exact-substring dedup: a window-hash statistics
+store fed by ``foreachBatch``.
+
+The streaming counterpart of
+:func:`..operators.substrings.substring_dedup`. Documents arrive in
+epochs; a ``min_len``-token window is duplicated once it has been seen
+in ≥ ``min_docs`` distinct documents ACROSS ALL EPOCHS SO FAR (or ≥ 2
+times anywhere under ``within_doc``), and every epoch's spans must be
+struck against those cumulative statistics without re-scanning
+historical text.
+
+State = one (window hash → doc count, occurrence count, min
+occurrence) DELTA per epoch under ``store_path/winstats/epoch=N`` —
+~32 bytes a row, never window text. Cumulative statistics fold
+exactly: document ids never repeat across epochs of an append-only
+ingestion so per-epoch distinct doc counts SUM; occurrence counts SUM;
+the global survivor is the MIN of per-epoch min occurrences (struct
+min — the same (id, pos) total order the batch operator uses).
+
+Prefix-consistency contract (test-pinned): epoch N's output is
+IDENTICAL to running the batch operator over the union of epochs ≤ N
+and restricting to epoch N's documents. The corollary every
+incremental cleaner in this package shares: a span whose duplicate
+only ARRIVES at epoch N stays in the already-written outputs of
+epochs < N (they were correct prefixes when written), and under
+``keep_first`` the survivor is the min occurrence over the PREFIX —
+so if a later epoch carries a smaller id than an already-emitted copy,
+both survive across the output union (re-cleaning history is a batch
+re-run over the union, not an epoch operation).
+
+Marking and striking run through THE SAME expressions as the batch
+operator (:func:`..operators.substrings.marked_positions` /
+``apply_strikes`` / ``window_occurrences``), so prefix consistency
+holds by construction, not by parallel maintenance.
+
+Store integrity mirrors streaming/segments.py: format marker pins
+``min_len`` (window hashes of a different width never combine),
+history reads strictly-below epochs, checkpoint-reset-ahead epochs
+refuse loudly, epoch-suffixed overwrites keep replays idempotent,
+committed generations fold via ``fold_epoch_dirs`` (row-preserving —
+the cumulative groupBy re-aggregates folded rows to the same sums and
+mins). ``min_docs`` / ``keep_first`` / ``within_doc`` are read-time
+parameters (not baked into stored rows), so they may vary per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..caching import pool_mark, release_since, tracked_persist
+from ..fsutil import fs_exists
+
+#: Bump when the window hashing or store layout changes incompatibly.
+STORE_FORMAT_VERSION = 1
+
+_MARKER_SCHEMA = "format_version INT, min_len INT"
+
+
+def _validate_or_init_store(
+    spark: SparkSession, store_path: str, min_len: int
+) -> None:
+    marker = f"{store_path}/format"
+    if fs_exists(spark, marker):
+        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
+        if row is None or row["format_version"] is None:
+            raise ValueError(
+                f"substring store marker at {marker} exists but is "
+                "unreadable — wipe the store before continuing."
+            )
+        found = (row["format_version"], row["min_len"])
+        want = (STORE_FORMAT_VERSION, min_len)
+        if found != want:
+            raise ValueError(
+                f"substring store at {store_path} has format "
+                f"(version, min_len)={found}, but this run needs {want}. "
+                "Window hashes of different widths never combine "
+                "correctly — wipe the store or rerun with its parameters."
+            )
+        return
+    if fs_exists(spark, store_path):
+        raise ValueError(
+            f"substring store at {store_path} exists but has no format "
+            "marker — it predates store versioning or is corrupted. "
+            "Wipe it before continuing."
+        )
+    spark.createDataFrame(
+        [(STORE_FORMAT_VERSION, min_len)], _MARKER_SCHEMA
+    ).repartition(1).write.mode("overwrite").json(marker)
+
+
+def stream_substring_dedup(
+    stream_docs: DataFrame,
+    out_path: str,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    within_doc: bool = False,
+    available_now: bool = True,
+    fold_store_after: int | None = 16,
+) -> StreamingQuery:
+    """Start the incremental exact-substring dedup stream. Struck
+    epochs land in ``out_path/epoch=N`` (all input columns,
+    ``text_col`` rewritten, plus ``n_tokens``/``n_removed``/
+    ``n_spans``); the statistics store grows under
+    ``store_path/winstats/epoch=N``. Returns the StreamingQuery."""
+    spark = stream_docs.sparkSession
+    _validate_or_init_store(spark, store_path, min_len)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        substring_dedup_epoch(
+            spark, batch_df, epoch_id, out_path, store_path,
+            id_col=id_col, text_col=text_col, min_len=min_len,
+            min_docs=min_docs, keep_first=keep_first,
+            within_doc=within_doc, fold_store_after=fold_store_after,
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def substring_dedup_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_path: str,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    min_docs: int = 2,
+    keep_first: bool = True,
+    within_doc: bool = False,
+    fold_store_after: int | None = 16,
+) -> bool:
+    """One epoch of incremental exact-substring dedup, as a plain
+    function so composed incremental pipelines can run it inside their
+    own ``foreachBatch``. Strikes ``batch_df``'s duplicated spans
+    against cumulative history + in-epoch statistics, writes the
+    cleaned rows to ``out_path/epoch=<epoch_id>`` and the epoch's
+    statistics delta to the store. Epoch-suffixed overwrites keep
+    replays idempotent; releases exactly the caches it pins. Returns
+    True iff the epoch had rows."""
+    _validate_or_init_store(spark, store_path, min_len)
+    from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
+
+    stats_root = f"{store_path}/winstats"
+    if fold_store_after:
+        fold_epoch_dirs(
+            spark, stats_root, below_epoch=epoch_id, min_dirs=fold_store_after
+        )
+    else:
+        recover_epoch_fold(spark, stats_root)
+    mark = pool_mark()
+    batch = tracked_persist(batch_df)
+    if batch.count() == 0:
+        release_since(mark)
+        return False
+
+    from ..operators.substrings import (
+        _H,
+        _ID,
+        _POS,
+        apply_strikes,
+        marked_positions,
+        window_occurrences,
+    )
+
+    occ = tracked_persist(
+        window_occurrences(batch, id_col, text_col, min_len)
+    )
+    epoch_stats = tracked_persist(
+        occ.groupBy(_H).agg(
+            F.count_distinct(F.col(_ID)).alias("doc_count"),
+            F.count("*").alias("occ_count"),
+            F.min(F.struct(F.col(_ID), F.col(_POS))).alias("_min_occ"),
+        ).select(
+            _H,
+            "doc_count",
+            "occ_count",
+            F.col(f"_min_occ.{_ID}").alias("min_id"),
+            F.col(f"_min_occ.{_POS}").alias("min_pos"),
+        )
+    )
+
+    # cumulative statistics: committed history deltas (STRICTLY below
+    # this epoch — a replayed epoch's own delta already sits under
+    # epoch=N and reading it would double-count) + this epoch's own.
+    # Epochs ABOVE the current id mean a checkpoint reset against a
+    # populated store — refuse loudly (the segments-store rationale).
+    hist_epochs = []
+    if fs_exists(spark, stats_root):
+        from ..fsutil import fs_list_names
+
+        all_epochs = [
+            int(n.split("=", 1)[1])
+            for n in fs_list_names(spark, stats_root)
+            if n.startswith("epoch=")
+        ]
+        ahead = [e for e in all_epochs if e > epoch_id]
+        if ahead:
+            raise ValueError(
+                f"substring store at {store_path} already holds epochs "
+                f"{sorted(ahead)} above the current epoch {epoch_id} — "
+                "the streaming checkpoint was reset against a populated "
+                "store. Resume with the original checkpoint, or wipe "
+                "the store (and its outputs) to start over; overwriting "
+                "committed statistics silently readmits duplicated "
+                "spans."
+            )
+        hist_epochs = [e for e in all_epochs if e < epoch_id]
+    total = epoch_stats
+    if hist_epochs:
+        hist = spark.read.parquet(
+            *[f"{stats_root}/epoch={e}" for e in hist_epochs]
+        )
+        total = (
+            epoch_stats.unionByName(hist)
+            .groupBy(_H)
+            .agg(
+                F.sum("doc_count").alias("doc_count"),
+                F.sum("occ_count").alias("occ_count"),
+                F.min(F.struct(F.col("min_id"), F.col("min_pos"))).alias(
+                    "_min_occ"
+                ),
+            )
+            .select(
+                _H,
+                "doc_count",
+                "occ_count",
+                F.col("_min_occ.min_id").alias("min_id"),
+                F.col("_min_occ.min_pos").alias("min_pos"),
+            )
+        )
+    cond = F.col("doc_count") >= min_docs
+    if within_doc:
+        cond = cond | (F.col("occ_count") >= 2)
+    dup = total.filter(cond).select(
+        _H,
+        F.col("min_id").alias("_ss_surv_id"),
+        F.col("min_pos").alias("_ss_surv_pos"),
+    )
+
+    marked = marked_positions(occ, dup, keep_first)
+    out = apply_strikes(batch, marked, id_col, text_col, min_len).select(
+        *[c for c in batch.columns if c != text_col],
+        F.col("_ss_out.clean_text").alias(text_col),
+        F.col("_ss_out.n_tokens").alias("n_tokens"),
+        F.col("_ss_out.n_removed").alias("n_removed"),
+        F.col("_ss_out.n_spans").alias("n_spans"),
+    )
+    out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+    epoch_stats.write.mode("overwrite").parquet(
+        f"{stats_root}/epoch={epoch_id}"
+    )
+    release_since(mark)
+    return True

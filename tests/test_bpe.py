@@ -189,7 +189,7 @@ def test_export_metering_with_vocab_counter(spark, tmp_path):
         curate_kwargs={"min_quality": 0.0, "keep_langs": ("en",)},
         token_counter=f"vocab:{MERGES}",
     )
-    release_caches(spark)
+    release_caches()
     assert counts["train"] > 0
     got = spark.read.json(f"{out}/split=train").collect()
     assert len(got) == counts["train"]

@@ -120,7 +120,7 @@ def test_funnel_wiring_trigram_keeps_thai(spark):
         lang_id_impl="trigram",
     )
     got = {r["doc_id"]: r["lang"] for r in out.collect()}
-    release_caches(spark)
+    release_caches()
     assert set(got) == {1, 2} and set(got.values()) == {"th"}
     with pytest.raises(ValueError, match="unknown lang_id"):
         curate_documents(docs, lang_id_impl="nope")

@@ -381,6 +381,28 @@ def test_minhash_pair_plan_never_broadcasts_corpus_sides(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan, plan[:2000]
 
 
+def test_ngram_and_simhash_self_joins_never_broadcast(spark, sf_dir):
+    """The same exchange-free-build-side hazard in the other two
+    inverted-index dedups: their self-join sides come from
+    cache→explode→project with no exchange, so AQE never re-plans them
+    and only the explicit merge hint prevents a compile-time broadcast
+    of a corpus side."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for pairs in (
+        ngram_jaccard_pairs(docs, threshold=0.5),
+        simhash_pairs(docs, max_hamming=3),
+    ):
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        release_caches()
+        assert "BroadcastHashJoin" not in plan, plan[:1500]
+
+
 def test_embedding_lsh_plans_never_broadcast_corpus_sides(spark, sf_dir):
     """Same hazard, embedding side: embedding_cosine_dedup's banded
     self-join and both vector-attach joins are corpus-sized on every

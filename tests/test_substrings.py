@@ -218,3 +218,75 @@ def test_fuzz_matches_model(spark):
             trial,
             kw,
         )
+
+
+def test_funnel_substring_stage_strips_spans_before_scoring(spark):
+    """substring_dedup_opts rewrites text BEFORE scoring: a 12-token
+    span duplicated at grid-straddling offsets (which segment_dedup_opts
+    alone would keep) is struck from all but the first occurrence, and
+    the funnel's n_tokens reflects the cleaned text."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.plans.curation import curate_documents
+
+    span = " ".join(f"d{i}" for i in range(12))
+    # bases are DISTINCT per doc (a shared 15-token base would itself
+    # be a duplicated span and get struck — correct, but not what this
+    # test pins); only the planted span is cross-doc duplicated
+    b1 = ("the board approved the statements and the auditors signed "
+          "the annual report for the shareholders")
+    b2 = ("meanwhile the committee reviewed the findings and the experts "
+          "published the quarterly summary for the investors")
+    b3 = ("later the council discussed the proposal and the members "
+          "endorsed the updated charter for the foundation")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{b1} {span}"),
+            (2, f"also {span} {b2} extra words here"),
+            (3, b3 + " unrelated tail"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curate_documents(
+            docs,
+            keep_langs=("en",),
+            min_quality=0.0,
+            min_tokens=1,
+            near_dup_threshold=0.95,
+            substring_dedup_opts={"min_len": 12, "min_docs": 2},
+        ).collect()
+    }
+    release_caches()
+    assert "d0" in out[1]["text"]  # first occurrence survives
+    assert "d0" not in out[2]["text"]
+    assert out[2]["n_tokens"] == len(f"also {b2} extra words here".split())
+    assert set(out) == {1, 2, 3}
+
+
+def test_cli_substring_dedup_flags(spark, tmp_path, capsys):
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    span = " ".join(f"s{i}" for i in range(10))
+    base = ("the quick brown fox jumps over the lazy dog and the board "
+            "approved the annual statements")
+    docs = spark.createDataFrame(
+        [(i, f"{base} w{i} {span}", "en", "srcA") for i in range(8)],
+        "doc_id INT, text STRING, lang STRING, source STRING",
+    )
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.write.parquet(src)
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--substring-dedup-minlen", "10",
+        "--split-fractions", '{"train": 1.0}', "--no-redact",
+    ])
+    assert rc == 0
+    got = spark.read.json(f"{out}/split=train")
+    texts = [r["text"] for r in got.collect()]
+    assert sum("s0" in t for t in texts) == 1  # span survives once
+    with __import__("pytest").raises(ValueError, match="substring-dedup-minlen"):
+        main([
+            "--export-training-set", "--input", src, "--output",
+            str(tmp_path / "out2"), "--substring-dedup-minlen", "0",
+        ])
