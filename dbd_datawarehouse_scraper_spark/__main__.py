@@ -765,6 +765,16 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "k": args.segment_dedup_k,
                 "min_docs": args.segment_min_docs,
             }
+        if args.substring_dedup_minlen is not None:
+            if args.substring_dedup_minlen < 1:
+                raise ValueError(
+                    f"--substring-dedup-minlen must be >= 1, got "
+                    f"{args.substring_dedup_minlen}"
+                )
+            sopts["substring_dedup_opts"] = {
+                "min_len": args.substring_dedup_minlen,
+                "min_docs": args.substring_min_docs,
+            }
         chunk_opts = _chunk_opts_from_args(args)
         if chunk_opts is not None:
             sopts["chunk_opts"] = chunk_opts

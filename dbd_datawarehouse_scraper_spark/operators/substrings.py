@@ -171,6 +171,19 @@ def _strike_udf(k: int):
     return _strike
 
 
+def validate_substring_params(min_len: int, min_docs: int) -> None:
+    """THE one validation of the substring-dedup parameters — the
+    batch operator AND both streaming entry points call it (a
+    min_docs=1 would mark EVERY window duplicated and strike
+    essentially all text; min_len=0 degenerates every window hash to
+    the same value and, in the stream, would poison the store
+    marker)."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+
 def window_occurrences(
     docs: DataFrame, id_col: str, text_col: str, min_len: int
 ) -> DataFrame:
@@ -294,10 +307,7 @@ def substring_dedup(
     ``id_col`` must be unique and non-null: it keys the survivor
     order and the rewrite join.
     """
-    if min_len < 1:
-        raise ValueError(f"min_len must be >= 1, got {min_len}")
-    if min_docs < 2:
-        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    validate_substring_params(min_len, min_docs)
     from ..caching import tracked_persist
 
     # occurrences feed BOTH the frequency aggregate and the mark join —

@@ -1,0 +1,97 @@
+"""Shared epoch-store protocol pieces for the incremental operators.
+
+Every incremental store in this package (segments, substrings,
+near-dup, semantic, contamination) follows the same integrity rules —
+format marker pinning parameters, strictly-below history reads,
+checkpoint-reset-ahead refusal, epoch-suffixed replay-idempotent
+overwrites. The rules were originally hand-replicated per module; the
+round-8 review counted three near-verbatim copies and this module is
+the single home for the two generic pieces (the marker shapes that
+carry module-specific payloads — e.g. the semantic store's centers —
+stay local):
+
+- :func:`validate_or_init_marker` — the format-marker handshake;
+- :func:`committed_epochs_below` — the history listing with the
+  reset-ahead refusal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..fsutil import fs_exists, fs_list_names
+
+
+def validate_or_init_marker(
+    spark: SparkSession,
+    store_path: str,
+    schema: str,
+    want: tuple,
+    noun: str,
+    mismatch_hint: str,
+) -> None:
+    """Read-or-write the store's format marker. ``schema`` is the
+    marker's DDL (first field MUST be ``format_version INT``); ``want``
+    is the full value tuple in schema order. An existing marker must
+    match ``want`` exactly; a store directory without a marker refuses
+    (pre-versioning or corrupted); a fresh path writes the marker."""
+    marker = f"{store_path}/format"
+    fields = [f.split()[0] for f in schema.split(",")]
+    if fs_exists(spark, marker):
+        row = spark.read.schema(schema).json(marker).head()
+        if row is None or row["format_version"] is None:
+            raise ValueError(
+                f"{noun} marker at {marker} exists but is unreadable — "
+                "wipe the store before continuing."
+            )
+        found = tuple(row[f] for f in fields)
+        if found != tuple(want):
+            raise ValueError(
+                f"{noun} at {store_path} has format "
+                f"({', '.join(fields)})={found}, but this run needs "
+                f"{tuple(want)}. {mismatch_hint} — wipe the store or "
+                "rerun with its parameters."
+            )
+        return
+    if fs_exists(spark, store_path):
+        raise ValueError(
+            f"{noun} at {store_path} exists but has no format marker — "
+            "it predates store versioning or is corrupted. Wipe it "
+            "before continuing."
+        )
+    spark.createDataFrame([tuple(want)], schema).repartition(1).write.mode(
+        "overwrite"
+    ).json(marker)
+
+
+def committed_epochs_below(
+    spark: SparkSession,
+    root: str,
+    epoch_id: int,
+    noun: str,
+    overwrite_consequence: str,
+) -> list[int]:
+    """Committed epoch ids STRICTLY below ``epoch_id`` under ``root``
+    (``epoch=N`` directories). A committed epoch ABOVE the current id
+    means the streaming checkpoint was reset against a populated store
+    — refuse loudly (streaming epoch ids are monotone; a legitimate
+    replay is only ever of the store's max epoch). The replaying
+    epoch's own directory is excluded — reading it would double-count
+    the replayed batch."""
+    if not fs_exists(spark, root):
+        return []
+    all_epochs = [
+        int(n.split("=", 1)[1])
+        for n in fs_list_names(spark, root)
+        if n.startswith("epoch=")
+    ]
+    ahead = [e for e in all_epochs if e > epoch_id]
+    if ahead:
+        raise ValueError(
+            f"{noun} at {root} already holds epochs {sorted(ahead)} "
+            f"above the current epoch {epoch_id} — the streaming "
+            "checkpoint was reset against a populated store. Resume "
+            "with the original checkpoint, or wipe the store (and its "
+            f"outputs) to start over; {overwrite_consequence}."
+        )
+    return [e for e in all_epochs if e < epoch_id]

@@ -92,6 +92,7 @@ def stream_export_training_set(
     redact: bool = True,
     available_now: bool = True,
     segment_dedup_opts: dict | None = None,
+    substring_dedup_opts: dict | None = None,
     contamination_opts: dict | None = None,
     domain_opts: dict | None = None,
     html_opts: dict | None = None,
@@ -115,6 +116,11 @@ def stream_export_training_set(
     (the persisted benchmark shingle index). All replay-idempotent;
     see the module docstring.
 
+    ``substring_dedup_opts`` (round 8; e.g. ``{"min_len": 50,
+    "min_docs": 2}``) runs the incremental exact-substring stage
+    (streaming/substrings.py — window-hash statistics store under
+    ``substore/``, struck epochs under ``substruck/``) right after the
+    segment stage, mirroring the batch funnel's stage order.
     ``segment_dedup_opts`` (e.g. ``{"mode": "chunk", "k": 8,
     "min_docs": 2}``) runs incremental passage/boilerplate removal
     (streaming/segments.py) BEFORE the gates — same stage order as the
@@ -287,6 +293,16 @@ def stream_export_training_set(
         from ..functions.c4 import validate_c4_opts
 
         validate_c4_opts(c4_opts)
+    if substring_dedup_opts is not None:
+        # same contract: refuse bad substring params before the stream
+        # starts (a bad min_docs inside foreachBatch would otherwise
+        # surface as an async StreamingQueryException on epoch 1)
+        from ..operators.substrings import validate_substring_params
+
+        validate_substring_params(
+            substring_dedup_opts.get("min_len", 50),
+            substring_dedup_opts.get("min_docs", 2),
+        )
     from ..functions.text_analysis import resolve_token_counter
 
     _counter = resolve_token_counter(token_counter)  # refuse at start
@@ -354,6 +370,28 @@ def stream_export_training_set(
             source = spark.read.parquet(
                 f"{state_path}/segmented/epoch={epoch_id}"
             ).drop("n_segs", "n_dropped")
+        if substring_dedup_opts is not None:
+            from .substrings import substring_dedup_epoch
+
+            # after the fixed-grid segment stage, before contamination
+            # and the gates — the batch funnel's stage order; feeds the
+            # GATED source for the same blocklist/store-pollution
+            # reasons as the segment stage above
+            had_rows = substring_dedup_epoch(
+                spark,
+                source,
+                epoch_id,
+                out_path=f"{state_path}/substruck",
+                store_path=f"{state_path}/substore",
+                id_col=id_col,
+                text_col=text_col,
+                **substring_dedup_opts,
+            )
+            if not had_rows:
+                return
+            source = spark.read.parquet(
+                f"{state_path}/substruck/epoch={epoch_id}"
+            ).drop("n_tokens", "n_removed", "n_spans")
 
         if contam is not None:
             from .contamination import contamination_epoch

@@ -319,114 +319,98 @@ def near_dedup_epoch(
     # release_caches() would clobber persists/scratch dirs a CALLER
     # holds behind its own live plans (round-5 review)
     mark = pool_mark()
-    batch = tracked_persist(batch_df)
-    if batch.count() == 0:
+    try:
+        batch = tracked_persist(batch_df)
+        if batch.count() == 0:
+            return False
+
+        # within-batch: exact-verified pairs, component-min survivors
+        pairs = minhash_lsh_pairs(
+            batch, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands, k=k, threshold=threshold,
+        )
+        in_batch_losers = component_survivors(pairs).withColumnRenamed(
+            "id", id_col
+        )
+        kept = batch.join(in_batch_losers, id_col, "left_anti")
+
+        sig = tracked_persist(
+            minhash_signatures(kept, id_col, text_col, num_hashes, k)
+        )
+        new_banded = _banded(sig, num_hashes, bands)
+
+        # against history: band-bucket candidates, estimated verify.
+        # History presence is an EXPLICIT existence check — only genuine
+        # absence (first epoch, or a replayed crashed first epoch) skips
+        # this leg; a corrupted or unreadable store raises out of the
+        # epoch instead of silently admitting duplicates (round-3 judge
+        # defect #1: the old `except Exception: have_history = False`).
+        # History = committed epochs STRICTLY BELOW the current one.
+        # Reading the whole store dir would be a replay bug: after a crash
+        # between the store write and Spark's streaming commit, the
+        # replayed epoch's OWN signatures are already under epoch=N — a
+        # whole-dir read would estimate every replayed document at J=1
+        # against itself and silently drop the entire epoch (round-5
+        # catch, test-pinned). Folded generations are named by their max
+        # folded epoch, so the `< epoch_id` rule covers them too. The
+        # explicit existence check (round-3 defect #1) stays: a real FS
+        # error raises, only genuine absence skips the leg.
+        from ._store import committed_epochs_below
+
+        hist_epochs = committed_epochs_below(
+            spark, f"{store_path}/bands", epoch_id, "signature store",
+            "proceeding would overwrite committed epoch signatures one "
+            "by one while deduping only against the remnant — silently "
+            "readmitting duplicates",
+        )
+        if hist_epochs:
+            hist_bands = spark.read.parquet(
+                *[f"{store_path}/bands/epoch={e}" for e in hist_epochs]
+            )
+            hist_sigs = spark.read.parquet(
+                *[f"{store_path}/sigs/epoch={e}" for e in hist_epochs]
+            )
+            cand = (
+                new_banded.join(
+                    hist_bands.select(
+                        F.col("_id").alias("_old"), "_band", "_bucket"
+                    ),
+                    ["_band", "_bucket"],
+                )
+                .select("_id", "_old")
+                .dropDuplicates(["_id", "_old"])
+            )
+            dup_ids = (
+                cand.join(sig, "_id")
+                .join(
+                    hist_sigs.select(
+                        F.col("_id").alias("_old"), F.col("_sig").alias("_osig")
+                    ),
+                    "_old",
+                )
+                .filter(
+                    _estimated_jaccard(F.col("_sig"), F.col("_osig"), num_hashes)
+                    >= threshold
+                )
+                .select(F.col("_id").alias(id_col))
+                .distinct()
+            )
+            survivors = kept.join(dup_ids, id_col, "left_anti")
+        else:
+            survivors = kept
+
+        survivors = tracked_persist(survivors)
+        # epoch-suffixed overwrites: replayed epochs rewrite themselves
+        survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        surv_sig = sig.join(
+            survivors.select(F.col(id_col).alias("_id")), "_id"
+        )
+        surv_sig.write.mode("overwrite").parquet(
+            f"{store_path}/sigs/epoch={epoch_id}"
+        )
+        _banded(surv_sig, num_hashes, bands).write.mode("overwrite").parquet(
+            f"{store_path}/bands/epoch={epoch_id}"
+        )
+        return True
+    finally:
         release_since(mark)
-        return False
-
-    # within-batch: exact-verified pairs, component-min survivors
-    pairs = minhash_lsh_pairs(
-        batch, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands, k=k, threshold=threshold,
-    )
-    in_batch_losers = component_survivors(pairs).withColumnRenamed(
-        "id", id_col
-    )
-    kept = batch.join(in_batch_losers, id_col, "left_anti")
-
-    sig = tracked_persist(
-        minhash_signatures(kept, id_col, text_col, num_hashes, k)
-    )
-    new_banded = _banded(sig, num_hashes, bands)
-
-    # against history: band-bucket candidates, estimated verify.
-    # History presence is an EXPLICIT existence check — only genuine
-    # absence (first epoch, or a replayed crashed first epoch) skips
-    # this leg; a corrupted or unreadable store raises out of the
-    # epoch instead of silently admitting duplicates (round-3 judge
-    # defect #1: the old `except Exception: have_history = False`).
-    # History = committed epochs STRICTLY BELOW the current one.
-    # Reading the whole store dir would be a replay bug: after a crash
-    # between the store write and Spark's streaming commit, the
-    # replayed epoch's OWN signatures are already under epoch=N — a
-    # whole-dir read would estimate every replayed document at J=1
-    # against itself and silently drop the entire epoch (round-5
-    # catch, test-pinned). Folded generations are named by their max
-    # folded epoch, so the `< epoch_id` rule covers them too. The
-    # explicit existence check (round-3 defect #1) stays: a real FS
-    # error raises, only genuine absence skips the leg.
-    hist_epochs = []
-    if fs_exists(spark, f"{store_path}/bands"):
-        from ..fsutil import fs_list_names
-
-        all_epochs = [
-            int(n.split("=", 1)[1])
-            for n in fs_list_names(spark, f"{store_path}/bands")
-            if n.startswith("epoch=")
-        ]
-        ahead = [e for e in all_epochs if e > epoch_id]
-        if ahead:
-            # epochs ABOVE the current id: the streaming checkpoint was
-            # reset against a populated store. Proceeding would overwrite
-            # committed epoch signatures one by one while deduping only
-            # against the remnant — silently readmitting duplicates.
-            # (Streaming epoch ids are monotone; a legitimate replay is
-            # only ever of the store's MAX epoch.)
-            raise ValueError(
-                f"signature store at {store_path} already holds epochs "
-                f"{sorted(ahead)} above the current epoch {epoch_id} — "
-                "the streaming checkpoint was reset against a populated "
-                "store. Resume with the original checkpoint, or wipe the "
-                "store (and re-ingest) to start over."
-            )
-        hist_epochs = [e for e in all_epochs if e < epoch_id]
-    if hist_epochs:
-        hist_bands = spark.read.parquet(
-            *[f"{store_path}/bands/epoch={e}" for e in hist_epochs]
-        )
-        hist_sigs = spark.read.parquet(
-            *[f"{store_path}/sigs/epoch={e}" for e in hist_epochs]
-        )
-        cand = (
-            new_banded.join(
-                hist_bands.select(
-                    F.col("_id").alias("_old"), "_band", "_bucket"
-                ),
-                ["_band", "_bucket"],
-            )
-            .select("_id", "_old")
-            .dropDuplicates(["_id", "_old"])
-        )
-        dup_ids = (
-            cand.join(sig, "_id")
-            .join(
-                hist_sigs.select(
-                    F.col("_id").alias("_old"), F.col("_sig").alias("_osig")
-                ),
-                "_old",
-            )
-            .filter(
-                _estimated_jaccard(F.col("_sig"), F.col("_osig"), num_hashes)
-                >= threshold
-            )
-            .select(F.col("_id").alias(id_col))
-            .distinct()
-        )
-        survivors = kept.join(dup_ids, id_col, "left_anti")
-    else:
-        survivors = kept
-
-    survivors = tracked_persist(survivors)
-    # epoch-suffixed overwrites: replayed epochs rewrite themselves
-    survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    surv_sig = sig.join(
-        survivors.select(F.col(id_col).alias("_id")), "_id"
-    )
-    surv_sig.write.mode("overwrite").parquet(
-        f"{store_path}/sigs/epoch={epoch_id}"
-    )
-    _banded(surv_sig, num_hashes, bands).write.mode("overwrite").parquet(
-        f"{store_path}/bands/epoch={epoch_id}"
-    )
-    release_since(mark)
-    return True

@@ -59,33 +59,14 @@ _MARKER_SCHEMA = "format_version INT, mode STRING, k INT"
 def _validate_or_init_store(
     spark: SparkSession, store_path: str, mode: str, k: int
 ) -> None:
-    marker = f"{store_path}/format"
-    if fs_exists(spark, marker):
-        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
-        if row is None or row["format_version"] is None:
-            raise ValueError(
-                f"segment store marker at {marker} exists but is "
-                "unreadable — wipe the store before continuing."
-            )
-        found = (row["format_version"], row["mode"], row["k"])
-        want = (STORE_FORMAT_VERSION, mode, k)
-        if found != want:
-            raise ValueError(
-                f"segment store at {store_path} has format "
-                f"(version, mode, k)={found}, but this run needs {want}. "
-                "Counts from different segmentations never combine "
-                "correctly — wipe the store or rerun with its parameters."
-            )
-        return
-    if fs_exists(spark, store_path):
-        raise ValueError(
-            f"segment store at {store_path} exists but has no format "
-            "marker — it predates store versioning or is corrupted. "
-            "Wipe it before continuing."
-        )
-    spark.createDataFrame(
-        [(STORE_FORMAT_VERSION, mode, k)], _MARKER_SCHEMA
-    ).repartition(1).write.mode("overwrite").json(marker)
+    from ._store import validate_or_init_marker
+
+    validate_or_init_marker(
+        spark, store_path, _MARKER_SCHEMA,
+        (STORE_FORMAT_VERSION, mode, k),
+        "segment store",
+        "Counts from different segmentations never combine correctly",
+    )
 
 
 def stream_segment_dedup(
@@ -159,77 +140,64 @@ def segment_dedup_epoch(
     else:
         recover_epoch_fold(spark, f"{store_path}/freq")
     mark = pool_mark()
-    batch = tracked_persist(batch_df)
-    if batch.count() == 0:
-        release_since(mark)
-        return False
+    try:
+        batch = tracked_persist(batch_df)
+        if batch.count() == 0:
+            return False
 
-    from ..operators.segments import (
-        _HS,
-        explode_segments,
-        mark_and_reassemble,
-    )
-
-    ex = tracked_persist(explode_segments(batch, id_col, text_col, mode, k))
-    epoch_freq = tracked_persist(
-        ex.filter(F.col(_HS).isNotNull())
-        .groupBy(_HS)
-        .agg(F.count_distinct(F.col("_sd_id")).alias("doc_count"))
-    )
-
-    # cumulative counts: committed history deltas (strictly below this
-    # epoch) + this epoch's own — see module docstring for why the
-    # replay window must be excluded from the history read. An epoch
-    # ABOVE the current id in the store means the checkpoint was reset
-    # against a populated store: the new run would overwrite committed
-    # deltas epoch by epoch and silently undercount boilerplate — fail
-    # loudly instead (streaming epoch ids are monotone; a legitimate
-    # replay is only ever of the store's MAX epoch).
-    freq_root = f"{store_path}/freq"
-    hist_epochs = []
-    if fs_exists(spark, freq_root):
-        from ..fsutil import fs_list_names
-
-        all_epochs = [
-            int(n.split("=", 1)[1])
-            for n in fs_list_names(spark, freq_root)
-            if n.startswith("epoch=")
-        ]
-        ahead = [e for e in all_epochs if e > epoch_id]
-        if ahead:
-            raise ValueError(
-                f"segment store at {store_path} already holds epochs "
-                f"{sorted(ahead)} above the current epoch {epoch_id} — "
-                "the streaming checkpoint was reset against a populated "
-                "store. Resume with the original checkpoint, or wipe "
-                "the store (and its outputs) to start over; overwriting "
-                "committed frequency deltas silently readmits "
-                "boilerplate."
-            )
-        hist_epochs = [e for e in all_epochs if e < epoch_id]
-    total = epoch_freq
-    if hist_epochs:
-        hist = spark.read.parquet(
-            *[f"{freq_root}/epoch={e}" for e in hist_epochs]
+        from ..operators.segments import (
+            _HS,
+            explode_segments,
+            mark_and_reassemble,
         )
-        total = (
-            epoch_freq.unionByName(hist)
+
+        ex = tracked_persist(explode_segments(batch, id_col, text_col, mode, k))
+        epoch_freq = tracked_persist(
+            ex.filter(F.col(_HS).isNotNull())
             .groupBy(_HS)
-            .agg(F.sum("doc_count").alias("doc_count"))
+            .agg(F.count_distinct(F.col("_sd_id")).alias("doc_count"))
         )
-    frequent = total.filter(F.col("doc_count") >= min_docs).select(
-        _HS, F.lit(True).alias("_sd_dup")
-    )
 
-    cleaned = mark_and_reassemble(ex, frequent, id_col, mode).withColumnRenamed(
-        "clean_text", "_clean"
-    )
-    out = (
-        batch.drop(text_col)
-        .join(cleaned, id_col)
-        .withColumnRenamed("_clean", text_col)
-    )
-    out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    epoch_freq.write.mode("overwrite").parquet(f"{freq_root}/epoch={epoch_id}")
-    release_since(mark)
-    return True
+        # cumulative counts: committed history deltas (strictly below this
+        # epoch) + this epoch's own — see module docstring for why the
+        # replay window must be excluded from the history read. An epoch
+        # ABOVE the current id in the store means the checkpoint was reset
+        # against a populated store: the new run would overwrite committed
+        # deltas epoch by epoch and silently undercount boilerplate — fail
+        # loudly instead (streaming epoch ids are monotone; a legitimate
+        # replay is only ever of the store's MAX epoch).
+        freq_root = f"{store_path}/freq"
+        from ._store import committed_epochs_below
+
+        hist_epochs = committed_epochs_below(
+            spark, freq_root, epoch_id, "segment store",
+            "overwriting committed frequency deltas silently readmits "
+            "boilerplate",
+        )
+        total = epoch_freq
+        if hist_epochs:
+            hist = spark.read.parquet(
+                *[f"{freq_root}/epoch={e}" for e in hist_epochs]
+            )
+            total = (
+                epoch_freq.unionByName(hist)
+                .groupBy(_HS)
+                .agg(F.sum("doc_count").alias("doc_count"))
+            )
+        frequent = total.filter(F.col("doc_count") >= min_docs).select(
+            _HS, F.lit(True).alias("_sd_dup")
+        )
+
+        cleaned = mark_and_reassemble(ex, frequent, id_col, mode).withColumnRenamed(
+            "clean_text", "_clean"
+        )
+        out = (
+            batch.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("_clean", text_col)
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        epoch_freq.write.mode("overwrite").parquet(f"{freq_root}/epoch={epoch_id}")
+        return True
+    finally:
+        release_since(mark)

@@ -203,122 +203,111 @@ def semantic_dedup_epoch(
         recover_epoch_fold(spark, f"{store_path}/vecs")
 
     mark = pool_mark()
-    batch = tracked_persist(batch_df)
-    if batch.count() == 0:
-        release_since(mark)
-        return False
-    _validate_or_init_out(
-        spark, out_path, list(batch_df.columns) + ["cluster"]
-    )
-
-    sub_expr = (
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(sub_splits)))
-        if sub_splits > 1
-        else F.lit(0)
-    ).cast("int")
-    assigned = (
-        _assign_to_centers(batch, vec_col, centers)
-        .withColumn("_sub", sub_expr)
-        .withColumn("_hist", F.lit(0))
-    )
-
-    # history = committed epochs STRICTLY BELOW the current one; epochs
-    # above mean a reset checkpoint over a populated store — refuse.
-    hist_epochs: list[int] = []
-    if fs_exists(spark, f"{store_path}/vecs"):
-        from ..fsutil import fs_list_names
-
-        all_epochs = [
-            int(n.split("=", 1)[1])
-            for n in fs_list_names(spark, f"{store_path}/vecs")
-            if n.startswith("epoch=")
-        ]
-        ahead = [e for e in all_epochs if e > epoch_id]
-        if ahead:
-            raise ValueError(
-                f"semantic store at {store_path} already holds epochs "
-                f"{sorted(ahead)} above the current epoch {epoch_id} — "
-                "the streaming checkpoint was reset against a populated "
-                "store. Resume with the original checkpoint, or wipe "
-                "the store (and re-ingest) to start over."
-            )
-        hist_epochs = [e for e in all_epochs if e < epoch_id]
-
-    union = assigned
-    if hist_epochs:
-        # bounded driver collect: ≤ n_centers ints (a store parameter)
-        needed = [
-            r["cluster"]
-            for r in assigned.select("cluster").distinct().collect()
-        ]
-        hist = (
-            spark.read.parquet(
-                *[f"{store_path}/vecs/epoch={e}" for e in hist_epochs]
-            )
-            .filter(F.col("cluster").isin(needed))
-            .select(
-                "cluster",
-                F.col("_id").alias(id_col),
-                F.col("_vec").alias(vec_col),
-                (
-                    F.pmod(F.xxhash64(F.col("_id")), F.lit(int(sub_splits)))
-                    if sub_splits > 1
-                    else F.lit(0)
-                ).cast("int").alias("_sub"),
-                F.lit(1).alias("_hist"),
-            )
+    try:
+        batch = tracked_persist(batch_df)
+        if batch.count() == 0:
+            return False
+        _validate_or_init_out(
+            spark, out_path, list(batch_df.columns) + ["cluster"]
         )
-        # align history to the batch's column set (extra input columns
-        # ride as NULL on history rows; they are never emitted)
-        for c in assigned.columns:
-            if c not in hist.columns:
-                hist = hist.withColumn(
-                    c, F.lit(None).cast(assigned.schema[c].dataType)
+
+        sub_expr = (
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(sub_splits)))
+            if sub_splits > 1
+            else F.lit(0)
+        ).cast("int")
+        assigned = (
+            _assign_to_centers(batch, vec_col, centers)
+            .withColumn("_sub", sub_expr)
+            .withColumn("_hist", F.lit(0))
+        )
+
+        # history = committed epochs STRICTLY BELOW the current one; epochs
+        # above mean a reset checkpoint over a populated store — refuse.
+        from ._store import committed_epochs_below
+
+        hist_epochs = committed_epochs_below(
+            spark, f"{store_path}/vecs", epoch_id, "semantic store",
+            "overwriting committed epoch vectors would silently readmit "
+            "semantic duplicates",
+        )
+
+        union = assigned
+        if hist_epochs:
+            # bounded driver collect: ≤ n_centers ints (a store parameter)
+            needed = [
+                r["cluster"]
+                for r in assigned.select("cluster").distinct().collect()
+            ]
+            hist = (
+                spark.read.parquet(
+                    *[f"{store_path}/vecs/epoch={e}" for e in hist_epochs]
                 )
-        union = assigned.unionByName(hist.select(assigned.columns))
+                .filter(F.col("cluster").isin(needed))
+                .select(
+                    "cluster",
+                    F.col("_id").alias(id_col),
+                    F.col("_vec").alias(vec_col),
+                    (
+                        F.pmod(F.xxhash64(F.col("_id")), F.lit(int(sub_splits)))
+                        if sub_splits > 1
+                        else F.lit(0)
+                    ).cast("int").alias("_sub"),
+                    F.lit(1).alias("_hist"),
+                )
+            )
+            # align history to the batch's column set (extra input columns
+            # ride as NULL on history rows; they are never emitted)
+            for c in assigned.columns:
+                if c not in hist.columns:
+                    hist = hist.withColumn(
+                        c, F.lit(None).cast(assigned.schema[c].dataType)
+                    )
+            union = assigned.unionByName(hist.select(assigned.columns))
 
-    out_schema = assigned.drop("_sub", "_hist").schema
+        out_schema = assigned.drop("_sub", "_hist").schema
 
-    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+        def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
 
-        # history block first (its internal order is irrelevant — the
-        # pinned rows are mutually dissimilar by construction), then
-        # epoch rows in id order: with monotone ids this is exactly the
-        # batch sweep's global id order.
-        pdf = pdf.sort_values(
-            ["_hist", id_col], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        n_hist = int((pdf["_hist"] == 1).sum())
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
-            dtype=np.float64,
+            # history block first (its internal order is irrelevant — the
+            # pinned rows are mutually dissimilar by construction), then
+            # epoch rows in id order: with monotone ids this is exactly the
+            # batch sweep's global id order.
+            pdf = pdf.sort_values(
+                ["_hist", id_col], ascending=[False, True], kind="mergesort"
+            ).reset_index(drop=True)
+            n_hist = int((pdf["_hist"] == 1).sum())
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            keep = _greedy_cosine_survivors(
+                mat, threshold, pinned=n_hist
+            )
+            keep[:n_hist] = False  # history is context, not output
+            return pdf.loc[keep].drop(columns=["_sub", "_hist"])
+
+        survivors = tracked_persist(
+            union.groupBy("cluster", "_sub").applyInPandas(_sweep, out_schema)
         )
-        keep = _greedy_cosine_survivors(
-            mat, threshold, pinned=n_hist
-        )
-        keep[:n_hist] = False  # history is context, not output
-        return pdf.loc[keep].drop(columns=["_sub", "_hist"])
-
-    survivors = tracked_persist(
-        union.groupBy("cluster", "_sub").applyInPandas(_sweep, out_schema)
-    )
-    survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    # cluster-clustered store layout: the history read filters on the
-    # batch's clusters, so packing each cluster's rows contiguously
-    # makes the parquet row-group min/max statistics prune the scan
-    # (folds rewrite rows, not layout guarantees — keep the sort cheap
-    # enough that losing it after a fold only costs pruning, never
-    # correctness)
-    survivors.select(
-        "cluster",
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
-    ).repartition("cluster").sortWithinPartitions("cluster").write.mode(
-        "overwrite"
-    ).parquet(f"{store_path}/vecs/epoch={epoch_id}")
-    release_since(mark)
-    return True
+        survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        # cluster-clustered store layout: the history read filters on the
+        # batch's clusters, so packing each cluster's rows contiguously
+        # makes the parquet row-group min/max statistics prune the scan
+        # (folds rewrite rows, not layout guarantees — keep the sort cheap
+        # enough that losing it after a fold only costs pruning, never
+        # correctness)
+        survivors.select(
+            "cluster",
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+        ).repartition("cluster").sortWithinPartitions("cluster").write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/vecs/epoch={epoch_id}")
+        return True
+    finally:
+        release_since(mark)
 
 
 def stream_semantic_dedup(

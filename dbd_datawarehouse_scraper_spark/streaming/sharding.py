@@ -170,74 +170,76 @@ def pack_epoch(
             if e < epoch_id:
                 fs_delete(spark, f"{state_path}/cursor-epoch-{e}")
     mark = pool_mark()
-    state = _read_cursor(spark, state_path)
-    if state is None:
-        offset = 0
-    else:
-        if state["budget"] != budget:
-            raise ValueError(
-                f"shard cursor at {state_path} was written with "
-                f"budget={state['budget']}, this run uses {budget}; "
-                "shards packed under two budgets interleave — wipe "
-                "the output and cursor or rerun with the stored "
-                "budget."
-            )
-        if state["epoch_id"] is not None and state["epoch_id"] == epoch_id:
-            # foreachBatch is at-least-once: this epoch already ran
-            # to completion (its cursor was promoted) but Spark's
-            # commit log missed the commit, so it is replaying.
-            # Repack from the epoch's ORIGINAL start offset — using
-            # the promoted next_offset would shift this epoch's
-            # shard ids and double-advance every later epoch.
-            offset = state["start_offset"]
-        elif state["epoch_id"] is not None and state["epoch_id"] > epoch_id:
-            raise ValueError(
-                f"shard cursor at {state_path} records epoch "
-                f"{state['epoch_id']} but epoch {epoch_id} is "
-                "replaying — either the checkpoint was reset "
-                "against an existing cursor (which would re-pack "
-                "already-packed documents) or more than the "
-                "one-epoch replay window was lost; restore the "
-                f"matching cursor-epoch-{max(epoch_id - 1, 0)} "
-                "snapshot to cursor, or wipe cursor AND output to "
-                "restart packing from 0."
+    try:
+        state = _read_cursor(spark, state_path)
+        if state is None:
+            offset = 0
+        else:
+            if state["budget"] != budget:
+                raise ValueError(
+                    f"shard cursor at {state_path} was written with "
+                    f"budget={state['budget']}, this run uses {budget}; "
+                    "shards packed under two budgets interleave — wipe "
+                    "the output and cursor or rerun with the stored "
+                    "budget."
+                )
+            if state["epoch_id"] is not None and state["epoch_id"] == epoch_id:
+                # foreachBatch is at-least-once: this epoch already ran
+                # to completion (its cursor was promoted) but Spark's
+                # commit log missed the commit, so it is replaying.
+                # Repack from the epoch's ORIGINAL start offset — using
+                # the promoted next_offset would shift this epoch's
+                # shard ids and double-advance every later epoch.
+                offset = state["start_offset"]
+            elif state["epoch_id"] is not None and state["epoch_id"] > epoch_id:
+                raise ValueError(
+                    f"shard cursor at {state_path} records epoch "
+                    f"{state['epoch_id']} but epoch {epoch_id} is "
+                    "replaying — either the checkpoint was reset "
+                    "against an existing cursor (which would re-pack "
+                    "already-packed documents) or more than the "
+                    "one-epoch replay window was lost; restore the "
+                    f"matching cursor-epoch-{max(epoch_id - 1, 0)} "
+                    "snapshot to cursor, or wipe cursor AND output to "
+                    "restart packing from 0."
+                )
+            else:
+                offset = state["next_offset"]
+        packed = pack_shards(
+            batch_df, token_col=token_col, budget=budget,
+            order_col=order_col, shard_col=shard_col, start_offset=offset,
+        )
+        if drop_cols:
+            packed = packed.drop(*drop_cols)
+        if fmt == "jsonl":
+            from ..sources.sinks import jsonl_sink
+
+            jsonl_sink(
+                packed, f"{out_path}/epoch={epoch_id}",
+                partition_by=(shard_col,),
             )
         else:
-            offset = state["next_offset"]
-    packed = pack_shards(
-        batch_df, token_col=token_col, budget=budget,
-        order_col=order_col, shard_col=shard_col, start_offset=offset,
-    )
-    if drop_cols:
-        packed = packed.drop(*drop_cols)
-    if fmt == "jsonl":
-        from ..sources.sinks import jsonl_sink
-
-        jsonl_sink(
-            packed, f"{out_path}/epoch={epoch_id}",
-            partition_by=(shard_col,),
+            packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        # the batch total comes from the relation pack_shards already
+        # persisted (the write above was its first consumer) — NOT from
+        # a second scan of the source batch
+        batch_total = packed.agg(
+            F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
+        ).collect()[0]["s"]
+        # pack_shards pins the ranged+prefixed relation; the epoch
+        # write + total agg were its consuming actions (scoped: never a
+        # caller's pin)
+        # advance + promote the cursor (promotion = commit point); the
+        # epoch key makes re-promotion on replay a no-op rewrite
+        spark.createDataFrame(
+            [(int(epoch_id), int(offset), int(offset + batch_total),
+              int(budget))],
+            _CURSOR_SCHEMA,
+        ).repartition(1).write.mode("overwrite").json(
+            f"{state_path}/cursor-epoch-{epoch_id}"
         )
-    else:
-        packed.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    # the batch total comes from the relation pack_shards already
-    # persisted (the write above was its first consumer) — NOT from
-    # a second scan of the source batch
-    batch_total = packed.agg(
-        F.coalesce(F.sum(token_col), F.lit(0)).alias("s")
-    ).collect()[0]["s"]
-    # pack_shards pins the ranged+prefixed relation; the epoch
-    # write + total agg were its consuming actions (scoped: never a
-    # caller's pin)
-    release_since(mark)
-    # advance + promote the cursor (promotion = commit point); the
-    # epoch key makes re-promotion on replay a no-op rewrite
-    spark.createDataFrame(
-        [(int(epoch_id), int(offset), int(offset + batch_total),
-          int(budget))],
-        _CURSOR_SCHEMA,
-    ).repartition(1).write.mode("overwrite").json(
-        f"{state_path}/cursor-epoch-{epoch_id}"
-    )
-    spark.read.schema(_CURSOR_SCHEMA).json(
-        f"{state_path}/cursor-epoch-{epoch_id}"
-    ).repartition(1).write.mode("overwrite").json(f"{state_path}/cursor")
+        spark.read.schema(_CURSOR_SCHEMA).json(
+            f"{state_path}/cursor-epoch-{epoch_id}"
+        ).repartition(1).write.mode("overwrite").json(f"{state_path}/cursor")
+    finally:
+        release_since(mark)

@@ -50,7 +50,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import pool_mark, release_since, tracked_persist
-from ..fsutil import fs_exists
 
 #: Bump when the window hashing or store layout changes incompatibly.
 STORE_FORMAT_VERSION = 1
@@ -61,33 +60,14 @@ _MARKER_SCHEMA = "format_version INT, min_len INT"
 def _validate_or_init_store(
     spark: SparkSession, store_path: str, min_len: int
 ) -> None:
-    marker = f"{store_path}/format"
-    if fs_exists(spark, marker):
-        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
-        if row is None or row["format_version"] is None:
-            raise ValueError(
-                f"substring store marker at {marker} exists but is "
-                "unreadable — wipe the store before continuing."
-            )
-        found = (row["format_version"], row["min_len"])
-        want = (STORE_FORMAT_VERSION, min_len)
-        if found != want:
-            raise ValueError(
-                f"substring store at {store_path} has format "
-                f"(version, min_len)={found}, but this run needs {want}. "
-                "Window hashes of different widths never combine "
-                "correctly — wipe the store or rerun with its parameters."
-            )
-        return
-    if fs_exists(spark, store_path):
-        raise ValueError(
-            f"substring store at {store_path} exists but has no format "
-            "marker — it predates store versioning or is corrupted. "
-            "Wipe it before continuing."
-        )
-    spark.createDataFrame(
-        [(STORE_FORMAT_VERSION, min_len)], _MARKER_SCHEMA
-    ).repartition(1).write.mode("overwrite").json(marker)
+    from ._store import validate_or_init_marker
+
+    validate_or_init_marker(
+        spark, store_path, _MARKER_SCHEMA,
+        (STORE_FORMAT_VERSION, min_len),
+        "substring store",
+        "Window hashes of different widths never combine correctly",
+    )
 
 
 def stream_substring_dedup(
@@ -109,6 +89,9 @@ def stream_substring_dedup(
     ``text_col`` rewritten, plus ``n_tokens``/``n_removed``/
     ``n_spans``); the statistics store grows under
     ``store_path/winstats/epoch=N``. Returns the StreamingQuery."""
+    from ..operators.substrings import validate_substring_params
+
+    validate_substring_params(min_len, min_docs)
     spark = stream_docs.sparkSession
     _validate_or_init_store(spark, store_path, min_len)
 
@@ -150,6 +133,9 @@ def substring_dedup_epoch(
     statistics delta to the store. Epoch-suffixed overwrites keep
     replays idempotent; releases exactly the caches it pins. Returns
     True iff the epoch had rows."""
+    from ..operators.substrings import validate_substring_params
+
+    validate_substring_params(min_len, min_docs)
     _validate_or_init_store(spark, store_path, min_len)
     from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
@@ -161,106 +147,93 @@ def substring_dedup_epoch(
     else:
         recover_epoch_fold(spark, stats_root)
     mark = pool_mark()
-    batch = tracked_persist(batch_df)
-    if batch.count() == 0:
-        release_since(mark)
-        return False
+    try:
+        batch = tracked_persist(batch_df)
+        if batch.count() == 0:
+            return False
 
-    from ..operators.substrings import (
-        _H,
-        _ID,
-        _POS,
-        apply_strikes,
-        marked_positions,
-        window_occurrences,
-    )
-
-    occ = tracked_persist(
-        window_occurrences(batch, id_col, text_col, min_len)
-    )
-    epoch_stats = tracked_persist(
-        occ.groupBy(_H).agg(
-            F.count_distinct(F.col(_ID)).alias("doc_count"),
-            F.count("*").alias("occ_count"),
-            F.min(F.struct(F.col(_ID), F.col(_POS))).alias("_min_occ"),
-        ).select(
+        from ..operators.substrings import (
             _H,
-            "doc_count",
-            "occ_count",
-            F.col(f"_min_occ.{_ID}").alias("min_id"),
-            F.col(f"_min_occ.{_POS}").alias("min_pos"),
+            _ID,
+            _POS,
+            apply_strikes,
+            marked_positions,
+            window_occurrences,
         )
-    )
 
-    # cumulative statistics: committed history deltas (STRICTLY below
-    # this epoch — a replayed epoch's own delta already sits under
-    # epoch=N and reading it would double-count) + this epoch's own.
-    # Epochs ABOVE the current id mean a checkpoint reset against a
-    # populated store — refuse loudly (the segments-store rationale).
-    hist_epochs = []
-    if fs_exists(spark, stats_root):
-        from ..fsutil import fs_list_names
-
-        all_epochs = [
-            int(n.split("=", 1)[1])
-            for n in fs_list_names(spark, stats_root)
-            if n.startswith("epoch=")
-        ]
-        ahead = [e for e in all_epochs if e > epoch_id]
-        if ahead:
-            raise ValueError(
-                f"substring store at {store_path} already holds epochs "
-                f"{sorted(ahead)} above the current epoch {epoch_id} — "
-                "the streaming checkpoint was reset against a populated "
-                "store. Resume with the original checkpoint, or wipe "
-                "the store (and its outputs) to start over; overwriting "
-                "committed statistics silently readmits duplicated "
-                "spans."
-            )
-        hist_epochs = [e for e in all_epochs if e < epoch_id]
-    total = epoch_stats
-    if hist_epochs:
-        hist = spark.read.parquet(
-            *[f"{stats_root}/epoch={e}" for e in hist_epochs]
+        occ = tracked_persist(
+            window_occurrences(batch, id_col, text_col, min_len)
         )
-        total = (
-            epoch_stats.unionByName(hist)
-            .groupBy(_H)
-            .agg(
-                F.sum("doc_count").alias("doc_count"),
-                F.sum("occ_count").alias("occ_count"),
-                F.min(F.struct(F.col("min_id"), F.col("min_pos"))).alias(
-                    "_min_occ"
-                ),
-            )
-            .select(
+        epoch_stats = tracked_persist(
+            occ.groupBy(_H).agg(
+                F.count_distinct(F.col(_ID)).alias("doc_count"),
+                F.count("*").alias("occ_count"),
+                F.min(F.struct(F.col(_ID), F.col(_POS))).alias("_min_occ"),
+            ).select(
                 _H,
                 "doc_count",
                 "occ_count",
-                F.col("_min_occ.min_id").alias("min_id"),
-                F.col("_min_occ.min_pos").alias("min_pos"),
+                F.col(f"_min_occ.{_ID}").alias("min_id"),
+                F.col(f"_min_occ.{_POS}").alias("min_pos"),
             )
         )
-    cond = F.col("doc_count") >= min_docs
-    if within_doc:
-        cond = cond | (F.col("occ_count") >= 2)
-    dup = total.filter(cond).select(
-        _H,
-        F.col("min_id").alias("_ss_surv_id"),
-        F.col("min_pos").alias("_ss_surv_pos"),
-    )
 
-    marked = marked_positions(occ, dup, keep_first)
-    out = apply_strikes(batch, marked, id_col, text_col, min_len).select(
-        *[c for c in batch.columns if c != text_col],
-        F.col("_ss_out.clean_text").alias(text_col),
-        F.col("_ss_out.n_tokens").alias("n_tokens"),
-        F.col("_ss_out.n_removed").alias("n_removed"),
-        F.col("_ss_out.n_spans").alias("n_spans"),
-    )
-    out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-    epoch_stats.write.mode("overwrite").parquet(
-        f"{stats_root}/epoch={epoch_id}"
-    )
-    release_since(mark)
-    return True
+        # cumulative statistics: committed history deltas (STRICTLY below
+        # this epoch — a replayed epoch's own delta already sits under
+        # epoch=N and reading it would double-count) + this epoch's own.
+        # Epochs ABOVE the current id mean a checkpoint reset against a
+        # populated store — refuse loudly (the segments-store rationale).
+        from ._store import committed_epochs_below
+
+        hist_epochs = committed_epochs_below(
+            spark, stats_root, epoch_id, "substring store",
+            "overwriting committed statistics silently readmits "
+            "duplicated spans",
+        )
+        total = epoch_stats
+        if hist_epochs:
+            hist = spark.read.parquet(
+                *[f"{stats_root}/epoch={e}" for e in hist_epochs]
+            )
+            total = (
+                epoch_stats.unionByName(hist)
+                .groupBy(_H)
+                .agg(
+                    F.sum("doc_count").alias("doc_count"),
+                    F.sum("occ_count").alias("occ_count"),
+                    F.min(F.struct(F.col("min_id"), F.col("min_pos"))).alias(
+                        "_min_occ"
+                    ),
+                )
+                .select(
+                    _H,
+                    "doc_count",
+                    "occ_count",
+                    F.col("_min_occ.min_id").alias("min_id"),
+                    F.col("_min_occ.min_pos").alias("min_pos"),
+                )
+            )
+        cond = F.col("doc_count") >= min_docs
+        if within_doc:
+            cond = cond | (F.col("occ_count") >= 2)
+        dup = total.filter(cond).select(
+            _H,
+            F.col("min_id").alias("_ss_surv_id"),
+            F.col("min_pos").alias("_ss_surv_pos"),
+        )
+
+        marked = marked_positions(occ, dup, keep_first)
+        out = apply_strikes(batch, marked, id_col, text_col, min_len).select(
+            *[c for c in batch.columns if c != text_col],
+            F.col("_ss_out.clean_text").alias(text_col),
+            F.col("_ss_out.n_tokens").alias("n_tokens"),
+            F.col("_ss_out.n_removed").alias("n_removed"),
+            F.col("_ss_out.n_spans").alias("n_spans"),
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+        epoch_stats.write.mode("overwrite").parquet(
+            f"{stats_root}/epoch={epoch_id}"
+        )
+        return True
+    finally:
+        release_since(mark)

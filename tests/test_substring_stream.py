@@ -131,3 +131,53 @@ def test_within_doc_flag_cumulative(spark):
     )
     [r] = spark.read.parquet(f"{out}/epoch=0").collect()
     assert r["n_removed"] == 8 and r["text"] == f"{SPAN} mid1 mid2"
+
+
+def test_stream_export_substring_stage(spark, tmp_path):
+    """The incremental exporter runs the substring stage per epoch:
+    a span duplicated across two docs of one epoch loses its second
+    copy in the exported text; the stage refuses invalid params at
+    start (not on the first epoch)."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.export import (
+        stream_export_training_set,
+    )
+
+    base1 = ("the board approved the statements and the auditors signed "
+             "the annual report for the shareholders of this company")
+    base2 = ("meanwhile the committee reviewed the findings and the experts "
+             "published the quarterly summary for the investors this year")
+    docs = spark.createDataFrame(
+        [(1, f"{base1} {SPAN}", "s"), (2, f"{SPAN} {base2}", "s")],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = stream_export_training_set(
+        file_stream(spark, src, docs.schema),
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        keep_langs=("en",), min_quality=0.0, min_tokens=1,
+        substring_dedup_opts={"min_len": 8, "min_docs": 2},
+    )
+    assert q.awaitTermination(240)
+    texts = {}
+    for f in glob.glob(str(tmp_path / "out/split=*/epoch=*/shard=*/*.gz")):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            for l in fh:
+                r = json.loads(l)
+                texts[r["doc_id"]] = r["text"]
+    assert set(texts) == {1, 2}
+    assert "s0" in texts[1] and "s0" not in texts[2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        stream_export_training_set(
+            file_stream(spark, src, docs.schema),
+            str(tmp_path / "o2"), str(tmp_path / "st2"), str(tmp_path / "ck2"),
+            substring_dedup_opts={"min_len": 8, "min_docs": 1},
+        )
