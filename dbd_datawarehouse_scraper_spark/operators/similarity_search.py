@@ -481,7 +481,7 @@ _IVF_MARKER_SCHEMA = (
     "corpus_id STRING, corpus_vec STRING, compression STRING"
 )
 
-_IVF_COMPRESSIONS = ("none", "sq8")
+_IVF_COMPRESSIONS = ("none", "sq8", "pq")
 
 
 def _bounds_from_rows(rows, dim: int):
@@ -572,6 +572,101 @@ def _read_sq8_bounds(spark, index_path: str, dim: int):
     return _bounds_from_rows(rows, dim)
 
 
+def _pq_fit(corpus: DataFrame, vec_col: str, dim: int, pq_m: int, seed: int):
+    """Product-quantization codebooks: split each vector into ``pq_m``
+    contiguous subvectors and fit 256 k-means centers PER SUBSPACE
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search") — one deterministic content-hash sample of the corpus
+    (the kmeans_fit sampling, shared code), then ``pq_m`` independent
+    driver-side Lloyd's runs over the sample's subspace slices.
+    Returns a (pq_m, 256, dim/pq_m) float64 array. Deterministic for
+    (corpus, seed) like every fit in this package."""
+    from .clustering import _fit_sample_matrix, _lloyd
+
+    if pq_m < 1 or dim % pq_m != 0:
+        raise ValueError(
+            f"pq_m must divide the vector dimension ({dim}), got {pq_m}"
+        )
+    sample = _fit_sample_matrix(corpus, vec_col, 16384)
+    if sample is None or len(sample) == 0:
+        raise ValueError("cannot fit PQ codebooks over an empty corpus")
+    sub = dim // pq_m
+    return np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+                256,
+                seed + j,
+                max_iter=20,
+                tol=1e-6,
+            )
+            for j in range(pq_m)
+        ]
+    )
+
+
+def _pq_encode(vec_col: Column, codebooks: np.ndarray) -> Column:
+    """array<float> → BINARY of pq_m uint8 codes: per subspace, the
+    argmin-distance codebook entry (ties to the lowest code — argmin's
+    first-match, deterministic). dim/pq_m · 4 bytes collapse to ONE
+    byte per subspace — 4·dim/pq_m× smaller than float32 at rest."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, 256, sub)
+    m, _, sub = cb.shape
+    cb2 = (cb * cb).sum(axis=2)  # (m, 256)
+
+    @pandas_udf(BinaryType())
+    def _enc(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64).reshape(m, sub)
+            # (m, 256) distances via the |c|² − 2x·c expansion
+            d = cb2 - 2.0 * np.einsum("mks,ms->mk", cb, x)
+            out.append(d.argmin(axis=1).astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    return _enc(vec_col)
+
+
+def _pq_decode(code_col: Column, codebooks: np.ndarray) -> Column:
+    """BINARY codes → array<double> reconstruction (each subspace's
+    codebook centroid, concatenated) — asymmetric distance: probes
+    stay full-precision, only the stored side is approximated."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m = cb.shape[0]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _dec(codes: pd.Series) -> pd.Series:
+        out = []
+        for c in codes:
+            if c is None:
+                out.append(None)
+                continue
+            idx = np.frombuffer(c, dtype=np.uint8)
+            out.append(cb[np.arange(m), idx].reshape(-1).tolist())
+        return pd.Series(out)
+
+    return _dec(code_col)
+
+
+def _read_pq_codebooks(spark, index_path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_path}/quant").collect()
+    m = max(r["_sub"] for r in rows) + 1
+    sub = len(rows[0]["_center"])
+    cb = np.zeros((m, 256, sub), dtype=np.float64)
+    for r in rows:
+        cb[r["_sub"], r["_code"]] = r["_center"]
+    return cb
+
+
 def ivf_build(
     corpus: DataFrame,
     index_path: str,
@@ -581,6 +676,7 @@ def ivf_build(
     seed: int = 42,
     centers: list | None = None,
     compression: str = "none",
+    pq_m: int = 8,
 ) -> None:
     """Build a PERSISTED IVF index at ``index_path`` — the build-once/
     probe-many form of :func:`ivf_topk` (which refits per call).
@@ -620,7 +716,15 @@ def ivf_build(
     itself becoming the storage problem at corpus-scale embedding
     counts. Search decodes candidates on the fly (asymmetric
     distance: probes stay full-precision); recall cost is bounded by
-    the quantization step — validate with :func:`ivf_recall_check`."""
+    the quantization step — validate with :func:`ivf_recall_check`.
+
+    ``compression="pq"`` goes further: product quantization (Jégou et
+    al. 2011) — ``pq_m`` per-subspace 256-entry codebooks fitted from
+    one deterministic corpus sample and frozen under ``quant/``; each
+    vector stores ``pq_m`` BYTES (4·dim/pq_m× smaller than float32 —
+    32× at dim=64/pq_m=8). Coarser than sq8; check recall with
+    :func:`ivf_recall_check` and raise ``pq_m`` (finer subspaces)
+    when it matters."""
     from ..fsutil import fs_delete, fs_exists
     from .clustering import _assign_to_centers, kmeans_fit
 
@@ -642,10 +746,14 @@ def ivf_build(
             corpus, vec_col=corpus_vec, n_clusters=n_lists, seed=seed
         )
     quant = None
+    codebooks = None
     if compression == "sq8":
         # bounds BEFORE the un-commit below: a failure here leaves the
         # old index fully valid
         quant = _sq8_bounds(corpus, corpus_vec, dim)
+    elif compression == "pq":
+        # same ordering contract: fit fully before the un-commit
+        codebooks = _pq_fit(corpus, corpus_vec, dim, pq_m, seed)
     # un-commit as LATE as possible — after input validation AND the
     # (potentially long) fit, immediately before the first write to
     # lists/. A failure anywhere up to here leaves the old index
@@ -664,6 +772,12 @@ def ivf_build(
             _sq8_encode(F.col(corpus_vec), *quant).alias("_code"),
             "_list",
         )
+    elif compression == "pq":
+        assigned = assigned.select(
+            corpus_id,
+            _pq_encode(F.col(corpus_vec), codebooks).alias("_code"),
+            "_list",
+        )
     # repartition by the partition column BEFORE the dynamic
     # partitionBy write: each task then writes only its own lists —
     # without it every input task opens a file per list it touches
@@ -677,6 +791,15 @@ def ivf_build(
         spark.createDataFrame(
             [(d, quant[0][d], quant[1][d]) for d in range(dim)],
             "_d INT, _lo DOUBLE, _hi DOUBLE",
+        ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/quant")
+    elif compression == "pq":
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in codebooks[j, c]])
+                for j in range(codebooks.shape[0])
+                for c in range(256)
+            ],
+            "_sub INT, _code INT, _center ARRAY<DOUBLE>",
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/quant")
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -748,11 +871,16 @@ def ivf_search(
     cand = probe_lists.join(lists, "_list").filter(
         F.col(probe_id) != F.col(corpus_id)
     )
-    if (row["compression"] or "none") == "sq8":
+    comp = row["compression"] or "none"
+    if comp == "sq8":
         # asymmetric distance: decode the stored codes per batch, keep
         # the probe side full-precision; same quantized-cosine kernel
         lo, hi = _read_sq8_bounds(spark, index_path, row["dim"])
         cand_vec = _sq8_decode(F.col("_code"), lo, hi)
+    elif comp == "pq":
+        cand_vec = _pq_decode(
+            F.col("_code"), _read_pq_codebooks(spark, index_path)
+        )
     else:
         cand_vec = F.col(row["corpus_vec"])
     reranked = cand.select(
@@ -797,7 +925,8 @@ def ivf_append(
         row["corpus_vec"],
         centers,
     ).withColumnRenamed("cluster", "_list")
-    if (row["compression"] or "none") == "sq8":
+    comp = row["compression"] or "none"
+    if comp == "sq8":
         # encode with the STORED bounds (frozen at build like the
         # centers); appended values outside them clamp — the same
         # drift-degrades-recall-never-correctness contract, visible in
@@ -806,6 +935,15 @@ def ivf_append(
         assigned = assigned.select(
             row["corpus_id"],
             _sq8_encode(F.col(row["corpus_vec"]), lo, hi).alias("_code"),
+            "_list",
+        )
+    elif comp == "pq":
+        # same frozen-fit contract with the stored codebooks
+        assigned = assigned.select(
+            row["corpus_id"],
+            _pq_encode(
+                F.col(row["corpus_vec"]), _read_pq_codebooks(spark, index_path)
+            ).alias("_code"),
             "_list",
         )
     # same repartition-before-partitionBy shape as ivf_build: one new
@@ -854,12 +992,18 @@ def ivf_stats(spark, index_path: str) -> DataFrame:
     row = _ivf_marker_row(spark, index_path)
     lists = spark.read.parquet(f"{index_path}/lists")
     centers = spark.read.parquet(f"{index_path}/centers")
-    if (row["compression"] or "none") == "sq8":
+    comp = row["compression"] or "none"
+    if comp == "sq8":
         # distances over the RECONSTRUCTED vectors — what the search
         # actually ranks with, so drift readings match search behavior
         lo, hi = _read_sq8_bounds(spark, index_path, row["dim"])
         lists = lists.withColumn(
             row["corpus_vec"], _sq8_decode(F.col("_code"), lo, hi)
+        )
+    elif comp == "pq":
+        lists = lists.withColumn(
+            row["corpus_vec"],
+            _pq_decode(F.col("_code"), _read_pq_codebooks(spark, index_path)),
         )
     d2 = F.aggregate(
         F.zip_with(

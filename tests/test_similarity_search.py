@@ -591,3 +591,61 @@ def test_ivf_pre_round8_marker_reads_as_uncompressed(spark, emb, probes, tmp_pat
     out = ivf_search(probes, idx, k=5, nprobe=4).collect()
     release_caches()
     assert len(out) > 0
+
+
+def test_ivf_pq_size_recall_append_and_stats(spark, emb, probes, tmp_path):
+    """Product quantization: pq_m bytes per vector. The synthetic
+    Gaussian embeddings are PQ's worst case (no manifold structure for
+    the codebooks to exploit), so the pinned trade curve is the honest
+    one: pq_m=8 (32x smaller) >= 0.6 recall@10, pq_m=32 (8x smaller —
+    still 2x beyond sq8) >= 0.95, both at nprobe=n_lists (isolating
+    quantization loss). Appends encode with the FROZEN codebooks,
+    stats decode, invalid pq_m refuses."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_append,
+        ivf_build,
+        ivf_recall_check,
+        ivf_search,
+        ivf_stats,
+    )
+
+    fidx, q8, q32 = str(tmp_path / "f"), str(tmp_path / "q8"), str(tmp_path / "q32")
+    ivf_build(emb, fidx, n_lists=8)
+    ivf_build(emb, q8, n_lists=8, compression="pq", pq_m=8)
+    ivf_build(emb, q32, n_lists=8, compression="pq", pq_m=32)
+    assert _dir_bytes(f"{fidx}/lists") >= 10 * _dir_bytes(f"{q8}/lists")
+    assert _dir_bytes(f"{fidx}/lists") >= 4 * _dir_bytes(f"{q32}/lists")
+
+    rep8 = ivf_recall_check(probes, emb, q8, k=10, nprobe=8)
+    rep32 = ivf_recall_check(probes, emb, q32, k=10, nprobe=8)
+    release_caches()
+    assert rep8["recall_at_k"] >= 0.6, rep8
+    assert rep32["recall_at_k"] >= 0.95, rep32
+    qidx = q32
+
+    # determinism: same index searched twice
+    a = sorted(map(tuple, ivf_search(probes, qidx, k=5, nprobe=4).collect()))
+    b = sorted(map(tuple, ivf_search(probes, qidx, k=5, nprobe=4).collect()))
+    release_caches()
+    assert a == b
+
+    # append under frozen codebooks; stats decode
+    n = emb.count()
+    grow = str(tmp_path / "grow")
+    ivf_build(emb.filter("vec_id % 2 = 0"), grow, n_lists=8,
+              compression="pq", pq_m=8)
+    ivf_append(emb.filter("vec_id % 2 = 1"), grow)
+    stats = ivf_stats(spark, grow).collect()
+    assert sum(r["n_vectors"] for r in stats) == n
+    assert all(
+        r["mean_center_dist"] is not None for r in stats if r["n_vectors"] > 0
+    )
+    got = ivf_search(probes, grow, k=5, nprobe=8).collect()
+    release_caches()
+    odd = {r["vec_id"] for r in got if r["vec_id"] % 2 == 1}
+    assert odd, "appended (odd) rows unsearchable"
+
+    with pytest.raises(ValueError, match="pq_m"):
+        ivf_build(emb, str(tmp_path / "bad"), n_lists=8,
+                  compression="pq", pq_m=7)  # 7 does not divide 64
