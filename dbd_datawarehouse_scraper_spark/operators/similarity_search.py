@@ -587,9 +587,9 @@ def _pq_fit(corpus: DataFrame, vec_col: str, dim: int, pq_m: int, seed: int):
         raise ValueError(
             f"pq_m must divide the vector dimension ({dim}), got {pq_m}"
         )
+    # empty corpora are refused upstream (ivf_build's head check) and
+    # by _fit_sample_matrix itself
     sample = _fit_sample_matrix(corpus, vec_col, 16384)
-    if sample is None or len(sample) == 0:
-        raise ValueError("cannot fit PQ codebooks over an empty corpus")
     sub = dim // pq_m
     return np.stack(
         [
@@ -969,6 +969,19 @@ def _ivf_marker_row(spark, index_path: str):
             f"IVF index at {index_path} has format version "
             f"{None if row is None else row['format_version']}, need "
             f"{IVF_FORMAT_VERSION} — rebuild the index."
+        )
+    comp = row["compression"] or "none"
+    if comp not in _IVF_COMPRESSIONS:
+        # an UNRECOGNIZED compression must refuse, not fall through to
+        # the uncompressed branch: a newer build's codec read by an
+        # older reader would die on a missing column in search — and
+        # ivf_append would write raw float rows into a coded lists/
+        # dir, silently corrupting the index (round-8 review)
+        raise ValueError(
+            f"IVF index at {index_path} uses compression {comp!r}, "
+            f"which this build does not support "
+            f"(supported: {_IVF_COMPRESSIONS}) — upgrade the reader or "
+            "rebuild the index uncompressed."
         )
     return row
 

@@ -313,7 +313,11 @@ def stream_export_training_set(
         # committed one below it is dead weight — prune, don't fold
         from ..fsutil import fs_delete, fs_exists, fs_list_names
 
-        for base in (f"{state_path}/curated", f"{state_path}/segmented"):
+        for base in (
+            f"{state_path}/curated",
+            f"{state_path}/segmented",
+            f"{state_path}/substruck",
+        ):
             if fs_exists(spark, base):
                 for n in fs_list_names(spark, base):
                     if n.startswith("epoch=") and int(n.split("=", 1)[1]) < epoch_id:

@@ -77,49 +77,16 @@ def _validate_or_init_store(
     spark: SparkSession, store_path: str, num_hashes: int, bands: int, k: int
 ) -> None:
     """Ensure ``store_path`` carries a compatible format marker, writing
-    one iff the store does not exist yet. Raises ``ValueError`` on any
-    mismatch (including an unversioned pre-existing store)."""
-    marker = f"{store_path}/format"
-    if fs_exists(spark, marker):
-        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
-        if row is None or row["format_version"] is None:
-            # marker dir exists but holds no readable row (torn write,
-            # tampering) — refuse, same as an unversioned store
-            raise ValueError(
-                f"signature store marker at {marker} exists but is "
-                "unreadable — wipe the store (and re-ingest) before "
-                "continuing."
-            )
-        found = (row["format_version"], row["num_hashes"], row["bands"], row["k"])
-        want = (STORE_FORMAT_VERSION, num_hashes, bands, k)
-        if found != want:
-            raise ValueError(
-                f"signature store at {store_path} has format "
-                f"(version, num_hashes, bands, k)={found}, but this run "
-                f"needs {want}. Signatures from different MinHash/band "
-                "configurations never collide or estimate correctly — "
-                "wipe the store (and re-ingest) or rerun with the "
-                "store's parameters."
-            )
-        return
-    if fs_exists(spark, store_path):
-        raise ValueError(
-            f"signature store at {store_path} exists but has no format "
-            "marker — it predates store versioning or is corrupted. "
-            "Wipe it (and re-ingest history) before continuing; mixing "
-            "unknown-format signatures silently misses duplicates."
-        )
-    # repartition(1), NOT coalesce(1), for every tiny local-relation
-    # write in the package (tripwired in tests/test_plans.py): a
-    # createDataFrame(<python list>) relation is seeded with
-    # defaultParallelism slices, and coalesce(1) folds them into ONE
-    # task that evaluates each slice sequentially at a fixed per-slice
-    # Python-eval cost — measured ~0.15 s/slice on local[32], ~5 s per
-    # 8-row marker write. repartition(1) evaluates slices in parallel
-    # and shuffles <1 KB to one writer (~0.3 s).
-    spark.createDataFrame(
-        [(STORE_FORMAT_VERSION, num_hashes, bands, k)], _MARKER_SCHEMA
-    ).repartition(1).write.mode("overwrite").json(marker)
+    one iff the store does not exist yet (the shared _store protocol)."""
+    from ._store import validate_or_init_marker
+
+    validate_or_init_marker(
+        spark, store_path, _MARKER_SCHEMA,
+        (STORE_FORMAT_VERSION, num_hashes, bands, k),
+        "signature store",
+        "Signatures from different MinHash/band configurations never "
+        "collide or estimate correctly",
+    )
 
 
 _OUT_MARKER_SCHEMA = "out_version INT, columns STRING"

@@ -48,7 +48,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..caching import pool_mark, release_since, tracked_persist
-from ..fsutil import fs_exists
 
 #: Bump when the segment hashing or store layout changes incompatibly.
 STORE_FORMAT_VERSION = 1
