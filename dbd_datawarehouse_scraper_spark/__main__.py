@@ -247,6 +247,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "stopword heuristic — scores Thai and every "
                         "other unlisted language 'und') or trigram "
                         "(12-language byte-trigram profiles incl. th)")
+    p.add_argument("--ivf-stats", type=str, default=None,
+                   help="Maintenance mode: per-list health report for "
+                        "the persisted IVF index at this path (vector "
+                        "counts, mean center distance, rebuild advice), "
+                        "then exit")
     p.add_argument("--profile", type=str, default=None,
                    help="Maintenance mode: one-pass ANALYZE-style "
                         "profile of the given parquet directory (per-"
@@ -554,6 +559,22 @@ def main(argv: Sequence[str] | None = None) -> int:
         for r in rep.collect():
             frac = "" if r["fail_frac"] is None else f" ({r['fail_frac']:.1%})"
             print(f"{r['gate']}: {r['n_fail']}{frac}")
+        return 0
+
+    if args.ivf_stats:
+        from .operators.similarity_search import (
+            ivf_rebuild_advised,
+            ivf_stats,
+        )
+
+        for r in ivf_stats(spark, args.ivf_stats).collect():
+            dist = (
+                "-" if r["mean_center_dist"] is None
+                else f"{r['mean_center_dist']:.4f}"
+            )
+            print(f"list {r['_list']}: n={r['n_vectors']} mean_dist={dist}")
+        advised, why = ivf_rebuild_advised(spark, args.ivf_stats)
+        print(f"rebuild_advised={advised}: {why}")
         return 0
 
     if args.profile:

@@ -928,3 +928,18 @@ def test_gate_report_and_profile_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "doc_id (bigint): n=3 nulls=0" in out
     assert "text (string): n=3 nulls=1" in out
+
+
+def test_cli_ivf_stats_mode(spark, tmp_path, capsys):
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_build,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb, idx, n_lists=4, compression="sq8")
+    rc = main(["--ivf-stats", idx])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("list ") == 4 and "rebuild_advised=" in out

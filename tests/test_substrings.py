@@ -290,3 +290,114 @@ def test_cli_substring_dedup_flags(spark, tmp_path, capsys):
             "--export-training-set", "--input", src, "--output",
             str(tmp_path / "out2"), "--substring-dedup-minlen", "0",
         ])
+
+
+def _duckdb_mirror(rows, k, min_docs=2, keep_first=True, within_doc=False):
+    """An independent DuckDB mirror of substring_dedup (window text
+    compared directly — no hashing), the cross-ENGINE check next to
+    the pure-Python model above."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    dup_cond = f"nd >= {min_docs}"
+    if within_doc:
+        dup_cond += " OR cnt >= 2"
+    surv_cond = "rn > 1" if keep_first else "TRUE"
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+        list_filter(str_split_regex(trim(coalesce(text, '')), '\\s+'),
+                    w -> w != '') AS w
+      FROM docs),
+    occ AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             array_to_string(w[g.i:g.i+{k}-1], ' ') AS win
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(w) - {k} + 2)) AS i) g
+      WHERE len(w) >= {k}),
+    stats AS (
+      SELECT *, COUNT(DISTINCT doc_id) OVER (PARTITION BY win) AS nd,
+             COUNT(*) OVER (PARTITION BY win) AS cnt,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    marked AS (
+      SELECT doc_id, pos FROM stats WHERE ({dup_cond}) AND {surv_cond}),
+    tokix AS (
+      SELECT doc_id, g.i - 1 AS t, w[g.i] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g),
+    cov AS (
+      SELECT x.doc_id, x.t, x.tok,
+             EXISTS (SELECT 1 FROM marked m
+                     WHERE m.doc_id = x.doc_id
+                       AND m.pos <= x.t AND x.t <= m.pos + {k} - 1) AS c
+      FROM tokix x),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT c),
+                      '') AS rebuilt,
+             COUNT(*) FILTER (WHERE c) AS n_removed,
+             COUNT(*) AS n_tokens
+      FROM cov GROUP BY doc_id),
+    spans AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE prev IS NULL OR pos - prev > {k})
+               AS n_spans
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN coalesce(s.n_spans, 0) = 0
+                THEN coalesce(d.text, '') ELSE a.rebuilt END AS clean_text,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(s.n_spans, 0) AS n_spans
+    FROM docs d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN spans s USING (doc_id)
+    """
+    return {
+        r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(sql).fetchall()
+    }
+
+
+def test_duckdb_mirror_parity(spark):
+    """Spark == DuckDB mirror == pure-Python model on the boundary
+    fixtures and a fuzz corpus — two independent re-implementations
+    agreeing pins the semantics cross-engine."""
+    span = [f"m{i}" for i in range(9)]
+    docs = [
+        (1, " ".join(_words(61, 4) + span + _words(62, 3))),
+        (2, " ".join(span + _words(63, 6))),
+        (3, " ".join(_words(64, 2) + span + _words(65, 1) + span)),
+        (4, " ".join(_words(66, 20))),
+        (5, ""),
+    ]
+    for kw in (
+        dict(min_len=9),
+        dict(min_len=9, min_docs=3),
+        dict(min_len=9, keep_first=False),
+        dict(min_len=9, within_doc=True),
+    ):
+        got = _run(spark, docs, **kw)
+        duck = _duckdb_mirror(
+            docs, kw["min_len"], kw.get("min_docs", 2),
+            kw.get("keep_first", True), kw.get("within_doc", False),
+        )
+        model = model_substring_dedup(docs, **kw)
+        assert got == duck == model, kw
+
+    rng = random.Random(424242)
+    fuzz = []
+    spans = [[f"f{s}_{i}" for i in range(rng.randint(5, 9))] for s in range(2)]
+    for d in range(10):
+        w = [f"v{rng.randrange(9)}" for _ in range(rng.randint(0, 18))]
+        for sp in spans:
+            if rng.random() < 0.5:
+                at = rng.randint(0, len(w))
+                w = w[:at] + sp + w[at:]
+        fuzz.append((d, " ".join(w)))
+    got = _run(spark, fuzz, min_len=5)
+    assert got == _duckdb_mirror(fuzz, 5) == model_substring_dedup(fuzz, min_len=5)
