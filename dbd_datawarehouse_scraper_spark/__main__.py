@@ -240,6 +240,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "stateless curation gate (lang/quality/tokens; "
                         "plus Gopher with --gopher, C4 with --c4-clean) "
                         "would drop, alone and combined, then exit")
+    p.add_argument("--keep-langs", type=str, default=None,
+                   help="Comma-separated language codes the curation "
+                        "lang gate keeps (default: en,de,fr). Codes "
+                        "outside the chosen --lang-id implementation's "
+                        "range can never match — pair th etc. with "
+                        "--lang-id trigram")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="Curation quality-score floor (default: 0.3)")
+    p.add_argument("--min-doc-tokens", type=int, default=None,
+                   help="Curation token-count floor (default: 5)")
     p.add_argument("--lang-id", type=str, default="fast",
                    choices=("fast", "trigram"),
                    help="Language identifier for the curation funnel "
@@ -432,6 +442,29 @@ def _dsir_opts_from_args(args) -> dict | None:
     }
 
 
+def _gate_kwargs_from_args(args) -> dict:
+    """The lang/quality/token gate knobs shared by the batch export,
+    the stream export, and --gate-report — resolved in ONE place so
+    the three surfaces cannot drift."""
+    out = {}
+    if args.keep_langs is not None:
+        langs = tuple(
+            x.strip() for x in args.keep_langs.split(",") if x.strip()
+        )
+        if not langs:
+            raise ValueError("--keep-langs must name at least one code")
+        out["keep_langs"] = langs
+    if args.min_quality is not None:
+        out["min_quality"] = args.min_quality
+    if args.min_doc_tokens is not None:
+        if args.min_doc_tokens < 0:
+            raise ValueError(
+                f"--min-doc-tokens must be >= 0, got {args.min_doc_tokens}"
+            )
+        out["min_tokens"] = args.min_doc_tokens
+    return out
+
+
 def _html_opts_from_args(args) -> dict | None:
     """One construction for BOTH the batch and stream export paths —
     a flag added in one place can't silently desynchronize the two.
@@ -555,6 +588,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             gopher_opts={} if args.gopher else None,
             c4_opts={} if args.c4_clean else None,
             lang_id_impl=args.lang_id,
+            **_gate_kwargs_from_args(args),
         )
         for r in rep.collect():
             frac = "" if r["fail_frac"] is None else f" ({r['fail_frac']:.1%})"
@@ -706,6 +740,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             curate_kwargs["dsir_opts"] = dsir_opts
         if args.lang_id != "fast":
             curate_kwargs["lang_id_impl"] = args.lang_id
+        curate_kwargs.update(_gate_kwargs_from_args(args))
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(
@@ -812,6 +847,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         dsir_opts = _dsir_opts_from_args(args)
         if dsir_opts is not None:
             sopts["dsir_opts"] = dsir_opts
+        sopts.update(_gate_kwargs_from_args(args))
+        if args.lang_id != "fast":
+            sopts["lang_id_impl"] = args.lang_id
         q = stream_export_training_set(
             file_stream(spark, args.input, schema, max_files_per_trigger=1),
             args.output,

@@ -65,7 +65,6 @@ from ..functions.pii import redact_pii
 from ..functions.splits import DEFAULT_FRACTIONS, content_split
 from ..functions.text_analysis import (
     doc_fingerprint,
-    lang_id,
     quality_score,
     token_count,
 )
@@ -104,6 +103,7 @@ def stream_export_training_set(
     c4_opts: dict | None = None,
     shuffle_salt: str | None = None,
     token_counter: str = "whitespace",
+    lang_id_impl: str = "fast",
 ) -> StreamingQuery:
     """Start the incremental exporter. Returns the StreamingQuery.
 
@@ -293,6 +293,12 @@ def stream_export_training_set(
         from ..functions.c4 import validate_c4_opts
 
         validate_c4_opts(c4_opts)
+    from ..functions.langid import resolve_lang_id
+
+    # refuse at start; the batch funnel's knob — keep_langs beyond
+    # {en, es, de, fr, zh} needs 'trigram' (the fast heuristic scores
+    # Thai etc. 'und')
+    _lang_id = resolve_lang_id(lang_id_impl)
     if substring_dedup_opts is not None:
         # same contract: refuse bad substring params before the stream
         # starts (a bad min_docs inside foreachBatch would otherwise
@@ -422,7 +428,7 @@ def stream_export_training_set(
                 source = source.join(flagged_ids, id_col, "left_anti")
 
         gated = source.filter(
-            lang_id(F.col(text_col)).isin(list(keep_langs))
+            _lang_id(F.col(text_col)).isin(list(keep_langs))
             & (quality_score(F.col(text_col)) >= min_quality)
             & (token_count(F.col(text_col)) >= min_tokens)
         )

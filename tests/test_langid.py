@@ -171,3 +171,38 @@ def test_cli_lang_id_flag(spark, tmp_path, capsys):
     # gate under trigram too — but as 'th', proving the scorer ran; the
     # observable contract here is just a clean report run
     assert "lang:" in out
+
+
+def test_cli_keep_langs_with_trigram_export(spark, tmp_path):
+    """--keep-langs th --lang-id trigram: a Thai document survives the
+    CLI batch export end-to-end (no flag existed before round 8 — CLI
+    exports were locked to the en/de/fr default)."""
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    th = (
+        "บริษัทจดทะเบียนในประเทศไทยรายงานผลประกอบการประจำปีต่อคณะกรรมการ "
+        "และผู้ถือหุ้นได้รับเงินปันผลตามมติที่ประชุมใหญ่สามัญประจำปีของบริษัท"
+    )
+    docs = spark.createDataFrame(
+        [(1, th, "th", "srcA"), (2, HELD_OUT["en"] + " " + HELD_OUT["en"], "en", "srcA")],
+        "doc_id INT, text STRING, lang STRING, source STRING",
+    )
+    src, out = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.write.parquet(src)
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--keep-langs", "th", "--lang-id", "trigram",
+        "--min-quality", "0.0", "--min-doc-tokens", "1",
+        "--split-fractions", '{"train": 1.0}', "--no-redact",
+    ])
+    assert rc == 0
+    got = spark.read.json(f"{out}/split=train").collect()
+    assert [r["doc_id"] for r in got] == ["1"] or [r["doc_id"] for r in got] == [1]
+    # empty keep-langs refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep-langs"):
+        main([
+            "--export-training-set", "--input", src, "--output",
+            str(tmp_path / "o2"), "--keep-langs", " , ",
+        ])
