@@ -811,6 +811,18 @@ def main(argv: Sequence[str] | None = None) -> int:
                 "exported set (operators.mixing.mix_corpora / "
                 "temperature_mix)."
             )
+        if args.quality_sample_rates:
+            raise ValueError(
+                "--quality-sample-rates is a global property (the "
+                "corpus-wide score-quantile histogram) and cannot run "
+                "incrementally — sample at rest over the exported set "
+                "(operators.sampling.quality_bucket_sample), or gate "
+                "with the fixed --min-quality threshold instead."
+            )
+        if args.split_fractions:
+            import json as _json
+
+            sopts["split_fractions"] = _json.loads(args.split_fractions)
         if args.segment_dedup_k is not None:
             if args.segment_dedup_k < 1:
                 raise ValueError(

@@ -943,3 +943,38 @@ def test_cli_ivf_stats_mode(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("list ") == 4 and "rebuild_advised=" in out
+
+
+def test_stream_export_refuses_global_flags_and_honors_splits(spark, tmp_path):
+    """--quality-sample-rates refuses under --stream-export (global
+    quantile property — the mixing/caps precedent), and
+    --split-fractions is honored instead of silently defaulting."""
+    import glob
+
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [(i, "the results that have been shared with the board are of "
+             f"real interest to analysts and auditors alike doc {i}", "s")
+         for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "in")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    with _pytest.raises(ValueError, match="quality-sample-rates"):
+        main([
+            "--stream-export", "--input", src,
+            "--output", str(tmp_path / "o1"),
+            "--quality-sample-rates", "100,500,10000",
+        ])
+    out = str(tmp_path / "o2")
+    rc = main([
+        "--stream-export", "--input", src, "--output", out,
+        "--split-fractions", '{"train": 1.0}', "--no-redact",
+    ])
+    assert rc == 0
+    # everything landed under split=train — the fractions were honored
+    assert glob.glob(f"{out}/split=train/epoch=*/shard=*/*.gz")
+    assert not glob.glob(f"{out}/split=val*")
