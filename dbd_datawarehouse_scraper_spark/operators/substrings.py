@@ -69,17 +69,34 @@ _BINV = pow(_B, -1, 1 << 64)
 _ID, _POS, _H = "_ss_id", "_ss_pos", "_ss_h"
 
 
+#: Process-level token→hash memo (the bpe.py per-piece trick): natural
+#: text repeats tokens heavily (Zipf), so the blake2b call — the one
+#: per-row Python loop in this kernel — runs once per DISTINCT token
+#: per executor process, not once per token occurrence. Bounded: at the
+#: cap the memo is dropped wholesale (distinct-token working sets are
+#: small; a miss just re-hashes).
+_HASH_MEMO: dict[str, int] = {}
+_HASH_MEMO_CAP = 1 << 21  # ~2M distinct tokens ≈ low hundreds of MB worst case
+
+
 def _token_hashes(tokens: list[str]) -> np.ndarray:
     """64-bit blake2b per token (deterministic across processes —
-    Python's builtin ``hash`` is salted per run and unusable here)."""
-    return np.fromiter(
-        (
-            int.from_bytes(blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
-            for t in tokens
-        ),
-        dtype=np.uint64,
-        count=len(tokens),
-    )
+    Python's builtin ``hash`` is salted per run and unusable here),
+    memoized per distinct token across the executor process."""
+    memo = _HASH_MEMO
+    if len(memo) > _HASH_MEMO_CAP:
+        memo.clear()
+    get = memo.get
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = get(t)
+        if h is None:
+            h = int.from_bytes(
+                blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            memo[t] = h
+        out[i] = h
+    return out
 
 
 def _window_hashes(tokens: list[str], k: int) -> np.ndarray:
