@@ -104,6 +104,9 @@ HEADLINE = [
     "sequence_packing",
     "gopher_quality",
     "dsir_selection",
+    # round 9: learned quality classifier — rows-only, oracle ratio
+    # subset unchanged
+    "quality_classifier",
     "c4_clean",
     "gate_report",
 ]

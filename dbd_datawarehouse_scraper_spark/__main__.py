@@ -296,6 +296,30 @@ def build_parser() -> argparse.ArgumentParser:
                         "importance weight under --dsir-model is at "
                         "least this (0 = at least as target-like as "
                         "the raw corpus)")
+    p.add_argument("--fit-classifier", action="store_true",
+                   help="Maintenance mode: fit the learned quality "
+                        "classifier (logistic regression over hashed "
+                        "n-gram buckets) with --classifier-pos (a "
+                        "documents parquet dir, column 'text') as the "
+                        "positive class and --input as the negative "
+                        "(raw) class, save to --output, then exit — "
+                        "feed the result to --classifier-model")
+    p.add_argument("--classifier-pos", type=str, default=None,
+                   help="Positive-class (high-quality) parquet dir for "
+                        "--fit-classifier")
+    p.add_argument("--classifier-buckets", type=int, default=10_000,
+                   help="Hashed n-gram buckets for --fit-classifier")
+    p.add_argument("--classifier-sample", type=int, default=10_000,
+                   help="Per-class fit-sample bound for "
+                        "--fit-classifier (content-hash deterministic)")
+    p.add_argument("--classifier-model", type=str, default=None,
+                   help="A --fit-classifier (save_classifier) model "
+                        "directory: gate exported documents on learned "
+                        "quality (requires --min-classifier-prob)")
+    p.add_argument("--min-classifier-prob", type=float, default=None,
+                   help="Keep only documents the --classifier-model "
+                        "scores at least this likely high-quality "
+                        "(in [0, 1]; 0.5 = the model's call)")
     p.add_argument("--lm-model", type=str, default=None,
                    help="A --fit-lm (save_lm) model directory: gate "
                         "exported documents on perplexity under it "
@@ -439,6 +463,23 @@ def _dsir_opts_from_args(args) -> dict | None:
     return {
         "model_path": args.dsir_model,
         "min_avg_log_weight": args.min_dsir_weight,
+    }
+
+
+def _classifier_opts_from_args(args) -> dict | None:
+    """One construction for BOTH export paths: --classifier-model +
+    --min-classifier-prob enable the learned quality gate; either
+    alone refuses."""
+    if args.classifier_model is None and args.min_classifier_prob is None:
+        return None
+    if args.classifier_model is None or args.min_classifier_prob is None:
+        raise ValueError(
+            "--classifier-model and --min-classifier-prob must be "
+            "given together"
+        )
+    return {
+        "model_path": args.classifier_model,
+        "min_prob": args.min_classifier_prob,
     }
 
 
@@ -669,6 +710,33 @@ def main(argv: Sequence[str] | None = None) -> int:
         )
         return 0
 
+    if args.fit_classifier:
+        from .caching import release_caches
+        from .operators.classifier import classifier_fit, save_classifier
+
+        if not args.classifier_pos:
+            raise ValueError("--fit-classifier requires --classifier-pos")
+        pos = spark.read.parquet(args.classifier_pos).select(
+            F.lit(1).alias("label"), "text"
+        )
+        neg = spark.read.parquet(args.input).select(
+            F.lit(0).alias("label"), "text"
+        )
+        model = classifier_fit(
+            pos.unionByName(neg),
+            text_col="text",
+            n_buckets=args.classifier_buckets,
+            sample_per_class=args.classifier_sample,
+        )
+        save_classifier(spark, model, args.output)
+        release_caches()
+        print(
+            f"classifier fitted: {model['n_pos']} positive / "
+            f"{model['n_neg']} negative sample docs, "
+            f"{model['n_buckets']} buckets -> {args.output}"
+        )
+        return 0
+
     if args.export_training_set:
         import json as _json
 
@@ -738,6 +806,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         dsir_opts = _dsir_opts_from_args(args)
         if dsir_opts is not None:
             curate_kwargs["dsir_opts"] = dsir_opts
+        classifier_opts = _classifier_opts_from_args(args)
+        if classifier_opts is not None:
+            curate_kwargs["classifier_opts"] = classifier_opts
         if args.lang_id != "fast":
             curate_kwargs["lang_id_impl"] = args.lang_id
         curate_kwargs.update(_gate_kwargs_from_args(args))
@@ -859,6 +930,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         dsir_opts = _dsir_opts_from_args(args)
         if dsir_opts is not None:
             sopts["dsir_opts"] = dsir_opts
+        classifier_opts = _classifier_opts_from_args(args)
+        if classifier_opts is not None:
+            sopts["classifier_opts"] = classifier_opts
         sopts.update(_gate_kwargs_from_args(args))
         if args.lang_id != "fast":
             sopts["lang_id_impl"] = args.lang_id

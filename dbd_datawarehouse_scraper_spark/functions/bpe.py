@@ -167,6 +167,147 @@ def get_counter(path: str) -> BpeCounter:
     return c
 
 
+def _train_merges(
+    piece_freqs: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str]]:
+    """The driver-side BPE learner (Sennrich et al. 2016 over the
+    GPT-2 byte alphabet): repeatedly merge the corpus-frequency-
+    weighted most frequent adjacent symbol pair. Incremental pair
+    statistics — each merge touches only the words containing the
+    merged pair, never rescans the vocabulary (the classic
+    subword-nmt optimization; naive rescans are O(vocab) per merge).
+    Deterministic: ties break to the lexicographically smallest pair,
+    and nothing iterates a set where order matters (stale word-index
+    entries are re-derived from current symbols, so they are
+    correctness-neutral). Stops early when the best pair's weighted
+    frequency drops below ``min_pair_freq``."""
+    from collections import defaultdict
+
+    words: list[list] = []  # [symbols, freq] per distinct piece
+    for piece, f in piece_freqs:
+        syms = [_BYTE_SYM[b] for b in piece.encode("utf-8")]
+        if len(syms) >= 2:
+            words.append([syms, f])
+    pair_count: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, (syms, f) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_count[p] += f
+            pair_words[p].add(wid)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        if not pair_count:
+            break
+        best, bc = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))
+        if bc < min_pair_freq:
+            break
+        merges.append(best)
+        m0, m1 = best
+        for wid in pair_words[best]:
+            syms, f = words[wid]
+            # retract this word's current pair contributions...
+            for p in zip(syms, syms[1:]):
+                pair_count[p] -= f
+                if pair_count[p] <= 0:
+                    del pair_count[p]
+            # ...apply the merge greedily left-to-right...
+            new = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == m0 and syms[i + 1] == m1:
+                    new.append(m0 + m1)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[wid][0] = new
+            # ...and re-add the rewritten word's pairs
+            for p in zip(new, new[1:]):
+                pair_count[p] += f
+                pair_words[p].add(wid)
+        del pair_words[best]
+    return merges
+
+
+def bpe_train(
+    docs,
+    text_col: str = "text",
+    num_merges: int = 8000,
+    max_pieces: int = 200_000,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Train a :func:`load_merges`-compatible merge table on a corpus
+    — the missing half of the vocab loop (``bpe_token_count`` loads a
+    merges file; this produces one). Returns the ordered merge list;
+    persist with :func:`save_merges`.
+
+    Split Spark/driver like every fit in this package (the kmeans_fit
+    pattern): the CORPUS-side work is one pre-tokenize explode + one
+    map-side-combined frequency aggregate whose output is the
+    distinct-PIECE relation — Zipf-small however big the corpus — cut
+    to the ``max_pieces`` most frequent pieces (ordered by count desc
+    then piece asc: a deterministic total order, so the trained table
+    is rerun/partition-invariant); the LEARNER then runs driver-side
+    over that bounded piece-frequency table (:func:`_train_merges`).
+    Truncation at ``max_pieces`` drops only the frequency tail, whose
+    pairs are dominated by the kept mass — the standard corpus-BPE
+    trade; raise it if the corpus is short-tailed.
+
+    ``min_pair_freq`` stops the learner once the best remaining pair
+    is rarer than this (a rank learned from one occurrence is noise);
+    the returned list may therefore be shorter than ``num_merges``.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if max_pieces < 1:
+        raise ValueError(f"max_pieces must be >= 1, got {max_pieces}")
+    if min_pair_freq < 1:
+        raise ValueError(f"min_pair_freq must be >= 1, got {min_pair_freq}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _pieces(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [[] if t is None else _PRETOKEN.findall(t) for t in texts]
+        )
+
+    freq = (
+        docs.select(F.explode_outer(_pieces(F.col(text_col))).alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .groupBy("_p")
+        .agg(F.count("*").cast("long").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_p").asc())
+        .limit(max_pieces)
+    )
+    rows = freq.collect()
+    if not rows:
+        raise ValueError("cannot train BPE on an empty corpus")
+    return _train_merges(
+        [(r["_p"], int(r["_n"])) for r in rows], num_merges, min_pair_freq
+    )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Write a :func:`bpe_train` result as a :func:`load_merges`-
+    compatible file (version header + one space-separated pair per
+    line). Local-filesystem write — on a cluster, train driver-side
+    and publish the file to the shared filesystem the executors read
+    (the same visibility rule ``bpe_token_count`` documents). Byte
+    symbols never contain a literal space (0x20 is outside the
+    printable identity ranges of :func:`bytes_to_unicode`), so the
+    two-token line format is unambiguous."""
+    if not merges:
+        raise ValueError("refusing to write an empty merges file")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in merges:
+            fh.write(f"{a} {b}\n")
+
+
 def bpe_token_count(path: str):
     """Column-function factory: ``bpe_token_count(path)(col)`` is the
     exact token count under the merge table at ``path``. The path is

@@ -1,0 +1,382 @@
+"""[EXT] Learned quality classifier — logistic regression over hashed
+n-gram buckets, the trained-gate family the published pipelines pair
+with the heuristic gates this package already ships (Gopher rules, C4,
+repetition, token rarity, LM perplexity, DSIR):
+
+- GPT-3 (Brown et al. 2020, appendix A) trains a logistic-regression
+  quality classifier on hashed features of WebText-positive vs
+  crawl-negative pages;
+- LLaMA (Touvron et al. 2023) filters CommonCrawl with a classifier
+  trained on Wikipedia-referenced pages;
+- fastText-supervised (Joulin et al. 2016) is the standard hashed
+  bag-of-n-grams linear architecture all of them use.
+
+This module is that recipe on the package's existing machinery:
+
+1. **featurize** with THE shared hashed unigram+bigram bucketizer
+   (:func:`.dsir._hashed_grams` — sha256-prefix buckets, the
+   oracle-visible hashing convention), so fit-time and score-time
+   features come from the SAME Catalyst expression and cannot drift;
+2. **fit** driver-side on a bounded, content-hash-deterministic
+   per-class sample (the :func:`.clustering.kmeans_fit` pattern —
+   hash-threshold pre-filter + orderBy/limit, rerun- and
+   repartition-invariant), full-batch gradient descent in numpy
+   (fixed iterations — bit-deterministic for a fixed sample);
+3. **quantize** the learned per-bucket weights to 1e-6 bigints IN THE
+   MODEL (the DSIR convention), so every document's logit numerator is
+   an exact integer sum — partition- and rerun-invariant scoring;
+4. **score** with one explode + ONE BroadcastHashJoin against the
+   n_buckets-row model + one per-doc sum. Nothing is corpus × corpus.
+
+Scale shape (100 TB honest): the fit touches ``2 × sample_per_class``
+documents' bucket counts (collected sparse, bounded by
+``sample_per_class × distinct-buckets-per-doc`` rows); scoring is the
+DSIR score plan exactly — model broadcast, shuffle = per-doc partial
+sums. The model is ``n_buckets`` rows however big the corpus is.
+
+Persistence follows the save_lm / save_dsir contract: ``buckets/``
+parquet + a 1-row ``_meta`` marker written LAST, marker deleted FIRST
+on re-save, loud refusal on missing/drifted/torn stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dsir import _hashed_grams
+
+#: Weight quantization: per-gram weight sums are exact integers.
+_QUANT = 1_000_000
+
+_MARKER_VERSION = 1
+
+_DEFAULT_BUCKETS = 10_000
+
+#: Default per-class fit-sample bound. 10k docs/class × a few hundred
+#: distinct buckets each collects a few-million-row sparse relation —
+#: tens of MB on the driver, the same envelope as kmeans_fit's sample.
+_SAMPLE_PER_CLASS = 10_000
+
+_HASH_SPAN = 1 << 61  # pmod(xxhash64, 2^61): label bit + hash fit a long
+
+
+def _class_sample(hashed: DataFrame, sample_size: int) -> DataFrame:
+    """The ``sample_size`` rows of ONE class with the smallest content
+    hash — the kmeans_fit `_fit_sample_rows` discipline: a stateless
+    hash-threshold pre-filter bounds the orderBy/limit merge (which
+    otherwise funnels sample_size × num_partitions rows into one
+    task), ordering and filtering on the SAME hash so the selected
+    set is unchanged."""
+    n_total = hashed.count()
+    if n_total > 1.25 * sample_size:
+        thresh = max(1, int(1.25 * sample_size / n_total * _HASH_SPAN))
+        hashed = hashed.filter(F.col("_h") < thresh)
+    return hashed.orderBy("_h").limit(sample_size)
+
+
+def _fit_arrays(pdf, n_buckets: int):
+    """Sorted sparse (row, col, val) triples + labels from the collected
+    (_cid, _bucket, _c) frame — the deterministic driver-side half of
+    :func:`classifier_fit`, split out so the pure-numpy fit is testable
+    without a SparkSession."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["_cid", "_bucket"], kind="stable")
+    cid = pdf["_cid"].to_numpy(dtype=np.int64)
+    col = pdf["_bucket"].to_numpy(dtype=np.int64)
+    c = pdf["_c"].to_numpy(dtype=np.float64)
+    uniq, row = np.unique(cid, return_inverse=True)
+    y = (uniq >= _HASH_SPAN).astype(np.float64)
+    n_grams = np.bincount(row, weights=c, minlength=len(uniq))
+    val = c / n_grams[row]  # length-normalized counts: x_b = c_b / n
+    return row, col, val, y
+
+
+def _logistic_gd(
+    row, col, val, y, n_buckets: int, iters: int, lr: float, l2: float
+):
+    """Full-batch Nesterov-momentum gradient descent on L2-regularized
+    logistic loss over the sparse feature triples. Fixed iteration
+    count, no randomness — bit-deterministic for a fixed input order
+    (the caller sorts). bincount is the sparse matvec: O(nnz) per
+    direction per iter. Momentum matters here: the length-normalized
+    features are tiny (each nonzero ≈ 1/n_grams), so plain GD crawls;
+    0.9-momentum reaches sharp decision boundaries in a few hundred
+    iterations where vanilla needs tens of thousands."""
+    import numpy as np
+
+    n = len(y)
+    w = np.zeros(n_buckets, dtype=np.float64)
+    vw = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+    vb = 0.0
+    mom = 0.9
+    for _ in range(iters):
+        # Nesterov lookahead
+        wl = w + mom * vw
+        bl = b + mom * vb
+        z = bl + np.bincount(row, weights=val * wl[col], minlength=n)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        grad_w = (
+            np.bincount(col, weights=val * g[row], minlength=n_buckets) / n
+            + l2 * wl
+        )
+        vw = mom * vw - lr * grad_w
+        vb = mom * vb - lr * float(g.mean())
+        w += vw
+        b += vb
+    return w, b
+
+
+def classifier_fit(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = _DEFAULT_BUCKETS,
+    sample_per_class: int = _SAMPLE_PER_CLASS,
+    iters: int = 300,
+    lr: float = 10.0,
+    l2: float = 1e-6,
+) -> dict:
+    """Fit the hashed-n-gram logistic quality classifier on a labeled
+    corpus (``label_col`` ∈ {0, 1}; 1 = high-quality / target-like —
+    e.g. Wikipedia-referenced pages — 0 = raw crawl). Returns
+    ``{"buckets": DF(_bucket, _wq), "bias_q", "n_buckets", "n_pos",
+    "n_neg"}`` with weights quantized to 1e-6 bigints.
+
+    Deterministic end to end: the per-class sample is the
+    ``sample_per_class`` lowest ``pmod(xxhash64(text), 2^61)`` rows
+    (content-keyed — rerun/repartition-invariant; duplicate texts
+    collapse to one fit row, a principled pre-fit dedup), features are
+    sorted before the fixed-iteration numpy fit, and nothing draws
+    randomness. NULL-text and gram-less documents contribute nothing
+    (they cannot be scored either).
+
+    The returned ``buckets`` relation is a small LOCAL dataframe
+    (n_buckets rows); persist with :func:`save_classifier` for the
+    score-many path, same contract as save_dsir/save_lm.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if sample_per_class < 1:
+        raise ValueError(
+            f"sample_per_class must be >= 1, got {sample_per_class}"
+        )
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if lr <= 0 or l2 < 0:
+        raise ValueError(f"need lr > 0 and l2 >= 0, got lr={lr} l2={l2}")
+    import numpy as np
+
+    spark = labeled.sparkSession
+    from ..caching import pool_mark, release_since, tracked_persist
+
+    mark = pool_mark()
+    try:
+        hashed = (
+            labeled.select(
+                F.col(label_col).cast("long").alias("_y"),
+                F.col(text_col).alias("_tx"),
+            )
+            .filter(F.col("_tx").isNotNull() & F.col("_y").isin(0, 1))
+            .withColumn("_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN)))
+        )
+        hashed = tracked_persist(hashed)
+        pos = _class_sample(hashed.filter(F.col("_y") == 1), sample_per_class)
+        neg = _class_sample(hashed.filter(F.col("_y") == 0), sample_per_class)
+        # label bit above the hash: _cid = y·2^61 + h keys the per-doc
+        # aggregate AND carries the label through it in one long
+        sampled = tracked_persist(
+            pos.unionByName(neg).select(
+                (F.col("_y") * _HASH_SPAN + F.col("_h")).alias("_cid"), "_tx"
+            )
+        )
+        counts = (
+            _hashed_grams(sampled, "_cid", "_tx", n_buckets)
+            .groupBy("_cid", "_bucket")
+            .agg(F.count("*").cast("long").alias("_c"))
+        )
+        pdf = counts.toPandas()
+    finally:
+        release_since(mark)
+    if len(pdf) == 0:
+        raise ValueError("no scoreable documents in either class")
+    r, col, val, y = _fit_arrays(pdf, n_buckets)
+    n_pos = int(y.sum())
+    n_neg = int(len(y) - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"classifier_fit needs scoreable documents in BOTH classes "
+            f"(got {n_pos} positive, {n_neg} negative)"
+        )
+    w, b = _logistic_gd(r, col, val, y, n_buckets, iters, lr, l2)
+    wq = np.round(w * _QUANT).astype(np.int64)
+    buckets = spark.createDataFrame(
+        [(int(i), int(q)) for i, q in enumerate(wq)],
+        "_bucket LONG, _wq LONG",
+    )
+    return {
+        "buckets": buckets,
+        "bias_q": int(round(b * _QUANT)),
+        "n_buckets": int(n_buckets),
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+    }
+
+
+def save_classifier(spark: SparkSession, model: dict, path: str) -> None:
+    """Persist: ``buckets/`` parquet + ``_meta`` marker written LAST (a
+    crash mid-save leaves a markerless dir :func:`load_classifier`
+    refuses loudly); on RE-save the old marker is deleted FIRST (the
+    ivf_build torn-rebuild class). ``repartition(1)`` on the tiny local
+    relations — never coalesce(1) (the local-relation slice-serialize
+    trap, tests/test_plans.py tripwire)."""
+    from ..fsutil import fs_delete
+
+    fs_delete(spark, f"{path}/_meta")
+    model["buckets"].repartition(1).write.mode("overwrite").parquet(
+        f"{path}/buckets"
+    )
+    spark.createDataFrame(
+        [(
+            _MARKER_VERSION,
+            int(model["n_buckets"]),
+            int(model["bias_q"]),
+            int(model["n_pos"]),
+            int(model["n_neg"]),
+        )],
+        "version INT, n_buckets INT, bias_q LONG, n_pos LONG, n_neg LONG",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/_meta")
+
+
+def load_classifier(spark: SparkSession, path: str) -> dict:
+    """Load a :func:`save_classifier` directory; refuses a missing or
+    version-drifted marker and cross-checks the cheap structural
+    invariant (bucket row count == marker n_buckets — a torn re-save
+    cannot masquerade as a valid model)."""
+    try:
+        meta = spark.read.parquet(f"{path}/_meta").collect()
+    except Exception as exc:  # noqa: BLE001 — any unreadable marker refuses
+        raise ValueError(
+            f"no classifier marker at {path}/_meta — not a "
+            f"save_classifier directory (or a crashed save; refit)"
+        ) from exc
+    if len(meta) != 1 or meta[0]["version"] != _MARKER_VERSION:
+        raise ValueError(
+            f"classifier marker at {path} has version "
+            f"{meta[0]['version'] if meta else '?'}, expected "
+            f"{_MARKER_VERSION}"
+        )
+    buckets = spark.read.parquet(f"{path}/buckets")
+    n_rows = buckets.count()  # the model is n_buckets rows — cheap
+    if n_rows != int(meta[0]["n_buckets"]):
+        raise ValueError(
+            f"classifier store at {path} is torn: marker says "
+            f"{meta[0]['n_buckets']} buckets but the table has {n_rows} "
+            f"rows — a crashed re-save; refit and re-save."
+        )
+    return {
+        "buckets": buckets,
+        "bias_q": int(meta[0]["bias_q"]),
+        "n_buckets": int(meta[0]["n_buckets"]),
+        "n_pos": int(meta[0]["n_pos"]),
+        "n_neg": int(meta[0]["n_neg"]),
+    }
+
+
+def classifier_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document quality: ``(id_col, n_grams LONG, logit DOUBLE,
+    prob DOUBLE)`` where ``logit = bias + (Σ_grams w[bucket]) /
+    n_grams`` (the length-normalized linear model the fit learned) and
+    ``prob = σ(logit)``. The weight sum is an exact quantized-bigint
+    integer — partition/rerun-invariant. Gram-less documents
+    (empty/whitespace/NULL text) produce no rows and are ABSENT
+    (:func:`classifier_filter` decides their fate explicitly). One
+    explode, ONE broadcast join against the n_buckets-row model, one
+    per-doc sum — the dsir_score plan exactly."""
+    grams = _hashed_grams(docs, id_col, text_col, model["n_buckets"])
+    scored = grams.join(F.broadcast(model["buckets"]), "_bucket")
+    logit = (
+        F.lit(model["bias_q"] / _QUANT)
+        + F.col("_s").cast("double") / F.col("n_grams") / _QUANT
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_wq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(logit, 6).alias("logit"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+def classifier_filter(
+    docs: DataFrame,
+    model: dict,
+    min_prob: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """The gate form: keep documents the classifier scores at least
+    ``min_prob`` likely high-quality (0.5 = "the model's call").
+    Unscoreable (empty/NULL-text) documents are decided by
+    ``keep_empty`` explicitly — never a NULL-comparison vanish.
+    Returns the input columns unchanged."""
+    if not (0.0 <= float(min_prob) <= 1.0):
+        raise ValueError(f"min_prob must be in [0, 1], got {min_prob}")
+    scores = classifier_score(docs, model, id_col=id_col, text_col=text_col)
+    keep = scores.filter(F.col("prob") >= F.lit(float(min_prob)))
+    kept = docs.join(keep.select(id_col), id_col, "left_semi")
+    if keep_empty:
+        from ..functions.text_analysis import token_count
+
+        empties = docs.filter(
+            token_count(F.coalesce(F.col(text_col), F.lit(""))) == 0
+        )
+        kept = kept.unionByName(empties)
+    return kept
+
+
+def resolve_classifier_opts(spark: SparkSession, opts: dict) -> dict:
+    """THE one validation + resolution of a ``classifier_opts`` dict —
+    the batch funnel, the stream exporter, and the CLI all call it, so
+    refusal semantics cannot drift (the resolve_dsir_opts precedent).
+    Requires ``min_prob`` and exactly one NON-NULL of ``model`` (a
+    :func:`classifier_fit` result) / ``model_path`` (a
+    :func:`save_classifier` dir). Returns ``{"model": <dict>,
+    "min_prob": <float>}``."""
+    d = dict(opts)
+    if "min_prob" not in d:
+        raise ValueError("classifier_opts requires 'min_prob'")
+    has_model = d.get("model") is not None
+    has_path = d.get("model_path") is not None
+    if has_model == has_path:
+        raise ValueError(
+            "classifier_opts requires exactly one of 'model' (a "
+            "classifier_fit result) or 'model_path' (a save_classifier "
+            "dir)"
+        )
+    min_prob = float(d["min_prob"])
+    if not (0.0 <= min_prob <= 1.0):
+        raise ValueError(f"min_prob must be in [0, 1], got {min_prob}")
+    return {
+        "model": d["model"]
+        if has_model
+        else load_classifier(spark, d["model_path"]),
+        "min_prob": min_prob,
+    }

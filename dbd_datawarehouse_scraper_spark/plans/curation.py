@@ -78,6 +78,7 @@ def curate_documents(
     lm_opts: dict | None = None,
     gopher_opts: dict | None = None,
     dsir_opts: dict | None = None,
+    classifier_opts: dict | None = None,
     c4_opts: dict | None = None,
     lang_id_impl: str = "fast",
     near_dup_opts: dict | None = None,
@@ -192,6 +193,17 @@ def curate_documents(
     least as target-like as raw") and the model as ``model_path`` (a
     :func:`..operators.dsir.save_dsir` directory) or ``model`` (an
     in-memory :func:`..operators.dsir.dsir_fit` result), exactly one.
+
+    ``classifier_opts`` adds the LEARNED quality gate
+    (:func:`..operators.classifier.classifier_filter` — logistic
+    regression over hashed n-gram buckets, the GPT-3/LLaMA/fastText
+    trained-classifier recipe) right after the DSIR stage — also on
+    the deduplicated survivors, also stateless given the model. Keys:
+    ``min_prob`` (float in [0, 1], required — 0.5 = "the model's
+    call") and the model as ``model_path`` (a
+    :func:`..operators.classifier.save_classifier` directory) or
+    ``model`` (an in-memory :func:`..operators.classifier.
+    classifier_fit` result), exactly one.
 
     ``c4_opts`` runs the C4 line/page cleaning
     (:func:`..functions.c4.c4_clean` — terminal-punctuation line
@@ -330,6 +342,18 @@ def curate_documents(
         d = resolve_dsir_opts(docs.sparkSession, dsir_opts)
         exact = dsir_filter(
             exact, d["model"], d["min_avg_log_weight"], id_col=id_col,
+            text_col=text_col,
+        )
+
+    if classifier_opts is not None:
+        from ..operators.classifier import (
+            classifier_filter,
+            resolve_classifier_opts,
+        )
+
+        cl = resolve_classifier_opts(docs.sparkSession, classifier_opts)
+        exact = classifier_filter(
+            exact, cl["model"], cl["min_prob"], id_col=id_col,
             text_col=text_col,
         )
 

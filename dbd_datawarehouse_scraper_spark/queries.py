@@ -3633,6 +3633,60 @@ def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(d, min_len=14, min_docs=2)
 
 
+@register("quality_classifier", None)
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Learned quality classifier (operators/classifier.py): the
+    trained-gate recipe of GPT-3 (Brown et al. 2020), LLaMA (Touvron
+    et al. 2023), and fastText-supervised (Joulin et al. 2016) —
+    logistic regression over hashed unigram+bigram buckets (the SAME
+    sha256-prefix featurizer DSIR uses), fit driver-side on a bounded
+    content-hash-deterministic per-class sample, weights quantized to
+    bigints so scoring is an exact-integer broadcast-join sum. The
+    synthetic corpus shares one vocabulary across all documents (no
+    learnable quality signal), so the query plants one — every third
+    document gets reference-style trailing tokens, the rest
+    promo-style (the substring_dedup/trigram_lang_id planting
+    precedent) — TRAINS ON THE EVEN doc_ids ONLY, and scores
+    everything: the returned confusion matrix (planted class ×
+    predicted side, with order-invariant min/max probabilities) shows
+    the learned gate generalizing to the held-out odd half. Rows-only
+    (the fit is an iterative driver-side optimization — not
+    SQL-expressible); the scoring arithmetic is pinned against an
+    exact pure-Python mirror, and fit partition-invariance,
+    persistence, and funnel/stream wiring in
+    tests/test_classifier.py."""
+    from .operators.classifier import classifier_fit, classifier_score
+
+    hq = F.col("doc_id") % 3 == 0
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        hq.alias("is_hq"),
+        F.concat_ws(
+            " ",
+            "text",
+            F.when(hq, F.lit("cite reference reviewed careful edition"))
+            .otherwise(F.lit("click promo winner free subscribe")),
+        ).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") % 2 == 0).select(
+        "text", F.col("is_hq").cast("int").alias("label")
+    )
+    model = classifier_fit(
+        train, n_buckets=2048, sample_per_class=1000, iters=200
+    )
+    scores = classifier_score(d, model, id_col="doc_id", text_col="text")
+    return (
+        d.select("doc_id", "is_hq")
+        .join(scores, "doc_id")
+        .groupBy("is_hq", (F.col("prob") >= 0.5).alias("pred_hq"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("prob").alias("min_prob"),
+            F.max("prob").alias("max_prob"),
+        )
+    )
+
+
 @register(
     "quality_sampling",
     r"""

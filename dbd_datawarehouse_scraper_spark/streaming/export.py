@@ -100,6 +100,7 @@ def stream_export_training_set(
     lm_opts: dict | None = None,
     gopher_opts: dict | None = None,
     dsir_opts: dict | None = None,
+    classifier_opts: dict | None = None,
     c4_opts: dict | None = None,
     shuffle_salt: str | None = None,
     token_counter: str = "whitespace",
@@ -201,6 +202,13 @@ def stream_export_training_set(
     directory, loaded ONCE at start) or ``model``. Static state like
     the LM and the benchmark index — refit-and-restart to change.
 
+    ``classifier_opts`` adds the learned quality gate
+    (operators/classifier.py — logistic regression over hashed n-gram
+    buckets) alongside the gates: ``min_prob`` (required, in [0, 1])
+    plus exactly one of ``model_path`` (a ``save_classifier``
+    directory, loaded ONCE at start) or ``model``. Static state like
+    the DSIR model — refit-and-restart to change.
+
     ``c4_opts`` runs the C4 line/page cleaning per epoch via the SAME
     ``c4_clean`` the batch funnel uses, in the same stage order (after
     the HTML stage, before segment dedup) — stateless per-row,
@@ -282,6 +290,11 @@ def stream_export_training_set(
         from ..operators.dsir import resolve_dsir_opts
 
         dsir = resolve_dsir_opts(spark, dsir_opts)
+    clf = None
+    if classifier_opts is not None:
+        from ..operators.classifier import resolve_classifier_opts
+
+        clf = resolve_classifier_opts(spark, classifier_opts)
     if gopher_opts is not None:
         # the ONE validation (unknown keys, non-numeric values) — at
         # start, not on the first epoch
@@ -452,6 +465,15 @@ def stream_export_training_set(
 
             gated = dsir_filter(
                 gated, dsir["model"], dsir["min_avg_log_weight"],
+                id_col=id_col, text_col=text_col,
+            )
+        if clf is not None:
+            # stateless per row given the static model — the same
+            # learned-quality gate the batch funnel applies
+            from ..operators.classifier import classifier_filter
+
+            gated = classifier_filter(
+                gated, clf["model"], clf["min_prob"],
                 id_col=id_col, text_col=text_col,
             )
         had_rows = near_dedup_epoch(
