@@ -296,6 +296,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "importance weight under --dsir-model is at "
                         "least this (0 = at least as target-like as "
                         "the raw corpus)")
+    p.add_argument("--fit-vocab", action="store_true",
+                   help="Maintenance mode: train a byte-level BPE merge "
+                        "table on --input (a documents parquet dir, "
+                        "column 'text'), write a GPT-2-style merges "
+                        "file to --output, then exit — feed the result "
+                        "to --token-counter vocab:<path>")
+    p.add_argument("--vocab-merges", type=int, default=8000,
+                   help="Number of BPE merges to learn for --fit-vocab")
+    p.add_argument("--vocab-max-pieces", type=int, default=200_000,
+                   help="Most-frequent-piece cap for the --fit-vocab "
+                        "driver-side learner")
     p.add_argument("--fit-classifier", action="store_true",
                    help="Maintenance mode: fit the learned quality "
                         "classifier (logistic regression over hashed "
@@ -707,6 +718,22 @@ def main(argv: Sequence[str] | None = None) -> int:
             f"DSIR fitted: target {model['n_target']} grams, raw "
             f"{model['n_raw']} grams, {model['n_buckets']} buckets -> "
             f"{args.output}"
+        )
+        return 0
+
+    if args.fit_vocab:
+        from .functions.bpe import bpe_train, save_merges
+
+        merges = bpe_train(
+            spark.read.parquet(args.input),
+            text_col="text",
+            num_merges=args.vocab_merges,
+            max_pieces=args.vocab_max_pieces,
+        )
+        save_merges(merges, args.output)
+        print(
+            f"BPE vocab trained: {len(merges)} merges "
+            f"(requested {args.vocab_merges}) -> {args.output}"
         )
         return 0
 

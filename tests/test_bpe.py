@@ -195,3 +195,142 @@ def test_export_metering_with_vocab_counter(spark, tmp_path):
     assert len(got) == counts["train"]
     for r in got:
         assert r["n_tokens"] == ref_count(r["text"], ranks)
+
+
+# ----------------------------------------------------------- training
+# An INDEPENDENT reference trainer coded differently from
+# bpe._train_merges: naive full-recount of pair frequencies every
+# iteration (O(vocab) per merge), no incremental statistics, no word
+# index. Same contract: merge the weighted most frequent adjacent
+# pair, ties to the lexicographically smallest.
+
+from dbd_datawarehouse_scraper_spark.functions.bpe import (  # noqa: E402
+    _train_merges,
+    bpe_train,
+    save_merges,
+)
+
+
+def ref_train(piece_freqs, num_merges, min_pair_freq=2):
+    b2u = bytes_to_unicode()
+    words = [
+        [[b2u[x] for x in p.encode("utf-8")], f] for p, f in piece_freqs
+    ]
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, f in words:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_freq:
+            break
+        merges.append(pair)
+        for w in words:
+            syms = w[0]
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    new.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            w[0] = new
+    return merges
+
+
+def _corpus_pieces():
+    """A deterministic piece-frequency table with overlap structure:
+    repeated-letter runs (overlapping pairs), shared prefixes/suffixes
+    (merge competition), multi-byte UTF-8, and a frequency gradient."""
+    import random as _r
+
+    rng = _r.Random(11)
+    vocab = [" the", " than", " then", " there", "ing", "tion",
+             " aaaa", "aaab", " zzz", " วัน", " 数据", "!!!", " co-op"]
+    return [(p, rng.randint(1, 40) + (50 if i < 4 else 0))
+            for i, p in enumerate(vocab)]
+
+
+def test_train_matches_naive_reference():
+    """The incremental learner's merge sequence is identical to the
+    naive full-recount reference, far past the point where stale-index
+    and retract/re-add bookkeeping could drift."""
+    pf = _corpus_pieces()
+    assert _train_merges(pf, 60, 1) == ref_train(pf, 60, 1)
+    assert _train_merges(pf, 60, 2) == ref_train(pf, 60, 2)
+    # overlapping-run stress: 'aaaa...' makes (a,a) self-overlapping
+    pf2 = [("a" * 9, 7), ("a" * 4 + "b", 3), ("ba" * 5, 2)]
+    assert _train_merges(pf2, 30, 1) == ref_train(pf2, 30, 1)
+
+
+def test_first_merge_is_most_frequent_pair():
+    """Hand-checkable: with ' to' × 100 and ' ta' × 1, the first merge
+    must be the space-symbol+'t' pair (weight 101 — it appears in both
+    pieces) and the second ('Ġt','o')."""
+    b2u = bytes_to_unicode()
+    sp = b2u[ord(" ")]
+    merges = _train_merges([(" to", 100), (" ta", 1)], 2, 1)
+    assert merges[0] == (sp, "t")
+    assert merges[1] == (sp + "t", "o")
+
+
+def test_train_validation():
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(None, num_merges=0)
+    with pytest.raises(ValueError, match="max_pieces"):
+        bpe_train(None, max_pieces=0)
+    with pytest.raises(ValueError, match="min_pair_freq"):
+        bpe_train(None, min_pair_freq=0)
+
+
+def test_train_partition_invariant_and_empty_refusal(spark):
+    docs = spark.createDataFrame(
+        [(i, f"the data pipeline writes shard {i} of the data")
+         for i in range(40)],
+        "doc_id INT, text STRING",
+    )
+    m1 = bpe_train(docs, num_merges=40)
+    m2 = bpe_train(docs.repartition(7), num_merges=40)
+    assert m1 == m2 and len(m1) > 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        bpe_train(
+            spark.createDataFrame([], "doc_id INT, text STRING"),
+            num_merges=5,
+        )
+
+
+def test_train_save_roundtrip_counts_and_compression(spark, tmp_path):
+    """Full vocab loop: train on a corpus, save_merges, count through
+    resolve_token_counter('vocab:...') — Spark counts match the
+    independent reference counter under the TRAINED table, and the
+    trained table actually compresses (fewer tokens than raw byte
+    symbols) on in-domain text."""
+    texts = [
+        f"the quick data pipeline processes batch {i} of the corpus "
+        f"with careful deterministic hashing" for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    merges = bpe_train(docs, num_merges=120)
+    path = str(tmp_path / "trained_merges.txt")
+    save_merges(merges, path)
+    ranks = load_merges(path)
+    assert list(ranks) == merges  # file round-trips order exactly
+    counter = resolve_token_counter(f"vocab:{path}")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", counter(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_count(t, ranks)
+        raw_syms = sum(len(p.encode("utf-8")) for p in _PRETOKEN.findall(t))
+        assert got[i] < raw_syms  # merges learned on-domain compress
+    with pytest.raises(ValueError, match="empty merges"):
+        save_merges([], str(tmp_path / "empty.txt"))

@@ -978,3 +978,107 @@ def test_stream_export_refuses_global_flags_and_honors_splits(spark, tmp_path):
     # everything landed under split=train — the fractions were honored
     assert glob.glob(f"{out}/split=train/epoch=*/shard=*/*.gz")
     assert not glob.glob(f"{out}/split=val*")
+
+
+def test_fit_vocab_cli(spark, tmp_path):
+    """--fit-vocab trains a load_merges-compatible merges file on
+    --input and --token-counter vocab:<it> meters an export with it."""
+    import glob
+
+    from dbd_datawarehouse_scraper_spark.functions.bpe import (
+        get_counter,
+        load_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the data pipeline writes deterministic shards of the "
+             f"corpus batch {i}", "s") for i in range(25)],
+        "doc_id long, text string, source string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    mpath = str(tmp_path / "merges.txt")
+    rc = main([
+        "--fit-vocab", "--input", src, "--output", mpath,
+        "--vocab-merges", "80",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    ranks = load_merges(mpath)  # loads => format-valid
+    assert 0 < len(ranks) <= 80
+    out = str(tmp_path / "exp")
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--token-counter", f"vocab:{mpath}",
+        "--shard-token-budget", "300", "--min-quality", "0",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    got = spark.read.option("basePath", out).json(f"{out}/split=*").collect()
+    assert got
+    c = get_counter(mpath)
+    for r in got:
+        assert r["n_tokens"] == c.count(r["text"])
+    assert glob.glob(f"{out}/split=*/shard=*/*.gz")
+
+
+def test_fit_classifier_and_gated_export_cli(spark, tmp_path):
+    """--fit-classifier persists a save_classifier model (positives
+    from --classifier-pos, negatives from --input); --classifier-model
+    + --min-classifier-prob gate the batch export; either flag alone
+    (or --fit-classifier without --classifier-pos) refuses."""
+    import glob
+
+    good = [
+        (i, " ".join(random.Random(i).sample(_POOL, 40)), "s")
+        for i in range(30)
+    ]
+    junk = [
+        (900 + j, " ".join(f"qz{j}x{k}" for k in range(40)), "s")
+        for j in range(20)
+    ]
+    pos = spark.createDataFrame(good, "doc_id long, text string, source string")
+    tp = str(tmp_path / "pos.parquet")
+    pos.write.parquet(tp)
+    corpus = spark.createDataFrame(
+        good[:15] + junk, "doc_id long, text string, source string"
+    )
+    src = str(tmp_path / "docs.parquet")
+    corpus.write.parquet(src)
+    mdir = str(tmp_path / "clf")
+    with pytest.raises(ValueError, match="classifier-pos"):
+        main(["--fit-classifier", "--input", src, "--output", mdir,
+              "--config", str(tmp_path / "none.yaml")])
+    rc = main([
+        "--fit-classifier", "--input", src, "--classifier-pos", tp,
+        "--classifier-buckets", "512", "--output", mdir,
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    out = str(tmp_path / "gated")
+    rc = main([
+        "--export-training-set", "--input", src, "--output", out,
+        "--classifier-model", mdir, "--min-classifier-prob", "0.5",
+        "--shard-token-budget", "500",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert glob.glob(f"{out}/split=*/shard=*/*.gz")
+    ids = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", out).json(f"{out}/split=*")
+        .collect()
+    }
+    assert ids and all(i < 900 for i in ids), ids  # junk gated out
+    with pytest.raises(ValueError, match="together"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--classifier-model", mdir,
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+    with pytest.raises(ValueError, match="together"):
+        main([
+            "--export-training-set", "--input", src, "--output", out,
+            "--min-classifier-prob", "0.5",
+            "--config", str(tmp_path / "none.yaml"),
+        ])
