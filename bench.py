@@ -104,9 +104,10 @@ HEADLINE = [
     "sequence_packing",
     "gopher_quality",
     "dsir_selection",
-    # round 9: learned quality classifier — rows-only, oracle ratio
-    # subset unchanged
+    # round 9: learned quality classifier + perceptual image dedup —
+    # rows-only, oracle ratio subset unchanged
     "quality_classifier",
+    "image_near_dedup",
     "c4_clean",
     "gate_report",
 ]

@@ -537,27 +537,35 @@ def simhash64(text: Column) -> Column:
     return simhash_pack(simhash_counters(text))
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on (max_hamming+1) 16-bit chunks
-    (any pair within Hamming distance d matches on ≥1 of d+1 chunks),
-    verify with bit_count(xor). Returns (id_a, id_b, hamming)."""
-    from .skew import widen_partitions
-
+    """Block-permutation Hamming join over ANY 64-bit hash column —
+    the shared machinery behind :func:`simhash_pairs` (text) and
+    :func:`..multimodal.image_dedup.image_near_dup_pairs` (dHash).
+    Blocks on (max_hamming+1) equal bit chunks: by pigeonhole, any
+    pair within Hamming distance d agrees EXACTLY on at least one of
+    the d+1 chunks, so the candidate set provably contains every
+    qualifying pair (this is exhaustive, not probabilistic recall);
+    verification is one bit_count(xor). Returns
+    ``(id_a, id_b, hamming)`` with id_a < id_b. NULL hashes (e.g.
+    decode failures upstream) are excluded — they cannot be compared."""
+    if not (0 <= max_hamming <= 31):
+        raise ValueError(
+            f"max_hamming must be in [0, 31] (need >= 2-bit chunks of a "
+            f"64-bit hash), got {max_hamming}"
+        )
     n_blocks = max_hamming + 1
     bits_per = 64 // n_blocks
-    sh = (
-        widen_partitions(docs).select(
-            F.col(id_col).alias("_id"),
-            simhash_counters(F.col(text_col)).alias("_cnt"),
-        )
-        .withColumn("_h", simhash_pack(F.col("_cnt")))
-        .drop("_cnt")
-    )
+    # d=0 → ONE 64-bit chunk: the mask 2^64-1 overflows a JVM long, so
+    # the chunk is the hash itself (exact-hash blocking)
+    blk_mask = -1 if bits_per == 64 else (1 << bits_per) - 1
+    sh = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).filter(F.col("_h").isNotNull())
     blocked = sh.select(
         "_id",
         "_h",
@@ -565,7 +573,7 @@ def simhash_pairs(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("_h"), b * bits_per).bitwiseAND(
-                        F.lit((1 << bits_per) - 1)
+                        F.lit(blk_mask)
                     )
                     for b in range(n_blocks)
                 ]
@@ -588,6 +596,29 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: hash the text (two-stage counters →
+    pack, materialized between stages so the stage-1 tree is built
+    once) and delegate the blocking + verification to
+    :func:`hamming_pairs`. Returns (id_a, id_b, hamming)."""
+    from .skew import widen_partitions
+
+    sh = (
+        widen_partitions(docs).select(
+            F.col(id_col).alias("_sid"),
+            simhash_counters(F.col(text_col)).alias("_cnt"),
+        )
+        .withColumn("_sh", simhash_pack(F.col("_cnt")))
+        .drop("_cnt")
+    )
+    return hamming_pairs(sh, "_sid", "_sh", max_hamming)
 
 
 def deterministic_stratified_sample(

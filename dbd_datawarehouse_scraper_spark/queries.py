@@ -3633,6 +3633,68 @@ def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(d, min_len=14, min_docs=2)
 
 
+@register("image_near_dedup", None)
+def image_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Perceptual image near-dedup (multimodal/image_dedup.py):
+    dHash (Krawetz) over the stdlib real-bytes PNG decode path +
+    block-permutation Hamming blocking (the shared simhash machinery,
+    pigeonhole-EXACT at the threshold) + connected-component
+    min-survivor. The corpus has no image column, so the query
+    synthesizes a deterministic PNG per document (structured 24×24 RGB
+    from doc_id) and plants the two duplicate classes byte-exact dedup
+    misses: a re-encoded copy (same pixels, different PNG filter →
+    different bytes) for every 5th image and a +30-brightness copy for
+    every 7th. The survivors must be exactly the base images (variant
+    ids are larger and cluster with their base). Rows-only (dHash is a
+    numpy kernel); pair-exactness vs brute-force Hamming and survivor
+    semantics are pinned in tests/test_image_dedup.py."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal.image_dedup import image_near_dedup
+    from .multimodal.media import png_encode
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                y, x = np.mgrid[0:24, 0:24]
+                base = (
+                    (np.sin(x / 3.0 + did) + np.cos(y / 4.0 + 2 * did)) * 60
+                    + 100
+                ).astype(np.int32)
+                px = np.clip(
+                    np.stack([base, (base + 17 * did) % 200, base[::-1]], 2),
+                    0, 200,
+                ).astype(np.uint8)
+                out.append((int(did), png_encode(px.tobytes(), 24, 24, 3, 0)))
+                if did % 5 == 0:  # re-encoded: same pixels, filter 2
+                    out.append(
+                        (int(did) * 10 + 1,
+                         png_encode(px.tobytes(), 24, 24, 3, 2))
+                    )
+                if did % 7 == 0:  # brightness-shifted copy
+                    px2 = np.clip(px.astype(np.int32) + 30, 0, 255).astype(
+                        np.uint8
+                    )
+                    out.append(
+                        (int(did) * 10 + 2,
+                         png_encode(px2.tobytes(), 24, 24, 3, 0))
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    media = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(300)
+        .mapInPandas(_gen, "media_id long, payload binary")
+    )
+    return image_near_dedup(media, codec="png", max_hamming=3).select(
+        "media_id"
+    )
+
+
 @register("quality_classifier", None)
 def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Learned quality classifier (operators/classifier.py): the
