@@ -95,7 +95,11 @@ def curate_documents(
     corpus's own language; ``"trigram"`` is the 12-language byte-
     trigram profile scorer (functions/langid.py, covers th) — use it
     whenever ``keep_langs`` names a language outside the fast set, or
-    the corpus is not known-English.
+    the corpus is not known-English. Measured accuracy (held-out set,
+    langid.py docstring): 95.8% on full sentences but 84% on ~25-byte
+    prefixes — short Latin-script documents confuse within
+    {en,es,de,fr,pt,it}, so keep ``min_tokens`` high enough that the
+    lang gate rarely judges near-empty text.
 
     ``near_dup_opts`` passes extra kwargs to
     :func:`..operators.dedup.minhash_lsh_pairs` (``num_hashes``,

@@ -206,3 +206,50 @@ def test_cli_keep_langs_with_trigram_export(spark, tmp_path):
             "--export-training-set", "--input", src, "--output",
             str(tmp_path / "o2"), "--keep-langs", " , ",
         ])
+
+
+def _heldout_set():
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "data", "langid_heldout.json")
+    fix = json.load(open(p, encoding="utf-8"))
+    fix.pop("_comment")
+    return fix
+
+
+def test_heldout_accuracy_floors_at_three_lengths():
+    """Round 9: the measured accuracy table in the module docstring,
+    pinned as floors on the in-repo held-out sentence set (8 original
+    sentences × 12 languages, NOT drawn from the profiles) — full
+    sentences >= 94%, ~60-byte prefixes >= 91%, ~25-byte prefixes
+    >= 80%. A profile or scoring change that regresses any tier
+    fails here before it ships."""
+    fix = _heldout_set()
+
+    def cut(s, n):
+        return s.encode("utf-8")[:n].decode("utf-8", errors="ignore")
+
+    floors = {None: 0.94, 60: 0.91, 25: 0.80}
+    for n, floor in floors.items():
+        ok = tot = 0
+        for lang, sents in fix.items():
+            for s in sents:
+                ok += classify(s if n is None else cut(s, n)) == lang
+                tot += 1
+        assert ok / tot >= floor, (n, ok, tot)
+
+
+def test_centered_argmax_fixes_latin_confusion_und_floor_is_raw():
+    """The round-9 centering exists for a reason: these plain-English
+    sentences scored 'fr' on raw cosines (shared Latin-script trigram
+    mass dominating). And gibberish still drops to the raw-cosine
+    floor — centering never touches the und semantics."""
+    assert classify(
+        "She walked along the river every morning before work."
+    ) == "en"
+    assert classify(
+        "Can you send me the updated schedule for next week?"
+    ) == "en"
+    for g in ("qzx kvw jjj pqr 12345", "09128309128 (*&^%$", "aaaaaaaaaa"):
+        assert classify(g) == "und", g
