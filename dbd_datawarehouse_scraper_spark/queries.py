@@ -994,32 +994,6 @@ def running_window_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sort_limit_offset",
-    """
-    WITH ranked AS (
-      SELECT p_partkey, p_name, p_retailprice FROM part
-      ORDER BY p_retailprice DESC, p_partkey)
-    SELECT * FROM ranked LIMIT 10 OFFSET 100
-    """,
-)
-def sort_limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global sort + offset + limit in one query (round-4 fold of the
-    former `sort_limit` and `start_offset` registrations -- same two
-    operators, one driver-window slot; the row_number resume-cursor
-    form of start_offset is still pinned by the scalable
-    `resume_anti_join` path in tests/test_sources_sinks.py). The
-    offset exercises the reference's --start Nth-company cursor
-    (scraper_v2.py:1746)."""
-    p = t(spark, sf_dir, "part")
-    return (
-        p.select("p_partkey", "p_name", "p_retailprice")
-        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
-        .offset(100)
-        .limit(10)
-    )
-
-
-@register(
     "set_ops_suite",
     """
     WITH batch1 AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
@@ -1035,14 +1009,26 @@ def sort_limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'except', CAST(k AS VARCHAR), 1
     FROM (SELECT k FROM all_cust EXCEPT SELECT k FROM with_orders)
+    UNION ALL
+    SELECT 'page', CAST(p_partkey AS VARCHAR),
+           CAST(ROUND(p_retailprice * 100) AS BIGINT)
+    FROM (SELECT p_partkey, p_retailprice FROM part
+          ORDER BY p_retailprice DESC, p_partkey LIMIT 10 OFFSET 100)
     """,
 )
 def set_ops_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """union / intersect / except in one result (round-4 fold of the
     former `union_batches` and `intersect_except` registrations --
-    same three operators, one driver-window slot). The union leg is
-    the reference's batch-file recombination (combine_batches); the
-    intersect/except legs are the found/not-found customer split."""
+    same three operators, one driver-window slot), plus the global
+    sort+offset+limit page as leg op='page' (round-9 fold of the
+    former `sort_limit_offset` registration — the window rotation
+    that promoted `substring_dedup` to an oracle row; n is the page
+    row's price in cents, so the leg hashes order-exactly). The union
+    leg is the reference's batch-file recombination (combine_batches);
+    the intersect/except legs are the found/not-found customer split;
+    the page leg exercises the reference's --start Nth-company cursor
+    (scraper_v2.py:1746 — the scalable resume-cursor form stays
+    pinned by `resume_anti_join` in tests/test_sources_sinks.py)."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     b1 = c.filter(F.col("c_custkey") % 2 == 0)
     b2 = c.filter(F.col("c_custkey") % 2 == 1)
@@ -1064,7 +1050,23 @@ def set_ops_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("string").alias("key"),
         F.lit(1).cast("long").alias("n"),
     )
-    return union_leg.unionByName(inter_leg).unionByName(except_leg)
+    page_leg = (
+        t(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .offset(100)
+        .limit(10)
+        .select(
+            F.lit("page").alias("op"),
+            F.col("p_partkey").cast("string").alias("key"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("n"),
+        )
+    )
+    return (
+        union_leg.unionByName(inter_leg)
+        .unionByName(except_leg)
+        .unionByName(page_leg)
+    )
 
 @register(
     "token_set_jaccard",
@@ -3605,7 +3607,75 @@ def trigram_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("substring_dedup", None)
+_SS_SPAN = " ".join(f"boiler{i}" for i in range(14))
+
+#: DuckDB twin of the substring_dedup query: the SAME planting CTE,
+#: then the independent window-TEXT mirror from tests/test_substrings
+#: (windows compared as strings — no hashing, so it cross-checks the
+#: rolling hash too), k=14, min_docs=2, keep_first. Promoted to a
+#: driver oracle in the round-9 window rotation (sort_limit_offset
+#: folded into set_ops_suite leg op='page').
+_SS_ORACLE = rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 14 = 0 THEN concat_ws(' ', '{_SS_SPAN}', text)
+                  WHEN doc_id % 7 = 0 THEN concat_ws(' ', text, '{_SS_SPAN}')
+                  ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, text,
+        list_filter(str_split_regex(trim(coalesce(text, '')), '\s+'),
+                    w -> w != '') AS w
+      FROM docs),
+    occ AS (
+      SELECT doc_id, g.i - 1 AS pos,
+             array_to_string(w[g.i:g.i+13], ' ') AS win
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(w) - 12)) AS i) g
+      WHERE len(w) >= 14),
+    stats AS (
+      SELECT *, COUNT(DISTINCT doc_id) OVER (PARTITION BY win) AS nd,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    marked AS (
+      SELECT doc_id, pos FROM stats WHERE nd >= 2 AND rn > 1),
+    tokix AS (
+      SELECT doc_id, g.i - 1 AS t, w[g.i] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) g),
+    cov AS (
+      SELECT x.doc_id, x.t, x.tok,
+             EXISTS (SELECT 1 FROM marked m
+                     WHERE m.doc_id = x.doc_id
+                       AND m.pos <= x.t AND x.t <= m.pos + 13) AS c
+      FROM tokix x),
+    agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY t) FILTER (WHERE NOT c),
+                      '') AS rebuilt,
+             COUNT(*) FILTER (WHERE c) AS n_removed,
+             COUNT(*) AS n_tokens
+      FROM cov GROUP BY doc_id),
+    spans AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE prev IS NULL OR pos - prev > 14)
+               AS n_spans
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN coalesce(s.n_spans, 0) = 0
+                THEN coalesce(d.text, '') ELSE a.rebuilt END AS clean_text,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(s.n_spans, 0) AS n_spans
+    FROM docs d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN spans s USING (doc_id)
+"""
+
+
+@register("substring_dedup", _SS_ORACLE)
 def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Exact-substring (variable-length span) dedup
     (operators/substrings.py; Lee et al. 2022 semantics at token
@@ -3616,21 +3686,30 @@ def substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     has no long verbatim repeats, so the query plants a shared
     14-token disclaimer: APPENDED to every 7th document and PREPENDED
     to every 14th — two different offsets, so the strike is exercised
-    on both sides of the window grid. Rows-only (the sorted-shingle-
-    run construction is not tractably SQL-expressible at this size);
-    semantics are pinned against an independent pure-Python model,
-    including fuzz, in tests/test_substrings.py."""
+    on both sides of the window grid. Promoted to a DRIVER ORACLE in
+    the round-9 window rotation: the DuckDB twin (``_SS_ORACLE``) is
+    the independent window-TEXT mirror from tests/test_substrings.py
+    (no hashing — it cross-checks the rolling hash itself) over the
+    same planting; the pure-Python model + fuzz parity stay in the
+    test suite."""
     from .operators.substrings import substring_dedup
 
-    span = " ".join(f"boiler{i}" for i in range(14))
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.when(F.col("doc_id") % 14 == 0, F.concat_ws(" ", F.lit(span), "text"))
-        .when(F.col("doc_id") % 7 == 0, F.concat_ws(" ", "text", F.lit(span)))
+        F.when(
+            F.col("doc_id") % 14 == 0, F.concat_ws(" ", F.lit(_SS_SPAN), "text")
+        )
+        .when(F.col("doc_id") % 7 == 0, F.concat_ws(" ", "text", F.lit(_SS_SPAN)))
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return substring_dedup(d, min_len=14, min_docs=2)
+    return substring_dedup(d, min_len=14, min_docs=2).withColumn(
+        # the operator's n_spans is INT; the oracle COUNT is BIGINT —
+        # align the query's schema (hash compares coerced values, but
+        # the schema check is strict)
+        "n_spans",
+        F.col("n_spans").cast("long"),
+    )
 
 
 @register("image_near_dedup", None)
