@@ -182,7 +182,17 @@ def _train_merges(
     and nothing iterates a set where order matters (stale word-index
     entries are re-derived from current symbols, so they are
     correctness-neutral). Stops early when the best pair's weighted
-    frequency drops below ``min_pair_freq``."""
+    frequency drops below ``min_pair_freq``.
+
+    Selection is a LAZY MAX-HEAP with stale-entry revalidation (review
+    r9): entries are (-count, pair) snapshots; a surfacing entry whose
+    count has drifted is popped and re-pushed at its current value, so
+    each merge selects in near-O(log P) instead of rescanning the full
+    pair table (a min() sweep over ~10⁶ pairs × 8000 merges was the
+    driver-fit bottleneck at the CLI defaults). The (-count, pair)
+    ordering reproduces the reference tie-break exactly: highest
+    count, then lexicographically smallest pair."""
+    import heapq
     from collections import defaultdict
 
     words: list[list] = []  # [symbols, freq] per distinct piece
@@ -196,15 +206,26 @@ def _train_merges(
         for p in zip(syms, syms[1:]):
             pair_count[p] += f
             pair_words[p].add(wid)
+    heap = [(-c, p) for p, c in pair_count.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        if not pair_count:
-            break
-        best, bc = min(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))
-        if bc < min_pair_freq:
+    while len(merges) < num_merges:
+        best = None
+        bc = 0
+        while heap:
+            negc, p = heap[0]
+            cur = pair_count.get(p, 0)
+            if cur == -negc:
+                best, bc = p, cur
+                break
+            heapq.heappop(heap)  # stale snapshot
+            if cur > 0:
+                heapq.heappush(heap, (-cur, p))  # accurate re-entry
+        if best is None or bc < min_pair_freq:
             break
         merges.append(best)
         m0, m1 = best
+        touched: set[tuple[str, str]] = set()
         for wid in pair_words[best]:
             syms, f = words[wid]
             # retract this word's current pair contributions...
@@ -227,7 +248,12 @@ def _train_merges(
             for p in zip(new, new[1:]):
                 pair_count[p] += f
                 pair_words[p].add(wid)
+                touched.add(p)
         del pair_words[best]
+        for p in touched:  # one accurate snapshot per grown pair
+            c = pair_count.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
@@ -275,15 +301,42 @@ def bpe_train(
             [[] if t is None else _PRETOKEN.findall(t) for t in texts]
         )
 
-    freq = (
-        docs.select(F.explode_outer(_pieces(F.col(text_col))).alias("_p"))
-        .filter(F.col("_p").isNotNull())
-        .groupBy("_p")
-        .agg(F.count("*").cast("long").alias("_n"))
-        .orderBy(F.col("_n").desc(), F.col("_p").asc())
-        .limit(max_pieces)
-    )
-    rows = freq.collect()
+    from ..caching import pool_mark, release_since, tracked_persist
+
+    mark = pool_mark()
+    try:
+        counts = tracked_persist(
+            docs.select(F.explode_outer(_pieces(F.col(text_col))).alias("_p"))
+            .filter(F.col("_p").isNotNull())
+            .groupBy("_p")
+            .agg(F.count("*").cast("long").alias("_n"))
+        )
+        # Bound the TakeOrdered funnel (orderBy+limit feeds the top-N of
+        # EVERY partition into one merge — the package's sampling
+        # convention forbids leaving that unbounded): escalate a count
+        # floor until the candidate set is within 4× max_pieces. The cut
+        # is provably unchanged — a floor is only adopted while at least
+        # max_pieces pieces survive it, so the true top-max_pieces set
+        # (all of whose counts are >= that floor) is a subset of the
+        # candidates. Distinct-piece tails are singleton-dominated, so
+        # the first floors shed most of the relation.
+        sel = counts
+        n_sel = counts.count()
+        floor = 1
+        while n_sel > 4 * max_pieces:
+            floor *= 2
+            cand = counts.filter(F.col("_n") >= floor)
+            n_cand = cand.count()
+            if n_cand < max_pieces:
+                break  # overshot: keep the previous (still-valid) set
+            sel, n_sel = cand, n_cand
+        rows = (
+            sel.orderBy(F.col("_n").desc(), F.col("_p").asc())
+            .limit(max_pieces)
+            .collect()
+        )
+    finally:
+        release_since(mark)
     if not rows:
         raise ValueError("cannot train BPE on an empty corpus")
     return _train_merges(

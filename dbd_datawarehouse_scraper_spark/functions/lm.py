@@ -306,22 +306,13 @@ def perplexity_filter(
     """
     if max_perplexity <= 0:
         raise ValueError(f"max_perplexity must be > 0, got {max_perplexity}")
-    scores = ngram_lm_score(docs, model, id_col=id_col, text_col=text_col)
-    keep = scores.filter(F.col("perplexity") <= F.lit(float(max_perplexity)))
-    kept = docs.join(keep.select(id_col), id_col, "left_semi")
-    if keep_empty:
-        # the shared tokenizer definition (text_analysis.token_count),
-        # NULL coalesced first: size(split(NULL)) is NULL, and a NULL
-        # == 0 comparison would silently drop NULL-text rows from the
-        # "empties" side too — the exact vanish this flag exists to
-        # prevent
-        from .text_analysis import token_count
+    from ..operators.gating import score_threshold_gate
 
-        empties = docs.filter(
-            token_count(F.coalesce(F.col(text_col), F.lit(""))) == 0
-        )
-        kept = kept.unionByName(empties)
-    return kept
+    scores = ngram_lm_score(docs, model, id_col=id_col, text_col=text_col)
+    return score_threshold_gate(
+        docs, scores, "perplexity", id_col, text_col,
+        max_value=float(max_perplexity), keep_empty=keep_empty,
+    )
 
 
 def lm_reference_model(corpus_tokens: list[list[str]]) -> dict:

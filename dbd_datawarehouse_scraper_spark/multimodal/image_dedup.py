@@ -68,8 +68,10 @@ def _dhash_bits(luma_bytes: bytes) -> int:
     return int(np.packbits(bits).view(">i8")[0])
 
 
-def dhash_media(media: DataFrame, codec: str = "fake") -> DataFrame:
-    """Per-image perceptual hash: ``(media_id, dhash LONG,
+def dhash_media(
+    media: DataFrame, codec: str = "fake", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-image perceptual hash: ``(<id_col>, dhash LONG,
     dhash_error STRING)`` via mapInPandas — one Arrow batch in/out,
     per-row try/except (one corrupt payload NULLs its own hash, never
     the partition). ``codec`` picks the decode+luma+downsample kernel:
@@ -78,6 +80,10 @@ def dhash_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     libraries), 'auto'."""
     chosen = _resolve_codec(codec)
     resize = _RESIZERS.get(chosen, _fake_resize)
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType(), False)] + DHASH_SCHEMA.fields[1:]
+    )
+    cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,16 +91,19 @@ def dhash_media(media: DataFrame, codec: str = "fake") -> DataFrame:
             for _, row in pdf.iterrows():
                 try:
                     luma = resize(row["payload"] or b"", HASH_W + 1, HASH_H)
-                    out.append((row["media_id"], _dhash_bits(luma), None))
+                    out.append((row[id_col], _dhash_bits(luma), None))
                 except Exception as exc:  # noqa: BLE001
-                    out.append((row["media_id"], None, str(exc)[:200]))
-            yield pd.DataFrame(out, columns=[f.name for f in DHASH_SCHEMA])
+                    out.append((row[id_col], None, str(exc)[:200]))
+            yield pd.DataFrame(out, columns=cols)
 
-    return media.select("media_id", "payload").mapInPandas(run, DHASH_SCHEMA)
+    return media.select(id_col, "payload").mapInPandas(run, schema)
 
 
 def image_near_dup_pairs(
-    media: DataFrame, codec: str = "fake", max_hamming: int = 3
+    media: DataFrame,
+    codec: str = "fake",
+    max_hamming: int = 3,
+    id_col: str = "media_id",
 ) -> DataFrame:
     """Perceptual near-duplicate pairs: dHash then the shared
     block-permutation Hamming join. Returns ``(id_a, id_b, hamming)``
@@ -104,7 +113,10 @@ def image_near_dup_pairs(
     from ..operators.dedup import hamming_pairs
 
     return hamming_pairs(
-        dhash_media(media, codec=codec), "media_id", "dhash", max_hamming
+        dhash_media(media, codec=codec, id_col=id_col),
+        id_col,
+        "dhash",
+        max_hamming,
     )
 
 
@@ -124,7 +136,9 @@ def image_near_dedup(
     non-survivors."""
     from ..operators.graph import component_survivors
 
-    pairs = image_near_dup_pairs(media, codec=codec, max_hamming=max_hamming)
+    pairs = image_near_dup_pairs(
+        media, codec=codec, max_hamming=max_hamming, id_col=id_col
+    )
     losers = component_survivors(pairs, "id_a", "id_b")
     return media.join(
         losers.select(F.col("id").alias(id_col)), id_col, "left_anti"

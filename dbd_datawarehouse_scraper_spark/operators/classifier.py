@@ -175,15 +175,29 @@ def classifier_fit(
 
     mark = pool_mark()
     try:
-        hashed = (
+        base = tracked_persist(
             labeled.select(
                 F.col(label_col).cast("long").alias("_y"),
                 F.col(text_col).alias("_tx"),
             )
-            .filter(F.col("_tx").isNotNull() & F.col("_y").isin(0, 1))
-            .withColumn("_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN)))
         )
-        hashed = tracked_persist(hashed)
+        # labels outside {0, 1} (incl. NULL) refuse LOUDLY — silently
+        # fitting on a filtered subset of what the caller supplied is
+        # the package's at-start-validation anti-pattern (review r9);
+        # NULL text stays silently unscoreable, as documented
+        n_bad = base.filter(
+            F.col("_y").isNull() | ~F.col("_y").isin(0, 1)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"classifier_fit labels must be 0 or 1 (non-null): "
+                f"{n_bad} rows violate that"
+            )
+        hashed = tracked_persist(
+            base.filter(F.col("_tx").isNotNull()).withColumn(
+                "_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN))
+            )
+        )
         pos = _class_sample(hashed.filter(F.col("_y") == 1), sample_per_class)
         neg = _class_sample(hashed.filter(F.col("_y") == 0), sample_per_class)
         # label bit above the hash: _cid = y·2^61 + h keys the per-doc
@@ -339,17 +353,13 @@ def classifier_filter(
     Returns the input columns unchanged."""
     if not (0.0 <= float(min_prob) <= 1.0):
         raise ValueError(f"min_prob must be in [0, 1], got {min_prob}")
-    scores = classifier_score(docs, model, id_col=id_col, text_col=text_col)
-    keep = scores.filter(F.col("prob") >= F.lit(float(min_prob)))
-    kept = docs.join(keep.select(id_col), id_col, "left_semi")
-    if keep_empty:
-        from ..functions.text_analysis import token_count
+    from .gating import score_threshold_gate
 
-        empties = docs.filter(
-            token_count(F.coalesce(F.col(text_col), F.lit(""))) == 0
-        )
-        kept = kept.unionByName(empties)
-    return kept
+    scores = classifier_score(docs, model, id_col=id_col, text_col=text_col)
+    return score_threshold_gate(
+        docs, scores, "prob", id_col, text_col,
+        min_value=float(min_prob), keep_empty=keep_empty,
+    )
 
 
 def resolve_classifier_opts(spark: SparkSession, opts: dict) -> dict:

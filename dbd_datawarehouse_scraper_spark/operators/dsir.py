@@ -255,19 +255,13 @@ def dsir_filter(
     compose :func:`dsir_score` with
     ``operators.sampling.quality_bucket_sample`` over
     ``avg_log_weight`` instead of guessing a threshold."""
-    scores = dsir_score(docs, model, id_col=id_col, text_col=text_col)
-    keep = scores.filter(
-        F.col("avg_log_weight") >= F.lit(float(min_avg_log_weight))
-    )
-    kept = docs.join(keep.select(id_col), id_col, "left_semi")
-    if keep_empty:
-        from ..functions.text_analysis import token_count
+    from .gating import score_threshold_gate
 
-        empties = docs.filter(
-            token_count(F.coalesce(F.col(text_col), F.lit(""))) == 0
-        )
-        kept = kept.unionByName(empties)
-    return kept
+    scores = dsir_score(docs, model, id_col=id_col, text_col=text_col)
+    return score_threshold_gate(
+        docs, scores, "avg_log_weight", id_col, text_col,
+        min_value=float(min_avg_log_weight), keep_empty=keep_empty,
+    )
 
 
 def resolve_dsir_opts(spark: SparkSession, opts: dict) -> dict:

@@ -3747,9 +3747,12 @@ def image_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0, 200,
                 ).astype(np.uint8)
                 out.append((int(did), png_encode(px.tobytes(), 24, 24, 3, 0)))
+                # variant ids live at 1_000_000+ — far beyond any base
+                # doc_id, so a variant id can never collide with (and
+                # wrongly evict) an unrelated base image (review r9)
                 if did % 5 == 0:  # re-encoded: same pixels, filter 2
                     out.append(
-                        (int(did) * 10 + 1,
+                        (1_000_000 + int(did) * 10 + 1,
                          png_encode(px.tobytes(), 24, 24, 3, 2))
                     )
                 if did % 7 == 0:  # brightness-shifted copy
@@ -3757,7 +3760,7 @@ def image_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.uint8
                     )
                     out.append(
-                        (int(did) * 10 + 2,
+                        (1_000_000 + int(did) * 10 + 2,
                          png_encode(px2.tobytes(), 24, 24, 3, 0))
                     )
             yield pd.DataFrame(out, columns=["media_id", "payload"])

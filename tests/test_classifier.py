@@ -183,6 +183,28 @@ def test_validation(spark):
         classifier_fit(labeled, lr=0.0)
     with pytest.raises(ValueError, match="BOTH classes"):
         classifier_fit(labeled.filter(F.col("label") == 1), n_buckets=B)
+    # labels outside {0,1} (or NULL) refuse loudly — never a silent
+    # fit on a filtered subset of what the caller supplied
+    with pytest.raises(ValueError, match="labels must be 0 or 1"):
+        classifier_fit(
+            labeled.unionByName(
+                spark.createDataFrame(
+                    [("x", "some text", 2)],
+                    "doc_id string, text string, label int",
+                )
+            ),
+            n_buckets=B,
+        )
+    with pytest.raises(ValueError, match="labels must be 0 or 1"):
+        classifier_fit(
+            labeled.unionByName(
+                spark.createDataFrame(
+                    [("x", "some text", None)],
+                    "doc_id string, text string, label int",
+                )
+            ),
+            n_buckets=B,
+        )
     with pytest.raises(ValueError, match="no scoreable"):
         classifier_fit(
             spark.createDataFrame(
