@@ -48,6 +48,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = os.environ.get("SMOKE_WORK_DIR", "/tmp/sf1_substring_smoke")
 UI_PORT = 4057
 REPLICAS = int(os.environ.get("SMOKE_REPLICAS", "1200"))
+#: Tokens per gibberish document. 60 ≈ the sf0.1 corpus's own 54-token
+#: average (a 100-token first draft filled the disk: the substring
+#: occurrence spill stacks on top of the funnel's ~41 GB shuffle, and
+#: the box shares one volume).
+GIB_TOKENS = int(os.environ.get("SMOKE_GIB_TOKENS", "60"))
 
 DISCLAIMER = " ".join(f"boilertok{i}" for i in range(30))
 
@@ -60,7 +65,7 @@ def gen_corpus(spark, path: str) -> float:
     gib_tokens = F.concat_ws(
         " ",
         F.transform(
-            F.sequence(F.lit(0), F.lit(99)),
+            F.sequence(F.lit(0), F.lit(GIB_TOKENS - 1)),
             lambda i: F.concat(
                 F.lit("u"), F.col("base_id"), F.lit("r"), F.col("rep"),
                 F.lit("t"), i,
