@@ -481,7 +481,7 @@ _IVF_MARKER_SCHEMA = (
     "corpus_id STRING, corpus_vec STRING, compression STRING"
 )
 
-_IVF_COMPRESSIONS = ("none", "sq8", "pq")
+_IVF_COMPRESSIONS = ("none", "sq8", "pq", "opq")
 
 
 def _bounds_from_rows(rows, dim: int):
@@ -605,17 +605,89 @@ def _pq_fit(corpus: DataFrame, vec_col: str, dim: int, pq_m: int, seed: int):
     )
 
 
-def _pq_encode(vec_col: Column, codebooks: np.ndarray) -> Column:
+def _opq_fit(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    pq_m: int,
+    seed: int,
+    opq_iters: int = 8,
+):
+    """Optimized Product Quantization (Ge et al. 2013, the
+    non-parametric OPQ-NP alternation): learn an ORTHOGONAL rotation R
+    so that PQ's contiguous-subspace split lands on decorrelated
+    coordinates — plain PQ's quantization error concentrates wherever
+    the data's covariance straddles subspace boundaries, and real
+    embedding manifolds (unlike isotropic Gaussians) always straddle.
+
+    Alternation over the same bounded content-hash sample
+    (:func:`.clustering._fit_sample_matrix`): (a) fix R, fit per-
+    subspace codebooks on X·R with a few Lloyd's iterations; (b) fix
+    the codes' reconstructions Ŷ, update R by orthogonal Procrustes
+    (SVD of XᵀŶ: R = U·Vᵀ — unique up to degenerate singular values,
+    and column/row sign flips cancel in the product, so the result is
+    deterministic). A final full-strength codebook fit runs on the
+    converged rotation. Returns ``(codebooks (m,256,sub), R (d,d))``.
+    """
+    from .clustering import _fit_sample_matrix, _lloyd
+
+    if pq_m < 1 or dim % pq_m != 0:
+        raise ValueError(
+            f"pq_m must divide the vector dimension ({dim}), got {pq_m}"
+        )
+    if opq_iters < 1:
+        raise ValueError(f"opq_iters must be >= 1, got {opq_iters}")
+    X = _fit_sample_matrix(corpus, vec_col, 16384)
+    sub = dim // pq_m
+
+    def _fit_books(Y: np.ndarray, iters: int) -> np.ndarray:
+        return np.stack(
+            [
+                _lloyd(
+                    np.ascontiguousarray(Y[:, j * sub : (j + 1) * sub]),
+                    256,
+                    seed + j,
+                    max_iter=iters,
+                    tol=1e-6,
+                )
+                for j in range(pq_m)
+            ]
+        )
+
+    def _reconstruct(Y: np.ndarray, books: np.ndarray) -> np.ndarray:
+        out = np.empty_like(Y)
+        for j in range(pq_m):
+            S = Y[:, j * sub : (j + 1) * sub]
+            C = books[j]
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+            out[:, j * sub : (j + 1) * sub] = C[d.argmin(axis=1)]
+        return out
+
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Y = X @ R
+        books = _fit_books(Y, 4)  # cheap inner fits during alternation
+        u, _, vt = np.linalg.svd(X.T @ _reconstruct(Y, books))
+        R = u @ vt
+    return _fit_books(X @ R, 20), R
+
+
+def _pq_encode(
+    vec_col: Column, codebooks: np.ndarray, rot: np.ndarray | None = None
+) -> Column:
     """array<float> → BINARY of pq_m uint8 codes: per subspace, the
     argmin-distance codebook entry (ties to the lowest code — argmin's
     first-match, deterministic). dim/pq_m · 4 bytes collapse to ONE
-    byte per subspace — 4·dim/pq_m× smaller than float32 at rest."""
+    byte per subspace — 4·dim/pq_m× smaller than float32 at rest.
+    With ``rot`` (OPQ) the vector is rotated into the codebooks'
+    decorrelated coordinates first."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)  # (m, 256, sub)
     m, _, sub = cb.shape
     cb2 = (cb * cb).sum(axis=2)  # (m, 256)
+    rm = None if rot is None else np.ascontiguousarray(rot, dtype=np.float64)
 
     @pandas_udf(BinaryType())
     def _enc(vecs: pd.Series) -> pd.Series:
@@ -624,7 +696,10 @@ def _pq_encode(vec_col: Column, codebooks: np.ndarray) -> Column:
             if v is None:
                 out.append(None)
                 continue
-            x = np.asarray(v, dtype=np.float64).reshape(m, sub)
+            x = np.asarray(v, dtype=np.float64)
+            if rm is not None:
+                x = x @ rm
+            x = x.reshape(m, sub)
             # (m, 256) distances via the |c|² − 2x·c expansion
             d = cb2 - 2.0 * np.einsum("mks,ms->mk", cb, x)
             out.append(d.argmin(axis=1).astype(np.uint8).tobytes())
@@ -633,15 +708,20 @@ def _pq_encode(vec_col: Column, codebooks: np.ndarray) -> Column:
     return _enc(vec_col)
 
 
-def _pq_decode(code_col: Column, codebooks: np.ndarray) -> Column:
+def _pq_decode(
+    code_col: Column, codebooks: np.ndarray, rot: np.ndarray | None = None
+) -> Column:
     """BINARY codes → array<double> reconstruction (each subspace's
-    codebook centroid, concatenated) — asymmetric distance: probes
-    stay full-precision, only the stored side is approximated."""
+    codebook centroid, concatenated; with ``rot`` the concatenation is
+    rotated BACK into the original space, so downstream cosine kernels
+    never know OPQ happened) — asymmetric distance: probes stay
+    full-precision, only the stored side is approximated."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m = cb.shape[0]
+    rt = None if rot is None else np.ascontiguousarray(rot.T, dtype=np.float64)
 
     @pandas_udf(ArrayType(DoubleType()))
     def _dec(codes: pd.Series) -> pd.Series:
@@ -651,10 +731,22 @@ def _pq_decode(code_col: Column, codebooks: np.ndarray) -> Column:
                 out.append(None)
                 continue
             idx = np.frombuffer(c, dtype=np.uint8)
-            out.append(cb[np.arange(m), idx].reshape(-1).tolist())
+            y = cb[np.arange(m), idx].reshape(-1)
+            if rt is not None:
+                y = y @ rt
+            out.append(y.tolist())
         return pd.Series(out)
 
     return _dec(code_col)
+
+
+def _read_pq_rotation(spark, index_path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{index_path}/quant_rot").collect()
+    d = len(rows)
+    rot = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        rot[r["_row"]] = r["_vals"]
+    return rot
 
 
 def _read_pq_codebooks(spark, index_path: str) -> np.ndarray:
@@ -677,6 +769,7 @@ def ivf_build(
     centers: list | None = None,
     compression: str = "none",
     pq_m: int = 8,
+    opq_iters: int = 8,
 ) -> None:
     """Build a PERSISTED IVF index at ``index_path`` — the build-once/
     probe-many form of :func:`ivf_topk` (which refits per call).
@@ -718,7 +811,18 @@ def ivf_build(
     distance: probes stay full-precision); recall cost is bounded by
     the quantization step — validate with :func:`ivf_recall_check`.
 
-    ``compression="pq"`` goes further: product quantization (Jégou et
+    ``compression="opq"`` is PQ behind a learned ORTHOGONAL rotation
+    (Ge et al. 2013 OPQ-NP, ``opq_iters`` alternations on the bounded
+    fit sample): the rotation decorrelates coordinates before the
+    contiguous-subspace split, recovering most of the recall plain PQ
+    loses on structured (real-embedding-like) manifolds at the SAME
+    stored size — codes are identical bytes/row, plus one d×d rotation
+    table read at probe time. On already-isotropic data it matches
+    plain PQ (the rotation converges near a permutation). Decode
+    rotates reconstructions BACK into the original space, so search
+    kernels and recall checks are compression-agnostic.
+
+    ``compression="pq"`` is product quantization (Jégou et
     al. 2011) — ``pq_m`` per-subspace 256-entry codebooks fitted from
     one deterministic corpus sample and frozen under ``quant/``; each
     vector stores ``pq_m`` BYTES (4·dim/pq_m× smaller than float32 —
@@ -747,6 +851,7 @@ def ivf_build(
         )
     quant = None
     codebooks = None
+    rotation = None
     if compression == "sq8":
         # bounds BEFORE the un-commit below: a failure here leaves the
         # old index fully valid
@@ -754,6 +859,10 @@ def ivf_build(
     elif compression == "pq":
         # same ordering contract: fit fully before the un-commit
         codebooks = _pq_fit(corpus, corpus_vec, dim, pq_m, seed)
+    elif compression == "opq":
+        codebooks, rotation = _opq_fit(
+            corpus, corpus_vec, dim, pq_m, seed, opq_iters
+        )
     # un-commit as LATE as possible — after input validation AND the
     # (potentially long) fit, immediately before the first write to
     # lists/. A failure anywhere up to here leaves the old index
@@ -778,6 +887,12 @@ def ivf_build(
             _pq_encode(F.col(corpus_vec), codebooks).alias("_code"),
             "_list",
         )
+    elif compression == "opq":
+        assigned = assigned.select(
+            corpus_id,
+            _pq_encode(F.col(corpus_vec), codebooks, rotation).alias("_code"),
+            "_list",
+        )
     # repartition by the partition column BEFORE the dynamic
     # partitionBy write: each task then writes only its own lists —
     # without it every input task opens a file per list it touches
@@ -792,7 +907,7 @@ def ivf_build(
             [(d, quant[0][d], quant[1][d]) for d in range(dim)],
             "_d INT, _lo DOUBLE, _hi DOUBLE",
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/quant")
-    elif compression == "pq":
+    elif compression in ("pq", "opq"):
         spark.createDataFrame(
             [
                 (j, c, [float(x) for x in codebooks[j, c]])
@@ -801,6 +916,16 @@ def ivf_build(
             ],
             "_sub INT, _code INT, _center ARRAY<DOUBLE>",
         ).repartition(1).write.mode("overwrite").parquet(f"{index_path}/quant")
+        if compression == "opq":
+            spark.createDataFrame(
+                [
+                    (i, [float(x) for x in rotation[i]])
+                    for i in range(rotation.shape[0])
+                ],
+                "_row INT, _vals ARRAY<DOUBLE>",
+            ).repartition(1).write.mode("overwrite").parquet(
+                f"{index_path}/quant_rot"
+            )
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "_list INT, _center ARRAY<DOUBLE>",
@@ -881,6 +1006,12 @@ def ivf_search(
         cand_vec = _pq_decode(
             F.col("_code"), _read_pq_codebooks(spark, index_path)
         )
+    elif comp == "opq":
+        cand_vec = _pq_decode(
+            F.col("_code"),
+            _read_pq_codebooks(spark, index_path),
+            _read_pq_rotation(spark, index_path),
+        )
     else:
         cand_vec = F.col(row["corpus_vec"])
     reranked = cand.select(
@@ -943,6 +1074,17 @@ def ivf_append(
             row["corpus_id"],
             _pq_encode(
                 F.col(row["corpus_vec"]), _read_pq_codebooks(spark, index_path)
+            ).alias("_code"),
+            "_list",
+        )
+    elif comp == "opq":
+        # frozen codebooks AND frozen rotation
+        assigned = assigned.select(
+            row["corpus_id"],
+            _pq_encode(
+                F.col(row["corpus_vec"]),
+                _read_pq_codebooks(spark, index_path),
+                _read_pq_rotation(spark, index_path),
             ).alias("_code"),
             "_list",
         )

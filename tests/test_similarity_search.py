@@ -649,3 +649,70 @@ def test_ivf_pq_size_recall_append_and_stats(spark, emb, probes, tmp_path):
     with pytest.raises(ValueError, match="pq_m"):
         ivf_build(emb, str(tmp_path / "bad"), n_lists=8,
                   compression="pq", pq_m=7)  # 7 does not divide 64
+
+
+def test_ivf_opq_beats_pq_on_correlated_data(spark, tmp_path):
+    """OPQ (Ge et al. 2013): a learned orthogonal rotation before the
+    subspace split. On CORRELATED embeddings (decaying spectrum mixed
+    by a dense rotation — the real-embedding shape; the module's PQ
+    trade curve already pins the isotropic worst case) OPQ recovers a
+    large slice of plain PQ's lost recall at IDENTICAL stored size
+    (measured 0.63 → 0.74 recall@10 at dim=64/pq_m=8/nprobe=n_lists).
+    Also: the opq index round-trips append+search with the FROZEN
+    rotation, and repeated searches are deterministic."""
+    import numpy as np
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_append,
+        ivf_build,
+        ivf_recall_check,
+        ivf_search,
+    )
+
+    rng = np.random.RandomState(7)
+    d, n = 64, 3000
+    decay = 0.93 ** np.arange(d)
+    q, _ = np.linalg.qr(rng.randn(d, d))
+    x = (rng.randn(n, d) * decay) @ q
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    emb.count()
+    probes = emb.filter(F.col("vec_id") % 60 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    pq_idx, opq_idx = str(tmp_path / "pq"), str(tmp_path / "opq")
+    ivf_build(emb, pq_idx, n_lists=8, compression="pq", pq_m=8)
+    ivf_build(emb, opq_idx, n_lists=8, compression="opq", pq_m=8)
+    # identical bytes at rest: same pq_m codes per row
+    assert abs(_dir_bytes(f"{pq_idx}/lists") - _dir_bytes(f"{opq_idx}/lists")) \
+        < 0.1 * _dir_bytes(f"{pq_idx}/lists")
+    rep_pq = ivf_recall_check(probes, emb, pq_idx, k=10, nprobe=8)
+    rep_opq = ivf_recall_check(probes, emb, opq_idx, k=10, nprobe=8)
+    release_caches()
+    assert rep_opq["recall_at_k"] >= rep_pq["recall_at_k"] + 0.06, (
+        rep_pq, rep_opq,
+    )
+    assert rep_opq["recall_at_k"] >= 0.70, rep_opq
+
+    # determinism + append under the frozen rotation
+    a = sorted(map(tuple, ivf_search(probes, opq_idx, k=5, nprobe=4).collect()))
+    b = sorted(map(tuple, ivf_search(probes, opq_idx, k=5, nprobe=4).collect()))
+    release_caches()
+    assert a == b
+    grow = str(tmp_path / "grow")
+    ivf_build(emb.filter("vec_id % 2 = 0"), grow, n_lists=8,
+              compression="opq", pq_m=8)
+    ivf_append(emb.filter("vec_id % 2 = 1"), grow)
+    got = ivf_search(probes, grow, k=5, nprobe=8).collect()
+    release_caches()
+    assert {r["vec_id"] for r in got if r["vec_id"] % 2 == 1}, (
+        "appended (odd) rows unsearchable under opq"
+    )
+    with pytest.raises(ValueError, match="opq_iters"):
+        ivf_build(emb, str(tmp_path / "bad"), n_lists=8,
+                  compression="opq", pq_m=8, opq_iters=0)
+    emb.unpersist(blocking=True)
