@@ -296,6 +296,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "importance weight under --dsir-model is at "
                         "least this (0 = at least as target-like as "
                         "the raw corpus)")
+    p.add_argument("--image-dedup", type=str, default=None,
+                   help="Maintenance mode: perceptual near-dedup of a "
+                        "media parquet dir (columns media_id, payload) "
+                        "— dHash + Hamming blocking + component "
+                        "min-survivors — write the surviving rows to "
+                        "--output, then exit")
+    p.add_argument("--image-codec", type=str, default="auto",
+                   choices=["auto", "png", "pil", "fake"],
+                   help="Decode kernel for --image-dedup (auto = "
+                        "Pillow when importable, else the stub)")
+    p.add_argument("--image-max-hamming", type=int, default=3,
+                   help="dHash Hamming radius for --image-dedup "
+                        "duplicates (0 = exact perceptual hash only)")
     p.add_argument("--fit-vocab", action="store_true",
                    help="Maintenance mode: train a byte-level BPE merge "
                         "table on --input (a documents parquet dir, "
@@ -717,6 +730,27 @@ def main(argv: Sequence[str] | None = None) -> int:
         print(
             f"DSIR fitted: target {model['n_target']} grams, raw "
             f"{model['n_raw']} grams, {model['n_buckets']} buckets -> "
+            f"{args.output}"
+        )
+        return 0
+
+    if args.image_dedup:
+        from .caching import release_caches
+        from .multimodal.image_dedup import image_near_dedup
+
+        media = spark.read.parquet(args.image_dedup)
+        n_in = media.count()
+        kept = image_near_dedup(
+            media,
+            codec=args.image_codec,
+            max_hamming=args.image_max_hamming,
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        release_caches()
+        print(
+            f"image dedup: {n_in} -> {n_out} images "
+            f"({n_in - n_out} perceptual duplicates dropped) -> "
             f"{args.output}"
         )
         return 0

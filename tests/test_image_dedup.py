@@ -176,3 +176,26 @@ def test_fake_codec_plumbing(spark):
 def test_validation(spark):
     with pytest.raises(ValueError, match="unknown codec"):
         dhash_media(_media(spark, [(0, b"x")]), codec="bogus")
+
+
+def test_cli_image_dedup_mode(spark, tmp_path, capsys):
+    """--image-dedup maintenance mode: reads a media parquet, writes
+    the perceptual survivors, prints the drop count."""
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    rows = [
+        (10, _png(3)),
+        (11, _png(3, filter_type=2)),  # re-encoded dup of 10
+        (20, _png(8)),
+    ]
+    src = str(tmp_path / "media.parquet")
+    _media(spark, rows).write.parquet(src)
+    out = str(tmp_path / "kept")
+    rc = main([
+        "--image-dedup", src, "--image-codec", "png", "--output", out,
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    kept = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {10, 20}
+    assert "1 perceptual duplicates dropped" in capsys.readouterr().out
