@@ -273,8 +273,8 @@ def bpe_train(
     pattern): the CORPUS-side work is one pre-tokenize explode + one
     map-side-combined frequency aggregate whose output is the
     distinct-PIECE relation — Zipf-small however big the corpus — cut
-    to the ``max_pieces`` most frequent pieces (ordered by count desc
-    then piece asc: a deterministic total order, so the trained table
+    to the ``max_pieces`` most frequent pieces (count desc, ties by
+    content hash: a deterministic total order, so the trained table
     is rerun/partition-invariant); the LEARNER then runs driver-side
     over that bounded piece-frequency table (:func:`_train_merges`).
     Truncation at ``max_pieces`` drops only the frequency tail, whose
@@ -311,30 +311,56 @@ def bpe_train(
             .groupBy("_p")
             .agg(F.count("*").cast("long").alias("_n"))
         )
-        # Bound the TakeOrdered funnel (orderBy+limit feeds the top-N of
-        # EVERY partition into one merge — the package's sampling
-        # convention forbids leaving that unbounded): escalate a count
-        # floor until the candidate set is within 4× max_pieces. The cut
-        # is provably unchanged — a floor is only adopted while at least
-        # max_pieces pieces survive it, so the true top-max_pieces set
-        # (all of whose counts are >= that floor) is a subset of the
-        # candidates. Distinct-piece tails are singleton-dominated, so
-        # the first floors shed most of the relation.
-        sel = counts
-        n_sel = counts.count()
-        floor = 1
-        while n_sel > 4 * max_pieces:
-            floor *= 2
-            cand = counts.filter(F.col("_n") >= floor)
-            n_cand = cand.count()
-            if n_cand < max_pieces:
-                break  # overshot: keep the previous (still-valid) set
-            sel, n_sel = cand, n_cand
-        rows = (
-            sel.orderBy(F.col("_n").desc(), F.col("_p").asc())
-            .limit(max_pieces)
-            .collect()
+        # Exact-threshold selection that BOUNDS the TakeOrdered funnel
+        # (orderBy+limit feeds the top-N of EVERY partition into one
+        # merge — the package's sampling convention forbids leaving
+        # that unbounded): the count-of-counts histogram (at most
+        # O(sqrt(total occurrences)) rows — Σ counts = N caps the
+        # number of distinct count values) yields the exact cut count
+        # t with |{_n > t}| < max_pieces <= |{_n >= t}|. Everything
+        # above t is taken whole (< max_pieces rows); the remainder
+        # fills from the _n == t tie set by CONTENT HASH under the
+        # _fit_sample_rows discipline (stateless hash-threshold
+        # pre-filter bounding the tie merge, ordering and filtering on
+        # the SAME hash so the selection is unchanged). Tie-break is
+        # therefore (count desc, content hash asc) — deterministic and
+        # partition/rerun-invariant. (A first draft escalated a
+        # power-of-two count floor, which goes unbounded on count
+        # PLATEAUS — exactly the replicated-corpus shape; reviewed.)
+        hist = sorted(
+            (
+                (int(r["_n"]), int(r["_k"]))
+                for r in counts.groupBy("_n")
+                .agg(F.count("*").alias("_k"))
+                .collect()
+            ),
+            key=lambda x: -x[0],
         )
+        cum = 0
+        cut = None
+        for n_val, k in hist:
+            if cum + k >= max_pieces:
+                cut, n_above, n_ties = n_val, cum, k
+                break
+            cum += k
+        if cut is None:
+            rows = counts.collect()  # fewer distinct pieces than the cap
+        else:
+            span = 1 << 61
+            rows = counts.filter(F.col("_n") > cut).collect()
+            r_need = max_pieces - n_above
+            ties = counts.filter(F.col("_n") == cut).withColumn(
+                "_h", F.pmod(F.xxhash64("_p"), F.lit(span))
+            )
+            if n_ties > 1.25 * r_need:
+                thresh = max(1, int(1.25 * r_need / n_ties * span))
+                ties = ties.filter(F.col("_h") < thresh)
+            rows += (
+                ties.orderBy(F.col("_h").asc(), F.col("_p").asc())
+                .limit(r_need)
+                .drop("_h")
+                .collect()
+            )
     finally:
         release_since(mark)
     if not rows:

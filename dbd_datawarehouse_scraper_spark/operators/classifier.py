@@ -173,26 +173,27 @@ def classifier_fit(
     spark = labeled.sparkSession
     from ..caching import pool_mark, release_since, tracked_persist
 
+    base = labeled.select(
+        F.col(label_col).cast("long").alias("_y"),
+        F.col(text_col).alias("_tx"),
+    )
+    # labels outside {0, 1} (incl. NULL) refuse LOUDLY — silently
+    # fitting on a filtered subset of what the caller supplied is the
+    # package's at-start-validation anti-pattern (review r9). One
+    # UNPERSISTED pass over the 2-column projection (a pruned parquet
+    # scan) — cheaper than holding a second corpus-sized cache through
+    # the fit (second review pass); NULL text stays silently
+    # unscoreable, as documented.
+    n_bad = base.filter(
+        F.col("_y").isNull() | ~F.col("_y").isin(0, 1)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"classifier_fit labels must be 0 or 1 (non-null): "
+            f"{n_bad} rows violate that"
+        )
     mark = pool_mark()
     try:
-        base = tracked_persist(
-            labeled.select(
-                F.col(label_col).cast("long").alias("_y"),
-                F.col(text_col).alias("_tx"),
-            )
-        )
-        # labels outside {0, 1} (incl. NULL) refuse LOUDLY — silently
-        # fitting on a filtered subset of what the caller supplied is
-        # the package's at-start-validation anti-pattern (review r9);
-        # NULL text stays silently unscoreable, as documented
-        n_bad = base.filter(
-            F.col("_y").isNull() | ~F.col("_y").isin(0, 1)
-        ).count()
-        if n_bad:
-            raise ValueError(
-                f"classifier_fit labels must be 0 or 1 (non-null): "
-                f"{n_bad} rows violate that"
-            )
         hashed = tracked_persist(
             base.filter(F.col("_tx").isNotNull()).withColumn(
                 "_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN))

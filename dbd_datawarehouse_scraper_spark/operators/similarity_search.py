@@ -572,6 +572,29 @@ def _read_sq8_bounds(spark, index_path: str, dim: int):
     return _bounds_from_rows(rows, dim)
 
 
+def _fit_subspace_books(
+    sample: "np.ndarray", pq_m: int, sub: int, seed: int, iters: int
+) -> "np.ndarray":
+    """THE per-subspace codebook fit (pq AND opq call it — a seed/tol
+    change lands once): ``pq_m`` independent 256-center Lloyd's runs
+    over contiguous ``sub``-wide slices of the sample. Returns
+    (pq_m, 256, sub)."""
+    from .clustering import _lloyd
+
+    return np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+                256,
+                seed + j,
+                max_iter=iters,
+                tol=1e-6,
+            )
+            for j in range(pq_m)
+        ]
+    )
+
+
 def _pq_fit(corpus: DataFrame, vec_col: str, dim: int, pq_m: int, seed: int):
     """Product-quantization codebooks: split each vector into ``pq_m``
     contiguous subvectors and fit 256 k-means centers PER SUBSPACE
@@ -581,7 +604,7 @@ def _pq_fit(corpus: DataFrame, vec_col: str, dim: int, pq_m: int, seed: int):
     driver-side Lloyd's runs over the sample's subspace slices.
     Returns a (pq_m, 256, dim/pq_m) float64 array. Deterministic for
     (corpus, seed) like every fit in this package."""
-    from .clustering import _fit_sample_matrix, _lloyd
+    from .clustering import _fit_sample_matrix
 
     if pq_m < 1 or dim % pq_m != 0:
         raise ValueError(
@@ -591,18 +614,7 @@ def _pq_fit(corpus: DataFrame, vec_col: str, dim: int, pq_m: int, seed: int):
     # by _fit_sample_matrix itself
     sample = _fit_sample_matrix(corpus, vec_col, 16384)
     sub = dim // pq_m
-    return np.stack(
-        [
-            _lloyd(
-                np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
-                256,
-                seed + j,
-                max_iter=20,
-                tol=1e-6,
-            )
-            for j in range(pq_m)
-        ]
-    )
+    return _fit_subspace_books(sample, pq_m, sub, seed, 20)
 
 
 def _opq_fit(
@@ -629,7 +641,7 @@ def _opq_fit(
     deterministic). A final full-strength codebook fit runs on the
     converged rotation. Returns ``(codebooks (m,256,sub), R (d,d))``.
     """
-    from .clustering import _fit_sample_matrix, _lloyd
+    from .clustering import _fit_sample_matrix
 
     if pq_m < 1 or dim % pq_m != 0:
         raise ValueError(
@@ -641,18 +653,7 @@ def _opq_fit(
     sub = dim // pq_m
 
     def _fit_books(Y: np.ndarray, iters: int) -> np.ndarray:
-        return np.stack(
-            [
-                _lloyd(
-                    np.ascontiguousarray(Y[:, j * sub : (j + 1) * sub]),
-                    256,
-                    seed + j,
-                    max_iter=iters,
-                    tol=1e-6,
-                )
-                for j in range(pq_m)
-            ]
-        )
+        return _fit_subspace_books(Y, pq_m, sub, seed, iters)
 
     def _reconstruct(Y: np.ndarray, books: np.ndarray) -> np.ndarray:
         out = np.empty_like(Y)
@@ -1159,6 +1160,17 @@ def ivf_stats(spark, index_path: str) -> DataFrame:
         lists = lists.withColumn(
             row["corpus_vec"],
             _pq_decode(F.col("_code"), _read_pq_codebooks(spark, index_path)),
+        )
+    elif comp == "opq":
+        # rotation applied like in ivf_search: the centers live in the
+        # ORIGINAL space, so reconstructions must come back to it
+        lists = lists.withColumn(
+            row["corpus_vec"],
+            _pq_decode(
+                F.col("_code"),
+                _read_pq_codebooks(spark, index_path),
+                _read_pq_rotation(spark, index_path),
+            ),
         )
     d2 = F.aggregate(
         F.zip_with(

@@ -334,3 +334,20 @@ def test_train_save_roundtrip_counts_and_compression(spark, tmp_path):
         assert got[i] < raw_syms  # merges learned on-domain compress
     with pytest.raises(ValueError, match="empty merges"):
         save_merges([], str(tmp_path / "empty.txt"))
+
+
+def test_train_piece_cap_on_count_plateau(spark):
+    """The max_pieces cut on a count PLATEAU (every piece the same
+    frequency — the replicated-corpus shape that defeated the first
+    draft's power-of-two floor escalation): the exact histogram
+    threshold + hash-bounded tie fill still selects exactly
+    max_pieces pieces, deterministically across partitionings."""
+    words = " ".join(f"pw{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(i, words) for i in range(3)], "doc_id INT, text STRING"
+    )  # every piece occurs exactly 3 times -> one giant tie set
+    m1 = bpe_train(docs, num_merges=15, max_pieces=20, min_pair_freq=1)
+    m2 = bpe_train(
+        docs.repartition(7), num_merges=15, max_pieces=20, min_pair_freq=1
+    )
+    assert m1 == m2 and len(m1) > 0

@@ -712,6 +712,18 @@ def test_ivf_opq_beats_pq_on_correlated_data(spark, tmp_path):
     assert {r["vec_id"] for r in got if r["vec_id"] % 2 == 1}, (
         "appended (odd) rows unsearchable under opq"
     )
+    # drift instrumentation decodes opq codes too (reviewed: the comp
+    # dispatch originally skipped opq and ivf_stats crashed on it)
+    from dbd_datawarehouse_scraper_spark.operators.similarity_search import (
+        ivf_stats,
+    )
+
+    stats = ivf_stats(spark, grow).collect()
+    release_caches()
+    assert sum(r["n_vectors"] for r in stats) == n
+    assert all(
+        r["mean_center_dist"] is not None for r in stats if r["n_vectors"] > 0
+    )
     with pytest.raises(ValueError, match="opq_iters"):
         ivf_build(emb, str(tmp_path / "bad"), n_lists=8,
                   compression="opq", pq_m=8, opq_iters=0)
