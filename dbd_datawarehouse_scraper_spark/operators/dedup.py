@@ -542,6 +542,7 @@ def hamming_pairs(
     id_col: str,
     hash_col: str,
     max_hamming: int = 3,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Block-permutation Hamming join over ANY 64-bit hash column —
     the shared machinery behind :func:`simhash_pairs` (text) and
@@ -550,9 +551,15 @@ def hamming_pairs(
     pair within Hamming distance d agrees EXACTLY on at least one of
     the d+1 chunks, so the candidate set provably contains every
     qualifying pair (this is exhaustive, not probabilistic recall);
-    verification is one bit_count(xor). Returns
-    ``(id_a, id_b, hamming)`` with id_a < id_b. NULL hashes (e.g.
-    decode failures upstream) are excluded — they cannot be compared."""
+    verification is one bit_count(xor). NULL hashes (e.g. decode
+    failures upstream) are excluded — they cannot be compared.
+
+    Self-join form (``against=None``): every pair WITHIN ``hashed``,
+    as ``(id_a, id_b, hamming)`` with id_a < id_b. Cross form
+    (``against`` = a second relation with the SAME id/hash columns —
+    the incremental-dedup probe-vs-history shape): every qualifying
+    (hashed row, against row) pair, id_a from ``hashed``, id_b from
+    ``against``, no ordering constraint."""
     if not (0 <= max_hamming <= 31):
         raise ValueError(
             f"max_hamming must be in [0, 31] (need >= 2-bit chunks of a "
@@ -563,32 +570,39 @@ def hamming_pairs(
     # d=0 → ONE 64-bit chunk: the mask 2^64-1 overflows a JVM long, so
     # the chunk is the hash itself (exact-hash blocking)
     blk_mask = -1 if bits_per == 64 else (1 << bits_per) - 1
-    sh = hashed.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    ).filter(F.col("_h").isNotNull())
-    blocked = sh.select(
-        "_id",
-        "_h",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("_h"), b * bits_per).bitwiseAND(
-                        F.lit(blk_mask)
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_blk", "_val"),
-    )
-    right = blocked.select(
+
+    def _blocked(df: DataFrame, ids: str, hs: str) -> DataFrame:
+        sh = df.select(
+            F.col(ids).alias("_id"), F.col(hs).alias("_h")
+        ).filter(F.col("_h").isNotNull())
+        return sh.select(
+            "_id",
+            "_h",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(
+                            F.col("_h"), b * bits_per
+                        ).bitwiseAND(F.lit(blk_mask))
+                        for b in range(n_blocks)
+                    ]
+                )
+            ).alias("_blk", "_val"),
+        )
+
+    blocked = _blocked(hashed, id_col, hash_col)
+    right = _blocked(
+        hashed if against is None else against, id_col, hash_col
+    ).select(
         F.col("_id").alias("_id2"), F.col("_h").alias("_h2"), "_blk", "_val"
     )
     # merge hint: same exchange-free-build-side broadcast hazard as
     # ngram_jaccard_pairs above (the blocked relation is corpus-sized)
+    joined = blocked.join(right.hint("merge"), ["_blk", "_val"])
+    if against is None:
+        joined = joined.filter(F.col("_id") < F.col("_id2"))
     return (
-        blocked.join(right.hint("merge"), ["_blk", "_val"])
-        .filter(F.col("_id") < F.col("_id2"))
-        .select(
+        joined.select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
             F.bit_count(F.col("_h").bitwiseXOR(F.col("_h2"))).alias("hamming"),

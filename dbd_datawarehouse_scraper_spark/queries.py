@@ -1810,6 +1810,75 @@ def stream_substring_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register("stream_image_dedup_hermetic", None)
+def stream_image_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental perceptual image dedup through the dHash
+    store (streaming/image_dedup.py — the epoch form of
+    image_near_dedup, so every dedup family has batch AND incremental
+    forms): two file-stream epochs of synthesized PNGs; epoch 2 is
+    re-encoded and brightness-shifted copies of epoch-1 survivors plus
+    fresh images — only the fresh ones export. Returns the per-epoch
+    survivor ids. Rows-only (foreachBatch + streaming trigger);
+    epoch==batch prefix consistency, replay idempotence, the
+    undecodable-image contract, and marker refusals are pinned in
+    tests/test_image_stream.py."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .multimodal.media import png_encode
+    from .streaming import file_stream
+    from .streaming.image_dedup import stream_image_dedup
+
+    def _png(seed: int, filter_type: int = 0, shift: int = 0) -> bytes:
+        y, x = np.mgrid[0:24, 0:24]
+        base = (
+            (np.sin(x / 3.0 + seed) + np.cos(y / 4.0 + 2 * seed)) * 60 + 100
+        ).astype(np.int32)
+        px = np.clip(
+            np.stack([base, (base + 17 * seed) % 200, base[::-1]], 2) + shift,
+            0, 255,
+        ).astype(np.uint8)
+        return png_encode(px.tobytes(), 24, 24, 3, filter_type)
+
+    work = tempfile.mkdtemp(prefix="img_dedup_q_")
+    src, out, store, ckpt = (
+        f"{work}/src", f"{work}/out", f"{work}/store", f"{work}/ckpt"
+    )
+    try:
+        n = 40
+        e1 = spark.createDataFrame(
+            [(i, _png(i)) for i in range(n)], "media_id long, payload binary"
+        )
+        e1.repartition(1).write.mode("append").parquet(src)
+        q = stream_image_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, codec="png",
+        )
+        _await_or_die(q, 180)
+        e2 = spark.createDataFrame(
+            [(1000 + i, _png(i, filter_type=2)) for i in range(0, n, 2)]
+            + [(2000 + i, _png(i, shift=25)) for i in range(1, n, 2)]
+            + [(3000 + i, _png(100 + i)) for i in range(10)],
+            "media_id long, payload binary",
+        )
+        e2.repartition(1).write.mode("append").parquet(src)
+        q2 = stream_image_dedup(
+            file_stream(spark, src, e1.schema, max_files_per_trigger=1),
+            out, store, ckpt, codec="png",
+        )
+        _await_or_die(q2, 180)
+        kept = (
+            spark.read.option("basePath", out)
+            .parquet(f"{out}/epoch=*")
+            .select("epoch", "media_id")
+        )
+        return spark.createDataFrame(kept.collect(), kept.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @register("stream_near_dedup_hermetic", None)
 def stream_near_dedup_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Incremental near-dup dedup through the signature store
