@@ -18,5 +18,6 @@ from .near_dedup import stream_near_dedup  # noqa: F401
 from .semantic import semantic_dedup_epoch, stream_semantic_dedup  # noqa: F401
 from .segments import stream_segment_dedup  # noqa: F401
 from .substrings import stream_substring_dedup  # noqa: F401
+from .image_dedup import stream_image_dedup  # noqa: F401
 from .sharding import stream_pack_shards  # noqa: F401
 from .export import stream_export_training_set  # noqa: F401

@@ -95,3 +95,56 @@ def committed_epochs_below(
             f"outputs) to start over; {overwrite_consequence}."
         )
     return [e for e in all_epochs if e < epoch_id]
+
+
+_OUT_MARKER_SCHEMA = "out_version INT, columns STRING"
+
+
+def validate_or_init_out_schema(
+    spark: SparkSession,
+    out_path: str,
+    columns: list,
+    version: int,
+    legacy_hint: str = "it predates output versioning",
+) -> None:
+    """Pin a stream wrapper's survivor schema under
+    ``out_path/_schema`` (hoisted from near_dedup in round 9 when the
+    image stream needed the identical guard): the store format marker
+    protects ``store_path``, but without this an out_path written
+    under one column set could be resumed with another, mixing schemas
+    across epoch dirs with no runtime guard. Same commit-order
+    discipline as the store marker — written before the first epoch,
+    refused on mismatch or on a pre-existing non-empty unversioned
+    out_path."""
+    marker = f"{out_path}/_schema"
+    want = ",".join(columns)
+    if fs_exists(spark, marker):
+        row = spark.read.schema(_OUT_MARKER_SCHEMA).json(marker).head()
+        if row is None or row["out_version"] is None:
+            raise ValueError(
+                f"survivor-output marker at {marker} exists but is "
+                "unreadable — wipe the output dir (and re-export) before "
+                "continuing."
+            )
+        if (row["out_version"], row["columns"]) != (version, want):
+            raise ValueError(
+                f"survivor output at {out_path} was written with "
+                f"(version, columns)=({row['out_version']}, "
+                f"{row['columns']!r}), but this run writes "
+                f"({version}, {want!r}) — resuming would mix "
+                "schemas across epoch dirs. Wipe the output dir (and "
+                "re-export) or rerun with the original columns."
+            )
+        return
+    if fs_exists(spark, out_path) and any(
+        n.startswith("epoch=") for n in fs_list_names(spark, out_path)
+    ):
+        raise ValueError(
+            f"survivor output at {out_path} holds epoch dirs but no "
+            f"_schema marker — {legacy_hint}. Wipe it (and re-export) "
+            "before continuing; mixing schemas across epochs corrupts "
+            "readers."
+        )
+    spark.createDataFrame(
+        [(version, want)], _OUT_MARKER_SCHEMA
+    ).repartition(1).write.mode("overwrite").json(marker)

@@ -57,17 +57,28 @@ _MARKER_SCHEMA = (
 
 def _validate_or_init_store(
     spark: SparkSession, store_path: str, codec: str, max_hamming: int
-) -> None:
+) -> str:
+    """Validate/init the store marker and return the RESOLVED codec.
+    The marker pins the resolved kernel, never the raw name: pinning
+    ``'auto'`` would let the same store hash with Pillow on one box
+    and the stub on another (marker check passing!) — cross-epoch
+    comparisons between kernels are meaningless and historical
+    duplicates would silently pass (review r9). Resolution also runs
+    BEFORE the marker write, so a typo'd codec refuses without
+    poisoning a fresh store path."""
+    from ..multimodal.media import _resolve_codec
     from ._store import validate_or_init_marker
 
+    chosen = _resolve_codec(codec)
     validate_or_init_marker(
         spark, store_path, _MARKER_SCHEMA,
-        (STORE_FORMAT_VERSION, codec, max_hamming, HASH_W, HASH_H),
+        (STORE_FORMAT_VERSION, chosen, max_hamming, HASH_W, HASH_H),
         "image-hash store",
         "dHashes from different codecs, grids, or Hamming radii do not "
         "compare meaningfully — historical near-duplicates would "
         "silently pass or false-drop",
     )
+    return chosen
 
 
 def stream_image_dedup(
@@ -82,21 +93,36 @@ def stream_image_dedup(
     available_now: bool = True,
     fold_store_after: int | None = 16,
 ) -> StreamingQuery:
-    """Start the incremental image-dedup stream. Survivor rows (the
-    input columns, unchanged — payloads pass through untouched) land
-    in ``out_path/epoch=N``; the hash store grows under
+    """Start the incremental image-dedup stream. Survivor rows land in
+    ``out_path/epoch=N``; the hash store grows under
     ``store_path/hashes/epoch=N``. Returns the StreamingQuery.
 
-    The store marker pins (codec, max_hamming, grid) — resuming an
-    existing store with a different decode kernel or radius raises
-    (re-hash into a fresh store to change them). ``fold_store_after``
-    folds committed store generations like every other epoch store."""
+    Output schema contract: survivors carry EXACTLY (id_col,
+    payload_col) — extra source columns are dropped and the column set
+    is pinned under ``out_path/_schema`` (the shared out-schema
+    marker), so a source schema change can never mix schemas inside
+    one out_path. Composed pipelines that want more columns call
+    :func:`image_dedup_epoch` directly, which keeps all input columns.
+
+    The store marker pins (RESOLVED codec, max_hamming, grid) —
+    resuming an existing store with a different decode kernel or
+    radius raises (re-hash into a fresh store to change them; note
+    ``codec='auto'`` pins whatever it resolves to on the FIRST run, so
+    an auto store refuses rather than silently degrading when Pillow
+    disappears). ``fold_store_after`` folds committed store
+    generations like every other epoch store."""
+    from ._store import validate_or_init_out_schema
+
     spark = stream_media.sparkSession
     _validate_or_init_store(spark, store_path, codec, max_hamming)
+    validate_or_init_out_schema(
+        spark, out_path, [id_col, payload_col], STORE_FORMAT_VERSION
+    )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         image_dedup_epoch(
-            spark, batch_df, epoch_id, out_path, store_path,
+            spark, batch_df.select(id_col, payload_col), epoch_id,
+            out_path, store_path,
             id_col=id_col, payload_col=payload_col, codec=codec,
             max_hamming=max_hamming, fold_store_after=fold_store_after,
         )
@@ -127,7 +153,7 @@ def image_dedup_epoch(
     ``out_path/epoch=<epoch_id>`` and their (id, dhash) rows to the
     store; undecodable images survive with nothing stored. Returns
     True iff the epoch had rows."""
-    _validate_or_init_store(spark, store_path, codec, max_hamming)
+    codec = _validate_or_init_store(spark, store_path, codec, max_hamming)
     from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
     # crash recovery runs UNCONDITIONALLY (the near_dedup precedent: a

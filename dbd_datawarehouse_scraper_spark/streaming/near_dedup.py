@@ -89,52 +89,19 @@ def _validate_or_init_store(
     )
 
 
-_OUT_MARKER_SCHEMA = "out_version INT, columns STRING"
-
-
 def _validate_or_init_out(spark: SparkSession, out_path: str, columns: list) -> None:
-    """Pin the wrapper's survivor schema under ``out_path/_schema``.
-    The store format marker protects ``store_path``, but nothing used
-    to version the OUTPUT dir: a stream resumed over an out_path
-    written by the brief round-5 all-columns build would mix schemas
-    across epoch dirs with no runtime guard (advisor, r5). Same
-    commit-order discipline as the store marker: written before the
-    first epoch, refused on mismatch or on a pre-existing non-empty
-    unversioned out_path."""
-    from ..fsutil import fs_list_names
+    """Pin the wrapper's survivor schema under ``out_path/_schema``
+    (advisor r5: a stream resumed over an out_path written by the
+    brief round-5 all-columns build would mix schemas across epoch
+    dirs with no runtime guard) — the shared ``_store`` protocol piece
+    since round 9 (the image stream needed the identical guard)."""
+    from ._store import validate_or_init_out_schema
 
-    marker = f"{out_path}/_schema"
-    want = ",".join(columns)
-    if fs_exists(spark, marker):
-        row = spark.read.schema(_OUT_MARKER_SCHEMA).json(marker).head()
-        if row is None or row["out_version"] is None:
-            raise ValueError(
-                f"survivor-output marker at {marker} exists but is "
-                "unreadable — wipe the output dir (and re-export) before "
-                "continuing."
-            )
-        if (row["out_version"], row["columns"]) != (STORE_FORMAT_VERSION, want):
-            raise ValueError(
-                f"survivor output at {out_path} was written with "
-                f"(version, columns)=({row['out_version']}, "
-                f"{row['columns']!r}), but this run writes "
-                f"({STORE_FORMAT_VERSION}, {want!r}) — resuming would mix "
-                "schemas across epoch dirs. Wipe the output dir (and "
-                "re-export) or rerun with the original columns."
-            )
-        return
-    if fs_exists(spark, out_path) and any(
-        n.startswith("epoch=") for n in fs_list_names(spark, out_path)
-    ):
-        raise ValueError(
-            f"survivor output at {out_path} holds epoch dirs but no "
-            "_schema marker — it predates output versioning (the "
-            "all-columns build). Wipe it (and re-export) before "
-            "continuing; mixing schemas across epochs corrupts readers."
-        )
-    spark.createDataFrame(
-        [(STORE_FORMAT_VERSION, want)], _OUT_MARKER_SCHEMA
-    ).repartition(1).write.mode("overwrite").json(marker)
+    validate_or_init_out_schema(
+        spark, out_path, columns, STORE_FORMAT_VERSION,
+        legacy_hint="it predates output versioning (the all-columns "
+        "build)",
+    )
 
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -166,3 +166,69 @@ def test_stream_wrapper_end_to_end(spark, tmp_path):
         .collect()
     }
     assert kept == {1, 3}
+
+
+def test_marker_pins_resolved_codec_and_bad_codec_never_poisons(
+    spark, tmp_path
+):
+    """The marker pins the RESOLVED kernel: a store built with
+    codec='auto' (resolving to the stub here — no Pillow) resumes with
+    the equivalent explicit codec and refuses a different kernel; a
+    typo'd codec refuses BEFORE writing a marker, so the intended
+    codec still initializes the same fresh store path."""
+    out, store = str(tmp_path / "out"), str(tmp_path / "store")
+    with pytest.raises(ValueError, match="unknown codec"):
+        image_dedup_epoch(
+            spark, _media(spark, [(1, _png(1))]), 1, out, store,
+            codec="jpeg",
+        )
+    # the refusal left no marker: png still initializes this path
+    image_dedup_epoch(
+        spark, _media(spark, [(1, _png(1))]), 1, out, store, codec="png"
+    )
+    out2, store2 = str(tmp_path / "o2"), str(tmp_path / "s2")
+    image_dedup_epoch(
+        spark, _media(spark, [(1, _png(1))]), 1, out2, store2, codec="auto"
+    )
+    # auto resolved to the stub (no Pillow in this env): 'fake' resumes
+    from dbd_datawarehouse_scraper_spark.multimodal.media import (
+        _pil_importable,
+    )
+
+    resolved = "pil" if _pil_importable() else "fake"
+    image_dedup_epoch(
+        spark, _media(spark, [(2, _png(2))]), 2, out2, store2,
+        codec=resolved,
+    )
+    with pytest.raises(ValueError, match="image-hash store"):
+        image_dedup_epoch(
+            spark, _media(spark, [(3, _png(3))]), 3, out2, store2,
+            codec="png",
+        )
+
+
+def test_out_schema_marker_refuses_column_drift(spark, tmp_path):
+    """The stream wrapper pins (id_col, payload_col) under
+    out_path/_schema — resuming the same out_path with different
+    column names refuses instead of mixing schemas across epochs."""
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+
+    src = str(tmp_path / "src")
+    _media(spark, [(1, _png(1))]).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, store, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "store"), str(tmp_path / "c1")
+    )
+    q = stream_image_dedup(
+        file_stream(spark, src, schema), out, store, ckpt, codec="png"
+    )
+    assert q.awaitTermination(240)
+    renamed = spark.read.parquet(src).withColumnRenamed("media_id", "img_id")
+    rsrc = str(tmp_path / "rsrc")
+    renamed.coalesce(1).write.mode("append").parquet(rsrc)
+    with pytest.raises(ValueError, match="mix\\s+schemas|mix schemas"):
+        stream_image_dedup(
+            file_stream(spark, rsrc, renamed.schema),
+            out, str(tmp_path / "s3"), str(tmp_path / "c2"),
+            id_col="img_id", codec="png",
+        )
