@@ -363,6 +363,147 @@ def classifier_filter(
     )
 
 
+#: Probability-histogram resolution for evaluation: scores bucket to
+#: 1e-4 before the driver-side sweep, so the collect is <= 10,001 rows
+#: however large the eval corpus is.
+_EVAL_BUCKETS = 10_000
+
+
+def _eval_histogram(
+    labeled: DataFrame, model: dict, text_col: str, label_col: str
+):
+    """(bucket → (n_pos, n_neg)) histogram of classifier probabilities
+    over a labeled corpus — the bounded-collect core of
+    :func:`classifier_eval` and :func:`classifier_threshold_for_precision`.
+    Scoreable rows only (gram-less documents have no probability);
+    labels validated like the fit."""
+    d = labeled.select(
+        F.col(label_col).cast("long").alias("_y"), F.col(text_col)
+    )
+    n_bad = d.filter(F.col("_y").isNull() | ~F.col("_y").isin(0, 1)).count()
+    if n_bad:
+        raise ValueError(
+            f"labels must be 0 or 1 (non-null): {n_bad} rows violate that"
+        )
+    ided = d.withColumn("_eid", F.monotonically_increasing_id())
+    scores = classifier_score(ided, model, id_col="_eid", text_col=text_col)
+    hist = (
+        ided.join(scores, "_eid")
+        .groupBy(
+            F.round(F.col("prob") * _EVAL_BUCKETS)
+            .cast("long")
+            .alias("_b")
+        )
+        .agg(
+            F.sum("_y").alias("_pos"),
+            F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
+        )
+        .collect()
+    )
+    return sorted((int(r["_b"]), int(r["_pos"]), int(r["_neg"])) for r in hist)
+
+
+def classifier_eval(
+    labeled: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    label_col: str = "label",
+    thresholds: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> dict:
+    """Evaluate a fitted classifier on a LABELED (held-out) corpus:
+    ``{"auc", "n_pos", "n_neg", "thresholds": [{threshold, tp, fp,
+    fn, tn, precision, recall, f1}, ...]}``.
+
+    Scale shape: one score pass + one groupBy on the 1e-4-bucketed
+    probability (<= 10,001 rows collected — the histogram-prefix-sum
+    discipline, like quality sampling); AUC is the Mann-Whitney
+    rank-sum over that histogram with the standard half-credit tie
+    correction (ties = scores in the same bucket), so the answer is
+    deterministic and partition-invariant, exact up to the bucket
+    resolution. Gram-less documents carry no probability and are
+    EXCLUDED — evaluate the gate's empty-doc policy separately
+    (``keep_empty``)."""
+    hist = _eval_histogram(labeled, model, text_col, label_col)
+    n_pos = sum(p for _, p, _ in hist)
+    n_neg = sum(n for _, _, n in hist)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"classifier_eval needs scoreable documents in BOTH classes "
+            f"(got {n_pos} positive, {n_neg} negative)"
+        )
+    # AUC: P(score_pos > score_neg) + 0.5 P(tie), summed over buckets
+    # in ascending score order
+    neg_below = 0
+    u = 0.0
+    for _, p, n in hist:
+        u += p * (neg_below + 0.5 * n)
+        neg_below += n
+    auc = u / (n_pos * n_neg)
+    rows = []
+    for t in thresholds:
+        cut = round(float(t) * _EVAL_BUCKETS)
+        tp = sum(p for b, p, _ in hist if b >= cut)
+        fp = sum(n for b, _, n in hist if b >= cut)
+        fn, tn = n_pos - tp, n_neg - fp
+        prec = tp / (tp + fp) if tp + fp else None
+        rec = tp / n_pos
+        f1 = (
+            2 * prec * rec / (prec + rec)
+            if prec is not None and prec + rec > 0
+            else None
+        )
+        rows.append(
+            {
+                "threshold": float(t), "tp": tp, "fp": fp, "fn": fn,
+                "tn": tn,
+                "precision": None if prec is None else round(prec, 6),
+                "recall": round(rec, 6),
+                "f1": None if f1 is None else round(f1, 6),
+            }
+        )
+    return {
+        "auc": round(auc, 6),
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+        "thresholds": rows,
+    }
+
+
+def classifier_threshold_for_precision(
+    labeled: DataFrame,
+    model: dict,
+    target_precision: float,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> float:
+    """The practical gate knob: the SMALLEST ``min_prob`` whose
+    precision on the labeled corpus reaches ``target_precision``
+    (smallest ⇒ maximum recall at that precision), swept over the
+    bounded probability histogram. Raises if no threshold reaches the
+    target (the model is not good enough for that bar — refit or lower
+    it)."""
+    if not (0.0 < target_precision <= 1.0):
+        raise ValueError(
+            f"target_precision must be in (0, 1], got {target_precision}"
+        )
+    hist = _eval_histogram(labeled, model, text_col, label_col)
+    # suffix sums from the top: precision at cut b = tp(>=b)/(tp+fp)(>=b)
+    best = None
+    tp = fp = 0
+    for b, p, n in reversed(hist):
+        tp += p
+        fp += n
+        if tp and tp / (tp + fp) >= target_precision:
+            best = b / _EVAL_BUCKETS  # smallest qualifying cut so far
+    if best is None:
+        raise ValueError(
+            f"no threshold reaches precision {target_precision} on this "
+            f"corpus (best is below the target everywhere) — refit with "
+            f"better labels/features or lower the target"
+        )
+    return float(best)
+
+
 def resolve_classifier_opts(spark: SparkSession, opts: dict) -> dict:
     """THE one validation + resolution of a ``classifier_opts`` dict —
     the batch funnel, the stream exporter, and the CLI all call it, so

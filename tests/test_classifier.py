@@ -313,3 +313,92 @@ def test_stream_export_classifier_gate(spark, tmp_path):
         with gzip.open(f, "rt", encoding="utf-8") as fh:
             ids |= {json.loads(l)["doc_id"] for l in fh if l.strip()}
     assert ids and all(i.startswith("g") for i in ids)
+
+
+def test_eval_auc_thresholds_and_mirror(spark):
+    """classifier_eval on a deliberately NOISY labeled set (10% labels
+    flipped): AUC matches an independent pure-Python Mann-Whitney
+    computation over the same 1e-4 buckets exactly; the threshold
+    table's confusion counts match a brute-force sweep."""
+    labeled = _labeled(spark)
+    model = _fit(spark)
+    from dbd_datawarehouse_scraper_spark.operators.classifier import (
+        _EVAL_BUCKETS,
+        classifier_eval,
+    )
+
+    noisy_rows = [
+        (d, t, (1 - y) if i % 10 == 0 else y)
+        for i, (d, t, y) in enumerate(_labeled_rows())
+    ]
+    noisy = spark.createDataFrame(
+        noisy_rows, "doc_id string, text string, label int"
+    )
+    rep = classifier_eval(noisy, model)
+    assert rep["n_pos"] + rep["n_neg"] == 300
+
+    # independent mirror: collected probabilities, same bucketing
+    probs = {
+        r["doc_id"]: r["prob"]
+        for r in classifier_score(noisy, model).collect()
+    }
+    # Spark's round() is HALF_UP; Python's is banker's — mirror Spark
+    pts = sorted(
+        (math.floor(probs[d] * _EVAL_BUCKETS + 0.5), y)
+        for d, _, y in noisy_rows
+    )
+    n_pos = sum(y for _, y in pts)
+    n_neg = len(pts) - n_pos
+    u = 0.0
+    neg_below = 0
+    from itertools import groupby
+
+    for _, grp in groupby(pts, key=lambda x: x[0]):
+        g = list(grp)
+        p = sum(y for _, y in g)
+        n = len(g) - p
+        u += p * (neg_below + 0.5 * n)
+        neg_below += n
+    assert abs(rep["auc"] - u / (n_pos * n_neg)) <= 1e-6
+    assert 0.8 < rep["auc"] < 1.0  # noisy labels: good but not perfect
+    for row in rep["thresholds"]:
+        cut = round(row["threshold"] * _EVAL_BUCKETS)
+        tp = sum(1 for b, y in pts if y == 1 and b >= cut)
+        fp = sum(1 for b, y in pts if y == 0 and b >= cut)
+        assert (row["tp"], row["fp"]) == (tp, fp), row
+
+
+def test_eval_perfect_separation_and_target_precision(spark):
+    """Clean labels: AUC 1.0; classifier_threshold_for_precision(1.0)
+    returns the lowest-positive cut (max recall at full precision) and
+    gating there keeps every good doc and no junk; an unreachable
+    target refuses."""
+    labeled = _labeled(spark)
+    model = _fit(spark)
+    from dbd_datawarehouse_scraper_spark.operators.classifier import (
+        classifier_eval,
+        classifier_threshold_for_precision,
+    )
+
+    rep = classifier_eval(labeled, model)
+    assert rep["auc"] == 1.0
+    t = classifier_threshold_for_precision(labeled, model, 1.0)
+    probs = {
+        r["doc_id"]: r["prob"]
+        for r in classifier_score(labeled, model).collect()
+    }
+    good = [v for k, v in probs.items() if k.startswith("g")]
+    junk = [v for k, v in probs.items() if k.startswith("j")]
+    assert max(junk) < t <= min(good) + 1.0 / 10_000  # bucket resolution
+    # inverted labels make every precision target unreachable
+    flipped = labeled.select(
+        "doc_id", "text", (F.lit(1) - F.col("label")).alias("label")
+    )
+    with pytest.raises(ValueError, match="no threshold"):
+        classifier_threshold_for_precision(flipped, model, 0.99)
+    with pytest.raises(ValueError, match="target_precision"):
+        classifier_threshold_for_precision(labeled, model, 0.0)
+    with pytest.raises(ValueError, match="labels must be"):
+        classifier_eval(
+            labeled.select("doc_id", "text", F.lit(2).alias("label")), model
+        )
