@@ -336,6 +336,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--classifier-sample", type=int, default=10_000,
                    help="Per-class fit-sample bound for "
                         "--fit-classifier (content-hash deterministic)")
+    p.add_argument("--eval-classifier", type=str, default=None,
+                   help="Maintenance mode: evaluate --classifier-model "
+                        "on a LABELED parquet dir (columns 'text', "
+                        "'label' in {0,1}) — print AUC and a "
+                        "per-threshold precision/recall table, then "
+                        "exit")
+    p.add_argument("--classifier-target-precision", type=float,
+                   default=None,
+                   help="With --eval-classifier: also print the "
+                        "smallest --min-classifier-prob reaching this "
+                        "precision (max recall at that bar)")
     p.add_argument("--classifier-model", type=str, default=None,
                    help="A --fit-classifier (save_classifier) model "
                         "directory: gate exported documents on learned "
@@ -796,6 +807,40 @@ def main(argv: Sequence[str] | None = None) -> int:
             f"{model['n_neg']} negative sample docs, "
             f"{model['n_buckets']} buckets -> {args.output}"
         )
+        return 0
+
+    if args.eval_classifier:
+        from .caching import release_caches
+        from .operators.classifier import (
+            classifier_eval,
+            classifier_threshold_for_precision,
+            load_classifier,
+        )
+
+        if not args.classifier_model:
+            raise ValueError("--eval-classifier requires --classifier-model")
+        model = load_classifier(spark, args.classifier_model)
+        labeled = spark.read.parquet(args.eval_classifier)
+        rep = classifier_eval(labeled, model)
+        print(
+            f"AUC {rep['auc']} on {rep['n_pos']} positive / "
+            f"{rep['n_neg']} negative scoreable docs"
+        )
+        print("threshold  precision  recall  f1")
+        for r in rep["thresholds"]:
+            print(
+                f"{r['threshold']:9.2f}  {str(r['precision']):>9}  "
+                f"{r['recall']:.4f}  {str(r['f1'])}"
+            )
+        if args.classifier_target_precision is not None:
+            t = classifier_threshold_for_precision(
+                labeled, model, args.classifier_target_precision
+            )
+            print(
+                f"min-classifier-prob for precision >= "
+                f"{args.classifier_target_precision}: {t}"
+            )
+        release_caches()
         return 0
 
     if args.export_training_set:

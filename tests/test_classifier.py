@@ -402,3 +402,28 @@ def test_eval_perfect_separation_and_target_precision(spark):
         classifier_eval(
             labeled.select("doc_id", "text", F.lit(2).alias("label")), model
         )
+
+
+def test_cli_eval_classifier_mode(spark, tmp_path, capsys):
+    """--eval-classifier prints AUC, the threshold table, and (with
+    --classifier-target-precision) the recommended gate; missing
+    --classifier-model refuses."""
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    model = _fit(spark)
+    mdir = str(tmp_path / "clf")
+    save_classifier(spark, model, mdir)
+    lab = str(tmp_path / "labeled.parquet")
+    _labeled(spark).write.parquet(lab)
+    with pytest.raises(ValueError, match="classifier-model"):
+        main(["--eval-classifier", lab,
+              "--config", str(tmp_path / "none.yaml")])
+    rc = main([
+        "--eval-classifier", lab, "--classifier-model", mdir,
+        "--classifier-target-precision", "1.0",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "AUC 1.0" in out
+    assert "min-classifier-prob for precision >= 1.0:" in out
