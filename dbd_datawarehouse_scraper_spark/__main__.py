@@ -809,19 +809,26 @@ def main(argv: Sequence[str] | None = None) -> int:
         )
         return 0
 
+    if args.classifier_target_precision is not None and not args.eval_classifier:
+        # refuse, don't silently ignore (the --chunk-stride-requires-
+        # --chunk-window discipline)
+        raise ValueError(
+            "--classifier-target-precision requires --eval-classifier"
+        )
+
     if args.eval_classifier:
         from .caching import release_caches
-        from .operators.classifier import (
-            classifier_eval,
-            classifier_threshold_for_precision,
-            load_classifier,
-        )
+        from .operators.classifier import classifier_eval, load_classifier
 
         if not args.classifier_model:
             raise ValueError("--eval-classifier requires --classifier-model")
         model = load_classifier(spark, args.classifier_model)
         labeled = spark.read.parquet(args.eval_classifier)
-        rep = classifier_eval(labeled, model)
+        # one scoring job answers AUC, the table, AND the target gate
+        rep = classifier_eval(
+            labeled, model,
+            target_precision=args.classifier_target_precision,
+        )
         print(
             f"AUC {rep['auc']} on {rep['n_pos']} positive / "
             f"{rep['n_neg']} negative scoreable docs"
@@ -833,12 +840,10 @@ def main(argv: Sequence[str] | None = None) -> int:
                 f"{r['recall']:.4f}  {str(r['f1'])}"
             )
         if args.classifier_target_precision is not None:
-            t = classifier_threshold_for_precision(
-                labeled, model, args.classifier_target_precision
-            )
             print(
                 f"min-classifier-prob for precision >= "
-                f"{args.classifier_target_precision}: {t}"
+                f"{args.classifier_target_precision}: "
+                f"{rep['threshold_for_target']}"
             )
         release_caches()
         return 0

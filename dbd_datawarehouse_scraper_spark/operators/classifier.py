@@ -173,25 +173,14 @@ def classifier_fit(
     spark = labeled.sparkSession
     from ..caching import pool_mark, release_since, tracked_persist
 
-    base = labeled.select(
-        F.col(label_col).cast("long").alias("_y"),
-        F.col(text_col).alias("_tx"),
-    )
-    # labels outside {0, 1} (incl. NULL) refuse LOUDLY — silently
-    # fitting on a filtered subset of what the caller supplied is the
-    # package's at-start-validation anti-pattern (review r9). One
-    # UNPERSISTED pass over the 2-column projection (a pruned parquet
-    # scan) — cheaper than holding a second corpus-sized cache through
-    # the fit (second review pass); NULL text stays silently
-    # unscoreable, as documented.
-    n_bad = base.filter(
-        F.col("_y").isNull() | ~F.col("_y").isin(0, 1)
-    ).count()
-    if n_bad:
-        raise ValueError(
-            f"classifier_fit labels must be 0 or 1 (non-null): "
-            f"{n_bad} rows violate that"
-        )
+    # labels outside exact {0, 1} (incl. NULL and fractional soft
+    # labels) refuse LOUDLY — silently fitting on a filtered or
+    # truncated version of what the caller supplied is the package's
+    # at-start-validation anti-pattern (review r9). One UNPERSISTED
+    # pass over the 2-column projection (a pruned parquet scan) —
+    # cheaper than holding a second corpus-sized cache through the
+    # fit; NULL text stays silently unscoreable, as documented.
+    base = _validated_labels(labeled, text_col, label_col, "classifier_fit")
     mark = pool_mark()
     try:
         hashed = tracked_persist(
@@ -369,38 +358,100 @@ def classifier_filter(
 _EVAL_BUCKETS = 10_000
 
 
+def _validated_labels(
+    labeled: DataFrame, text_col: str, label_col: str, who: str
+) -> DataFrame:
+    """THE label cast+refusal (classifier_fit and the eval entry points
+    share it, so refusal semantics cannot drift): ``(_y LONG, _tx)``
+    with labels validated to be EXACTLY 0 or 1 — NULLs, other values,
+    and fractional (soft) labels all refuse loudly (a 0.9 soft label
+    silently truncating to 0 would corrupt the fit/eval with no
+    warning)."""
+    d = labeled.select(
+        F.col(label_col).cast("long").alias("_y"),
+        F.col(label_col).cast("double").alias("_yraw"),
+        F.col(text_col).alias("_tx"),
+    )
+    n_bad = d.filter(
+        F.col("_y").isNull()
+        | ~F.col("_y").isin(0, 1)
+        | (F.col("_yraw") != F.col("_y").cast("double"))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"{who} labels must be exactly 0 or 1 (non-null, not "
+            f"fractional): {n_bad} rows violate that"
+        )
+    return d.select("_y", "_tx")
+
+
 def _eval_histogram(
     labeled: DataFrame, model: dict, text_col: str, label_col: str
 ):
     """(bucket → (n_pos, n_neg)) histogram of classifier probabilities
     over a labeled corpus — the bounded-collect core of
     :func:`classifier_eval` and :func:`classifier_threshold_for_precision`.
-    Scoreable rows only (gram-less documents have no probability);
-    labels validated like the fit."""
-    d = labeled.select(
-        F.col(label_col).cast("long").alias("_y"), F.col(text_col)
-    )
-    n_bad = d.filter(F.col("_y").isNull() | ~F.col("_y").isin(0, 1)).count()
-    if n_bad:
-        raise ValueError(
-            f"labels must be 0 or 1 (non-null): {n_bad} rows violate that"
-        )
-    ided = d.withColumn("_eid", F.monotonically_increasing_id())
-    scores = classifier_score(ided, model, id_col="_eid", text_col=text_col)
+    Scoreable rows only (gram-less documents have no probability).
+    Keyed on the TEXT itself (per-(text, label) counts joined to
+    one score per distinct text) — never a generated row id:
+    ``monotonically_increasing_id`` evaluated on both sides of a
+    self-join can diverge under retries/non-deterministic lineage and
+    silently mis-pair labels with probabilities (the skew.py/lm.py
+    documented hazard). Eval corpora are labeled samples — bounded —
+    so the text-keyed shuffle is cheap."""
+    d = _validated_labels(labeled, text_col, label_col, "classifier eval")
+    counts = d.groupBy("_tx", "_y").agg(F.count("*").alias("_c"))
+    texts = d.select("_tx").distinct()
+    scores = classifier_score(texts, model, id_col="_tx", text_col="_tx")
     hist = (
-        ided.join(scores, "_eid")
+        counts.join(scores, "_tx")
         .groupBy(
             F.round(F.col("prob") * _EVAL_BUCKETS)
             .cast("long")
             .alias("_b")
         )
         .agg(
-            F.sum("_y").alias("_pos"),
-            F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
+            F.sum(F.col("_y") * F.col("_c")).alias("_pos"),
+            F.sum((F.lit(1) - F.col("_y")) * F.col("_c")).alias("_neg"),
         )
         .collect()
     )
     return sorted((int(r["_b"]), int(r["_pos"]), int(r["_neg"])) for r in hist)
+
+
+def _require_both_classes(hist, who: str) -> tuple:
+    n_pos = sum(p for _, p, _ in hist)
+    n_neg = sum(n for _, _, n in hist)
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"{who} needs scoreable documents in BOTH classes "
+            f"(got {n_pos} positive, {n_neg} negative)"
+        )
+    return n_pos, n_neg
+
+
+def _threshold_from_hist(hist, target_precision: float) -> float:
+    """The smallest gate whose histogram-suffix precision reaches the
+    target. Returns ``(b - 0.5) / _EVAL_BUCKETS`` for the qualifying
+    bucket b: bucket b holds probs in [b/1e4 − 5e-5, b/1e4 + 5e-5)
+    (Spark's HALF_UP), so gating at the bucket's LOWER edge keeps
+    exactly the rows the sweep counted — returning b/1e4 itself would
+    drop the half-bucket that rounded up and miss the promised
+    precision/recall (review r9)."""
+    best = None
+    tp = fp = 0
+    for b, p, n in reversed(hist):
+        tp += p
+        fp += n
+        if tp and tp / (tp + fp) >= target_precision:
+            best = b
+    if best is None:
+        raise ValueError(
+            f"no threshold reaches precision {target_precision} on this "
+            f"corpus (best is below the target everywhere) — refit with "
+            f"better labels/features or lower the target"
+        )
+    return max(0.0, (best - 0.5) / _EVAL_BUCKETS)
 
 
 def classifier_eval(
@@ -409,10 +460,14 @@ def classifier_eval(
     text_col: str = "text",
     label_col: str = "label",
     thresholds: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    target_precision: float | None = None,
 ) -> dict:
     """Evaluate a fitted classifier on a LABELED (held-out) corpus:
     ``{"auc", "n_pos", "n_neg", "thresholds": [{threshold, tp, fp,
-    fn, tn, precision, recall, f1}, ...]}``.
+    fn, tn, precision, recall, f1}, ...]}``; with ``target_precision``
+    also ``"threshold_for_target"`` (the
+    :func:`classifier_threshold_for_precision` answer from the SAME
+    histogram — one scoring job answers both questions).
 
     Scale shape: one score pass + one groupBy on the 1e-4-bucketed
     probability (<= 10,001 rows collected — the histogram-prefix-sum
@@ -423,14 +478,12 @@ def classifier_eval(
     resolution. Gram-less documents carry no probability and are
     EXCLUDED — evaluate the gate's empty-doc policy separately
     (``keep_empty``)."""
-    hist = _eval_histogram(labeled, model, text_col, label_col)
-    n_pos = sum(p for _, p, _ in hist)
-    n_neg = sum(n for _, _, n in hist)
-    if n_pos == 0 or n_neg == 0:
+    if target_precision is not None and not (0.0 < target_precision <= 1.0):
         raise ValueError(
-            f"classifier_eval needs scoreable documents in BOTH classes "
-            f"(got {n_pos} positive, {n_neg} negative)"
+            f"target_precision must be in (0, 1], got {target_precision}"
         )
+    hist = _eval_histogram(labeled, model, text_col, label_col)
+    n_pos, n_neg = _require_both_classes(hist, "classifier_eval")
     # AUC: P(score_pos > score_neg) + 0.5 P(tie), summed over buckets
     # in ascending score order
     neg_below = 0
@@ -461,12 +514,17 @@ def classifier_eval(
                 "f1": None if f1 is None else round(f1, 6),
             }
         )
-    return {
+    out = {
         "auc": round(auc, 6),
         "n_pos": n_pos,
         "n_neg": n_neg,
         "thresholds": rows,
     }
+    if target_precision is not None:
+        out["threshold_for_target"] = _threshold_from_hist(
+            hist, float(target_precision)
+        )
+    return out
 
 
 def classifier_threshold_for_precision(
@@ -479,29 +537,22 @@ def classifier_threshold_for_precision(
     """The practical gate knob: the SMALLEST ``min_prob`` whose
     precision on the labeled corpus reaches ``target_precision``
     (smallest ⇒ maximum recall at that precision), swept over the
-    bounded probability histogram. Raises if no threshold reaches the
-    target (the model is not good enough for that bar — refit or lower
-    it)."""
+    bounded probability histogram (gate placed at the qualifying
+    bucket's lower edge, so :func:`classifier_filter` at the returned
+    value keeps exactly the rows the sweep counted). Raises if no
+    threshold reaches the target (the model is not good enough for
+    that bar — refit or lower it) and on single-class corpora (an
+    all-positive eval set would bless ANY threshold as precision 1.0
+    — vacuous, not a recommendation). Prefer
+    ``classifier_eval(..., target_precision=...)`` when you also want
+    metrics — it answers both from one scoring job."""
     if not (0.0 < target_precision <= 1.0):
         raise ValueError(
             f"target_precision must be in (0, 1], got {target_precision}"
         )
     hist = _eval_histogram(labeled, model, text_col, label_col)
-    # suffix sums from the top: precision at cut b = tp(>=b)/(tp+fp)(>=b)
-    best = None
-    tp = fp = 0
-    for b, p, n in reversed(hist):
-        tp += p
-        fp += n
-        if tp and tp / (tp + fp) >= target_precision:
-            best = b / _EVAL_BUCKETS  # smallest qualifying cut so far
-    if best is None:
-        raise ValueError(
-            f"no threshold reaches precision {target_precision} on this "
-            f"corpus (best is below the target everywhere) — refit with "
-            f"better labels/features or lower the target"
-        )
-    return float(best)
+    _require_both_classes(hist, "classifier_threshold_for_precision")
+    return _threshold_from_hist(hist, float(target_precision))
 
 
 def resolve_classifier_opts(spark: SparkSession, opts: dict) -> dict:

@@ -185,7 +185,7 @@ def test_validation(spark):
         classifier_fit(labeled.filter(F.col("label") == 1), n_buckets=B)
     # labels outside {0,1} (or NULL) refuse loudly — never a silent
     # fit on a filtered subset of what the caller supplied
-    with pytest.raises(ValueError, match="labels must be 0 or 1"):
+    with pytest.raises(ValueError, match="labels must be"):
         classifier_fit(
             labeled.unionByName(
                 spark.createDataFrame(
@@ -195,7 +195,7 @@ def test_validation(spark):
             ),
             n_buckets=B,
         )
-    with pytest.raises(ValueError, match="labels must be 0 or 1"):
+    with pytest.raises(ValueError, match="labels must be"):
         classifier_fit(
             labeled.unionByName(
                 spark.createDataFrame(
@@ -427,3 +427,39 @@ def test_cli_eval_classifier_mode(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "AUC 1.0" in out
     assert "min-classifier-prob for precision >= 1.0:" in out
+
+
+def test_label_and_class_validation_hardening(spark):
+    """Round-9 second eval pass: fractional (soft) labels refuse in
+    BOTH fit and eval (0.9 silently truncating to 0 would corrupt
+    them); threshold selection refuses single-class corpora (an
+    all-positive set would bless any threshold as precision 1.0); and
+    classifier_eval(target_precision=...) returns the same gate as the
+    standalone helper from ONE scoring job."""
+    from dbd_datawarehouse_scraper_spark.operators.classifier import (
+        classifier_eval,
+        classifier_threshold_for_precision,
+    )
+
+    labeled = _labeled(spark)
+    model = _fit(spark)
+    soft = spark.createDataFrame(
+        [("a", "some text here", 0.9), ("b", "other text there", 0.1)],
+        "doc_id string, text string, label double",
+    )
+    with pytest.raises(ValueError, match="fractional"):
+        classifier_fit(soft, n_buckets=B)
+    with pytest.raises(ValueError, match="fractional"):
+        classifier_eval(soft, model)
+    only_pos = labeled.filter(F.col("label") == 1)
+    with pytest.raises(ValueError, match="BOTH classes"):
+        classifier_threshold_for_precision(only_pos, model, 0.9)
+    rep = classifier_eval(labeled, model, target_precision=1.0)
+    t_standalone = classifier_threshold_for_precision(labeled, model, 1.0)
+    assert rep["threshold_for_target"] == t_standalone
+    # the returned gate keeps exactly the counted rows: filtering at it
+    # keeps every positive (max recall at precision 1.0)
+    kept = classifier_filter(
+        labeled.drop("label"), model, rep["threshold_for_target"]
+    ).count()
+    assert kept == 150
