@@ -397,3 +397,85 @@ def per_domain_cap(
         .filter(bucket < F.col("_rate_bp"))
         .drop("_d_key", "_rate_bp")
     )
+
+
+#: Quantization for per-row quality scores inside the domain aggregate:
+#: means compare exactly (integer sums are partition/rerun-invariant).
+_DQ_QUANT = 1_000_000
+
+
+def domain_quality_filter(
+    docs: DataFrame,
+    domain_col: str = "domain",
+    min_domain_score: float = 0.3,
+    score_col: str | None = None,
+    text_col: str = "text",
+    min_docs_per_domain: int = 1,
+    registrable: bool = True,
+) -> DataFrame:
+    """Drop every document whose DOMAIN's mean quality falls below
+    ``min_domain_score`` — domain-level filtering, the CCNet/RefinedWeb
+    companion to per-document gates: a content farm's individual pages
+    can each scrape past a per-doc threshold while the domain's
+    aggregate is plainly junk (and conversely one bad page on a good
+    domain is better judged by its own score — compose both gates).
+
+    ``score_col`` names a per-document score column in [0, 1] (e.g. a
+    ``classifier_score`` prob joined upstream); when None, the
+    SQL-expressible :func:`..functions.text_analysis.quality_score`
+    heuristic runs over ``text_col``. ``registrable=True`` (default)
+    keys the aggregate on :func:`registrable_host`, so subdomain
+    sharding can't dodge a bad domain verdict — the blocklist/cap
+    keying rule. Domains with fewer than ``min_docs_per_domain``
+    scoreable documents are KEPT (an n-of-1 mean is noise, not a
+    verdict); NULL-domain rows are kept (no key to judge — screen them
+    with the per-document gates).
+
+    Determinism: per-row scores quantize to 1e-6 bigints BEFORE the
+    per-domain sum, so the mean comparison is computed from exact
+    integers — partition/rerun-invariant (a raw double sum's last ulps
+    would flicker domains sitting exactly at the threshold). Plan: one
+    map-side-combined aggregate (|domains| rows, behind an exchange —
+    AQE sizes the verdict join), one join back, one filter. At rest
+    over a curated export, like the cap."""
+    if not (0.0 <= float(min_domain_score) <= 1.0):
+        raise ValueError(
+            f"min_domain_score must be in [0, 1], got {min_domain_score}"
+        )
+    if min_docs_per_domain < 1:
+        raise ValueError(
+            f"min_docs_per_domain must be >= 1, got {min_docs_per_domain}"
+        )
+    if score_col is not None:
+        score = F.col(score_col).cast("double")
+    else:
+        from ..functions.text_analysis import quality_score
+
+        score = quality_score(F.col(text_col))
+    key = (
+        registrable_host(F.col(domain_col)) if registrable else F.col(domain_col)
+    )
+    scored = docs.select(
+        key.alias("_dq_key"),
+        F.round(score * _DQ_QUANT).cast("long").alias("_dq_s"),
+    ).filter(F.col("_dq_key").isNotNull() & F.col("_dq_s").isNotNull())
+    verdicts = (
+        scored.groupBy("_dq_key")
+        .agg(F.sum("_dq_s").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "_dq_key",
+            (
+                (F.col("_n") < min_docs_per_domain)
+                | (
+                    F.col("_s").cast("double") / F.col("_n")
+                    >= F.lit(float(min_domain_score) * _DQ_QUANT)
+                )
+            ).alias("_dq_keep"),
+        )
+    )
+    joined = docs.join(
+        verdicts, key == F.col("_dq_key"), "left"
+    )
+    return joined.filter(
+        F.col("_dq_keep").isNull() | F.col("_dq_keep")
+    ).drop("_dq_key", "_dq_keep")

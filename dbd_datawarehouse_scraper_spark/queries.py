@@ -3586,8 +3586,26 @@ def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_dom, block, domain_col="reg_domain", block_col="reg_domain",
         registrable=False,
     )
+    # round 9: domain-LEVEL quality gate (domain_quality_filter — the
+    # CCNet/RefinedWeb URL-level family) folded in as a stage: every
+    # 5th source's shards carry punctuation-noise text, so the whole
+    # registrable domain's mean quality fails and ALL its shards drop
+    # — a per-document gate at the same threshold would judge each
+    # page alone
+    from .operators.domains import domain_quality_filter
+
+    noisy = F.when(
+        F.col("source").rlike("[05]$"),
+        F.lit("!!! ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
+    ).otherwise(F.col("text"))
+    gated = domain_quality_filter(
+        kept.withColumn("text", noisy),
+        domain_col="reg_domain",
+        min_domain_score=0.3,  # the noise scores exactly 0.25
+        registrable=False,
+    )
     return per_domain_cap(
-        kept,
+        gated,
         domain_col="reg_domain",
         max_docs=15,
         max_tokens=6000,

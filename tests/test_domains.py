@@ -302,3 +302,98 @@ def test_per_domain_cap_rate_join_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:600]
     assert "SortMergeJoin" not in plan
+
+
+def _dq_df(spark):
+    """Three domains: consistently good, consistently junk (sharded
+    across subdomains), and mixed-at-the-boundary, plus a NULL-domain
+    row and a singleton domain."""
+    rows = (
+        [(i, "good.com", 0.9) for i in range(5)]
+        + [(10 + i, f"s{i}.junk.com", 0.1) for i in range(5)]
+        + [(20, "mid.com", 0.2), (21, "mid.com", 0.4), (22, "mid.com", 0.35)]
+        + [(30, None, 0.05), (31, "lone.com", 0.01)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, domain string, q double")
+
+
+def test_domain_quality_filter_semantics_and_mirror(spark):
+    """domain_quality_filter: junk domains drop WHOLE (subdomains share
+    the registrable verdict), good and boundary domains keep, NULL
+    domains keep, singleton domains under min_docs_per_domain are not
+    judged; kept ids match a DuckDB mirror computing the same
+    quantized per-registrable-domain means."""
+    import duckdb
+
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        domain_quality_filter,
+    )
+
+    d = _dq_df(spark)
+    kept = {
+        r["doc_id"]
+        for r in domain_quality_filter(
+            d, min_domain_score=0.3, score_col="q", min_docs_per_domain=2
+        ).collect()
+    }
+    # good: mean .9 keep; junk: mean .1 drop (all shards); mid: mean
+    # (.2+.4+.35)/3 = .3166 keep; null-domain keep; lone: n=1 < 2 keep
+    assert kept == {0, 1, 2, 3, 4, 20, 21, 22, 30, 31}
+
+    con = duckdb.connect()
+    con.register("d", d.toPandas())
+    mirror = {
+        r[0]
+        for r in con.execute(f"""
+        WITH keyed AS (
+          SELECT doc_id, domain, {_rdom_sql('domain')} AS k,
+                 CAST(ROUND(q * 1000000) AS BIGINT) AS s
+          FROM d),
+        v AS (
+          SELECT k, (COUNT(*) < 2 OR
+                     CAST(SUM(s) AS DOUBLE) / COUNT(*) >= 0.3 * 1000000)
+                    AS keep
+          FROM keyed WHERE k IS NOT NULL GROUP BY k)
+        SELECT doc_id FROM keyed LEFT JOIN v USING (k)
+        WHERE keep IS NULL OR keep
+        """).fetchall()
+    }
+    assert kept == mirror
+
+    # partition invariance (quantized sums, never raw double means)
+    kept2 = {
+        r["doc_id"]
+        for r in domain_quality_filter(
+            d.repartition(7), min_domain_score=0.3, score_col="q",
+            min_docs_per_domain=2,
+        ).collect()
+    }
+    assert kept2 == kept
+
+
+def test_domain_quality_filter_heuristic_and_validation(spark):
+    """score_col=None scores with the quality_score heuristic; bad
+    args refuse."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        domain_quality_filter,
+    )
+
+    prose = ("the committee reviewed the quarterly results and shared "
+             "a clear report with the board of the company.")
+    junk = "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!"
+    d = spark.createDataFrame(
+        [(i, "prose.com", prose) for i in range(3)]
+        + [(10 + i, "noise.com", junk) for i in range(3)],
+        "doc_id long, domain string, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in domain_quality_filter(d, min_domain_score=0.3).collect()
+    }
+    assert kept == {0, 1, 2}
+    with _pytest.raises(ValueError, match="min_domain_score"):
+        domain_quality_filter(d, min_domain_score=1.5)
+    with _pytest.raises(ValueError, match="min_docs_per_domain"):
+        domain_quality_filter(d, min_docs_per_domain=0)
