@@ -455,27 +455,36 @@ def domain_quality_filter(
     key = (
         registrable_host(F.col(domain_col)) if registrable else F.col(domain_col)
     )
+    # NULL/NaN scores contribute nothing (a NaN would THROW in the
+    # ANSI-mode long cast — or silently drag the mean to 0 without it);
+    # NULL and EMPTY keys are excluded — extract_domain's documented
+    # ''-for-malformed convention would otherwise pool every
+    # malformed-URL document under ONE mega-domain verdict (the
+    # unrelated-parties-share-one-key class; review r9)
     scored = docs.select(
         key.alias("_dq_key"),
-        F.round(score * _DQ_QUANT).cast("long").alias("_dq_s"),
-    ).filter(F.col("_dq_key").isNotNull() & F.col("_dq_s").isNotNull())
-    verdicts = (
+        F.when(~F.isnan(score), F.round(score * _DQ_QUANT).cast("long"))
+        .alias("_dq_s"),
+    ).filter(
+        F.col("_dq_key").isNotNull()
+        & (F.col("_dq_key") != "")
+        & F.col("_dq_s").isNotNull()
+    )
+    # threshold as an exact integer cross-multiply (_s >= t·n) — a
+    # double mean vs double threshold would misclassify exact-boundary
+    # domains for ~1% of 1e-6-grid thresholds (review r9; the repo
+    # rule: compare on quantized integers, never raw doubles)
+    tq = round(float(min_domain_score) * _DQ_QUANT)
+    failing = (
         scored.groupBy("_dq_key")
         .agg(F.sum("_dq_s").alias("_s"), F.count("*").alias("_n"))
-        .select(
-            "_dq_key",
-            (
-                (F.col("_n") < min_docs_per_domain)
-                | (
-                    F.col("_s").cast("double") / F.col("_n")
-                    >= F.lit(float(min_domain_score) * _DQ_QUANT)
-                )
-            ).alias("_dq_keep"),
+        .filter(
+            (F.col("_n") >= min_docs_per_domain)
+            & (F.col("_s") < F.lit(tq) * F.col("_n"))
         )
+        .select("_dq_key")
     )
-    joined = docs.join(
-        verdicts, key == F.col("_dq_key"), "left"
-    )
-    return joined.filter(
-        F.col("_dq_keep").isNull() | F.col("_dq_keep")
-    ).drop("_dq_key", "_dq_keep")
+    # anti join against the failing domains (the domain_blocklist_filter
+    # shape): NULL/''-domain rows, under-floor domains, and all-NULL-
+    # score domains are kept automatically
+    return docs.join(failing, key == F.col("_dq_key"), "left_anti")

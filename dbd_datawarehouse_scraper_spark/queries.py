@@ -3555,6 +3555,7 @@ def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.domains import (
         canonicalize_url,
         domain_blocklist_filter,
+        domain_quality_filter,
         extract_domain,
         per_domain_cap,
         registrable_host,
@@ -3592,8 +3593,6 @@ def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registrable domain's mean quality fails and ALL its shards drop
     # — a per-document gate at the same threshold would judge each
     # page alone
-    from .operators.domains import domain_quality_filter
-
     noisy = F.when(
         F.col("source").rlike("[05]$"),
         F.lit("!!! ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),

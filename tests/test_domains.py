@@ -397,3 +397,44 @@ def test_domain_quality_filter_heuristic_and_validation(spark):
         domain_quality_filter(d, min_domain_score=1.5)
     with _pytest.raises(ValueError, match="min_docs_per_domain"):
         domain_quality_filter(d, min_docs_per_domain=0)
+
+
+def test_domain_quality_filter_edge_hardening(spark):
+    """Round-9 review pass: empty-string domains (extract_domain's
+    ''-for-malformed convention) are NOT pooled into one mega-domain
+    verdict; NaN scores contribute nothing (and never throw the
+    ANSI-mode long cast); a domain whose mean EXACTLY equals the
+    threshold keeps (integer cross-multiply, not a double compare)."""
+    from dbd_datawarehouse_scraper_spark.operators.domains import (
+        domain_quality_filter,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (0, "", 0.01), (1, "", 0.02),          # malformed-URL pool
+            (2, "nan.com", float("nan")),          # NaN: no contribution
+            (3, "nan.com", 0.9),
+            (4, "edge.com", 0.3), (5, "edge.com", 0.3),  # mean == 0.3
+            (6, "bad.com", 0.1), (7, "bad.com", 0.1),
+        ],
+        "doc_id long, domain string, q double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in domain_quality_filter(
+            d, min_domain_score=0.3, score_col="q"
+        ).collect()
+    }
+    assert kept == {0, 1, 2, 3, 4, 5}
+    # boundary exactness on an awkward 1e-6-grid threshold too
+    d2 = spark.createDataFrame(
+        [(0, "x.com", 0.000123), (1, "x.com", 0.000123)],
+        "doc_id long, domain string, q double",
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in domain_quality_filter(
+            d2, min_domain_score=0.000123, score_col="q"
+        ).collect()
+    }
+    assert kept2 == {0, 1}
