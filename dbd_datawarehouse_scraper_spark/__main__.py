@@ -296,6 +296,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "importance weight under --dsir-model is at "
                         "least this (0 = at least as target-like as "
                         "the raw corpus)")
+    p.add_argument("--domain-quality-filter", type=str, default=None,
+                   help="Maintenance mode: drop documents whose "
+                        "registrable domain's MEAN quality falls below "
+                        "--min-domain-quality in the given docs parquet "
+                        "dir (columns text + --domain-col), write "
+                        "survivors to --output, then exit — the at-rest "
+                        "domain-level gate (content farms pass per-doc "
+                        "gates page by page)")
+    p.add_argument("--min-domain-quality", type=float, default=0.3,
+                   help="Mean-quality floor for --domain-quality-filter")
+    p.add_argument("--min-docs-per-domain", type=int, default=2,
+                   help="Domains with fewer scoreable docs than this "
+                        "are kept unjudged by --domain-quality-filter")
     p.add_argument("--image-dedup", type=str, default=None,
                    help="Maintenance mode: perceptual near-dedup of a "
                         "media parquet dir (columns media_id, payload) "
@@ -742,6 +755,28 @@ def main(argv: Sequence[str] | None = None) -> int:
             f"DSIR fitted: target {model['n_target']} grams, raw "
             f"{model['n_raw']} grams, {model['n_buckets']} buckets -> "
             f"{args.output}"
+        )
+        return 0
+
+    if args.domain_quality_filter:
+        from .caching import release_caches
+        from .operators.domains import domain_quality_filter
+
+        docs = spark.read.parquet(args.domain_quality_filter)
+        n_in = docs.count()
+        kept = domain_quality_filter(
+            docs,
+            domain_col=args.domain_col,
+            min_domain_score=args.min_domain_quality,
+            min_docs_per_domain=args.min_docs_per_domain,
+            registrable=not args.raw_host_domains,
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        release_caches()
+        print(
+            f"domain quality gate: {n_in} -> {n_out} documents "
+            f"({n_in - n_out} dropped with their domains) -> {args.output}"
         )
         return 0
 

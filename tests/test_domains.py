@@ -438,3 +438,29 @@ def test_domain_quality_filter_edge_hardening(spark):
         ).collect()
     }
     assert kept2 == {0, 1}
+
+
+def test_cli_domain_quality_filter_mode(spark, tmp_path, capsys):
+    """--domain-quality-filter maintenance mode: at-rest domain gate
+    over a docs parquet, survivors written, drop count printed."""
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    prose = ("the committee reviewed the quarterly results and shared "
+             "a clear report with the board of the company.")
+    junk = "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!"
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"s{i}.prose.com", prose) for i in range(3)]
+        + [(10 + i, f"s{i}.noise.com", junk) for i in range(3)],
+        "doc_id long, domain string, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept")
+    rc = main([
+        "--domain-quality-filter", src, "--output", out,
+        "--min-domain-quality", "0.3", "--domain-col", "domain",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 1, 2}  # subdomains of noise.com share the verdict
+    assert "3 dropped with their domains" in capsys.readouterr().out
