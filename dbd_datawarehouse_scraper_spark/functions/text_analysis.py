@@ -453,6 +453,98 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    persist: bool = True,
+) -> DataFrame:
+    """[EXT] Per-document top-k BM25 keywords (Robertson/Spärck Jones;
+    the Lucene-default ``k1=1.2, b=0.75`` scoring every production
+    retrieval stack ranks with):
+
+        idf  = ln(1 + (N − df + 0.5) / (df + 0.5))
+        norm = tf / (tf + k1·(1 − b + b·dl/avgdl))
+        score = idf · norm
+
+    where ``dl`` is the document's token count and ``avgdl`` the corpus
+    mean over ALL documents (empty documents count in the denominator —
+    ``avgdl = Σdl / N``, not the mean of the nonempty). Like
+    :func:`tfidf_topk`, the score is quantized to a bigint at 1e-6
+    BEFORE ranking (ties broken by token ascending), so the top-k set
+    is deterministic and cross-engine exact.
+
+    Plan shape at scale: identical skeleton to tfidf_topk — explode,
+    one map-side-combined tf groupBy, ``dl`` and ``df`` both fall out
+    of the tf relation (doc-keyed and token-keyed small aggregates),
+    N/Σdl is a 1-row broadcast; the tf⋈dl join co-partitions on the
+    id key and tf⋈df shuffles narrow rows on the token key (AQE
+    broadcasts whichever side fits). Nothing quadratic; no text moves
+    after the explode.
+
+    Returns (id_col, token, tf, df, score_q, rn), rn ∈ [1, topk].
+    """
+    from pyspark.sql import Window
+
+    from ..caching import tracked_persist
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    if persist:
+        tf = tracked_persist(tf)
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    # N counts ALL docs (empty included); Σdl comes off the dl relation
+    totals = docs.agg(F.count("*").cast("double").alias("_nd")).crossJoin(
+        dl.agg(F.sum("dl").cast("double").alias("_tot"))
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(df, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "score_q",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("_nd") - F.col("df").cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (
+                    F.col("tf").cast("double")
+                    / (
+                        F.col("tf").cast("double")
+                        + k1
+                        * (
+                            (1.0 - b)
+                            + b
+                            * F.col("dl").cast("double")
+                            / (F.col("_tot") / F.col("_nd"))
+                        )
+                    )
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(id_col, "token", "tf", "df", "score_q", "rn")
+    )
+
+
 #: Gopher (Rae et al. 2021, table A1) stop-word list: a document must
 #: contain at least 2 of these to pass the stop-word rule. Shared with
 #: the DuckDB mirror in tests/test_text_functions.py — change both by

@@ -3975,29 +3975,97 @@ def quality_sampling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
     df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
     nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS _nd FROM documents),
-    scored AS (
+    tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS _tot FROM dl),
+    scored_tfidf AS (
       SELECT tf.doc_id, tf.token, tf.tf, df.df,
              CAST(round(CAST(tf.tf AS DOUBLE) * ln((_nd + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) AS score_q
       FROM tf JOIN df USING (token), nd),
+    scored_bm25 AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(round(
+               ln(1.0 + (_nd - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (_tot / _nd))))
+               * 1e6) AS BIGINT) AS score_q
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (token), nd, tot),
     ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS rn
-      FROM scored)
-    SELECT doc_id, token, tf, df, score_q, rn FROM ranked WHERE rn <= 5
+      SELECT 'tfidf' AS scorer, *,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS rn
+      FROM scored_tfidf
+      UNION ALL
+      SELECT 'bm25' AS scorer, *,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, token) AS rn
+      FROM scored_bm25)
+    SELECT scorer, doc_id, token, tf, df, score_q, rn FROM ranked WHERE rn <= 5
     """,
 )
 def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Per-document top-5 TF-IDF keywords
-    (functions/text_analysis.py::tfidf_topk). Ranking happens on the
-    1e-6-quantized bigint score with a token tiebreak, so the top-k
-    set is deterministic and cross-engine exact (an ulp divergence in
-    ``ln`` cannot flip ranks — both engines rank the same integers)."""
-    from .functions.text_analysis import tfidf_topk
+    """[EXT] Per-document top-5 keywords under BOTH classic ranking
+    functions — TF-IDF (functions/text_analysis.py::tfidf_topk) and
+    BM25 with the Lucene defaults k1=1.2, b=0.75 (::bm25_topk) as the
+    scorer='bm25' leg (r9 fold — the oracle window is full, so BM25
+    joins the row it shares 90% of its plan with). Ranking happens on
+    the 1e-6-quantized bigint score with a token tiebreak, so the
+    top-k set is deterministic and cross-engine exact (an ulp
+    divergence in ``ln`` cannot flip ranks — both engines rank the
+    same integers)."""
+    from .functions.text_analysis import bm25_topk, tfidf_topk
 
     d = t(spark, sf_dir, "documents")
     # persist=False: thousands of docs — below the cache-barrier
     # break-even (see the similarity_fallback_join_q precedent)
-    return tfidf_topk(d, topk=5, persist=False)
+    a = tfidf_topk(d, topk=5, persist=False).withColumn("scorer", F.lit("tfidf"))
+    b = bm25_topk(d, topk=5, persist=False).withColumn("scorer", F.lit("bm25"))
+    return a.unionByName(b).select(
+        "scorer", "doc_id", "token", "tf", "df", "score_q", "rn"
+    )
+
+
+@register("warc_roundtrip", None)
+def warc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WARC/WET codec round trip (sources/warc.py): export the
+    documents table as member-per-record-gzip WET files (Common
+    Crawl's layout), stream-parse them back, and verify the corpus
+    survived byte-exact. Rows-only by design — the interesting
+    semantics are the wire format, which SQL cannot express; the
+    pytest suite (test_warc.py) additionally pins the record grammar,
+    resync, chunked-HTTP split, and stream==binaryFile parity."""
+    import shutil
+    import tempfile
+
+    from .sources.warc import warc_sink, wet_documents_source
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://corpus.test/doc/"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    work = tempfile.mkdtemp(prefix="warc_rt_")
+    try:
+        manifest = warc_sink(docs.repartition(4), f"{work}/wet")
+        back = wet_documents_source(spark, f"{work}/wet/*.warc.gz")
+        joined = back.join(docs, "url", "full_outer")
+        out = joined.agg(
+            F.count("*").alias("n_joined"),
+            F.sum(F.when(back["text"] == docs["text"], 1).otherwise(0)).alias(
+                "n_text_match"
+            ),
+            F.sum(F.when(back["error"].isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.count_distinct(back["record_id"]).alias("n_record_ids"),
+        ).select(
+            "n_joined",
+            "n_text_match",
+            "n_errors",
+            "n_record_ids",
+            F.lit(len(manifest)).alias("n_files"),
+            F.lit(sum(m["n_records"] for m in manifest)).alias("n_written"),
+        )
+        # materialize before the temp dir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _reorder_registry() -> None:

@@ -23,6 +23,11 @@ from .http_client import (  # noqa: F401
     HttpFetcher,
     SeleniumFetcher,
 )
+from .warc import (  # noqa: F401
+    warc_source,
+    warc_sink,
+    wet_documents_source,
+)
 from .layout import (  # noqa: F401
     optimize_table,
     sorted_write,

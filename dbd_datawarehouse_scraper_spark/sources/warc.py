@@ -1,0 +1,490 @@
+"""WARC / WET web-archive source and sink (ISO 28500 / WARC 1.1).
+
+Common Crawl — the canonical 100 TB-scale public corpus — ships as
+WARC (raw HTTP captures), WET (extracted plain text, ``conversion``
+records) and WAT (metadata). A training-data engine that cannot read
+them cannot ingest the largest corpus its users actually start from,
+so this module is a from-scratch, stdlib-only WARC codec:
+
+- the record grammar ``WARC/1.x CRLF header-lines CRLF block
+  (Content-Length bytes) CRLF CRLF`` with header continuation lines,
+  LF-only tolerance, and bounded resynchronization after a corrupt
+  record (scan forward for the next version line instead of losing
+  the rest of the file);
+- Common Crawl's member-per-record gzip layout on write (every record
+  its own gzip member, so byte ranges from an index are independently
+  decompressable; Python's ``gzip`` consumes concatenated members
+  natively on read);
+- HTTP response payload split (status / headers / body) including
+  chunked transfer-encoding reassembly;
+- a per-record error channel — malformed records become rows with
+  ``error`` set and never poison the file (the jsonl corrupt-record
+  quarantine convention, sources/files.py).
+
+Scale design: ONE WARC FILE IS THE UNIT OF PARALLELISM — exactly how
+production Common Crawl jobs shard. The reader turns a path list into
+a one-path-per-partition DataFrame and streams records out of each
+file inside ``mapInPandas``, holding one record (CC caps ~1 MiB) plus
+one emit batch in memory — never the file. The default ``via='stream'``
+path ``open()``s from executors (local / NFS / fuse mounts);
+``via='binaryFile'`` routes through Spark's binaryFile source instead
+(any Hadoop filesystem, whole-file rows bounded by the 2 GiB limit).
+Both paths share one parser, byte-identical output.
+
+No counterpart in the reference (scraper_v2.py fetches live HTML);
+this is [EXT] surface for the LLM-pipeline north star.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import hashlib
+import io
+import os
+import uuid
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+_RESYNC_LINE_CAP = 100_000  # bounded scan-forward after a corrupt record
+_EMIT_BATCH_ROWS = 256
+_EMIT_BATCH_BYTES = 32 << 20
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("http_content_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------- parser
+
+
+def _read_line(stream) -> bytes:
+    """One header line (through LF). b'' at EOF."""
+    return stream.readline()
+
+
+def _parse_headers(stream) -> tuple[dict[str, str], str | None]:
+    """Named-field block after the version line: ``Name: value`` with
+    RFC-style continuation lines (leading SP/HT folds into the previous
+    value), terminated by an empty line. Returns (headers, error)."""
+    headers: dict[str, str] = {}
+    last: str | None = None
+    while True:
+        line = _read_line(stream)
+        if not line:
+            return headers, "eof in header block"
+        stripped = line.rstrip(b"\r\n")
+        if stripped == b"":
+            return headers, None
+        if stripped[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + stripped.strip().decode("utf-8", "replace")
+            continue
+        name, sep, value = stripped.partition(b":")
+        if not sep:
+            return headers, f"malformed header line: {stripped[:80]!r}"
+        key = name.strip().decode("ascii", "replace").lower()
+        headers[key] = value.strip().decode("utf-8", "replace")
+        last = key
+    # unreachable
+
+
+def iter_warc_records(
+    stream,
+) -> Iterator[tuple[dict[str, str], bytes, str | None]]:
+    """Stream (headers, block, error) triples off a decompressed WARC
+    byte stream. One record is in memory at a time. After a malformed
+    record the parser resynchronizes on the next ``WARC/`` version line
+    (bounded scan) so one bad record costs one error row, not the tail
+    of the file."""
+    while True:
+        # -- version line (skip inter-record blank lines)
+        line = _read_line(stream)
+        if not line:
+            return
+        stripped = line.rstrip(b"\r\n")
+        if stripped == b"":
+            continue
+        if not stripped.startswith(b"WARC/"):
+            # corrupt leader: bounded resync to the next version line
+            yield {}, b"", f"expected version line, got {stripped[:80]!r}"
+            for _ in range(_RESYNC_LINE_CAP):
+                line = _read_line(stream)
+                if not line:
+                    return
+                if line.rstrip(b"\r\n").startswith(b"WARC/"):
+                    stripped = line.rstrip(b"\r\n")
+                    break
+            else:
+                return
+        headers, err = _parse_headers(stream)
+        if err:
+            yield headers, b"", err
+            continue
+        raw_len = headers.get("content-length")
+        try:
+            n = int(raw_len)  # type: ignore[arg-type]
+            if n < 0:
+                raise ValueError
+        except (TypeError, ValueError):
+            yield headers, b"", f"bad Content-Length: {raw_len!r}"
+            continue
+        block = stream.read(n)
+        if len(block) < n:
+            yield headers, block, f"truncated block: {len(block)}/{n} bytes"
+            return
+        yield headers, block, None
+        # trailing CRLF CRLF consumed by the blank-line skip above
+
+
+def parse_http_response(
+    block: bytes,
+) -> tuple[int | None, dict[str, str], bytes, str | None]:
+    """Split an ``application/http; msgtype=response`` block into
+    (status, headers, body, error). Reassembles chunked
+    transfer-encoding; on malformed chunking the raw remainder is
+    returned with the error noted (quarantine, don't drop bytes)."""
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = block.partition(b"\n\n")
+        if not sep:
+            return None, {}, block, "no HTTP header/body separator"
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status_line = lines[0]
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        return None, {}, block, f"bad HTTP status line: {status_line[:80]!r}"
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return None, {}, block, f"bad HTTP status code: {parts[1]!r}"
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        name, s, value = ln.partition(b":")
+        if s:
+            headers[name.strip().decode("ascii", "replace").lower()] = value.strip().decode(
+                "utf-8", "replace"
+            )
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        out = bytearray()
+        buf = io.BytesIO(body)
+        while True:
+            size_line = buf.readline().strip()
+            if not size_line:
+                return status, headers, bytes(body), "truncated chunked body"
+            try:
+                size = int(size_line.split(b";")[0], 16)
+            except ValueError:
+                return status, headers, bytes(body), f"bad chunk size: {size_line[:20]!r}"
+            if size == 0:
+                return status, headers, bytes(out), None
+            chunk = buf.read(size)
+            if len(chunk) < size:
+                return status, headers, bytes(body), "truncated chunk"
+            out += chunk
+            buf.readline()  # chunk-terminating CRLF
+    return status, headers, body, None
+
+
+def _records_to_rows(
+    path: str,
+    stream,
+    record_types: frozenset[str] | None,
+    parse_http: bool,
+    max_records: int | None,
+) -> Iterator[dict]:
+    emitted = 0
+    for headers, block, err in iter_warc_records(stream):
+        wtype = headers.get("warc-type")
+        if err is None and record_types is not None and wtype not in record_types:
+            continue
+        status = None
+        http_ct = None
+        payload = block
+        if (
+            err is None
+            and parse_http
+            and wtype == "response"
+            and "application/http" in headers.get("content-type", "")
+        ):
+            status, hh, payload, herr = parse_http_response(block)
+            http_ct = hh.get("content-type")
+            if herr:
+                err = f"http: {herr}"
+        yield {
+            "warc_file": path,
+            "record_id": headers.get("warc-record-id"),
+            "warc_type": wtype,
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content_length": int(headers["content-length"])
+            if str(headers.get("content-length", "")).isdigit()
+            else None,
+            "http_status": status,
+            "http_content_type": http_ct,
+            "payload": payload,
+            "error": err,
+        }
+        emitted += 1
+        if max_records is not None and emitted >= max_records:
+            return
+
+
+def _open_maybe_gzip(path: str):
+    raw = open(path, "rb")
+    magic = raw.read(2)
+    raw.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(raw, "rb")
+    return io.BufferedReader(raw)
+
+
+def _batched(rows: Iterator[dict]) -> Iterator[pd.DataFrame]:
+    """Bound executor memory: flush every _EMIT_BATCH_ROWS rows or
+    _EMIT_BATCH_BYTES of payload, whichever first."""
+    batch: list[dict] = []
+    nbytes = 0
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    for r in rows:
+        batch.append(r)
+        nbytes += len(r["payload"] or b"")
+        if len(batch) >= _EMIT_BATCH_ROWS or nbytes >= _EMIT_BATCH_BYTES:
+            yield pd.DataFrame(batch, columns=cols)
+            batch, nbytes = [], 0
+    if batch:
+        yield pd.DataFrame(batch, columns=cols)
+
+
+def _expand_paths(paths: str | Iterable[str]) -> list[str]:
+    if isinstance(paths, str):
+        found = sorted(_glob.glob(paths))
+        if not found:
+            raise FileNotFoundError(f"no WARC files match {paths!r}")
+        return found
+    out = sorted(str(p) for p in paths)
+    if not out:
+        raise ValueError("empty WARC path list")
+    return out
+
+
+def warc_source(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    record_types: Iterable[str] | None = ("response", "conversion"),
+    parse_http: bool = True,
+    max_records_per_file: int | None = None,
+    via: str = "stream",
+) -> DataFrame:
+    """WARC files → one row per record (WARC_SCHEMA). ``paths`` is a
+    glob or an explicit list; each file becomes (about) one partition.
+    ``record_types=None`` keeps every record type (warcinfo, request,
+    metadata…). ``via='stream'`` opens files with Python IO from the
+    executors (local/NFS); ``via='binaryFile'`` reads whole files
+    through Spark's binaryFile source (any Hadoop FS, ≤2 GiB/file)."""
+    types = frozenset(record_types) if record_types is not None else None
+
+    if via == "binaryFile":
+        files_df = spark.read.format("binaryFile").load(
+            paths if isinstance(paths, str) else list(paths)
+        )
+
+        def parse_binary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                for path, content in zip(b["path"], b["content"]):
+                    buf = io.BytesIO(bytes(content))
+                    if buf.getbuffer()[:2] == b"\x1f\x8b":
+                        stream = gzip.open(buf, "rb")
+                    else:
+                        stream = buf
+                    yield from _batched(
+                        _records_to_rows(path, stream, types, parse_http, max_records_per_file)
+                    )
+
+        return files_df.select("path", "content").mapInPandas(parse_binary, WARC_SCHEMA)
+
+    if via != "stream":
+        raise ValueError(f"unknown via={via!r} (expected 'stream' or 'binaryFile')")
+
+    files = _expand_paths(paths)
+    paths_df = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        len(files)
+    )
+
+    def parse_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path in b["path"]:
+                with _open_maybe_gzip(path) as stream:
+                    yield from _batched(
+                        _records_to_rows(path, stream, types, parse_http, max_records_per_file)
+                    )
+
+    return paths_df.mapInPandas(parse_stream, WARC_SCHEMA)
+
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def wet_documents_source(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    via: str = "stream",
+) -> DataFrame:
+    """WET (``conversion``) records → documents: (record_id, url,
+    warc_date, text). The payload is UTF-8 plain text by spec; decode
+    errors are replaced, never raised (one bad page must not kill a
+    100 TB scan). Good rows have error IS NULL."""
+    raw = warc_source(
+        spark, paths, record_types=("conversion",), parse_http=False, via=via
+    )
+    return raw.select(
+        F.col("record_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.col("error"),
+    )
+
+
+# ----------------------------------------------------------------- sink
+
+
+def _warc_record_bytes(
+    record_type: str,
+    url: str | None,
+    date: str,
+    block: bytes,
+    content_type: str,
+    extra: dict[str, str] | None = None,
+) -> bytes:
+    """Serialize one record. The record id is uuid5 over
+    (url, sha1(block)) — deterministic, so re-running an export
+    produces byte-identical files (the repo-wide reproducibility
+    convention)."""
+    digest = hashlib.sha1(block).hexdigest()
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url or ''}|{digest}")
+    head = [
+        b"WARC/1.0",
+        b"WARC-Type: " + record_type.encode("ascii"),
+        b"WARC-Record-ID: <urn:uuid:" + str(rid).encode("ascii") + b">",
+        b"WARC-Date: " + date.encode("ascii"),
+    ]
+    if url:
+        head.append(b"WARC-Target-URI: " + url.encode("utf-8"))
+    for k, v in (extra or {}).items():
+        head.append(k.encode("ascii") + b": " + v.encode("utf-8"))
+    head.append(b"Content-Type: " + content_type.encode("ascii"))
+    head.append(b"Content-Length: " + str(len(block)).encode("ascii"))
+    return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def warc_sink(
+    df: DataFrame,
+    path: str,
+    record_type: str = "conversion",
+    url_col: str = "url",
+    text_col: str | None = "text",
+    payload_col: str | None = None,
+    date: str = "2000-01-01T00:00:00Z",
+    gzip_per_record: bool = True,
+) -> list[dict]:
+    """Write ``df`` as WARC files, one file per non-empty partition,
+    one gzip member per record (Common Crawl's range-addressable
+    layout) unless ``gzip_per_record=False`` (plain ``.warc``).
+
+    ``record_type='conversion'`` writes WET-style text records from
+    ``text_col``; ``record_type='resource'`` writes raw bytes from
+    ``payload_col``. ``date`` is a fixed WARC-Date so exports are
+    reproducible byte-for-byte (pass the real capture time per export
+    if provenance matters more than determinism).
+
+    Returns the manifest: [{file, n_records, n_bytes}, …] sorted by
+    file — bounded at one row per partition, never per record.
+    """
+    if record_type == "conversion":
+        if text_col is None:
+            raise ValueError("record_type='conversion' needs text_col")
+        content_type = "text/plain; charset=utf-8"
+        src = df.select(
+            F.col(url_col).cast("string").alias("url"),
+            F.encode(F.col(text_col).cast("string"), "UTF-8").alias("block"),
+        )
+    elif record_type == "resource":
+        if payload_col is None:
+            raise ValueError("record_type='resource' needs payload_col")
+        content_type = "application/octet-stream"
+        src = df.select(
+            F.col(url_col).cast("string").alias("url"),
+            F.col(payload_col).cast("binary").alias("block"),
+        )
+    else:
+        raise ValueError(f"unsupported record_type {record_type!r}")
+
+    os.makedirs(path, exist_ok=True)
+    ext = ".warc.gz" if gzip_per_record else ".warc"
+    run_tag = uuid.uuid4().hex[:12]
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(path, exist_ok=True)  # executors may not share the driver's mkdir
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}-{run_tag}{ext}")
+        tmp = fname + ".inprogress"
+        n = 0
+        out = None
+        try:
+            for b in batches:
+                for url, block in zip(b["url"], b["block"]):
+                    if out is None:
+                        out = open(tmp, "wb")
+                    rec = _warc_record_bytes(
+                        record_type, url, date, bytes(block), content_type
+                    )
+                    out.write(gzip.compress(rec) if gzip_per_record else rec)
+                    n += 1
+        finally:
+            if out is not None:
+                out.close()
+        if n == 0:
+            return  # empty partition → no file, no manifest row
+        os.replace(tmp, fname)  # atomic publish (write-then-swap convention)
+        yield pd.DataFrame(
+            [{"file": fname, "n_records": n, "n_bytes": os.path.getsize(fname)}]
+        )
+
+    manifest = src.mapInPandas(write_partition, MANIFEST_SCHEMA).collect()
+    return sorted((r.asDict() for r in manifest), key=lambda d: d["file"])

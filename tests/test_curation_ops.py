@@ -208,6 +208,57 @@ def test_tfidf_topk_bounds_and_tiebreak(spark):
     assert [r["rn"] for r in out] == [1, 2, 3]
 
 
+def test_bm25_matches_pure_python_model(spark):
+    """bm25_topk vs an independent pure-Python BM25 (same k1/b,
+    avgdl over ALL docs including the empty one)."""
+    import math
+
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import bm25_topk
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat",
+        3: "cat cat cat dog",
+        4: "",  # counts toward N and avgdl's denominator
+    }
+    d = _docs(spark, list(corpus.items()))
+    out = bm25_topk(d, topk=10).collect()
+
+    toks = {i: [w for w in txt.split() if w] for i, txt in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq: dict[str, int] = {}
+    for ws in toks.values():
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    expected = {}
+    for i, ws in toks.items():
+        for w in set(ws):
+            tf = ws.count(w)
+            idf = math.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            norm = tf / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+            expected[(i, w)] = round(idf * norm * 1e6)
+    got = {(r["doc_id"], r["token"]): r["score_q"] for r in out}
+    assert got == expected
+    # doc 4 is empty: no keyword rows, but it diluted avgdl above
+    assert not [k for k in got if k[0] == 4]
+
+
+def test_bm25_saturation_vs_tfidf(spark):
+    """The point of BM25: tf saturates. A 20x-repeated term must score
+    LESS than 20x the single occurrence (tf-idf would scale linearly)."""
+    from dbd_datawarehouse_scraper_spark.functions.text_analysis import bm25_topk
+
+    d = _docs(spark, [(1, "rare " * 20 + "x"), (2, "rare y")])
+    s = {
+        r["doc_id"]: r["score_q"]
+        for r in bm25_topk(d, topk=10).collect()
+        if r["token"] == "rare"
+    }
+    assert s[1] < 20 * s[2]
+    assert s[1] > s[2]  # but still monotone in tf
+
+
 def test_segment_dedup_preserves_zero_segment_docs(spark):
     """Row-preservation contract: empty/whitespace-text docs come out
     with clean_text='' and n_segs=0 instead of vanishing (they would

@@ -1,0 +1,232 @@
+"""WARC / WET codec (sources/warc.py): record grammar, gzip member
+layout, HTTP split, error quarantine + resync, and the Spark
+source/sink round trip."""
+
+import gzip
+import io
+import os
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.sources.warc import (
+    iter_warc_records,
+    parse_http_response,
+    warc_sink,
+    warc_source,
+    wet_documents_source,
+)
+
+
+def _record(rtype=b"conversion", url=b"https://x.test/a", block=b"hello world",
+            extra=b"", clen=None):
+    clen = len(block) if clen is None else clen
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + rtype + b"\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>\r\n"
+        b"WARC-Date: 2000-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: " + url + b"\r\n"
+        + extra +
+        b"Content-Type: text/plain\r\n"
+        b"Content-Length: " + str(clen).encode() + b"\r\n"
+        b"\r\n" + block + b"\r\n\r\n"
+    )
+
+
+# ------------------------------------------------------------ pure parser
+
+
+def test_parse_two_records():
+    raw = _record(block=b"one") + _record(block=b"twotwo")
+    recs = list(iter_warc_records(io.BytesIO(raw)))
+    assert [e for _, _, e in recs] == [None, None]
+    assert [b for _, b, _ in recs] == [b"one", b"twotwo"]
+    h = recs[0][0]
+    assert h["warc-type"] == "conversion"
+    assert h["warc-target-uri"] == "https://x.test/a"
+
+
+def test_lf_only_line_endings():
+    raw = _record(block=b"abc").replace(b"\r\n", b"\n")
+    ((h, b, e),) = list(iter_warc_records(io.BytesIO(raw)))
+    assert e is None and b == b"abc" and h["warc-type"] == "conversion"
+
+
+def test_header_continuation_folds():
+    raw = _record(extra=b"WARC-Foo: part one\r\n  and two\r\n")
+    ((h, _, e),) = list(iter_warc_records(io.BytesIO(raw)))
+    assert e is None
+    assert h["warc-foo"] == "part one and two"
+
+
+def test_truncated_block_is_error_row():
+    good = _record(block=b"full")
+    bad = _record(block=b"cut", clen=100)  # claims 100, supplies 3+4
+    recs = list(iter_warc_records(io.BytesIO(good + bad)))
+    assert recs[0][2] is None
+    assert "truncated" in recs[-1][2]
+
+
+def test_bad_content_length_then_resync():
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: nope\r\n\r\n"
+    )
+    raw = bad + _record(block=b"after")
+    recs = list(iter_warc_records(io.BytesIO(raw)))
+    errs = [e for _, _, e in recs]
+    assert any(e and "Content-Length" in e for e in errs)
+    assert recs[-1][1] == b"after" and recs[-1][2] is None
+
+
+def test_garbage_leader_resyncs_to_next_record():
+    raw = b"NOT A WARC\r\njunk\r\n" + _record(block=b"ok")
+    recs = list(iter_warc_records(io.BytesIO(raw)))
+    assert "expected version line" in recs[0][2]
+    assert recs[-1][1] == b"ok" and recs[-1][2] is None
+
+
+def test_http_response_split_plain():
+    block = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX: y\r\n\r\n<html>hi</html>"
+    status, headers, body, err = parse_http_response(block)
+    assert (status, err) == (200, None)
+    assert headers["content-type"] == "text/html"
+    assert body == b"<html>hi</html>"
+
+
+def test_http_response_chunked_reassembly():
+    body = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    block = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    status, _, out, err = parse_http_response(block)
+    assert (status, err, out) == (200, None, b"Wikipedia")
+
+
+def test_http_response_bad_status_line():
+    status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
+    assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
+
+
+# ---------------------------------------------------------- spark surface
+
+
+@pytest.fixture(scope="module")
+def wet_dir(spark, sf_dir, tmp_path_factory):
+    """Documents → 3-partition WET export; yields (dir, docs_df)."""
+    out = str(tmp_path_factory.mktemp("wet"))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(F.lit("https://corpus.test/doc/"), F.col("doc_id")).alias("url"),
+            "text",
+        )
+    )
+    manifest = warc_sink(docs.repartition(3), out, record_type="conversion")
+    return out, docs, manifest
+
+
+def test_sink_manifest_counts(wet_dir, spark):
+    out, docs, manifest = wet_dir
+    assert sum(m["n_records"] for m in manifest) == docs.count()
+    assert all(m["file"].endswith(".warc.gz") for m in manifest)
+    assert all(os.path.exists(m["file"]) for m in manifest)
+    # no in-progress temp files survive the swap
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+
+
+def test_member_per_record_gzip_layout(wet_dir):
+    """Every record is its own gzip member (Common Crawl layout):
+    decompressing ONLY the first member must yield exactly one
+    complete record — the property a range-read index relies on."""
+    out, _, manifest = wet_dir
+    data = open(manifest[0]["file"], "rb").read()
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(data)
+    assert d.eof and d.unused_data  # member ended, more members follow
+    recs = list(iter_warc_records(io.BytesIO(first)))
+    assert len(recs) == 1 and recs[0][2] is None
+
+
+def test_wet_roundtrip_matches_source(wet_dir, spark):
+    out, docs, _ = wet_dir
+    back = wet_documents_source(spark, f"{out}/*.warc.gz")
+    assert back.filter(F.col("error").isNotNull()).count() == 0
+    joined = back.join(docs, "url", "full_outer")
+    n = docs.count()
+    assert joined.count() == n  # bijective on url
+    assert joined.filter(back["text"] != docs["text"]).count() == 0
+    # record ids are deterministic uuid5 — distinct per record
+    assert back.select("record_id").distinct().count() == n
+
+
+def test_stream_and_binaryfile_paths_agree(wet_dir, spark):
+    out, _, _ = wet_dir
+    a = warc_source(spark, f"{out}/*.warc.gz", record_types=("conversion",)).select(
+        "record_id", "target_uri", "payload"
+    )
+    b = warc_source(
+        spark, f"{out}/*.warc.gz", record_types=("conversion",), via="binaryFile"
+    ).select("record_id", "target_uri", "payload")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_record_type_filter_and_cap(wet_dir, spark):
+    out, _, manifest = wet_dir
+    none = warc_source(spark, f"{out}/*.warc.gz", record_types=("response",))
+    assert none.count() == 0
+    capped = warc_source(
+        spark, f"{out}/*.warc.gz", record_types=None, max_records_per_file=2
+    )
+    assert capped.count() == 2 * len(manifest)
+
+
+def test_response_records_roundtrip(spark, tmp_path):
+    """resource/response path: write raw bytes, read with HTTP parse
+    of a hand-built response WARC."""
+    http_block = (
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nmissing"
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000a>\r\n"
+        b"WARC-Date: 2000-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: https://x.test/missing\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http_block)).encode() + b"\r\n\r\n"
+        + http_block + b"\r\n\r\n"
+    )
+    p = tmp_path / "resp.warc.gz"
+    p.write_bytes(gzip.compress(rec))
+    df = warc_source(spark, str(p))
+    row = df.collect()[0]
+    assert row.http_status == 404
+    assert row.http_content_type == "text/plain"
+    assert bytes(row.payload) == b"missing"
+    assert row.error is None
+
+
+def test_plain_warc_no_gzip(spark, tmp_path, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(5)
+        .select(F.concat(F.lit("u:"), F.col("doc_id")).alias("url"), "text")
+    )
+    out = str(tmp_path / "plain")
+    manifest = warc_sink(docs.coalesce(1), out, gzip_per_record=False)
+    assert manifest[0]["file"].endswith(".warc")
+    back = wet_documents_source(spark, f"{out}/*.warc")
+    assert back.count() == 5
+
+
+def test_empty_partitions_write_no_files(spark, tmp_path):
+    docs = spark.createDataFrame([("u:1", "t")], "url string, text string").repartition(8)
+    out = str(tmp_path / "sparse")
+    manifest = warc_sink(docs, out)
+    assert len(manifest) == 1 and manifest[0]["n_records"] == 1
+    assert len(os.listdir(out)) == 1
+
+
+def test_missing_glob_raises(spark):
+    with pytest.raises(FileNotFoundError):
+        warc_source(spark, "/nonexistent/*.warc.gz")
