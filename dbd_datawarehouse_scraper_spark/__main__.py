@@ -140,7 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--token-counter", type=str, default="whitespace",
                    help="Counter metering shard budgets / pack contexts "
                         "/ the exported n_tokens: whitespace (default), "
-                        "bpe_ish (sub-word-ish proxy), or "
+                        "bpe_ish (sub-word-ish proxy), thai "
+                        "(dictionary maximal-matching words — Thai "
+                        "writes without spaces), or "
                         "vocab:<merges path> (exact byte-level BPE "
                         "under a GPT-2-style merges file — TRUE "
                         "tokenizer tokens)")
@@ -250,6 +252,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Curation quality-score floor (default: 0.3)")
     p.add_argument("--min-doc-tokens", type=int, default=None,
                    help="Curation token-count floor (default: 5)")
+    p.add_argument("--word-counter", type=str, default=None,
+                   help="Counter behind the curation n_tokens column, "
+                        "the --min-doc-tokens gate, and the quality "
+                        "score's length term: whitespace (default), "
+                        "bpe_ish, or thai (dictionary maximal matching "
+                        "— Thai writes without spaces, so the default "
+                        "counts a Thai paragraph as ~1 word and the "
+                        "gates silently reject it; pair with "
+                        "--lang-id trigram --keep-langs th)")
     p.add_argument("--lang-id", type=str, default="fast",
                    choices=("fast", "trigram"),
                    help="Language identifier for the curation funnel "
@@ -551,6 +562,8 @@ def _gate_kwargs_from_args(args) -> dict:
                 f"--min-doc-tokens must be >= 0, got {args.min_doc_tokens}"
             )
         out["min_tokens"] = args.min_doc_tokens
+    if args.word_counter is not None:
+        out["word_counter"] = args.word_counter
     return out
 
 

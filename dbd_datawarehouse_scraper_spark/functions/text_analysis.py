@@ -58,11 +58,17 @@ def char_classes(col: Column):
     )
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, word_count: Column | None = None) -> Column:
     """[0,1] document quality heuristic: penalize extreme length,
     punctuation-heavy and stopword-free text. Deterministic and
-    SQL-expressible (oracle-checkable)."""
-    n_tokens = token_count(col).cast("double")
+    SQL-expressible (oracle-checkable) with the default whitespace
+    word count; pass ``word_count`` (a Column) to meter length with a
+    different counter — unsegmented scripts (Thai) read as ~1
+    whitespace word, which floors len_score at 1/20 and silently
+    fails the funnel's ``min_quality`` gate."""
+    n_tokens = (word_count if word_count is not None else token_count(col)).cast(
+        "double"
+    )
     n_chars = F.length(col).cast("double")
     n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
     n_stop = F.size(F.regexp_extract_all(F.lower(col), F.lit(_STOPWORDS), 0)).cast(
@@ -727,9 +733,21 @@ def gopher_filter(
 #: ``bpe_ish`` approximates sub-word tokenizers (word pieces, numbers
 #: and punctuation counted separately) for sizing shards in units
 #: closer to what a trainer's tokenizer will produce.
+def _thai_word_count(col: Column) -> Column:
+    # lazy import: thai.py imports nothing from here, but keep the
+    # module graph acyclic-by-construction
+    from .thai import thai_word_count
+
+    return thai_word_count(col)
+
+
 TOKEN_COUNTERS = {
     "whitespace": token_count,
     "bpe_ish": bpe_ish_token_count,
+    # dictionary maximal-matching words (functions/thai.py) — the
+    # counter Thai corpora must route min-word gates through
+    # (whitespace counting reads a Thai paragraph as ~1 word)
+    "thai": _thai_word_count,
 }
 
 

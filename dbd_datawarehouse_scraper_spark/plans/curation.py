@@ -83,9 +83,23 @@ def curate_documents(
     lang_id_impl: str = "fast",
     near_dup_opts: dict | None = None,
     substring_dedup_opts: dict | None = None,
+    word_counter: str = "whitespace",
 ) -> DataFrame:
     """The curation funnel. Returns the curated documents with their
     analysis columns (lang, quality, n_tokens) attached.
+
+    ``word_counter`` names the counter
+    (:func:`..functions.text_analysis.resolve_token_counter`) behind
+    the ``n_tokens`` column and therefore the ``min_tokens`` gate AND
+    the quality score's length term. The whitespace default is wrong
+    for scripts that write without spaces: a Thai paragraph counts as
+    ~1 whitespace word, so the default gates silently reject the
+    reference corpus's own language — pair ``word_counter="thai"``
+    (functions/thai.py dictionary maximal matching) with
+    ``lang_id_impl="trigram"`` + ``keep_langs=("th",)`` for Thai
+    corpora. Non-whitespace counters are pandas UDFs, so the analyzed
+    projection leaves whole-stage codegen for that one column — the
+    gates stay per-row and shuffle-free either way.
 
     ``lang_id_impl`` picks the language identifier behind the ``lang``
     column and gate (:func:`..functions.langid.resolve_lang_id`):
@@ -217,8 +231,10 @@ def curate_documents(
     or override ``min_words_per_line`` / ``min_sentences`` /
     ``page_block_patterns``."""
     from ..functions.langid import resolve_lang_id
+    from ..functions.text_analysis import resolve_token_counter
 
     lang_id_fn = resolve_lang_id(lang_id_impl)  # refuse at start
+    word_count_fn = resolve_token_counter(word_counter)  # likewise
     if domain_opts is not None:
         from ..operators.domains import (
             domain_blocklist_filter,
@@ -305,13 +321,30 @@ def curate_documents(
                 cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
             )
         )
+    if word_counter == "whitespace":
+        # the codegen'd default — identical plan to every prior round
+        n_tokens_col = token_count(F.col(text_col))
+        quality_col = quality_score(F.col(text_col))
+    else:
+        # UDF counters: bind the count ONCE behind a Generate barrier
+        # (the c4_clean precedent — projection collapse would otherwise
+        # re-inline the pandas UDF into the quality expression and run
+        # it twice per row)
+        wc_tmp = "_wc"
+        while wc_tmp in docs.columns:
+            wc_tmp += "_"
+        docs = docs.withColumn(
+            wc_tmp, F.explode_outer(F.array(word_count_fn(F.col(text_col))))
+        )
+        n_tokens_col = F.col(wc_tmp)
+        quality_col = quality_score(F.col(text_col), word_count=F.col(wc_tmp))
     analyzed = docs.select(
         id_col,
         text_col,
         *carry_cols,
         lang_id_fn(F.col(text_col)).alias("lang"),
-        quality_score(F.col(text_col)).alias("quality"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_col.alias("quality"),
+        n_tokens_col.alias("n_tokens"),
         doc_fingerprint(F.col(text_col)).alias("_fp"),
     )
     gated = analyzed.filter(
@@ -454,6 +487,7 @@ def curation_gate_report(
     gopher_opts: dict | None = None,
     c4_opts: dict | None = None,
     lang_id_impl: str = "fast",
+    word_counter: str = "whitespace",
 ) -> DataFrame:
     """Threshold-tuning observability: ONE scan that answers "how much
     would each stateless gate drop, alone and combined?" BEFORE paying
@@ -491,10 +525,13 @@ def curation_gate_report(
     from ..functions.text_analysis import (
         gopher_quality_flags,
         quality_score,
-        token_count,
+        resolve_token_counter,
     )
 
     lang_id_fn = resolve_lang_id(lang_id_impl)  # refuse at start
+    word_count_fn = resolve_token_counter(word_counter)  # likewise —
+    # must mirror the funnel's knob or quality/tokens predict the
+    # wrong drop (same contract as lang_id_impl)
     c = F.coalesce(F.col(text_col), F.lit(""))
     gate_input = c
     o = None
@@ -516,10 +553,11 @@ def curation_gate_report(
             ),
         )
         gate_input = F.col(tmp)
+    wc = word_count_fn(gate_input)
     flags = {
         "lang": lang_id_fn(gate_input).isin(list(keep_langs)),
-        "quality": quality_score(gate_input) >= min_quality,
-        "tokens": token_count(gate_input) >= min_tokens,
+        "quality": quality_score(gate_input, word_count=wc) >= min_quality,
+        "tokens": wc >= min_tokens,
     }
     if gopher_opts is not None:
         flags["gopher"] = gopher_quality_flags(gate_input, gopher_opts)["pass"]

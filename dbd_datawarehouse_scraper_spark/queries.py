@@ -4024,6 +4024,50 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("thai_segmentation", None)
+def thai_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Thai dictionary maximal-matching segmentation
+    (functions/thai.py): synthesize spaceless Thai company names from
+    the customer table (the reference's exact domain —
+    scraper_v2.py's Thai legal-name search terms), segment them, and
+    aggregate the token histogram plus the whitespace-vs-Thai word
+    count gap that breaks min-word gates on Thai. Rows-only: the DP
+    segmenter is not SQL-expressible; the pytest suite pins it against
+    the pure-Python reference and a hypothesis losslessness property."""
+    from .functions.text_analysis import token_count
+    from .functions.thai import thai_segment
+
+    k = F.col("c_custkey")
+    industry = (
+        F.when(k % 5 == 0, F.lit("การค้า"))
+        .when(k % 5 == 1, F.lit("ก่อสร้าง"))
+        .when(k % 5 == 2, F.lit("เทคโนโลยีสารสนเทศ"))
+        .when(k % 5 == 3, F.lit("ขนส่ง"))
+        .otherwise(F.lit("ผลิตอาหาร"))
+    )
+    form = F.when(k % 3 == 0, F.lit("ห้างหุ้นส่วนจำกัด")).otherwise(F.lit("บริษัท"))
+    suffix = F.when(k % 7 == 0, F.lit("จำกัด(มหาชน)")).otherwise(F.lit("จำกัด"))
+    names = t(spark, sf_dir, "customer").select(
+        F.concat(form, industry, F.lit("ไทย"), k.cast("string"), suffix).alias("name")
+    )
+    segged = names.select(
+        token_count(F.col("name")).alias("ws_words"),
+        thai_segment(F.col("name")).alias("toks"),
+    )
+    return (
+        segged.select(F.col("ws_words"), F.explode("toks").alias("token"))
+        # keep the Thai-script histogram; the per-key digit tokens only
+        # prove script splitting and would bloat the result unboundedly
+        .filter(F.col("token").rlike("[฀-๿]"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ws_words").alias("ws_words_sum"),
+        )
+        .orderBy("token")
+    )
+
+
 @register("warc_roundtrip", None)
 def warc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] WARC/WET codec round trip (sources/warc.py): export the

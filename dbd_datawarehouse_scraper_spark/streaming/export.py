@@ -82,6 +82,7 @@ def stream_export_training_set(
     keep_langs: tuple[str, ...] = ("en", "de", "fr"),
     min_quality: float = 0.3,
     min_tokens: int = 5,
+    word_counter: str = "whitespace",
     near_dup_threshold: float = 0.8,
     num_hashes: int = 128,
     bands: int = 32,
@@ -312,6 +313,11 @@ def stream_export_training_set(
     # {en, es, de, fr, zh} needs 'trigram' (the fast heuristic scores
     # Thai etc. 'und')
     _lang_id = resolve_lang_id(lang_id_impl)
+    from ..functions.text_analysis import resolve_token_counter
+
+    # the batch funnel's word_counter knob, same refuse-at-start
+    # contract — Thai corpora pair word_counter='thai' with trigram
+    _word_count = resolve_token_counter(word_counter)
     if substring_dedup_opts is not None:
         # same contract: refuse bad substring params before the stream
         # starts (a bad min_docs inside foreachBatch would otherwise
@@ -440,11 +446,34 @@ def stream_export_training_set(
                 ).select(id_col).distinct()
                 source = source.join(flagged_ids, id_col, "left_anti")
 
-        gated = source.filter(
-            _lang_id(F.col(text_col)).isin(list(keep_langs))
-            & (quality_score(F.col(text_col)) >= min_quality)
-            & (token_count(F.col(text_col)) >= min_tokens)
-        )
+        if word_counter == "whitespace":
+            # the codegen'd default — identical plan to every prior round
+            gated = source.filter(
+                _lang_id(F.col(text_col)).isin(list(keep_langs))
+                & (quality_score(F.col(text_col)) >= min_quality)
+                & (token_count(F.col(text_col)) >= min_tokens)
+            )
+        else:
+            # UDF counters: bind ONCE behind a Generate barrier (the
+            # batch funnel's pattern), then drop the scratch column so
+            # downstream schema is unchanged
+            wc_tmp = "_wc"
+            while wc_tmp in source.columns:
+                wc_tmp += "_"
+            gated = (
+                source.withColumn(
+                    wc_tmp, F.explode_outer(F.array(_word_count(F.col(text_col))))
+                )
+                .filter(
+                    _lang_id(F.col(text_col)).isin(list(keep_langs))
+                    & (
+                        quality_score(F.col(text_col), word_count=F.col(wc_tmp))
+                        >= min_quality
+                    )
+                    & (F.col(wc_tmp) >= min_tokens)
+                )
+                .drop(wc_tmp)
+            )
         if gopher_opts is not None:
             from ..functions.text_analysis import gopher_filter
 
