@@ -252,6 +252,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Curation quality-score floor (default: 0.3)")
     p.add_argument("--min-doc-tokens", type=int, default=None,
                    help="Curation token-count floor (default: 5)")
+    p.add_argument("--input-format", type=str, default="parquet",
+                   choices=("parquet", "jsonl", "wet"),
+                   help="How --export-training-set / --gate-report read "
+                        "their documents input: parquet (default), "
+                        "jsonl (doc_id/text objects; corrupt lines "
+                        "quarantine-counted), or wet (Common Crawl WET "
+                        "archives — record ids become doc_id, the "
+                        "target URI rides along as url, malformed "
+                        "records dropped with a count)")
     p.add_argument("--word-counter", type=str, default=None,
                    help="Counter behind the curation n_tokens column, "
                         "the --min-doc-tokens gate, and the quality "
@@ -497,6 +506,48 @@ def _pack_opts_from_args(args) -> dict | None:
     return opts
 
 
+def _load_documents(spark, path: str, fmt: str):
+    """Documents relation for the curation surfaces
+    (--export-training-set, --gate-report) under ``--input-format``:
+
+    - ``parquet`` (default) — the engine's native layout;
+    - ``jsonl`` — explicit doc_id/text schema via
+      :func:`.sources.files.jsonl_documents_source`; corrupt lines are
+      quarantine-counted, never fatal;
+    - ``wet`` — Common Crawl WET archives via
+      :func:`.sources.warc.wet_documents_source`: record ids become
+      ``doc_id``, the target URI rides along as ``url`` (the domain
+      gates' key), malformed records are dropped with a count. A bare
+      directory expands to ``<dir>/*.warc*``.
+    """
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        from .sources.files import jsonl_documents_source
+
+        good, corrupt = jsonl_documents_source(spark, path)
+        n_bad = corrupt.count()
+        if n_bad:
+            print(f"jsonl: quarantined {n_bad} corrupt lines")
+        return good
+    if fmt == "wet":
+        from .sources.warc import wet_documents_source
+
+        pattern = (
+            path if any(ch in path for ch in "*?[") else path.rstrip("/") + "/*.warc*"
+        )
+        raw = wet_documents_source(spark, pattern)
+        n_bad = raw.filter(F.col("error").isNotNull()).count()
+        if n_bad:
+            print(f"wet: dropped {n_bad} malformed records")
+        return raw.filter(F.col("error").isNull()).select(
+            F.col("record_id").alias("doc_id"), "url", "text"
+        )
+    raise ValueError(
+        f"unknown --input-format {fmt!r} (valid: parquet, jsonl, wet)"
+    )
+
+
 def _lm_opts_from_args(args) -> dict | None:
     """One construction for BOTH the batch and stream export paths:
     --lm-model + --max-perplexity enable the reference-LM fluency
@@ -686,7 +737,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .plans.curation import curation_gate_report
 
         rep = curation_gate_report(
-            spark.read.parquet(args.gate_report),
+            _load_documents(spark, args.gate_report, args.input_format),
             gopher_opts={} if args.gopher else None,
             c4_opts={} if args.c4_clean else None,
             lang_id_impl=args.lang_id,
@@ -974,7 +1025,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         counts = export_training_set(
-            spark.read.parquet(args.input),
+            _load_documents(spark, args.input, args.input_format),
             args.output,
             mix_weights=_json.loads(args.mix_weights)
             if args.mix_weights

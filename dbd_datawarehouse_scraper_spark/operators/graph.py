@@ -108,7 +108,20 @@ def connected_components(
             F.sum(F.col("_comp").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev = _checksum(labels)
+    # Convergence detection is type-aware: numeric ids use the 1-scan
+    # decimal checksum above (monotone sum ⇒ equal = fixpoint); string
+    # ids (WET record ids, urls, fingerprints — F.min is their
+    # lexicographic min, so the propagation itself is unchanged) have
+    # no monotone numeric image, so they use an EXACT changed-row count
+    # joining the new round against the previous one — both rounds'
+    # parquet still exist at comparison time (the ≤2-snapshot
+    # invariant), and a hash-sum shortcut could cancel and exit early
+    # with wrong components.
+    id_type = dict(pairs.dtypes).get(id_a, "")
+    numeric_ids = id_type in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or id_type.startswith("decimal")
+    prev = _checksum(labels) if numeric_ids else None
     rnd = 0
     for rnd in range(1, max_iter + 1):
         nbr_min = (
@@ -121,7 +134,7 @@ def connected_components(
             .groupBy("_src")
             .agg(F.min("_ncomp").alias("_nbr_min"))
         )
-        labels = checkpoint_round(
+        new_labels = checkpoint_round(
             labels.join(
                 nbr_min.select(F.col("_src").alias("_id"), "_nbr_min"),
                 "_id",
@@ -135,14 +148,28 @@ def connected_components(
             rnd,
         )
         # round `rnd` is fully written (the parquet write above is the
-        # materialization) and was computed FROM round rnd-1's files —
-        # delete them now so ≤2 round snapshots ever coexist
+        # materialization) and was computed FROM round rnd-1's files
         max_live_dirs = max(max_live_dirs, len(fs_list_names(spark, base)))
-        fs_delete(spark, f"{base}/round-{rnd - 1}")
-        cur = _checksum(labels)
-        if cur == prev:
-            break
-        prev = cur
+        if numeric_ids:
+            fs_delete(spark, f"{base}/round-{rnd - 1}")
+            labels = new_labels
+            cur = _checksum(labels)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            # exact fixpoint test while BOTH rounds' files exist
+            n_changed = (
+                new_labels.join(
+                    labels.select("_id", F.col("_comp").alias("_old")), "_id"
+                )
+                .filter(F.col("_comp") != F.col("_old"))
+                .count()
+            )
+            fs_delete(spark, f"{base}/round-{rnd - 1}")
+            labels = new_labels
+            if n_changed == 0:
+                break
     else:
         release_these([edges])
         fs_delete(spark, base)

@@ -227,6 +227,97 @@ _POOL = (
 ).split()
 
 
+def test_export_training_set_cli_wet_input(spark, tmp_path):
+    """--input-format wet: Common Crawl WET archives feed the funnel
+    directly — record ids become doc_id (string ids exercise the
+    string-path connected components), malformed records drop with a
+    count instead of failing the export."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from dbd_datawarehouse_scraper_spark.sources.warc import warc_sink
+
+    pool = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    combos = list(itertools.combinations(pool, 3))[:60]
+    docs = spark.createDataFrame(
+        [
+            (
+                f"https://ex{i % 3}.test/p/{i}",
+                "the quick document about "
+                + " ".join(c)
+                + " with more words "
+                + " ".join(reversed(c)),
+            )
+            for i, c in enumerate(combos)
+        ],
+        "url string, text string",
+    )
+    wet_dir = str(tmp_path / "wet")
+    warc_sink(docs.repartition(2), wet_dir)
+    out = str(tmp_path / "export")
+    rc = main([
+        "--export-training-set",
+        "--input", wet_dir,
+        "--input-format", "wet",
+        "--output", out,
+        "--shard-token-budget", "300",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    back = spark.read.json(f"{out}/split=train")
+    n = back.count()
+    assert n > 40  # distinct docs survive the funnel
+    # WET record ids came through as the doc ids
+    assert back.filter(F.col("doc_id").startswith("<urn:uuid:")).count() == n
+
+
+def test_gate_report_cli_wet_input(spark, tmp_path, capsys):
+    """--gate-report honors --input-format too (the two curation
+    surfaces share one loader)."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import warc_sink
+
+    docs = spark.createDataFrame(
+        [(f"u:{i}", "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(10)],
+        "url string, text string",
+    )
+    wet_dir = str(tmp_path / "wet")
+    warc_sink(docs.coalesce(1), wet_dir)
+    rc = main([
+        "--gate-report", wet_dir,
+        "--input-format", "wet",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    report = capsys.readouterr().out
+    assert "corpus_size" in report and "10" in report
+
+
+def test_gate_report_cli_jsonl_input(spark, tmp_path, capsys):
+    """--input-format jsonl: corrupt lines are quarantine-counted,
+    good rows reach the gates."""
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": %d, "text": "the quick brown fox jumps over the lazy dog"}'
+        % i
+        for i in range(8)
+    ] + ['{"doc_id": broken']
+    p.write_text("\n".join(lines))
+    rc = main([
+        "--gate-report", str(p),
+        "--input-format", "jsonl",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quarantined 1 corrupt lines" in out
+    assert "corpus_size" in out and "8" in out
+
+
 def test_export_training_set_cli_chunking_flags(spark, tmp_path):
     """--chunk-window splits exported docs into overlapping windows;
     ids become <doc>#<idx>; --chunk-stride without the window refuses

@@ -123,6 +123,40 @@ def test_matches_duckdb_recursive_cte(spark):
     release_caches()
 
 
+def test_string_ids_chain_and_hub(spark):
+    """String node ids (WET record ids, urls, fingerprints):
+    propagation is the lexicographic min, and convergence uses the
+    exact changed-row count — the numeric decimal checksum would
+    crash on the initial round (the r9 WET-ingest defect)."""
+    pairs = spark.createDataFrame(
+        [("urn:b", "urn:c"), ("urn:a", "urn:b"), ("urn:x", "urn:y")],
+        "id_a string, id_b string",
+    )
+    comps = _comp_map(connected_components(pairs))
+    assert comps == {
+        "urn:a": "urn:a",
+        "urn:b": "urn:a",
+        "urn:c": "urn:a",
+        "urn:x": "urn:x",
+        "urn:y": "urn:x",
+    }
+    dropped = {r["id"] for r in component_survivors(pairs).collect()}
+    assert dropped == {"urn:b", "urn:c", "urn:y"}
+    release_caches()
+
+
+def test_string_ids_long_path_converges(spark):
+    """Diameter > 2 exercises the string-path fixpoint test across
+    several rounds (n_changed must hit exactly 0, not hash-collide)."""
+    ids = [f"n{i:03d}" for i in range(12)]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "id_a string, id_b string"
+    )
+    comps = _comp_map(connected_components(pairs))
+    assert set(comps.values()) == {"n000"}
+    release_caches()
+
+
 def test_cache_pool_drains(spark):
     """The iterative loop's per-round persists are tracked and the
     intermediate rounds are released inside the loop — after the final
