@@ -257,10 +257,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="How --export-training-set / --gate-report read "
                         "their documents input: parquet (default), "
                         "jsonl (doc_id/text objects; corrupt lines "
-                        "quarantine-counted), or wet (Common Crawl WET "
+                        "quarantined), or wet (Common Crawl WET "
                         "archives — record ids become doc_id, the "
                         "target URI rides along as url, malformed "
-                        "records dropped with a count)")
+                        "records dropped and counted on the job's own "
+                        "scan)")
     p.add_argument("--word-counter", type=str, default=None,
                    help="Counter behind the curation n_tokens column, "
                         "the --min-doc-tokens gate, and the quality "
@@ -508,41 +509,62 @@ def _pack_opts_from_args(args) -> dict | None:
 
 def _load_documents(spark, path: str, fmt: str):
     """Documents relation for the curation surfaces
-    (--export-training-set, --gate-report) under ``--input-format``:
+    (--export-training-set, --gate-report) under ``--input-format``.
+    Returns ``(docs, finalize)`` — call ``finalize()`` AFTER the
+    consuming action to print ingest diagnostics.
 
     - ``parquet`` (default) — the engine's native layout;
     - ``jsonl`` — explicit doc_id/text schema via
       :func:`.sources.files.jsonl_documents_source`; corrupt lines are
-      quarantine-counted, never fatal;
+      quarantined by construction, never fatal;
     - ``wet`` — Common Crawl WET archives via
       :func:`.sources.warc.wet_documents_source`: record ids become
       ``doc_id``, the target URI rides along as ``url`` (the domain
-      gates' key), malformed records are dropped with a count. A bare
-      directory expands to ``<dir>/*.warc*``.
+      gates' key), malformed records are dropped. A bare directory
+      expands to ``<dir>/*.warc*``; a single file or a glob passes
+      through.
+
+    The malformed-record count rides the consuming job's own scan
+    (``Observation`` over the pre-filter relation) — an upfront
+    ``count()`` would re-decompress and re-parse the entire input
+    before the real job, doubling ingest I/O at 100 TB for one
+    diagnostic line.
     """
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        return spark.read.parquet(path), lambda: None
     if fmt == "jsonl":
         from .sources.files import jsonl_documents_source
 
-        good, corrupt = jsonl_documents_source(spark, path)
-        n_bad = corrupt.count()
-        if n_bad:
-            print(f"jsonl: quarantined {n_bad} corrupt lines")
-        return good
+        good, _corrupt = jsonl_documents_source(spark, path)
+        return good, lambda: None
     if fmt == "wet":
+        from pyspark.sql import Observation
+
         from .sources.warc import wet_documents_source
 
-        pattern = (
-            path if any(ch in path for ch in "*?[") else path.rstrip("/") + "/*.warc*"
-        )
+        if any(ch in path for ch in "*?[") or os.path.isfile(path):
+            pattern = path  # explicit glob, or a single archive file
+        else:
+            pattern = path.rstrip("/") + "/*.warc*"
         raw = wet_documents_source(spark, pattern)
-        n_bad = raw.filter(F.col("error").isNotNull()).count()
-        if n_bad:
-            print(f"wet: dropped {n_bad} malformed records")
-        return raw.filter(F.col("error").isNull()).select(
+        obs = Observation("wet_ingest")
+        observed = raw.observe(
+            obs,
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("n_bad"),
+        )
+        docs = observed.filter(F.col("error").isNull()).select(
             F.col("record_id").alias("doc_id"), "url", "text"
         )
+
+        def finalize():
+            # populated by the first completed action over the scan
+            n_bad = obs.get.get("n_bad")
+            if n_bad:
+                print(f"wet: dropped {n_bad} malformed records")
+
+        return docs, finalize
     raise ValueError(
         f"unknown --input-format {fmt!r} (valid: parquet, jsonl, wet)"
     )
@@ -736,8 +758,11 @@ def main(argv: Sequence[str] | None = None) -> int:
     if args.gate_report:
         from .plans.curation import curation_gate_report
 
+        docs_in, ingest_report = _load_documents(
+            spark, args.gate_report, args.input_format
+        )
         rep = curation_gate_report(
-            _load_documents(spark, args.gate_report, args.input_format),
+            docs_in,
             gopher_opts={} if args.gopher else None,
             c4_opts={} if args.c4_clean else None,
             lang_id_impl=args.lang_id,
@@ -746,6 +771,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         for r in rep.collect():
             frac = "" if r["fail_frac"] is None else f" ({r['fail_frac']:.1%})"
             print(f"{r['gate']}: {r['n_fail']}{frac}")
+        ingest_report()
         return 0
 
     if args.ivf_stats:
@@ -1024,8 +1050,11 @@ def main(argv: Sequence[str] | None = None) -> int:
         curate_kwargs.update(_gate_kwargs_from_args(args))
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
+        docs_in, ingest_report = _load_documents(
+            spark, args.input, args.input_format
+        )
         counts = export_training_set(
-            _load_documents(spark, args.input, args.input_format),
+            docs_in,
             args.output,
             mix_weights=_json.loads(args.mix_weights)
             if args.mix_weights
@@ -1043,6 +1072,7 @@ def main(argv: Sequence[str] | None = None) -> int:
             token_counter=args.token_counter,
         )
         release_caches()
+        ingest_report()
         for label, n in counts.items():
             unit = (
                 "sequences"

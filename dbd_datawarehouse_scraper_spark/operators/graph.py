@@ -117,10 +117,15 @@ def connected_components(
     # parquet still exist at comparison time (the ≤2-snapshot
     # invariant), and a hash-sum shortcut could cancel and exit early
     # with wrong components.
+    # INTEGRAL types only: casting float/double/scaled-decimal labels
+    # to decimal(38,0) rounds away fractional differences, and two
+    # rounds whose labels differ only fractionally would checksum
+    # equal — premature exit, wrong components. Fractional and string
+    # ids both take the exact path.
     id_type = dict(pairs.dtypes).get(id_a, "")
-    numeric_ids = id_type in (
-        "tinyint", "smallint", "int", "bigint", "float", "double"
-    ) or id_type.startswith("decimal")
+    numeric_ids = id_type in ("tinyint", "smallint", "int", "bigint") or (
+        id_type.startswith("decimal") and id_type.rstrip(")").endswith(",0")
+    )
     prev = _checksum(labels) if numeric_ids else None
     rnd = 0
     for rnd in range(1, max_iter + 1):

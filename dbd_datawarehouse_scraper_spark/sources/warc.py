@@ -162,11 +162,18 @@ def parse_http_response(
     (status, headers, body, error). Reassembles chunked
     transfer-encoding; on malformed chunking the raw remainder is
     returned with the error noted (quarantine, don't drop bytes)."""
-    head, sep, body = block.partition(b"\r\n\r\n")
-    if not sep:
-        head, sep, body = block.partition(b"\n\n")
-        if not sep:
-            return None, {}, block, "no HTTP header/body separator"
+    # the EARLIER of the two separators wins: LF-only headers over a
+    # body that happens to contain \r\n\r\n must split at the LF-only
+    # boundary, not inside the body (CRLF at p also matches \n\n at
+    # p+1, so strict < keeps the CRLF form winning when both align)
+    i_crlf = block.find(b"\r\n\r\n")
+    i_lf = block.find(b"\n\n")
+    if i_crlf != -1 and (i_lf == -1 or i_crlf < i_lf):
+        head, body = block[:i_crlf], block[i_crlf + 4:]
+    elif i_lf != -1:
+        head, body = block[:i_lf], block[i_lf + 2:]
+    else:
+        return None, {}, block, "no HTTP header/body separator"
     lines = head.replace(b"\r\n", b"\n").split(b"\n")
     status_line = lines[0]
     parts = status_line.split(None, 2)
@@ -204,6 +211,17 @@ def parse_http_response(
     return status, headers, body, None
 
 
+def _int_or_none(v) -> int | None:
+    """ASCII-decimal parse or None — NEVER raises. (str.isdigit() is
+    not a safe int() guard: '²'.isdigit() is True while int('²')
+    raises, and a corrupt header must cost one error row, not the
+    task.)"""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def _records_to_rows(
     path: str,
     stream,
@@ -236,9 +254,7 @@ def _records_to_rows(
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             "content_type": headers.get("content-type"),
-            "content_length": int(headers["content-length"])
-            if str(headers.get("content-length", "")).isdigit()
-            else None,
+            "content_length": _int_or_none(headers.get("content-length")),
             "http_status": status,
             "http_content_type": http_ct,
             "payload": payload,
@@ -474,7 +490,12 @@ def warc_sink(
                     rec = _warc_record_bytes(
                         record_type, url, date, bytes(block), content_type
                     )
-                    out.write(gzip.compress(rec) if gzip_per_record else rec)
+                    # mtime=0: the default embeds wall-clock time in the
+                    # gzip header, breaking the byte-identical-rerun
+                    # contract _warc_record_bytes establishes
+                    out.write(
+                        gzip.compress(rec, mtime=0) if gzip_per_record else rec
+                    )
                     n += 1
         finally:
             if out is not None:

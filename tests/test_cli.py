@@ -298,8 +298,9 @@ def test_gate_report_cli_wet_input(spark, tmp_path, capsys):
 
 
 def test_gate_report_cli_jsonl_input(spark, tmp_path, capsys):
-    """--input-format jsonl: corrupt lines are quarantine-counted,
-    good rows reach the gates."""
+    """--input-format jsonl: corrupt lines are quarantined (never
+    fatal, never counted by an extra pass), good rows reach the
+    gates — corpus_size sees exactly the 8 good documents."""
     p = tmp_path / "docs.jsonl"
     lines = [
         '{"doc_id": %d, "text": "the quick brown fox jumps over the lazy dog"}'
@@ -314,8 +315,34 @@ def test_gate_report_cli_jsonl_input(spark, tmp_path, capsys):
     ])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "quarantined 1 corrupt lines" in out
-    assert "corpus_size" in out and "8" in out
+    assert "corpus_size: 8" in out
+
+
+def test_wet_loader_single_file_and_bad_count(spark, tmp_path, capsys):
+    """_load_documents: a single archive file (no glob chars) passes
+    through instead of growing a bogus /*.warc* suffix, and the
+    malformed-record count rides the consuming scan (Observation) —
+    no upfront extra pass."""
+    import gzip as _gzip
+
+    from dbd_datawarehouse_scraper_spark.__main__ import _load_documents
+    from dbd_datawarehouse_scraper_spark.sources.warc import warc_sink
+
+    docs = spark.createDataFrame(
+        [(f"u:{i}", f"doc {i} text") for i in range(5)],
+        "url string, text string",
+    )
+    m = warc_sink(docs.coalesce(1), str(tmp_path / "wet"))
+    single = m[0]["file"]
+    # append a truncated record as its own gzip member → one error row
+    with open(single, "ab") as f:
+        f.write(_gzip.compress(
+            b"WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 99\r\n\r\nshort"
+        ))
+    loaded, finalize = _load_documents(spark, single, "wet")
+    assert loaded.count() == 5  # the action that feeds the Observation
+    finalize()
+    assert "dropped 1 malformed records" in capsys.readouterr().out
 
 
 def test_export_training_set_cli_chunking_flags(spark, tmp_path):

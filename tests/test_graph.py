@@ -157,6 +157,18 @@ def test_string_ids_long_path_converges(spark):
     release_caches()
 
 
+def test_fractional_ids_take_exact_path(spark):
+    """double ids: decimal(38,0) checksums round fractional label
+    differences to equality and exit before the fixpoint (review
+    finding) — fractional types must use the exact changed-count."""
+    pairs = spark.createDataFrame(
+        [(0.1, 0.2), (0.2, 0.3)], "id_a double, id_b double"
+    )
+    comps = _comp_map(connected_components(pairs))
+    assert comps == {0.1: 0.1, 0.2: 0.1, 0.3: 0.1}
+    release_caches()
+
+
 def test_cache_pool_drains(spark):
     """The iterative loop's per-round persists are tracked and the
     intermediate rounds are released inside the loop — after the final

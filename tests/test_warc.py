@@ -102,6 +102,46 @@ def test_http_response_chunked_reassembly():
     assert (status, err, out) == (200, None, b"Wikipedia")
 
 
+def test_http_lf_headers_crlf_in_body():
+    """LF-only headers over a body containing \\r\\n\\r\\n: the split
+    must happen at the EARLIER (LF) boundary — partitioning on CRLF
+    first would swallow the body prefix silently."""
+    block = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\npart1\r\n\r\npart2"
+    status, headers, body, err = parse_http_response(block)
+    assert (status, err) == (200, None)
+    assert body == b"part1\r\n\r\npart2"
+
+
+def test_unicode_digit_content_length_is_error_row_not_crash(spark, tmp_path):
+    """'²'.isdigit() is True but int('²') raises — a corrupt header
+    must cost one error row, never the task (review finding)."""
+    bad = (
+        "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: ²\r\n\r\n"
+    ).encode("utf-8")
+    raw = bad + _record(block=b"after")
+    p = tmp_path / "bad.warc"
+    p.write_bytes(raw)
+    rows = warc_source(spark, str(p), record_types=None).collect()
+    errs = [r for r in rows if r.error]
+    good = [r for r in rows if not r.error]
+    assert len(errs) == 1 and "Content-Length" in errs[0].error
+    assert len(good) == 1 and bytes(good[0].payload) == b"after"
+
+
+def test_sink_reruns_byte_identical(spark, tmp_path):
+    """The documented determinism contract: rerunning the export
+    produces byte-identical files (fixed WARC-Date, uuid5 record ids,
+    gzip mtime pinned to 0)."""
+    docs = spark.createDataFrame(
+        [("u:1", "alpha"), ("u:2", "beta")], "url string, text string"
+    )
+    m1 = warc_sink(docs.coalesce(1), str(tmp_path / "a"))
+    m2 = warc_sink(docs.coalesce(1), str(tmp_path / "b"))
+    b1 = open(m1[0]["file"], "rb").read()
+    b2 = open(m2[0]["file"], "rb").read()
+    assert b1 == b2
+
+
 def test_http_response_bad_status_line():
     status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
     assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
