@@ -495,6 +495,34 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    scored = bm25_term_scores(
+        docs, id_col=id_col, text_col=text_col, k1=k1, b=b, persist=persist
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .select(id_col, "token", "tf", "df", "score_q", "rn")
+    )
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    persist: bool = True,
+) -> DataFrame:
+    """The BM25 term-contribution relation ``(id_col, token, tf, df,
+    score_q)`` — :func:`bm25_topk` windows it per document for
+    keywords; ``operators.retrieval.bm25_search`` joins query terms
+    against it and SUMS contributions per (query, doc), which is exact
+    on the quantized integers (integer sums are order- and
+    cross-engine-invariant; see the module quantization convention in
+    queries.py)."""
     from ..caching import tracked_persist
 
     toks = docs.select(
@@ -512,7 +540,7 @@ def bm25_topk(
     totals = docs.agg(F.count("*").cast("double").alias("_nd")).crossJoin(
         dl.agg(F.sum("dl").cast("double").alias("_tot"))
     )
-    scored = (
+    return (
         tf.join(dl, id_col)
         .join(df, "token")
         .crossJoin(F.broadcast(totals))
@@ -540,14 +568,7 @@ def bm25_topk(
                 * 1e6
             ).cast("long"),
         )
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_q").desc(), F.col("token").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select(id_col, "token", "tf", "df", "score_q", "rn")
+        .select(id_col, "token", "tf", "df", "score_q")
     )
 
 

@@ -4068,6 +4068,48 @@ def thai_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hybrid_retrieval", None)
+def hybrid_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Hybrid retrieval (operators/retrieval.py): BM25 lexical
+    search over the documents table joined by reciprocal-rank fusion
+    (k0=60) with brute-force cosine dense search over the embeddings
+    table — the sparse+dense+RRF stack production retrieval (and
+    corpus contamination/attribution audits) runs. Every 100th doc's
+    tokens 2-5 form its query; its embedding row (vec_id == doc_id in
+    this testdata) is the dense probe. Rows-only: ranks are
+    deterministic (quantized-integer scores, id tiebreaks) and the
+    BM25 leg has a full DuckDB mirror in tests/test_retrieval.py."""
+    from .operators.retrieval import bm25_search, rrf_fuse
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") % 100 == 19).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 2, 4)
+        ).alias("query"),
+    )
+    lex = bm25_search(docs, queries, topk=10, persist=False)
+    probes = emb.join(
+        queries.select("query_id"), emb["vec_id"] == F.col("query_id")
+    ).select(F.col("query_id").alias("probe_id"), F.col("embedding").alias("probe_vec"))
+    from .operators.similarity_search import cosine_topk_bruteforce
+
+    dense = cosine_topk_bruteforce(probes, emb, k=10)
+    wd = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    dense_rn = dense.select(
+        F.col("probe_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    fused = rrf_fuse(
+        {"bm25": lex, "dense": dense_rn}, topk=10
+    )
+    return fused.orderBy("query_id", "rn")
+
+
 @register("warc_roundtrip", None)
 def warc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] WARC/WET codec round trip (sources/warc.py): export the
