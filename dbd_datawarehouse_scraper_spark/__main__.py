@@ -254,7 +254,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Curation token-count floor (default: 5)")
     p.add_argument("--input-format", type=str, default="parquet",
                    choices=("parquet", "jsonl", "wet"),
-                   help="How --export-training-set / --gate-report read "
+                   help="How --export-training-set / --gate-report / "
+                        "--stream-export read "
                         "their documents input: parquet (default), "
                         "jsonl (doc_id/text objects; corrupt lines "
                         "quarantined), or wet (Common Crawl WET "
@@ -1088,9 +1089,28 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .streaming.export import stream_export_training_set
 
         state_root = args.stream_state or f"{args.output}__state"
-        # schema from the files already present — a file stream needs it
-        # explicit, and the input dir must exist with at least one file
-        schema = spark.read.parquet(args.input).schema
+        if args.input_format == "parquet":
+            # schema from the files already present — a file stream
+            # needs it explicit, and the input dir must exist with at
+            # least one file
+            schema = spark.read.parquet(args.input).schema
+            stream_docs = file_stream(
+                spark, args.input, schema, max_files_per_trigger=1
+            )
+        elif args.input_format == "wet":
+            from .sources.warc import wet_documents_stream
+
+            # continuous Common Crawl ingest: new WET archives landing
+            # in the directory join the next micro-batch
+            stream_docs = wet_documents_stream(
+                spark, args.input, max_files_per_trigger=1
+            )
+        else:
+            raise ValueError(
+                "--stream-export supports --input-format parquet or wet "
+                f"(got {args.input_format!r}); jsonl corpora are at-rest "
+                "inputs — use --export-training-set"
+            )
         sopts = {}
         if args.decontaminate_against:
             sopts["contamination_opts"] = {
@@ -1177,7 +1197,7 @@ def main(argv: Sequence[str] | None = None) -> int:
         if args.lang_id != "fast":
             sopts["lang_id_impl"] = args.lang_id
         q = stream_export_training_set(
-            file_stream(spark, args.input, schema, max_files_per_trigger=1),
+            stream_docs,
             args.output,
             f"{state_root}/state",
             f"{state_root}/ckpt",

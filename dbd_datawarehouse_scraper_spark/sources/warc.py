@@ -302,6 +302,30 @@ def _expand_paths(paths: str | Iterable[str]) -> list[str]:
     return out
 
 
+def _binary_parser(
+    types: frozenset[str] | None,
+    parse_http: bool,
+    max_records: int | None,
+):
+    """mapInPandas kernel over binaryFile rows (path, content) —
+    shared verbatim by the batch ``via='binaryFile'`` reader and the
+    streaming source, so both parse byte-identically."""
+
+    def parse_binary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for path, content in zip(b["path"], b["content"]):
+                buf = io.BytesIO(bytes(content))
+                if buf.getbuffer()[:2] == b"\x1f\x8b":
+                    stream = gzip.open(buf, "rb")
+                else:
+                    stream = buf
+                yield from _batched(
+                    _records_to_rows(path, stream, types, parse_http, max_records)
+                )
+
+    return parse_binary
+
+
 def warc_source(
     spark: SparkSession,
     paths: str | Iterable[str],
@@ -322,20 +346,9 @@ def warc_source(
         files_df = spark.read.format("binaryFile").load(
             paths if isinstance(paths, str) else list(paths)
         )
-
-        def parse_binary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for b in batches:
-                for path, content in zip(b["path"], b["content"]):
-                    buf = io.BytesIO(bytes(content))
-                    if buf.getbuffer()[:2] == b"\x1f\x8b":
-                        stream = gzip.open(buf, "rb")
-                    else:
-                        stream = buf
-                    yield from _batched(
-                        _records_to_rows(path, stream, types, parse_http, max_records_per_file)
-                    )
-
-        return files_df.select("path", "content").mapInPandas(parse_binary, WARC_SCHEMA)
+        return files_df.select("path", "content").mapInPandas(
+            _binary_parser(types, parse_http, max_records_per_file), WARC_SCHEMA
+        )
 
     if via != "stream":
         raise ValueError(f"unknown via={via!r} (expected 'stream' or 'binaryFile')")
@@ -385,6 +398,72 @@ def wet_documents_source(
         F.col("warc_date"),
         F.decode(F.col("payload"), "UTF-8").alias("text"),
         F.col("error"),
+    )
+
+
+def warc_stream_source(
+    spark: SparkSession,
+    dir_path: str,
+    record_types: Iterable[str] | None = ("response", "conversion"),
+    parse_http: bool = True,
+    max_files_per_trigger: int | None = None,
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """STREAMING WARC source: a binaryFile file-source stream over
+    archives arriving in ``dir_path`` (matched by ``glob``), parsed by
+    the same kernel as the batch ``via='binaryFile'`` path — the
+    continuous-ingest form of a Common Crawl pipeline (new WET shards
+    land in a directory; each becomes part of the next micro-batch).
+    ``max_files_per_trigger`` bounds epoch size the standard way.
+    binaryFile holds one whole archive per row (≤2 GiB) — exactly the
+    batch path's bound."""
+    types = frozenset(record_types) if record_types is not None else None
+    # binaryFile's schema is fixed by the format, but streaming file
+    # sources require it EXPLICIT (Spark refuses inference on streams)
+    binary_file_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("modificationTime", T.TimestampType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(dir_path)
+    return files.select("path", "content").mapInPandas(
+        _binary_parser(types, parse_http, None), WARC_SCHEMA
+    )
+
+
+def wet_documents_stream(
+    spark: SparkSession,
+    dir_path: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """Streaming WET → the documents relation the incremental exporter
+    consumes (doc_id, url, text): conversion records only, malformed
+    records dropped inside the stream (an error row must never abort a
+    long-running ingest query; audit malformed archives at rest with
+    the batch :func:`warc_source`)."""
+    raw = warc_stream_source(
+        spark,
+        dir_path,
+        record_types=("conversion",),
+        parse_http=False,
+        max_files_per_trigger=max_files_per_trigger,
+        glob=glob,
+    )
+    return raw.filter(F.col("error").isNull()).select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
     )
 
 

@@ -1063,6 +1063,73 @@ def test_cli_ivf_stats_mode(spark, tmp_path, capsys):
     assert out.count("list ") == 4 and "rebuild_advised=" in out
 
 
+def test_stream_export_cli_wet_input(spark, tmp_path):
+    """--stream-export --input-format wet: WET archives landing in a
+    directory drive the incremental exporter — the continuous Common
+    Crawl ingest shape. A second run picks up only the NEW archive
+    (checkpoint resume) and the persisted store drops the cross-run
+    exact duplicate."""
+    import glob
+    import gzip
+    import json
+
+    from dbd_datawarehouse_scraper_spark.sources.warc import warc_sink
+
+    def read_ids(out):
+        ids = set()
+        for f in glob.glob(f"{out}/split=*/epoch=*/shard=*/*.gz"):
+            with gzip.open(f, "rt", encoding="utf-8") as fh:
+                for line in fh:
+                    ids.add(json.loads(line)["doc_id"])
+        return ids
+
+    src = str(tmp_path / "wet_in")
+    out = str(tmp_path / "wet_stream_out")
+    docs1 = spark.createDataFrame(
+        [(f"https://a.test/{i}",
+          f"the d{i} and d{i} of d{i} is d{i} that d{i} this one two")
+         for i in range(10)],
+        "url string, text string",
+    )
+    warc_sink(docs1.coalesce(1), src)
+    args = [
+        "--stream-export",
+        "--input", src,
+        "--input-format", "wet",
+        "--output", out,
+        "--stream-state", str(tmp_path / "st"),
+        "--shard-token-budget", "400",
+        "--config", str(tmp_path / "none.yaml"),
+    ]
+    assert main(list(args)) == 0
+    first = read_ids(out)
+    assert len(first) == 10
+    assert all(str(i).startswith("<urn:uuid:") for i in first)
+
+    # a new archive lands: 3 new docs + an exact dup of doc 3's text
+    docs2 = spark.createDataFrame(
+        [(f"https://b.test/{i}",
+          f"the x{i} and x{i} of x{i} is x{i} that x{i} here now")
+         for i in range(3)]
+        + [("https://b.test/dup", "the d3 and d3 of d3 is d3 that d3 this one two")],
+        "url string, text string",
+    )
+    warc_sink(docs2.coalesce(1), src)
+    assert main(list(args)) == 0
+    second = read_ids(out)
+    assert len(second) == 13  # +3 new, dup dropped by the store
+    assert first < second
+
+
+def test_stream_export_refuses_jsonl_input(spark, tmp_path):
+    with pytest.raises(ValueError, match="parquet or wet"):
+        main([
+            "--stream-export", "--input", str(tmp_path / "x"),
+            "--input-format", "jsonl", "--output", str(tmp_path / "o"),
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+
+
 def test_stream_export_refuses_global_flags_and_honors_splits(spark, tmp_path):
     """--quality-sample-rates refuses under --stream-export (global
     quantile property — the mixing/caps precedent), and
