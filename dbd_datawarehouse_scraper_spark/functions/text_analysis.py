@@ -515,6 +515,7 @@ def bm25_term_scores(
     k1: float = 1.2,
     b: float = 0.75,
     persist: bool = True,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """The BM25 term-contribution relation ``(id_col, token, tf, df,
     score_q)`` — :func:`bm25_topk` windows it per document for
@@ -522,7 +523,15 @@ def bm25_term_scores(
     against it and SUMS contributions per (query, doc), which is exact
     on the quantized integers (integer sums are order- and
     cross-engine-invariant; see the module quantization convention in
-    queries.py)."""
+    queries.py).
+
+    ``max_df_frac`` drops corpus-saturating terms (df > frac·N) from
+    the relation using the SAME one-row totals this plan already
+    broadcasts — no extra corpus pass. They carry ~zero idf but join
+    against nearly every document: the inverted-index stop-word
+    guard."""
+    if max_df_frac is not None and not 0 < max_df_frac <= 1:
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     from ..caching import tracked_persist
 
     toks = docs.select(
@@ -540,7 +549,7 @@ def bm25_term_scores(
     totals = docs.agg(F.count("*").cast("double").alias("_nd")).crossJoin(
         dl.agg(F.sum("dl").cast("double").alias("_tot"))
     )
-    return (
+    scored = (
         tf.join(dl, id_col)
         .join(df, "token")
         .crossJoin(F.broadcast(totals))
@@ -568,8 +577,12 @@ def bm25_term_scores(
                 * 1e6
             ).cast("long"),
         )
-        .select(id_col, "token", "tf", "df", "score_q")
     )
+    if max_df_frac is not None:
+        scored = scored.filter(
+            F.col("df").cast("double") <= F.lit(max_df_frac) * F.col("_nd")
+        )
+    return scored.select(id_col, "token", "tf", "df", "score_q")
 
 
 #: Gopher (Rae et al. 2021, table A1) stop-word list: a document must

@@ -39,10 +39,11 @@ terms appearing in more than that fraction of documents (they carry
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text_analysis import bm25_term_scores
+from .windows import topk_per_group
 
 
 def bm25_search(
@@ -63,23 +64,23 @@ def bm25_search(
     ranked on the summed quantized term contributions with a doc-id
     tiebreak (deterministic, cross-engine exact).
 
-    ``max_df_frac`` drops corpus-saturating terms from the QUERY side
-    (df > frac·N): they contribute ~zero idf but join against nearly
-    every document — the inverted-index stop-word guard. ``None``
-    disables it (exact textbook BM25 over all terms).
+    ``max_df_frac`` drops corpus-saturating terms (df > frac·N) from
+    the CORPUS-side term relation, inside ``bm25_term_scores``'s own
+    plan (no extra pass): they contribute ~zero idf but would join
+    against nearly every document — the inverted-index stop-word
+    guard. ``None`` disables it (exact textbook BM25 over all terms).
     """
     if not 0 < topk:
         raise ValueError(f"topk must be >= 1, got {topk}")
     scored = bm25_term_scores(
-        docs, id_col=doc_id_col, text_col=text_col, k1=k1, b=b, persist=persist
+        docs,
+        id_col=doc_id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        persist=persist,
+        max_df_frac=max_df_frac,
     )
-    if max_df_frac is not None:
-        if not 0 < max_df_frac <= 1:
-            raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
-        n_docs = docs.agg(F.count("*").cast("double").alias("_n"))
-        scored = scored.crossJoin(F.broadcast(n_docs)).filter(
-            F.col("df").cast("double") <= F.lit(max_df_frac) * F.col("_n")
-        ).drop("_n")
     q_terms = queries.select(
         F.col(query_id_col),
         F.explode_outer(
@@ -93,14 +94,13 @@ def bm25_search(
         .groupBy(query_id_col, doc_id_col)
         .agg(F.sum("score_q").alias("score_q"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score_q").desc(), F.col(doc_id_col).asc()
-    )
-    return (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select(query_id_col, doc_id_col, "score_q", "rn")
-    )
+    return topk_per_group(
+        hits,
+        [query_id_col],
+        [F.col("score_q").desc(), F.col(doc_id_col).asc()],
+        topk,
+        keep_rank=True,
+    ).select(query_id_col, doc_id_col, "score_q", "rn")
 
 
 def rrf_fuse(
@@ -126,6 +126,12 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
+    if not 0 < topk:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    if k0 < 1:
+        # k0 + rank must never hit 0 (rank >= 1) — a nonpositive k0
+        # would divide by zero into Infinity-cast-to-long garbage
+        raise ValueError(f"k0 must be >= 1, got {k0}")
     parts = []
     for name, df in rankings.items():
         parts.append(
@@ -144,11 +150,10 @@ def rrf_fuse(
         F.sum("_contrib").alias("rrf_q"),
         F.count("*").cast("int").alias("n_systems"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("rrf_q").desc(), F.col(doc_id_col).asc()
-    )
-    return (
-        fused.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= topk)
-        .select(query_id_col, doc_id_col, "rrf_q", "n_systems", "rn")
-    )
+    return topk_per_group(
+        fused,
+        [query_id_col],
+        [F.col("rrf_q").desc(), F.col(doc_id_col).asc()],
+        topk,
+        keep_rank=True,
+    ).select(query_id_col, doc_id_col, "rrf_q", "n_systems", "rn")

@@ -292,7 +292,11 @@ def _batched(rows: Iterator[dict]) -> Iterator[pd.DataFrame]:
 
 def _expand_paths(paths: str | Iterable[str]) -> list[str]:
     if isinstance(paths, str):
-        found = sorted(_glob.glob(paths))
+        # never treat a write-then-swap temp as an archive — the sink's
+        # atomicity contract depends on readers ignoring them
+        found = sorted(
+            p for p in _glob.glob(paths) if not p.endswith(".inprogress")
+        )
         if not found:
             raise FileNotFoundError(f"no WARC files match {paths!r}")
         return found
@@ -300,6 +304,51 @@ def _expand_paths(paths: str | Iterable[str]) -> list[str]:
     if not out:
         raise ValueError("empty WARC path list")
     return out
+
+
+def _rows_safely(
+    path: str,
+    open_stream,
+    types: frozenset[str] | None,
+    parse_http: bool,
+    max_records: int | None,
+) -> Iterator[dict]:
+    """Archive-level fault isolation: decompression errors (truncated
+    gzip from a non-atomic upload), vanished files (swap races), and
+    any other non-grammar failure become ONE error row for the file —
+    never a task failure. The record grammar has its own per-record
+    error channel; this is the layer above it. A streaming query
+    commits the file list to its offset log BEFORE reading, so an
+    exception here would wedge the stream on every restart."""
+    try:
+        stream = open_stream()
+    except Exception as e:
+        yield {
+            **{f.name: None for f in WARC_SCHEMA.fields},
+            "warc_file": path,
+            "error": f"archive open: {type(e).__name__}: {e}",
+        }
+        return
+    it = _records_to_rows(path, stream, types, parse_http, max_records)
+    try:
+        while True:
+            try:
+                row = next(it)
+            except StopIteration:
+                return
+            except Exception as e:
+                yield {
+                    **{f.name: None for f in WARC_SCHEMA.fields},
+                    "warc_file": path,
+                    "error": f"archive read: {type(e).__name__}: {e}",
+                }
+                return
+            yield row
+    finally:
+        try:
+            stream.close()
+        except Exception:
+            pass
 
 
 def _binary_parser(
@@ -314,13 +363,15 @@ def _binary_parser(
     def parse_binary(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for path, content in zip(b["path"], b["content"]):
-                buf = io.BytesIO(bytes(content))
-                if buf.getbuffer()[:2] == b"\x1f\x8b":
-                    stream = gzip.open(buf, "rb")
-                else:
-                    stream = buf
+
+                def open_stream(content=content):
+                    buf = io.BytesIO(bytes(content))
+                    if buf.getbuffer()[:2] == b"\x1f\x8b":
+                        return gzip.open(buf, "rb")
+                    return buf
+
                 yield from _batched(
-                    _records_to_rows(path, stream, types, parse_http, max_records)
+                    _rows_safely(path, open_stream, types, parse_http, max_records)
                 )
 
     return parse_binary
@@ -361,10 +412,15 @@ def warc_source(
     def parse_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             for path in b["path"]:
-                with _open_maybe_gzip(path) as stream:
-                    yield from _batched(
-                        _records_to_rows(path, stream, types, parse_http, max_records_per_file)
+                yield from _batched(
+                    _rows_safely(
+                        path,
+                        lambda path=path: _open_maybe_gzip(path),
+                        types,
+                        parse_http,
+                        max_records_per_file,
                     )
+                )
 
     return paths_df.mapInPandas(parse_stream, WARC_SCHEMA)
 
@@ -407,7 +463,7 @@ def warc_stream_source(
     record_types: Iterable[str] | None = ("response", "conversion"),
     parse_http: bool = True,
     max_files_per_trigger: int | None = None,
-    glob: str = "*.warc*",
+    glob: str = "*.{warc,warc.gz}",
 ) -> DataFrame:
     """STREAMING WARC source: a binaryFile file-source stream over
     archives arriving in ``dir_path`` (matched by ``glob``), parsed by
@@ -445,7 +501,7 @@ def wet_documents_stream(
     spark: SparkSession,
     dir_path: str,
     max_files_per_trigger: int | None = None,
-    glob: str = "*.warc*",
+    glob: str = "*.{warc,warc.gz}",
 ) -> DataFrame:
     """Streaming WET → the documents relation the incremental exporter
     consumes (doc_id, url, text): conversion records only, malformed

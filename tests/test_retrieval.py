@@ -142,7 +142,11 @@ def test_rrf_matches_pure_python(spark):
     }
 
     def c(rank):
-        return round(1e6 / (60 + rank))
+        # Spark F.round is HALF_UP; Python round() is banker's — they
+        # diverge where 1e6/(60+rank) is exactly x.5 (first at rank 68)
+        import math
+
+        return math.floor(1e6 / (60 + rank) + 0.5)
 
     # doc 11 fuses rank2(a)+rank1(b); doc 20 rank1 in both
     assert got[(1, 11)][0] == c(2) + c(1)
@@ -156,9 +160,24 @@ def test_rrf_matches_pure_python(spark):
     assert got[(1, 10)][2] == 2
 
 
-def test_rrf_validates():
+def test_rrf_validates(spark):
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse({})
+    a = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rn int")
+    with pytest.raises(ValueError, match="topk"):
+        rrf_fuse({"a": a}, topk=0)
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse({"a": a}, k0=0)
+
+
+def test_rrf_halfup_rounding_at_rank_68(spark):
+    """1e6/(60+68) = 7812.5 exactly — HALF_UP must give 7813 (Python
+    round() would give 7812; the engines must agree with Spark)."""
+    a = spark.createDataFrame(
+        [(1, 10, 68)], "query_id long, doc_id long, rn int"
+    )
+    got = rrf_fuse({"a": a}, topk=1).collect()[0]
+    assert got["rrf_q"] == 7813
 
 
 def test_hybrid_retrieval_query_runs(spark, sf_dir):

@@ -142,6 +142,38 @@ def test_sink_reruns_byte_identical(spark, tmp_path):
     assert b1 == b2
 
 
+def test_truncated_gzip_archive_is_error_row_not_crash(spark, tmp_path):
+    """Archive-level fault isolation: a half-copied .warc.gz (gzip
+    stream ends mid-member) costs ONE error row — an exception would
+    wedge a streaming query forever (the file list is committed to the
+    offset log before reading)."""
+    good = gzip.compress(_record(block=b"fine"), mtime=0)
+    full = gzip.compress(_record(block=b"gone"), mtime=0)
+    (tmp_path / "a.warc.gz").write_bytes(good)
+    # cut mid-deflate-stream (cutting only the 8-byte trailer still
+    # yields the full record + an error row — also fine, but not the
+    # case under test)
+    (tmp_path / "b.warc.gz").write_bytes(full[: len(full) // 2])
+    for via in ("stream", "binaryFile"):
+        rows = warc_source(
+            spark, f"{tmp_path}/*.warc.gz", record_types=None, via=via
+        ).collect()
+        errs = [r for r in rows if r.error and "archive" in r.error]
+        good_rows = [r for r in rows if not r.error]
+        assert len(errs) == 1, (via, rows)
+        assert errs[0].warc_file.endswith("b.warc.gz")
+        assert len(good_rows) == 1 and bytes(good_rows[0].payload) == b"fine"
+
+
+def test_inprogress_temps_are_never_read(spark, tmp_path):
+    """The sink's write-then-swap atomicity depends on readers
+    ignoring '*.inprogress' temps."""
+    (tmp_path / "a.warc").write_bytes(_record(block=b"ok"))
+    (tmp_path / "b.warc.gz.inprogress").write_bytes(b"half-written garbage")
+    rows = warc_source(spark, f"{tmp_path}/*", record_types=None).collect()
+    assert len(rows) == 1 and bytes(rows[0].payload) == b"ok"
+
+
 def test_http_response_bad_status_line():
     status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
     assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
