@@ -573,6 +573,9 @@ def warc_sink(
     payload_col: str | None = None,
     date: str = "2000-01-01T00:00:00Z",
     gzip_per_record: bool = True,
+    warcinfo: dict[str, str] | None = None,
+    http_status_col: str | None = None,
+    http_content_type_col: str | None = None,
 ) -> list[dict]:
     """Write ``df`` as WARC files, one file per non-empty partition,
     one gzip member per record (Common Crawl's range-addressable
@@ -580,13 +583,37 @@ def warc_sink(
 
     ``record_type='conversion'`` writes WET-style text records from
     ``text_col``; ``record_type='resource'`` writes raw bytes from
-    ``payload_col``. ``date`` is a fixed WARC-Date so exports are
-    reproducible byte-for-byte (pass the real capture time per export
-    if provenance matters more than determinism).
+    ``payload_col``; ``record_type='response'`` wraps ``payload_col``
+    bytes in a minimal HTTP/1.1 response envelope
+    (``application/http; msgtype=response`` — status from
+    ``http_status_col`` when given, else 200; body Content-Type from
+    ``http_content_type_col``, else octet-stream), which is what the
+    batch reader's ``parse_http`` splits back apart. ``date`` is a
+    fixed WARC-Date so exports are reproducible byte-for-byte (pass
+    the real capture time per export if provenance matters more than
+    determinism).
+
+    ``warcinfo`` (a dict of fields, e.g. ``{"software": "...",
+    "isPartOf": "crawl-01"}``) prepends the standard leading
+    ``warcinfo`` record to every file — Common Crawl's convention;
+    its block is the fields serialized as ``key: value`` lines.
 
     Returns the manifest: [{file, n_records, n_bytes}, …] sorted by
-    file — bounded at one row per partition, never per record.
+    file — bounded at one row per partition, never per record; the
+    warcinfo record is not counted (it describes the file, it is not
+    corpus data — symmetric with the reader, whose default
+    record_types filter drops it).
     """
+    status_col = (
+        F.col(http_status_col).cast("int")
+        if http_status_col
+        else F.lit(None).cast("int")
+    )
+    http_ct_col = (
+        F.col(http_content_type_col).cast("string")
+        if http_content_type_col
+        else F.lit(None).cast("string")
+    )
     if record_type == "conversion":
         if text_col is None:
             raise ValueError("record_type='conversion' needs text_col")
@@ -594,17 +621,34 @@ def warc_sink(
         src = df.select(
             F.col(url_col).cast("string").alias("url"),
             F.encode(F.col(text_col).cast("string"), "UTF-8").alias("block"),
+            status_col.alias("_status"),
+            http_ct_col.alias("_http_ct"),
         )
-    elif record_type == "resource":
+    elif record_type in ("resource", "response"):
         if payload_col is None:
-            raise ValueError("record_type='resource' needs payload_col")
-        content_type = "application/octet-stream"
+            raise ValueError(f"record_type={record_type!r} needs payload_col")
+        content_type = (
+            "application/http; msgtype=response"
+            if record_type == "response"
+            else "application/octet-stream"
+        )
         src = df.select(
             F.col(url_col).cast("string").alias("url"),
             F.col(payload_col).cast("binary").alias("block"),
+            status_col.alias("_status"),
+            http_ct_col.alias("_http_ct"),
         )
     else:
         raise ValueError(f"unsupported record_type {record_type!r}")
+
+    warcinfo_bytes = None
+    if warcinfo is not None:
+        info_block = "".join(
+            f"{k}: {v}\r\n" for k, v in sorted(warcinfo.items())
+        ).encode("utf-8")
+        warcinfo_bytes = _warc_record_bytes(
+            "warcinfo", None, date, info_block, "application/warc-fields"
+        )
 
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if gzip_per_record else ".warc"
@@ -617,20 +661,38 @@ def warc_sink(
         tmp = fname + ".inprogress"
         n = 0
         out = None
+
+        def emit(rec: bytes) -> None:
+            # mtime=0: the default embeds wall-clock time in the gzip
+            # header, breaking the byte-identical-rerun contract
+            # _warc_record_bytes establishes
+            out.write(gzip.compress(rec, mtime=0) if gzip_per_record else rec)
+
         try:
             for b in batches:
-                for url, block in zip(b["url"], b["block"]):
+                for url, block, status, http_ct in zip(
+                    b["url"], b["block"], b["_status"], b["_http_ct"]
+                ):
                     if out is None:
                         out = open(tmp, "wb")
-                    rec = _warc_record_bytes(
-                        record_type, url, date, bytes(block), content_type
-                    )
-                    # mtime=0: the default embeds wall-clock time in the
-                    # gzip header, breaking the byte-identical-rerun
-                    # contract _warc_record_bytes establishes
-                    out.write(
-                        gzip.compress(rec, mtime=0) if gzip_per_record else rec
-                    )
+                        if warcinfo_bytes is not None:
+                            emit(warcinfo_bytes)
+                    body = bytes(block)
+                    if record_type == "response":
+                        from http.client import responses as _reasons
+
+                        code = 200 if pd.isna(status) else int(status)
+                        ct = (
+                            "application/octet-stream"
+                            if http_ct is None or pd.isna(http_ct)
+                            else str(http_ct)
+                        )
+                        body = (
+                            f"HTTP/1.1 {code} {_reasons.get(code, 'Unknown')}\r\n"
+                            f"Content-Type: {ct}\r\n"
+                            f"Content-Length: {len(body)}\r\n\r\n"
+                        ).encode("ascii") + body
+                    emit(_warc_record_bytes(record_type, url, date, body, content_type))
                     n += 1
         finally:
             if out is not None:

@@ -174,6 +174,63 @@ def test_inprogress_temps_are_never_read(spark, tmp_path):
     assert len(rows) == 1 and bytes(rows[0].payload) == b"ok"
 
 
+def test_response_record_write_and_reparse(spark, tmp_path):
+    """record_type='response': the sink wraps payload bytes in an
+    HTTP/1.1 envelope that the reader's parse_http splits back apart —
+    full round trip of raw captures, status and content type
+    preserved."""
+    docs = spark.createDataFrame(
+        [
+            ("https://x.test/ok", b"<html>hi</html>", 200, "text/html"),
+            ("https://x.test/missing", b"gone", 404, "text/plain"),
+        ],
+        "url string, body binary, status int, ct string",
+    )
+    out = str(tmp_path / "resp")
+    warc_sink(
+        docs.coalesce(1),
+        out,
+        record_type="response",
+        payload_col="body",
+        http_status_col="status",
+        http_content_type_col="ct",
+    )
+    back = {
+        r.target_uri: r
+        for r in warc_source(spark, f"{out}/*.warc.gz").collect()
+    }
+    ok = back["https://x.test/ok"]
+    assert (ok.http_status, ok.http_content_type) == (200, "text/html")
+    assert bytes(ok.payload) == b"<html>hi</html>"
+    missing = back["https://x.test/missing"]
+    assert (missing.http_status, bytes(missing.payload)) == (404, b"gone")
+    assert all(r.error is None for r in back.values())
+
+
+def test_warcinfo_record_leads_each_file(spark, tmp_path):
+    """warcinfo prepends Common Crawl's leading file-description
+    record: readers see it only when asked (record_types=None), the
+    default filter and the manifest both ignore it."""
+    docs = spark.createDataFrame(
+        [("u:1", "alpha"), ("u:2", "beta")], "url string, text string"
+    )
+    out = str(tmp_path / "wi")
+    manifest = warc_sink(
+        docs.coalesce(1),
+        out,
+        warcinfo={"software": "spark-graft", "isPartOf": "crawl-01"},
+    )
+    assert manifest[0]["n_records"] == 2  # data records only
+    every = warc_source(spark, f"{out}/*.warc.gz", record_types=None).collect()
+    assert [r.warc_type for r in every][0] == "warcinfo"
+    assert len(every) == 3
+    info = [r for r in every if r.warc_type == "warcinfo"][0]
+    assert b"software: spark-graft" in bytes(info.payload)
+    # default filter: conversion records only
+    default = warc_source(spark, f"{out}/*.warc.gz").collect()
+    assert len(default) == 2
+
+
 def test_http_response_bad_status_line():
     status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
     assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
