@@ -585,6 +585,134 @@ def bm25_term_scores(
     return scored.select(id_col, "token", "tf", "df", "score_q")
 
 
+def keyword_topk_suite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BOTH keyword rankers (TF-IDF and BM25) from ONE pass — the
+    form the oracle row runs. Calling :func:`tfidf_topk` and
+    :func:`bm25_topk` separately tokenizes and aggregates the corpus
+    twice (two independent plan trees — ReusedExchange cannot merge
+    them, the tfidf persist note explains why). This suite goes
+    further than sharing relations: ``df`` and ``dl`` come from COUNT/
+    SUM WINDOWS over the tf relation instead of groupBy+join legs, so
+    the whole plan is THREE exchanges — tf groupBy, the token window,
+    and one id exchange shared by the dl window AND both rank windows
+    (same partitioning stacks onto one shuffle, three sorts). The
+    corpus totals (N, Σtokens) are one map-side-combined 1-row
+    aggregate straight off the docs scan (recomputing them from tf
+    would evaluate the tf subtree twice), and the two legs fan out
+    with a 2-wide inline explode. Per-token skew (stop words) is
+    identical to the join formulation — the token key partitions the
+    same rows either way.
+
+    Returns (scorer ∈ {tfidf, bm25}, id_col, token, tf, df, score_q,
+    rn), rn ∈ [1, topk] per (scorer, document).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
+    w_tok = Window.partitionBy("token")
+    w_doc = Window.partitionBy(id_col)
+    # tf rows are unique per (id, token), so COUNT over the token
+    # window IS the document frequency; SUM(tf) over the id window is
+    # the document length — no groupBy+join round trips
+    with_stats = tf.withColumn(
+        "df", F.count("*").over(w_tok).cast("long")
+    ).withColumn("dl", F.sum("tf").over(w_doc).cast("long"))
+    # Σtokens == Σdl (token_count counts exactly the exploded tokens);
+    # computed off the docs scan so the tf subtree has ONE consumer
+    totals = docs.agg(
+        F.count("*").cast("double").alias("_nd"),
+        F.sum(token_count(F.col(text_col)))
+        .cast("double")
+        .alias("_tot"),
+    )
+    base = (
+        with_stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_tfidf_q",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("_nd") + 1.0) / (F.col("df").cast("double") + 1.0))
+                * 1e6
+            ).cast("long"),
+        )
+        .withColumn(
+            "_bm25_q",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("_nd") - F.col("df").cast("double") + 0.5)
+                    / (F.col("df").cast("double") + 0.5)
+                )
+                * (
+                    F.col("tf").cast("double")
+                    / (
+                        F.col("tf").cast("double")
+                        + k1
+                        * (
+                            (1.0 - b)
+                            + b
+                            * F.col("dl").cast("double")
+                            / (F.col("_tot") / F.col("_nd"))
+                        )
+                    )
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    w_tfidf = Window.partitionBy(id_col).orderBy(
+        F.col("_tfidf_q").desc(), F.col("token").asc()
+    )
+    w_bm25 = Window.partitionBy(id_col).orderBy(
+        F.col("_bm25_q").desc(), F.col("token").asc()
+    )
+    ranked = base.withColumn("_rn_tfidf", F.row_number().over(w_tfidf)).withColumn(
+        "_rn_bm25", F.row_number().over(w_bm25)
+    )
+    legs = ranked.select(
+        F.col(id_col),
+        "token",
+        "tf",
+        "df",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("tfidf").alias("scorer"),
+                    F.col("_tfidf_q").alias("score_q"),
+                    F.col("_rn_tfidf").alias("rn"),
+                ),
+                F.struct(
+                    F.lit("bm25").alias("scorer"),
+                    F.col("_bm25_q").alias("score_q"),
+                    F.col("_rn_bm25").alias("rn"),
+                ),
+            )
+        ).alias("_leg"),
+    )
+    return legs.filter(F.col("_leg.rn") <= topk).select(
+        F.col("_leg.scorer").alias("scorer"),
+        id_col,
+        "token",
+        "tf",
+        "df",
+        F.col("_leg.score_q").alias("score_q"),
+        F.col("_leg.rn").alias("rn"),
+    )
+
+
 #: Gopher (Rae et al. 2021, table A1) stop-word list: a document must
 #: contain at least 2 of these to pass the stop-word rule. Shared with
 #: the DuckDB mirror in tests/test_text_functions.py — change both by

@@ -4012,16 +4012,14 @@ def tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k set is deterministic and cross-engine exact (an ulp
     divergence in ``ln`` cannot flip ranks — both engines rank the
     same integers)."""
-    from .functions.text_analysis import bm25_topk, tfidf_topk
+    from .functions.text_analysis import keyword_topk_suite
 
     d = t(spark, sf_dir, "documents")
-    # persist=False: thousands of docs — below the cache-barrier
-    # break-even (see the similarity_fallback_join_q precedent)
-    a = tfidf_topk(d, topk=5, persist=False).withColumn("scorer", F.lit("tfidf"))
-    b = bm25_topk(d, topk=5, persist=False).withColumn("scorer", F.lit("bm25"))
-    return a.unionByName(b).select(
-        "scorer", "doc_id", "token", "tf", "df", "score_q", "rn"
-    )
+    # keyword_topk_suite, not tfidf_topk + bm25_topk: the suite shares
+    # one tokenize/tf pass and ranks both scorers over a single id
+    # exchange (two separate calls tokenize the corpus twice — measured
+    # ~2x on this row at sf0.1)
+    return keyword_topk_suite(d, topk=5)
 
 
 @register("thai_segmentation", None)

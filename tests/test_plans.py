@@ -237,8 +237,9 @@ def test_quality_sampling_window_over_histogram_only(spark, sf_dir):
 
 
 def test_tfidf_no_cartesian_and_partitioned_window(spark, sf_dir):
-    """tfidf's only cross join is the broadcast 1-row N; the rank
-    window is partitioned by document (never a global sort)."""
+    """Both keyword legs' only cross joins are broadcast 1-row
+    aggregates — tfidf's N plus the r9 BM25 leg's N and Σdl — and the
+    rank windows are partitioned by document (never a global sort)."""
     plan = plan_of(spark, sf_dir, "tfidf_topk")
     from dbd_datawarehouse_scraper_spark.caching import release_caches
 
@@ -247,7 +248,10 @@ def test_tfidf_no_cartesian_and_partitioned_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, "1-row N joins as broadcast"
     assert "Exchange SinglePartition" not in plan or plan.count(
         "Exchange SinglePartition"
-    ) <= 1, "no corpus-scale single-partition stage"
+    ) <= 3, (
+        "only the three 1-row aggregates (tfidf N; bm25 N, Σdl) may "
+        "single-partition — never a corpus-scale stage"
+    )
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
