@@ -253,16 +253,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-doc-tokens", type=int, default=None,
                    help="Curation token-count floor (default: 5)")
     p.add_argument("--input-format", type=str, default="parquet",
-                   choices=("parquet", "jsonl", "wet"),
+                   choices=("parquet", "jsonl", "wet", "warc"),
                    help="How --export-training-set / --gate-report / "
                         "--stream-export read "
                         "their documents input: parquet (default), "
                         "jsonl (doc_id/text objects; corrupt lines "
-                        "quarantined), or wet (Common Crawl WET "
+                        "quarantined), wet (Common Crawl WET "
                         "archives — record ids become doc_id, the "
                         "target URI rides along as url, malformed "
                         "records dropped and counted on the job's own "
-                        "scan)")
+                        "scan), or warc (RAW captures: HTML response "
+                        "bodies are HTTP-split and stripped to "
+                        "visible text; non-HTML/malformed records "
+                        "dropped with the same counted channel)")
     p.add_argument("--word-counter", type=str, default=None,
                    help="Counter behind the curation n_tokens column, "
                         "the --min-doc-tokens gate, and the quality "
@@ -538,32 +541,39 @@ def _load_documents(spark, path: str, fmt: str):
 
         good, _corrupt = jsonl_documents_source(spark, path)
         return good, lambda: None
-    if fmt == "wet":
+    if fmt in ("wet", "warc"):
         from pyspark.sql import Observation
 
-        from .sources.warc import wet_documents_source
+        from .sources.warc import warc_html_documents_source, wet_documents_source
 
         if any(ch in path for ch in "*?[") or os.path.isfile(path):
             pattern = path  # explicit glob, or a single archive file
         else:
             pattern = path.rstrip("/") + "/*.warc*"
-        raw = wet_documents_source(spark, pattern)
-        obs = Observation("wet_ingest")
+        if fmt == "warc":
+            # raw captures: HTTP-split + HTML-strip to visible text
+            raw = warc_html_documents_source(spark, pattern)
+        else:
+            raw = wet_documents_source(spark, pattern)
+        obs = Observation(f"{fmt}_ingest")
         observed = raw.observe(
             obs,
             F.sum(
                 F.when(F.col("error").isNotNull(), 1).otherwise(0)
             ).alias("n_bad"),
         )
+        id_col = F.col("doc_id") if fmt == "warc" else F.col("record_id").alias(
+            "doc_id"
+        )
         docs = observed.filter(F.col("error").isNull()).select(
-            F.col("record_id").alias("doc_id"), "url", "text"
+            id_col, "url", "text"
         )
 
         def finalize():
             # populated by the first completed action over the scan
             n_bad = obs.get.get("n_bad")
             if n_bad:
-                print(f"wet: dropped {n_bad} malformed records")
+                print(f"{fmt}: dropped {n_bad} malformed/non-HTML records")
 
         return docs, finalize
     raise ValueError(

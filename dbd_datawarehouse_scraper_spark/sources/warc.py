@@ -457,6 +457,50 @@ def wet_documents_source(
     )
 
 
+def warc_html_documents_source(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    via: str = "stream",
+    extract_main: bool = False,
+) -> DataFrame:
+    """RAW WARC (response records) → documents: the full Common Crawl
+    path, not just pre-extracted WET. Response records with an HTML
+    content type are HTTP-split by the reader, the body decodes as
+    UTF-8 (replacement, never fatal), and the HTML layer
+    (functions/html.py) strips it to visible text —
+    ``extract_main=True`` upgrades the strip to text-density
+    main-content extraction (nav/footer chrome dropped). Returns
+    (record_id → doc_id, url, warc_date, http_status, text, error);
+    non-HTML responses and malformed records keep their error/NULL
+    channel so the caller can quarantine-count on its own scan.
+
+    Plan: the WARC parse is the partition-per-file kernel; the HTTP
+    split already happened inside it; the strip is pure codegen'd
+    expressions (no UDF) — one pass, no shuffle."""
+    from ..functions.html import extract_main_content, strip_html
+
+    raw = warc_source(spark, paths, record_types=("response",), via=via)
+    body_text = F.decode(F.col("payload"), "UTF-8")
+    cleaner = extract_main_content if extract_main else strip_html
+    is_html = F.lower(F.coalesce(F.col("http_content_type"), F.lit(""))).contains(
+        "html"
+    )
+    return raw.select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.col("http_status"),
+        F.when(F.col("error").isNull() & is_html, cleaner(body_text)).alias("text"),
+        F.when(
+            F.col("error").isNotNull(), F.col("error")
+        )
+        .when(~is_html, F.concat(F.lit("not html: "), F.coalesce(
+            F.col("http_content_type"), F.lit("?")
+        )))
+        .alias("error"),
+    )
+
+
 def warc_stream_source(
     spark: SparkSession,
     dir_path: str,

@@ -231,6 +231,84 @@ def test_warcinfo_record_leads_each_file(spark, tmp_path):
     assert len(default) == 2
 
 
+def test_warc_html_documents_source(spark, tmp_path):
+    """Raw-WARC → documents: HTML response bodies strip to visible
+    text; non-HTML responses land on the error channel instead of
+    leaking markup-as-text into the corpus."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import (
+        warc_html_documents_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "https://x.test/page",
+                b"<html><head><title>T</title><style>.x{}</style></head>"
+                b"<body><p>Hello &amp; welcome</p><script>no()</script></body></html>",
+                200,
+                "text/html; charset=utf-8",
+            ),
+            ("https://x.test/img", b"\x89PNG...", 200, "image/png"),
+        ],
+        "url string, body binary, status int, ct string",
+    )
+    out = str(tmp_path / "raw")
+    warc_sink(
+        docs.coalesce(1),
+        out,
+        record_type="response",
+        payload_col="body",
+        http_status_col="status",
+        http_content_type_col="ct",
+    )
+    back = {
+        r.url: r
+        for r in warc_html_documents_source(spark, f"{out}/*.warc.gz").collect()
+    }
+    page = back["https://x.test/page"]
+    assert page.error is None and page.http_status == 200
+    assert "Hello & welcome" in page.text
+    assert "script" not in page.text and "style" not in page.text
+    img = back["https://x.test/img"]
+    assert img.text is None and "not html" in img.error
+
+
+def test_gate_report_cli_raw_warc_input(spark, tmp_path, capsys):
+    """--input-format warc: raw captures feed the gates as stripped
+    text; the non-HTML record is dropped and counted on the same
+    scan."""
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    body = (
+        "<html><body><p>"
+        + "the quick brown fox jumps over the lazy dog " * 3
+        + "</p></body></html>"
+    ).encode()
+    docs = spark.createDataFrame(
+        [(f"https://x.test/{i}", body, 200, "text/html") for i in range(6)]
+        + [("https://x.test/bin", b"\x00\x01", 200, "application/pdf")],
+        "url string, body binary, status int, ct string",
+    )
+    out = str(tmp_path / "raw")
+    warc_sink(
+        docs.coalesce(1),
+        out,
+        record_type="response",
+        payload_col="body",
+        http_status_col="status",
+        http_content_type_col="ct",
+    )
+    rc = main([
+        "--gate-report", out,
+        "--input-format", "warc",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    report = capsys.readouterr().out
+    assert "corpus_size: 6" in report
+    assert "warc: dropped 1 malformed/non-HTML records" in report
+
+
 def test_http_response_bad_status_line():
     status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
     assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
