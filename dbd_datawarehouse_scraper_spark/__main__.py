@@ -526,7 +526,12 @@ def _load_documents(spark, path: str, fmt: str):
       ``doc_id``, the target URI rides along as ``url`` (the domain
       gates' key), malformed records are dropped. A bare directory
       expands to ``<dir>/*.warc*``; a single file or a glob passes
-      through.
+      through;
+    - ``warc`` — RAW captures via
+      :func:`.sources.warc.warc_html_documents_source`: HTML 200
+      responses HTTP-split, inflated, and stripped to visible text;
+      non-HTML / off-status / malformed records all drop through the
+      same counted channel. Same path expansion as ``wet``.
 
     The malformed-record count rides the consuming job's own scan
     (``Observation`` over the pre-filter relation) — an upfront
@@ -577,7 +582,7 @@ def _load_documents(spark, path: str, fmt: str):
 
         return docs, finalize
     raise ValueError(
-        f"unknown --input-format {fmt!r} (valid: parquet, jsonl, wet)"
+        f"unknown --input-format {fmt!r} (valid: parquet, jsonl, wet, warc)"
     )
 
 

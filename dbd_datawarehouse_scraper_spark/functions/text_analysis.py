@@ -213,6 +213,34 @@ def shingles_vec(col: Column, k: int = 3) -> Column:
     return _shingles_pandas_udf(k)(col)
 
 
+def ws_token_relation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_alias: str = "token",
+) -> DataFrame:
+    """``(id_col, token_alias)`` — one row per whitespace token. THE
+    one tokenization every corpus-statistics ranker shares (tfidf,
+    bm25, rarity, the keyword suite): the cross-engine-exact DuckDB
+    mirrors assume this exact split, so a tokenization change happens
+    HERE or nowhere — a drift in one copy would silently desynchronize
+    the rankers from each other and from the oracle.
+
+    Outer explode + null filter on the OUTPUT attribute: the inner
+    form lets InferFiltersFromGenerate push ``size(tokens) > 0`` —
+    with the whole split/filter tree substituted — below the
+    projection, tokenizing every document twice. The token array never
+    contains nulls (the HOF filter keeps non-empty strings), so
+    dropping the null rows outer emits for empty docs is exactly inner
+    semantics."""
+    return docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias(token_alias),
+    ).filter(F.col(token_alias).isNotNull())
+
+
 def token_rarity_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -236,18 +264,7 @@ def token_rarity_scores(
 
     Returns (id_col, n_tokens, mean_token_freq DOUBLE).
     """
-    # outer explode + null filter on the OUTPUT attribute: the inner
-    # form lets InferFiltersFromGenerate push `size(tokens) > 0` — with
-    # the whole split/filter tree substituted — below the projection,
-    # tokenizing every document twice. The token array never contains
-    # nulls (the HOF filter keeps non-empty strings), so dropping the
-    # null rows outer emits for empty docs is exactly inner semantics.
-    toks = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-        ).alias("_tok"),
-    ).filter(F.col("_tok").isNotNull())
+    toks = ws_token_relation(docs, id_col, text_col, token_alias="_tok")
     vocab = toks.groupBy("_tok").agg(F.count("*").alias("_freq"))
     return (
         toks.join(vocab, "_tok")
@@ -419,12 +436,7 @@ def tfidf_topk(
 
     from ..caching import tracked_persist
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-        ).alias("token"),
-    ).filter(F.col("token").isNotNull())
+    toks = ws_token_relation(docs, id_col, text_col)
     # tf feeds BOTH the df aggregate and the scored join; ReusedExchange
     # does NOT kick in (the df leg's column pruning changes the
     # canonical plan), so without a persist the tokenize + (doc, token)
@@ -534,12 +546,7 @@ def bm25_term_scores(
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     from ..caching import tracked_persist
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-        ).alias("token"),
-    ).filter(F.col("token").isNotNull())
+    toks = ws_token_relation(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
     if persist:
         tf = tracked_persist(tf)
@@ -615,12 +622,7 @@ def keyword_topk_suite(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-        ).alias("token"),
-    ).filter(F.col("token").isNotNull())
+    toks = ws_token_relation(docs, id_col, text_col)
     tf = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("tf"))
     w_tok = Window.partitionBy("token")
     w_doc = Window.partitionBy(id_col)

@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from http.client import responses as _HTTP_REASONS
+
 _CRLF = b"\r\n"
 _RESYNC_LINE_CAP = 100_000  # bounded scan-forward after a corrupt record
 _EMIT_BATCH_ROWS = 256
@@ -211,6 +213,33 @@ def parse_http_response(
     return status, headers, body, None
 
 
+def _decode_content_encoding(
+    body: bytes, encoding: str
+) -> tuple[bytes, str | None]:
+    """Inflate an HTTP body per its Content-Encoding. gzip/x-gzip and
+    deflate (both zlib-wrapped and raw variants — servers ship both)
+    are handled with the stdlib; 'identity' passes through; anything
+    else (br, zstd — decoders not in the stdlib) returns the raw body
+    WITH an error so the record quarantines instead of entering the
+    corpus as binary-decoded garbage."""
+    enc = encoding.strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body), None
+        if enc == "deflate":
+            import zlib
+
+            try:
+                return zlib.decompress(body), None
+            except zlib.error:
+                return zlib.decompress(body, -zlib.MAX_WBITS), None
+        if enc in ("identity", ""):
+            return body, None
+    except Exception as e:
+        return body, f"bad {enc} body: {type(e).__name__}: {e}"
+    return body, f"unsupported content-encoding: {encoding!r}"
+
+
 def _int_or_none(v) -> int | None:
     """ASCII-decimal parse or None — NEVER raises. (str.isdigit() is
     not a safe int() guard: '²'.isdigit() is True while int('²')
@@ -247,6 +276,15 @@ def _records_to_rows(
             http_ct = hh.get("content-type")
             if herr:
                 err = f"http: {herr}"
+            elif hh.get("content-encoding"):
+                # compressed bodies must be inflated HERE or downstream
+                # text decoding turns gzip bytes into mojibake documents
+                # with error NULL (review finding)
+                payload, enc_err = _decode_content_encoding(
+                    payload, hh["content-encoding"]
+                )
+                if enc_err:
+                    err = f"http: {enc_err}"
         yield {
             "warc_file": path,
             "record_id": headers.get("warc-record-id"),
@@ -462,17 +500,23 @@ def warc_html_documents_source(
     paths: str | Iterable[str],
     via: str = "stream",
     extract_main: bool = False,
+    keep_statuses: Iterable[int] | None = (200,),
 ) -> DataFrame:
     """RAW WARC (response records) → documents: the full Common Crawl
     path, not just pre-extracted WET. Response records with an HTML
-    content type are HTTP-split by the reader, the body decodes as
-    UTF-8 (replacement, never fatal), and the HTML layer
+    content type are HTTP-split by the reader (compressed bodies are
+    inflated there — gzip/deflate stdlib, others quarantine), the body
+    decodes as UTF-8 (replacement, never fatal), and the HTML layer
     (functions/html.py) strips it to visible text —
     ``extract_main=True`` upgrades the strip to text-density
-    main-content extraction (nav/footer chrome dropped). Returns
-    (record_id → doc_id, url, warc_date, http_status, text, error);
-    non-HTML responses and malformed records keep their error/NULL
-    channel so the caller can quarantine-count on its own scan.
+    main-content extraction (nav/footer chrome dropped).
+    ``keep_statuses`` gates on HTTP status (default 200 only — the
+    Common Crawl convention; 404/5xx/redirect pages carry 'page not
+    found' boilerplate HTML that must not enter a corpus; ``None``
+    keeps every status). Returns (record_id → doc_id, url, warc_date,
+    http_status, text, error); non-HTML, off-status, and malformed
+    records keep their error/NULL channel so the caller can
+    quarantine-count on its own scan.
 
     Plan: the WARC parse is the partition-per-file kernel; the HTTP
     split already happened inside it; the strip is pure codegen'd
@@ -485,18 +529,30 @@ def warc_html_documents_source(
     is_html = F.lower(F.coalesce(F.col("http_content_type"), F.lit(""))).contains(
         "html"
     )
+    status_ok = (
+        F.lit(True)
+        if keep_statuses is None
+        else F.col("http_status").isin([int(s) for s in keep_statuses])
+    )
+    good = F.col("error").isNull() & is_html & status_ok
     return raw.select(
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date"),
         F.col("http_status"),
-        F.when(F.col("error").isNull() & is_html, cleaner(body_text)).alias("text"),
-        F.when(
-            F.col("error").isNotNull(), F.col("error")
+        F.when(good, cleaner(body_text)).alias("text"),
+        F.when(F.col("error").isNotNull(), F.col("error"))
+        .when(
+            ~is_html,
+            F.concat(
+                F.lit("not html: "),
+                F.coalesce(F.col("http_content_type"), F.lit("?")),
+            ),
         )
-        .when(~is_html, F.concat(F.lit("not html: "), F.coalesce(
-            F.col("http_content_type"), F.lit("?")
-        )))
+        .when(
+            ~status_ok,
+            F.concat(F.lit("http status "), F.col("http_status").cast("string")),
+        )
         .alias("error"),
     )
 
@@ -723,19 +779,22 @@ def warc_sink(
                             emit(warcinfo_bytes)
                     body = bytes(block)
                     if record_type == "response":
-                        from http.client import responses as _reasons
-
                         code = 200 if pd.isna(status) else int(status)
                         ct = (
                             "application/octet-stream"
                             if http_ct is None or pd.isna(http_ct)
                             else str(http_ct)
                         )
+                        # header values: strip CR/LF (header injection
+                        # would corrupt the envelope) and encode
+                        # latin-1-replace (HTTP's header charset) — one
+                        # odd content-type must never crash the export
+                        ct = ct.replace("\r", " ").replace("\n", " ")
                         body = (
-                            f"HTTP/1.1 {code} {_reasons.get(code, 'Unknown')}\r\n"
+                            f"HTTP/1.1 {code} {_HTTP_REASONS.get(code, 'Unknown')}\r\n"
                             f"Content-Type: {ct}\r\n"
                             f"Content-Length: {len(body)}\r\n\r\n"
-                        ).encode("ascii") + body
+                        ).encode("latin-1", "replace") + body
                     emit(_warc_record_bytes(record_type, url, date, body, content_type))
                     n += 1
         finally:

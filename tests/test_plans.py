@@ -248,9 +248,10 @@ def test_tfidf_no_cartesian_and_partitioned_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, "1-row N joins as broadcast"
     assert "Exchange SinglePartition" not in plan or plan.count(
         "Exchange SinglePartition"
-    ) <= 3, (
-        "only the three 1-row aggregates (tfidf N; bm25 N, Σdl) may "
-        "single-partition — never a corpus-scale stage"
+    ) <= 1, (
+        "only the suite's ONE combined totals aggregate (N + Σtokens) "
+        "may single-partition — a second one means a rank window went "
+        "global"
     )
     assert "partial_count" in plan or "HashAggregate" in plan
 

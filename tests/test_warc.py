@@ -309,6 +309,105 @@ def test_gate_report_cli_raw_warc_input(spark, tmp_path, capsys):
     assert "warc: dropped 1 malformed/non-HTML records" in report
 
 
+def _response_record(url: bytes, http_block: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000ff>\r\n"
+        b"WARC-Date: 2000-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: " + url + b"\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http_block)).encode() + b"\r\n\r\n"
+        + http_block + b"\r\n\r\n"
+    )
+
+
+def test_content_encoding_gzip_inflates(spark, tmp_path):
+    """Content-Encoding: gzip bodies are inflated in the reader —
+    without this, text decoding turns gzip bytes into mojibake
+    documents with error NULL (review finding)."""
+    body = gzip.compress(b"<html><body><p>real text here</p></body></html>")
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + body
+    )
+    p = tmp_path / "enc.warc"
+    p.write_bytes(_response_record(b"https://x.test/gz", block))
+    row = warc_source(spark, str(p)).collect()[0]
+    assert row.error is None
+    assert bytes(row.payload) == b"<html><body><p>real text here</p></body></html>"
+
+
+def test_content_encoding_deflate_and_unsupported(spark, tmp_path):
+    import zlib
+
+    deflate_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: deflate\r\n\r\n" + zlib.compress(b"plain")
+    )
+    br_block = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: br\r\n\r\n" + b"\x0b\x02\x80compressed"
+    )
+    (tmp_path / "a.warc").write_bytes(
+        _response_record(b"u:deflate", deflate_block)
+    )
+    (tmp_path / "b.warc").write_bytes(_response_record(b"u:br", br_block))
+    rows = {r.target_uri: r for r in warc_source(spark, f"{tmp_path}/*.warc").collect()}
+    assert bytes(rows["u:deflate"].payload) == b"plain"
+    assert rows["u:deflate"].error is None
+    assert "unsupported content-encoding" in rows["u:br"].error
+
+
+def test_html_source_status_gate(spark, tmp_path):
+    """404 'page not found' HTML must not enter the corpus: the
+    default keep_statuses=(200,) routes it to the error channel;
+    keep_statuses=None keeps it."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import (
+        warc_html_documents_source,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("u:ok", b"<html><body>good page</body></html>", 200, "text/html"),
+            ("u:404", b"<html><body>Page not found</body></html>", 404, "text/html"),
+        ],
+        "url string, body binary, status int, ct string",
+    )
+    out = str(tmp_path / "raw")
+    warc_sink(
+        docs.coalesce(1), out, record_type="response", payload_col="body",
+        http_status_col="status", http_content_type_col="ct",
+    )
+    back = {r.url: r for r in warc_html_documents_source(
+        spark, f"{out}/*.warc.gz").collect()}
+    assert back["u:ok"].error is None and "good page" in back["u:ok"].text
+    assert back["u:404"].text is None and back["u:404"].error == "http status 404"
+    keep_all = {r.url: r for r in warc_html_documents_source(
+        spark, f"{out}/*.warc.gz", keep_statuses=None).collect()}
+    assert "not found" in keep_all["u:404"].text
+
+
+def test_response_writer_nonascii_content_type_never_crashes(spark, tmp_path):
+    """One odd content-type header must cost a replaced char, not the
+    export task: non-ASCII encodes latin-1-replace, CR/LF strip (header
+    injection would corrupt the envelope)."""
+    docs = spark.createDataFrame(
+        [("u:1", b"x", 200, "text/html; charset=é\r\nX-Evil: 1")],
+        "url string, body binary, status int, ct string",
+    )
+    out = str(tmp_path / "odd")
+    warc_sink(
+        docs.coalesce(1), out, record_type="response", payload_col="body",
+        http_status_col="status", http_content_type_col="ct",
+    )
+    row = warc_source(spark, f"{out}/*.warc.gz").collect()[0]
+    assert row.error is None and bytes(row.payload) == b"x"
+    # the CR/LF became spaces: the evil text stays INSIDE the
+    # content-type value, it never becomes its own header line
+    assert "\r" not in row.http_content_type and "\n" not in row.http_content_type
+
+
 def test_http_response_bad_status_line():
     status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
     assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
