@@ -342,7 +342,7 @@ def test_wet_loader_single_file_and_bad_count(spark, tmp_path, capsys):
     loaded, finalize = _load_documents(spark, single, "wet")
     assert loaded.count() == 5  # the action that feeds the Observation
     finalize()
-    assert "dropped 1 malformed records" in capsys.readouterr().out
+    assert "wet: dropped 1 malformed/non-HTML records" in capsys.readouterr().out
 
 
 def test_export_training_set_cli_chunking_flags(spark, tmp_path):
