@@ -511,7 +511,7 @@ def _pack_opts_from_args(args) -> dict | None:
     return opts
 
 
-def _load_documents(spark, path: str, fmt: str):
+def _load_documents(spark, path: str, fmt: str, extract_main: bool = False):
     """Documents relation for the curation surfaces
     (--export-training-set, --gate-report) under ``--input-format``.
     Returns ``(docs, finalize)`` — call ``finalize()`` AFTER the
@@ -556,8 +556,15 @@ def _load_documents(spark, path: str, fmt: str):
         else:
             pattern = path.rstrip("/") + "/*.warc*"
         if fmt == "warc":
-            # raw captures: HTTP-split + HTML-strip to visible text
-            raw = warc_html_documents_source(spark, pattern)
+            # raw captures: HTTP-split + HTML-strip to visible text;
+            # --html-extract-main upgrades the strip to main-content
+            # extraction (the same knob the html_opts stage honors —
+            # for warc input the HTML layer runs at INGEST, so the
+            # flag must act here, not in a later funnel stage that
+            # would see already-stripped text)
+            raw = warc_html_documents_source(
+                spark, pattern, extract_main=extract_main
+            )
         else:
             raw = wet_documents_source(spark, pattern)
         obs = Observation(f"{fmt}_ingest")
@@ -775,7 +782,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         from .plans.curation import curation_gate_report
 
         docs_in, ingest_report = _load_documents(
-            spark, args.gate_report, args.input_format
+            spark, args.gate_report, args.input_format,
+            extract_main=args.html_extract_main,
         )
         rep = curation_gate_report(
             docs_in,
@@ -1041,7 +1049,20 @@ def main(argv: Sequence[str] | None = None) -> int:
             curate_kwargs["domain_opts"] = dom
         html_opts = _html_opts_from_args(args)
         if html_opts is not None:
-            curate_kwargs["html_opts"] = html_opts
+            if args.input_format == "warc":
+                # the HTML layer already ran AT INGEST for raw
+                # captures (--html-extract-main acts there); a funnel
+                # html stage would re-strip stripped prose, and
+                # min-visible-ratio would score text, not markup
+                if args.html_strip or args.html_min_visible_ratio is not None:
+                    raise ValueError(
+                        "--input-format warc strips HTML at ingest — "
+                        "--html-strip/--html-min-visible-ratio have no "
+                        "markup left to act on (--html-extract-main is "
+                        "honored at ingest instead)"
+                    )
+            else:
+                curate_kwargs["html_opts"] = html_opts
         if args.decontaminate_against:
             curate_kwargs["contamination_opts"] = {
                 "benchmark": spark.read.parquet(args.decontaminate_against),
@@ -1067,7 +1088,8 @@ def main(argv: Sequence[str] | None = None) -> int:
         chunk_opts = _chunk_opts_from_args(args)
         pack_opts = _pack_opts_from_args(args)
         docs_in, ingest_report = _load_documents(
-            spark, args.input, args.input_format
+            spark, args.input, args.input_format,
+            extract_main=args.html_extract_main,
         )
         counts = export_training_set(
             docs_in,

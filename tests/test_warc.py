@@ -408,6 +408,44 @@ def test_response_writer_nonascii_content_type_never_crashes(spark, tmp_path):
     assert "\r" not in row.http_content_type and "\n" not in row.http_content_type
 
 
+def test_cli_warc_extract_main_and_html_stage_guard(spark, tmp_path, capsys):
+    """--html-extract-main acts AT INGEST for --input-format warc
+    (main content only — nav chrome dropped before the gates), and
+    the funnel html stage is refused (nothing left to strip)."""
+    from dbd_datawarehouse_scraper_spark.__main__ import main
+
+    body = (
+        "<html><body><div><a href='/a'>nav</a> <a href='/b'>links</a></div>"
+        "<div><p>"
+        + "the quick brown fox jumps over the lazy dog and then rests " * 4
+        + "</p></div></body></html>"
+    ).encode()
+    docs = spark.createDataFrame(
+        [(f"https://m.test/{i}", body, 200, "text/html") for i in range(4)],
+        "url string, body binary, status int, ct string",
+    )
+    out = str(tmp_path / "raw")
+    warc_sink(
+        docs.coalesce(1), out, record_type="response", payload_col="body",
+        http_status_col="status", http_content_type_col="ct",
+    )
+    rc = main([
+        "--gate-report", out,
+        "--input-format", "warc",
+        "--html-extract-main",
+        "--config", str(tmp_path / "none.yaml"),
+    ])
+    assert rc == 0
+    assert "corpus_size: 4" in capsys.readouterr().out
+    with pytest.raises(ValueError, match="strips HTML at ingest"):
+        main([
+            "--export-training-set", "--input", out,
+            "--input-format", "warc", "--html-strip",
+            "--output", str(tmp_path / "o"),
+            "--config", str(tmp_path / "none.yaml"),
+        ])
+
+
 def test_http_response_bad_status_line():
     status, _, body, err = parse_http_response(b"garbage\r\n\r\nx")
     assert status is None and "status line" in err and body == b"garbage\r\n\r\nx"
