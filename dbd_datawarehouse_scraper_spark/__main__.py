@@ -551,10 +551,24 @@ def _load_documents(spark, path: str, fmt: str, extract_main: bool = False):
 
         from .sources.warc import warc_html_documents_source, wet_documents_source
 
-        if any(ch in path for ch in "*?[") or os.path.isfile(path):
-            pattern = path  # explicit glob, or a single archive file
+        scheme = path.split("://", 1)[0] if "://" in path else ""
+        if scheme and scheme != "file":
+            # Hadoop-filesystem URI (s3://, hdfs://, …): driver-local
+            # isfile/glob can't see it — route through Spark's
+            # binaryFile source, which speaks any Hadoop FS
+            via = "binaryFile"
+            if any(ch in path for ch in "*?[") or ".warc" in os.path.basename(
+                path
+            ):
+                pattern = path
+            else:
+                pattern = path.rstrip("/") + "/*.warc*"
         else:
-            pattern = path.rstrip("/") + "/*.warc*"
+            via = "stream"
+            if any(ch in path for ch in "*?[") or os.path.isfile(path):
+                pattern = path  # explicit glob, or a single archive file
+            else:
+                pattern = path.rstrip("/") + "/*.warc*"
         if fmt == "warc":
             # raw captures: HTTP-split + HTML-strip to visible text;
             # --html-extract-main upgrades the strip to main-content
@@ -563,10 +577,10 @@ def _load_documents(spark, path: str, fmt: str, extract_main: bool = False):
             # flag must act here, not in a later funnel stage that
             # would see already-stripped text)
             raw = warc_html_documents_source(
-                spark, pattern, extract_main=extract_main
+                spark, pattern, via=via, extract_main=extract_main
             )
         else:
-            raw = wet_documents_source(spark, pattern)
+            raw = wet_documents_source(spark, pattern, via=via)
         obs = Observation(f"{fmt}_ingest")
         observed = raw.observe(
             obs,

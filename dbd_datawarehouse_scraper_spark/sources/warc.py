@@ -37,11 +37,13 @@ this is [EXT] surface for the LLM-pipeline north star.
 
 from __future__ import annotations
 
+import codecs
 import glob as _glob
 import gzip
 import hashlib
 import io
 import os
+import re
 import uuid
 from collections.abc import Iterable, Iterator
 
@@ -56,6 +58,8 @@ from http.client import responses as _HTTP_REASONS
 
 _CRLF = b"\r\n"
 _RESYNC_LINE_CAP = 100_000  # bounded scan-forward after a corrupt record
+_LINE_CAP = 1 << 20  # longest header/version line read at once — a
+# corrupt binary region with no LF must not buffer unboundedly
 _EMIT_BATCH_ROWS = 256
 _EMIT_BATCH_BYTES = 32 << 20
 
@@ -71,6 +75,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("http_content_type", T.StringType(), True),
         T.StructField("payload", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -80,8 +85,15 @@ WARC_SCHEMA = T.StructType(
 
 
 def _read_line(stream) -> bytes:
-    """One header line (through LF). b'' at EOF."""
-    return stream.readline()
+    """One header line (through LF), capped at _LINE_CAP bytes. b'' at
+    EOF. A returned chunk that fills the cap without a trailing LF is
+    a pseudo-line from a corrupt binary region — callers treat it as
+    corruption (``_line_overlong``), never as a header."""
+    return stream.readline(_LINE_CAP)
+
+
+def _line_overlong(line: bytes) -> bool:
+    return len(line) >= _LINE_CAP and not line.endswith(b"\n")
 
 
 def _parse_headers(stream) -> tuple[dict[str, str], str | None]:
@@ -94,6 +106,8 @@ def _parse_headers(stream) -> tuple[dict[str, str], str | None]:
         line = _read_line(stream)
         if not line:
             return headers, "eof in header block"
+        if _line_overlong(line):
+            return headers, "header line too long"
         stripped = line.rstrip(b"\r\n")
         if stripped == b"":
             return headers, None
@@ -123,16 +137,20 @@ def iter_warc_records(
         if not line:
             return
         stripped = line.rstrip(b"\r\n")
-        if stripped == b"":
+        if stripped == b"" and not _line_overlong(line):
             continue
-        if not stripped.startswith(b"WARC/"):
+        if _line_overlong(line) or not stripped.startswith(b"WARC/"):
             # corrupt leader: bounded resync to the next version line
+            # (an over-cap pseudo-line counts as corruption too — it
+            # came from a binary region with no LF)
             yield {}, b"", f"expected version line, got {stripped[:80]!r}"
             for _ in range(_RESYNC_LINE_CAP):
                 line = _read_line(stream)
                 if not line:
                     return
-                if line.rstrip(b"\r\n").startswith(b"WARC/"):
+                if not _line_overlong(line) and line.rstrip(b"\r\n").startswith(
+                    b"WARC/"
+                ):
                     stripped = line.rstrip(b"\r\n")
                     break
             else:
@@ -240,6 +258,49 @@ def _decode_content_encoding(
     return body, f"unsupported content-encoding: {encoding!r}"
 
 
+_TEXTUAL_CT_MARKERS = ("text/", "html", "xml", "json", "javascript")
+
+
+def _is_textual_content_type(ct: str) -> bool:
+    low = ct.lower()
+    return any(m in low for m in _TEXTUAL_CT_MARKERS)
+
+
+def _charset_of(content_type: str) -> str | None:
+    """``charset=`` parameter of a Content-Type header, or None."""
+    for part in content_type.split(";")[1:]:
+        name, sep, value = part.partition("=")
+        if sep and name.strip().lower() == "charset":
+            return value.strip().strip("\"'") or None
+    return None
+
+
+def _decode_text(payload: bytes, charset: str | None) -> tuple[str | None, str | None]:
+    """Decode a textual payload → (text, error). The declared charset
+    wins (legacy Thai pages ship TIS-620 / windows-874 — the target
+    domain of the reference scraper, scraper_v2.py's site); unknown
+    charsets QUARANTINE (text None + error) rather than entering the
+    corpus as mojibake. Byte-level errors are replaced, never raised —
+    one malformed byte must not kill a 100 TB scan (and under Spark 4's
+    ANSI mode a JVM-side F.decode would throw, so the decode lives HERE
+    in the Python kernel)."""
+    cs = (charset or "utf-8").strip().lower()
+    try:
+        codec = codecs.lookup(cs)
+    except LookupError:
+        # 'windows-874'-style names miss Python's alias table; the cp
+        # form is the same codepage
+        m = re.fullmatch(r"windows[-_](\d+)", cs)
+        if m:
+            try:
+                codec = codecs.lookup(f"cp{m.group(1)}")
+            except LookupError:
+                return None, f"unsupported charset: {charset!r}"
+        else:
+            return None, f"unsupported charset: {charset!r}"
+    return payload.decode(codec.name, "replace"), None
+
+
 def _int_or_none(v) -> int | None:
     """ASCII-decimal parse or None — NEVER raises. (str.isdigit() is
     not a safe int() guard: '²'.isdigit() is True while int('²')
@@ -285,6 +346,19 @@ def _records_to_rows(
                 )
                 if enc_err:
                     err = f"http: {enc_err}"
+        # decode textual payloads HERE (Python, errors-replace) — the
+        # JVM F.decode raises MALFORMED_CHARACTER_CODING under ANSI
+        # mode (Spark 4 default), and only the kernel sees the
+        # HTTP-declared charset
+        text = None
+        if err is None:
+            if wtype == "conversion":
+                # WET spec: UTF-8 plain text
+                text = payload.decode("utf-8", "replace")
+            elif http_ct is not None and _is_textual_content_type(http_ct):
+                text, cs_err = _decode_text(payload, _charset_of(http_ct))
+                if cs_err:
+                    err = f"http: {cs_err}"
         yield {
             "warc_file": path,
             "record_id": headers.get("warc-record-id"),
@@ -296,6 +370,7 @@ def _records_to_rows(
             "http_status": status,
             "http_content_type": http_ct,
             "payload": payload,
+            "text": text,
             "error": err,
         }
         emitted += 1
@@ -320,7 +395,7 @@ def _batched(rows: Iterator[dict]) -> Iterator[pd.DataFrame]:
     cols = [f.name for f in WARC_SCHEMA.fields]
     for r in rows:
         batch.append(r)
-        nbytes += len(r["payload"] or b"")
+        nbytes += len(r["payload"] or b"") + len(r["text"] or "")
         if len(batch) >= _EMIT_BATCH_ROWS or nbytes >= _EMIT_BATCH_BYTES:
             yield pd.DataFrame(batch, columns=cols)
             batch, nbytes = [], 0
@@ -482,7 +557,9 @@ def wet_documents_source(
     """WET (``conversion``) records → documents: (record_id, url,
     warc_date, text). The payload is UTF-8 plain text by spec; decode
     errors are replaced, never raised (one bad page must not kill a
-    100 TB scan). Good rows have error IS NULL."""
+    100 TB scan — the decode runs in the reader's Python kernel with
+    errors='replace'; a JVM F.decode would THROW under Spark 4's
+    default ANSI mode). Good rows have error IS NULL."""
     raw = warc_source(
         spark, paths, record_types=("conversion",), parse_http=False, via=via
     )
@@ -490,7 +567,7 @@ def wet_documents_source(
         F.col("record_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.col("text"),
         F.col("error"),
     )
 
@@ -506,7 +583,10 @@ def warc_html_documents_source(
     path, not just pre-extracted WET. Response records with an HTML
     content type are HTTP-split by the reader (compressed bodies are
     inflated there — gzip/deflate stdlib, others quarantine), the body
-    decodes as UTF-8 (replacement, never fatal), and the HTML layer
+    decodes in the reader's kernel honoring the HTTP-declared charset
+    (legacy Thai pages ship TIS-620/windows-874; unknown charsets
+    quarantine; byte errors are replaced, never fatal), and the HTML
+    layer
     (functions/html.py) strips it to visible text —
     ``extract_main=True`` upgrades the strip to text-density
     main-content extraction (nav/footer chrome dropped).
@@ -524,7 +604,7 @@ def warc_html_documents_source(
     from ..functions.html import extract_main_content, strip_html
 
     raw = warc_source(spark, paths, record_types=("response",), via=via)
-    body_text = F.decode(F.col("payload"), "UTF-8")
+    body_text = F.col("text")
     cleaner = extract_main_content if extract_main else strip_html
     is_html = F.lower(F.coalesce(F.col("http_content_type"), F.lit(""))).contains(
         "html"
@@ -619,7 +699,7 @@ def wet_documents_stream(
     return raw.filter(F.col("error").isNull()).select(
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        F.col("text"),
     )
 
 
