@@ -11,20 +11,28 @@ so a bounded tail capture of stdout always contains one complete,
 parseable record (round 3's single ~2.6 KB line was truncated
 mid-object by the capture and the headline number was lost).
 
-Each query reports min-of-3 measured runs (plus `query_spreads` =
-max-min, so regressions are distinguishable from noise) after an
+Rows-only queries report min-of-3 measured runs (plus `query_spreads`
+= max-min, so regressions are distinguishable from noise) after an
 untimed warmup that pays the JVM / codegen first-touch cost; per-query
 time is plan + execute to a count-style action (no driver-side collect
 of big results). Tracked intra-query caches are released between runs.
 The Python worker pool is warmed once up front (a trivial pandas-UDF
 touch) so the first Arrow-kernel query doesn't pay worker fork/start.
-A query whose 3-run spread exceeds 50% of its min is escalated to 5
-runs and reported as median-of-5 (spread then = max-min of the central
-3 runs, which is what the median's stability depends on); escalated
-queries are listed in `escalated`.
-The same headline queries' oracle SQL also runs in DuckDB (warm, same
-methodology) so every BENCH record is self-contained: `ratio` =
-spark total / oracle total over the oracle-backed subset.
+A rows-only query whose 3-run spread exceeds 50% of its min is
+escalated to 5 runs and reported as median-of-5 (spread then = max-min
+of the central 3 runs, which is what the median's stability depends
+on); escalated queries are listed in `escalated`.
+
+ORACLE-BACKED queries (the `ratio` subset) get the round-10 hardened
+protocol: min-of-5 Spark runs INTERLEAVED with min-of-5 DuckDB runs of
+the same query's oracle SQL — spark, duck, spark, duck … inside one
+window — so the ratio's numerator and denominator see the SAME box
+contention. (Round 9's driver read ratio 1.902 on a loadavg-4 box
+where the identical code read 1.19-1.28 idle: the old layout timed all
+Spark first, all DuckDB ~minutes later, and ambient load inflated only
+the side it overlapped. Five interleaved rounds also give each side
+five chances to catch a load dip — min-of-N is the dip-catcher.)
+`ratio` = spark total / oracle total over the oracle-backed subset.
 Round 5 adds a load guard: `load_start`/`load_end` (1-min loadavg) and
 `load_flagged` in both records, plus a one-shot 60 s wait when the box
 is busy at start — numbers from a flagged run are not comparable
@@ -110,6 +118,11 @@ HEADLINE = [
     "image_near_dedup",
     "c4_clean",
     "gate_report",
+    # round 10: BM25 rotated INTO the oracle window (token_set_jaccard
+    # rotated out to rows-only — its oracle now lives in
+    # set_ops_suite's jacc_* legs), so the ratio subset composition
+    # changed; see BENCH_NOTES round-10 entry
+    "bm25_search",
 ]
 
 
@@ -169,10 +182,26 @@ def main() -> None:
 
     from dbd_datawarehouse_scraper_spark.caching import release_caches
 
+    # DuckDB oracle connection up front: oracle-backed queries time
+    # Spark and DuckDB interleaved in the same contention window
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
     names = [n for n in HEADLINE if n in QUERIES]
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    oracle_times: dict[str, float] = {}
     escalated: list[str] = []
+    ORACLE_RUNS = 5
 
     def timed_run(builder) -> float:
         start = time.perf_counter()
@@ -195,18 +224,38 @@ def main() -> None:
         warm_python_workers()
         return elapsed
 
+    def timed_oracle_run(sql: str) -> float:
+        start = time.perf_counter()
+        con.execute(sql).fetchall()
+        return time.perf_counter() - start
+
     for name in names:
         builder = QUERIES[name].builder
+        sql = QUERIES[name].sql
         # one untimed warmup run amortizes whole-stage-codegen JIT (a
         # per-query-shape, once-per-JVM cost that a long-running engine
-        # never pays again), then min of three measured plan+execute
-        # runs (single runs made the spark/oracle ratio swing ±20% with
-        # background load). `spread` = max-min over the measured runs so
-        # a future regression is distinguishable from noise.
+        # never pays again), then measured plan+execute runs (single
+        # runs made the spark/oracle ratio swing ±20% with background
+        # load). `spread` = max-min over the measured runs so a future
+        # regression is distinguishable from noise.
         builder(spark, sf_dir).count()
         release_caches()
         spark.sparkContext._jvm.System.gc()
         warm_python_workers()
+        if sql:
+            # oracle-backed: min-of-5 Spark interleaved with min-of-5
+            # DuckDB inside one window — same contention for both
+            # sides of the ratio (see module docstring)
+            con.execute(sql).fetchall()  # oracle warmup
+            runs: list[float] = []
+            oracle_runs: list[float] = []
+            for _ in range(ORACLE_RUNS):
+                runs.append(timed_run(builder))
+                oracle_runs.append(timed_oracle_run(sql))
+            times[name] = round(min(runs), 4)
+            spreads[name] = round(max(runs) - min(runs), 4)
+            oracle_times[name] = round(min(oracle_runs), 4)
+            continue
         runs = [timed_run(builder) for _ in range(3)]
         # escalate on RELATIVE noise (spread > 50% of min) or ABSOLUTE
         # noise (> 0.3 s — the round-3 judge's stability bar): a 2 s
@@ -225,31 +274,6 @@ def main() -> None:
             times[name] = round(min(runs), 4)
             spreads[name] = round(max(runs) - min(runs), 4)
     total = round(sum(times.values()), 4)
-
-    # DuckDB oracle pass: same queries, same warm-then-measure shape
-    import duckdb
-
-    con = duckdb.connect()
-    for tbl in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{tbl}.parquet')"
-        )
-    oracle_times: dict[str, float] = {}
-    for name in names:
-        sql = QUERIES[name].sql
-        if not sql:
-            continue
-        con.execute(sql).fetchall()  # warmup
-        best = float("inf")
-        for _ in range(3):
-            start = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - start)
-        oracle_times[name] = round(best, 4)
     oracle_total = round(sum(oracle_times.values()), 4)
     spark_on_oracle_subset = round(sum(times[n] for n in oracle_times), 4)
     ratio = (
@@ -268,7 +292,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "query_spreads": spreads,
-        "runs_per_query": 3,
+        "runs_per_query": {"oracle": ORACLE_RUNS, "rows_only": 3},
         "escalated": escalated,
         "sf": sf,
         "oracle_queries": oracle_times,
@@ -303,7 +327,7 @@ def main() -> None:
                 "oracle_total": oracle_total,
                 "spark_on_oracle_subset": spark_on_oracle_subset,
                 "queries_n": len(times),
-                "runs_per_query": 3,
+                "runs_per_query": {"oracle": ORACLE_RUNS, "rows_only": 3},
                 "load_start": round(load_start * ncores, 2),
                 "load_end": round(load_end * ncores, 2),
                 "ncores": ncores,
