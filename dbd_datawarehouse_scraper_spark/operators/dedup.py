@@ -400,8 +400,16 @@ def minhash_lsh_pairs(
             ],
         )
     )
+    # `_na` (the per-doc shingle count) rides the banded rows — 8
+    # bytes/row through the band-join shuffle — so the Jaccard union
+    # can be computed WITHOUT the two corpus-sized sort-merge joins
+    # against `sig` the round-9 form ran at the tail of verification
+    # (round-10 re-profile: those two exchanges were ~40% of the
+    # query's wall at sf0.1, and at scale they are two full-corpus
+    # shuffles for two long columns).
     banded = sig.select(
         "_id",
+        F.col("_n").alias("_na"),
         F.posexplode(
             F.array(
                 *[
@@ -433,14 +441,16 @@ def minhash_lsh_pairs(
             .select("_band", "_bucket")
         )
         banded = banded.join(fat_buckets, ["_band", "_bucket"], "left_anti")
-    right = banded.select(F.col("_id").alias("_id2"), "_band", "_bucket")
+    right = banded.select(
+        F.col("_id").alias("_id2"), F.col("_na").alias("_nb"), "_band", "_bucket"
+    )
     # the banded self-join's sides are both |corpus|·bands rows — same
     # compile-time-broadcast hazard as the verification leg below
     # (merge, not shuffle_hash: per-partition hash maps OOM at scale)
     cand = (
         banded.join(right.hint("merge"), ["_band", "_bucket"])
         .filter(F.col("_id") < F.col("_id2"))
-        .select("_id", "_id2")
+        .select("_id", "_id2", "_na", "_nb")
         .dropDuplicates(["_id", "_id2"])
     )
     # verify: count shared hashed shingles per candidate pair, then
@@ -469,16 +479,12 @@ def minhash_lsh_pairs(
             ex.select(F.col("_id").alias("_id2"), "_hs").hint("merge"),
             ["_id2", "_hs"],
         )
-        .groupBy("_id", "_id2")
+        .groupBy("_id", "_id2", "_na", "_nb")
         .agg(F.count("*").alias("_c"))
     )
-    n_a = sig.select("_id", F.col("_n").alias("_na"))
-    n_b = sig.select(F.col("_id").alias("_id2"), F.col("_n").alias("_nb"))
     union = F.col("_na") + F.col("_nb") - F.col("_c")
     return (
-        inter.join(n_a.hint("merge"), "_id")
-        .join(n_b.hint("merge"), "_id2")
-        .select(
+        inter.select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
             F.round(F.col("_c").cast("double") / union.cast("double"), 6).alias(
