@@ -799,10 +799,26 @@ def dedup_prefer_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (autodetect → trim → nonempty → thai filter → reg validation →
     dedup-prefer-reg, scraper_v2.py:486-520). Every name carries จำกัด
     so the thai gate passes all rows; null regs round-trip through the
-    CSV as empty strings and regnum validation restores them to null."""
+    CSV as empty strings and regnum validation restores them to null.
+
+    Round 10 folds the remaining §2.1 file sources into the same
+    oracle row as IDENTITY legs (the oracle SQL is unchanged, so any
+    loss or mangling in either round trip hash-mismatches):
+    - text_source (scraper_v2.py:558-564): the distinct names re-
+      ingest from a one-name-per-line text spill and semi-join the
+      result — lossless round trip ⇒ no row drops;
+    - excel_source (scraper_v2.py:522-556): the 50 lexicographically
+      first names round-trip through a stdlib-written .xlsx; rows in
+      that subset must survive the excel re-ingest, the rest pass
+      through untouched."""
     import tempfile
 
-    from .sources.files import csv_companies_source
+    from .sources.files import (
+        csv_companies_source,
+        excel_companies_source,
+        text_companies_source,
+        write_minimal_xlsx,
+    )
 
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -817,7 +833,32 @@ def dedup_prefer_reg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
     companies.write.mode("overwrite").option("header", True).csv(tmp)
-    return csv_companies_source(spark, tmp)
+    deduped = csv_companies_source(spark, tmp)
+    # text_source identity leg
+    names = companies.select("company_name").distinct()
+    names.write.mode("overwrite").text(f"{tmp}/names_txt")
+    text_back = text_companies_source(spark, f"{tmp}/names_txt").select(
+        "company_name"
+    )
+    deduped = deduped.join(text_back, "company_name", "left_semi")
+    # excel_source identity leg (driver-side by design: Excel inputs
+    # are small human-curated lists — the 100 TB side is never Excel)
+    head_names = [
+        r["company_name"]
+        for r in names.orderBy("company_name").limit(50).collect()
+    ]
+    write_minimal_xlsx(
+        f"{tmp}/head.xlsx", ["company_name"], [[n] for n in head_names]
+    )
+    excel_back = excel_companies_source(spark, f"{tmp}/head.xlsx").select(
+        "company_name"
+    )
+    head_df = spark.createDataFrame(
+        [(n,) for n in head_names], "company_name string"
+    )
+    in_excel = deduped.join(F.broadcast(excel_back), "company_name", "left_semi")
+    rest = deduped.join(F.broadcast(head_df), "company_name", "left_anti")
+    return in_excel.unionByName(rest)
 
 
 @register(

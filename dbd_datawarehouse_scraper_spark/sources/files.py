@@ -129,6 +129,74 @@ _RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _PKGNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 
+def write_minimal_xlsx(
+    path: str,
+    header: list[str],
+    rows: list[list[str | None]],
+    sheet: str = "Sheet1",
+) -> None:
+    """Stdlib .xlsx writer (inline strings): the minimal OOXML package
+    — content types, package rels, workbook, workbook rels, one sheet
+    — readable by both openpyxl/pandas and this module's zip+XML
+    fallback reader. Fixture-grade by design: Excel inputs here are
+    small human-curated lists (scraper_v2.py:522-556); this writer
+    exists so the excel ingestion path can be driven end-to-end from
+    oracle queries and tests without an Excel engine installed."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def row_xml(rn: int, values: list[str | None]) -> str:
+        cells = "".join(
+            f'<c r="{chr(65 + ci)}{rn}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
+            for ci, v in enumerate(values)
+            if v is not None
+        )
+        return f'<row r="{rn}">{cells}</row>'
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    ct_ns = "http://schemas.openxmlformats.org/package/2006/content-types"
+    sheet_rows = "".join(
+        row_xml(i + 1, r) for i, r in enumerate([header] + rows)
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            f'<?xml version="1.0"?><Types xmlns="{ct_ns}">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Default Extension="rels" ContentType='
+            '"application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            "</Types>",
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
+            f'<Relationship Id="rId1" Type="{rel_ns}/officeDocument" Target="xl/workbook.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rel_ns}">'
+            f'<sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<?xml version="1.0"?><Relationships xmlns="{pkg_rel_ns}">'
+            f'<Relationship Id="rId1" Type="{rel_ns}/worksheet" Target="worksheets/sheet1.xml"/>'
+            "</Relationships>",
+        )
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}">'
+            f"<sheetData>{sheet_rows}</sheetData></worksheet>",
+        )
+
+
 def _cell_col_index(ref: str) -> int:
     """'B7' → 1 (0-based column)."""
     idx = 0
