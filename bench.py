@@ -206,6 +206,13 @@ def main() -> None:
     spreads: dict[str, float] = {}
     oracle_times: dict[str, float] = {}
     escalated: list[str] = []
+    # per-run matrices for the oracle subset: round i of every query
+    # forms one coherent "ratio draw" (sum spark run i / sum duck run
+    # i), so ONE bench run yields ORACLE_RUNS independent readings of
+    # the ratio's run-to-run spread — the cross-round stability
+    # evidence without re-running the whole bench N times
+    spark_run_matrix: dict[str, list[float]] = {}
+    oracle_run_matrix: dict[str, list[float]] = {}
     ORACLE_RUNS = 5
 
     def timed_run(builder) -> float:
@@ -260,6 +267,8 @@ def main() -> None:
             times[name] = round(min(runs), 4)
             spreads[name] = round(max(runs) - min(runs), 4)
             oracle_times[name] = round(min(oracle_runs), 4)
+            spark_run_matrix[name] = [round(r, 4) for r in runs]
+            oracle_run_matrix[name] = [round(r, 4) for r in oracle_runs]
             continue
         runs = [timed_run(builder) for _ in range(3)]
         # escalate on RELATIVE noise (spread > 50% of min) or ABSOLUTE
@@ -284,6 +293,13 @@ def main() -> None:
     ratio = (
         round(spark_on_oracle_subset / oracle_total, 3) if oracle_total else None
     )
+    # per-round ratio draws (see spark_run_matrix comment above)
+    ratio_draws = []
+    if oracle_run_matrix:
+        for i in range(ORACLE_RUNS):
+            s = sum(v[i] for v in spark_run_matrix.values())
+            o = sum(v[i] for v in oracle_run_matrix.values())
+            ratio_draws.append(round(s / o, 3) if o else None)
 
     load_end = _load_fraction()
     ncores = os.cpu_count() or 1
@@ -304,6 +320,9 @@ def main() -> None:
         "oracle_total": oracle_total,
         "spark_on_oracle_subset": spark_on_oracle_subset,
         "ratio": ratio,
+        "ratio_draws": ratio_draws,
+        "spark_run_matrix": spark_run_matrix,
+        "oracle_run_matrix": oracle_run_matrix,
         "load_start": round(load_start * ncores, 2),
         "load_end": round(load_end * ncores, 2),
         "ncores": ncores,
@@ -329,6 +348,7 @@ def main() -> None:
                 # detail record above (and BENCH_DETAIL.json)
                 "queries": times,
                 "ratio": ratio,
+                "ratio_draws": ratio_draws,
                 "oracle_total": oracle_total,
                 "spark_on_oracle_subset": spark_on_oracle_subset,
                 "queries_n": len(times),

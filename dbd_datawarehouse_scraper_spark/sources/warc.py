@@ -298,7 +298,14 @@ def _decode_text(payload: bytes, charset: str | None) -> tuple[str | None, str |
                 return None, f"unsupported charset: {charset!r}"
         else:
             return None, f"unsupported charset: {charset!r}"
-    return payload.decode(codec.name, "replace"), None
+    try:
+        return payload.decode(codec.name, "replace"), None
+    except (LookupError, ValueError, TypeError) as e:
+        # a charset header can name a registered NON-TEXT codec
+        # (base64, hex, zlib…): bytes.decode refuses those with
+        # LookupError even under errors='replace' — quarantine, the
+        # same one-row cost as an unknown charset
+        return None, f"undecodable charset {charset!r}: {type(e).__name__}"
 
 
 def _int_or_none(v) -> int | None:

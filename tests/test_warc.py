@@ -424,15 +424,22 @@ def test_declared_charset_tis620_decodes_thai(spark, tmp_path):
 
 def test_unknown_charset_quarantines(spark, tmp_path):
     """An undecodable charset must quarantine (text NULL + error), not
-    enter the corpus as wrong-codec mojibake with error NULL."""
-    block = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=klingon\r\n\r\n"
-        b"<html><body>x</body></html>"
-    )
-    (tmp_path / "a.warc").write_bytes(_response_record(b"u:kli", block))
-    row = warc_source(spark, f"{tmp_path}/a.warc").collect()[0]
-    assert row.text is None
-    assert "unsupported charset" in row.error
+    enter the corpus as wrong-codec mojibake with error NULL — and a
+    charset naming a registered NON-TEXT codec (base64) must cost one
+    error row, not a raised task (bytes.decode refuses those even
+    under errors='replace')."""
+    for fname, cs, marker in (
+        ("a.warc", b"klingon", "unsupported charset"),
+        ("b.warc", b"base64", "charset"),
+    ):
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=" + cs
+            + b"\r\n\r\n<html><body>x</body></html>"
+        )
+        (tmp_path / fname).write_bytes(_response_record(b"u:" + cs, block))
+        row = warc_source(spark, f"{tmp_path}/{fname}").collect()[0]
+        assert row.text is None
+        assert marker in row.error
 
 
 def test_overlong_corrupt_line_bounded_and_resyncs():
