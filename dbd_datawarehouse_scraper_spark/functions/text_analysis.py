@@ -528,6 +528,7 @@ def bm25_term_scores(
     b: float = 0.75,
     persist: bool = True,
     max_df_frac: float | None = None,
+    token_filter: DataFrame | None = None,
 ) -> DataFrame:
     """The BM25 term-contribution relation ``(id_col, token, tf, df,
     score_q)`` — :func:`bm25_topk` windows it per document for
@@ -541,7 +542,16 @@ def bm25_term_scores(
     the relation using the SAME one-row totals this plan already
     broadcasts — no extra corpus pass. They carry ~zero idf but join
     against nearly every document: the inverted-index stop-word
-    guard."""
+    guard.
+
+    ``token_filter`` (a DataFrame with a ``token`` column, e.g. the
+    distinct terms of a query batch) SEMI-JOINS the tf relation before
+    the three-way scoring join — df / dl / N / Σdl still aggregate
+    over the FULL corpus (scores of surviving tokens are unchanged),
+    but the expensive join then touches only rows whose token can
+    match a query. For ``bm25_search`` over a large corpus this is the
+    difference between scoring every posting and scoring the probed
+    postings (round 10)."""
     if max_df_frac is not None and not 0 < max_df_frac <= 1:
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
     from ..caching import tracked_persist
@@ -552,6 +562,12 @@ def bm25_term_scores(
         tf = tracked_persist(tf)
     df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    if token_filter is not None:
+        tf = tf.join(
+            F.broadcast(token_filter.select("token").distinct()),
+            "token",
+            "left_semi",
+        )
     # N counts ALL docs (empty included); Σdl comes off the dl relation
     totals = docs.agg(F.count("*").cast("double").alias("_nd")).crossJoin(
         dl.agg(F.sum("dl").cast("double").alias("_tot"))

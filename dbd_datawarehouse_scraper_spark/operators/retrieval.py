@@ -72,15 +72,6 @@ def bm25_search(
     """
     if not 0 < topk:
         raise ValueError(f"topk must be >= 1, got {topk}")
-    scored = bm25_term_scores(
-        docs,
-        id_col=doc_id_col,
-        text_col=text_col,
-        k1=k1,
-        b=b,
-        persist=persist,
-        max_df_frac=max_df_frac,
-    )
     q_terms = queries.select(
         F.col(query_id_col),
         F.explode_outer(
@@ -89,6 +80,19 @@ def bm25_search(
             )
         ).alias("token"),
     ).filter(F.col("token").isNotNull()).distinct()  # qtf=1: distinct terms
+    scored = bm25_term_scores(
+        docs,
+        id_col=doc_id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        persist=persist,
+        max_df_frac=max_df_frac,
+        # score only postings whose token can match a query term —
+        # df/dl/N/Σdl still aggregate over the full corpus, so the
+        # surviving scores are bit-identical (round 10)
+        token_filter=q_terms,
+    )
     hits = (
         q_terms.join(scored.select(doc_id_col, "token", "score_q"), "token")
         .groupBy(query_id_col, doc_id_col)
