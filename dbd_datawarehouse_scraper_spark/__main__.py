@@ -552,10 +552,10 @@ def _load_documents(spark, path: str, fmt: str, extract_main: bool = False):
         from .sources.warc import warc_html_documents_source, wet_documents_source
 
         scheme = path.split("://", 1)[0] if "://" in path else ""
-        if scheme and scheme != "file":
-            # Hadoop-filesystem URI (s3://, hdfs://, …): driver-local
-            # isfile/glob can't see it — route through Spark's
-            # binaryFile source, which speaks any Hadoop FS
+        if scheme:
+            # URI scheme (s3://, hdfs://, file://, …): driver-local
+            # isfile/glob/open can't resolve it — route through
+            # Spark's binaryFile source, which speaks any Hadoop FS
             via = "binaryFile"
             if any(ch in path for ch in "*?[") or ".warc" in os.path.basename(
                 path
