@@ -325,6 +325,7 @@ def _records_to_rows(
     record_types: frozenset[str] | None,
     parse_http: bool,
     max_records: int | None,
+    keep_payload: bool = True,
 ) -> Iterator[dict]:
     emitted = 0
     for headers, block, err in iter_warc_records(stream):
@@ -376,7 +377,10 @@ def _records_to_rows(
             "content_length": _int_or_none(headers.get("content-length")),
             "http_status": status,
             "http_content_type": http_ct,
-            "payload": payload,
+            # keep_payload=False (the documents sources): the binary
+            # column would ride every Arrow batch next to the decoded
+            # text it duplicates — measured ~25% of WET read wall
+            "payload": payload if keep_payload else None,
             "text": text,
             "error": err,
         }
@@ -432,6 +436,7 @@ def _rows_safely(
     types: frozenset[str] | None,
     parse_http: bool,
     max_records: int | None,
+    keep_payload: bool = True,
 ) -> Iterator[dict]:
     """Archive-level fault isolation: decompression errors (truncated
     gzip from a non-atomic upload), vanished files (swap races), and
@@ -449,7 +454,7 @@ def _rows_safely(
             "error": f"archive open: {type(e).__name__}: {e}",
         }
         return
-    it = _records_to_rows(path, stream, types, parse_http, max_records)
+    it = _records_to_rows(path, stream, types, parse_http, max_records, keep_payload)
     try:
         while True:
             try:
@@ -475,6 +480,7 @@ def _binary_parser(
     types: frozenset[str] | None,
     parse_http: bool,
     max_records: int | None,
+    keep_payload: bool = True,
 ):
     """mapInPandas kernel over binaryFile rows (path, content) —
     shared verbatim by the batch ``via='binaryFile'`` reader and the
@@ -491,7 +497,10 @@ def _binary_parser(
                     return buf
 
                 yield from _batched(
-                    _rows_safely(path, open_stream, types, parse_http, max_records)
+                    _rows_safely(
+                        path, open_stream, types, parse_http, max_records,
+                        keep_payload,
+                    )
                 )
 
     return parse_binary
@@ -504,6 +513,7 @@ def warc_source(
     parse_http: bool = True,
     max_records_per_file: int | None = None,
     via: str = "stream",
+    keep_payload: bool = True,
 ) -> DataFrame:
     """WARC files → one row per record (WARC_SCHEMA). ``paths`` is a
     glob or an explicit list; each file becomes (about) one partition.
@@ -518,7 +528,8 @@ def warc_source(
             paths if isinstance(paths, str) else list(paths)
         )
         return files_df.select("path", "content").mapInPandas(
-            _binary_parser(types, parse_http, max_records_per_file), WARC_SCHEMA
+            _binary_parser(types, parse_http, max_records_per_file, keep_payload),
+            WARC_SCHEMA,
         )
 
     if via != "stream":
@@ -539,6 +550,7 @@ def warc_source(
                         types,
                         parse_http,
                         max_records_per_file,
+                        keep_payload,
                     )
                 )
 
@@ -568,7 +580,12 @@ def wet_documents_source(
     errors='replace'; a JVM F.decode would THROW under Spark 4's
     default ANSI mode). Good rows have error IS NULL."""
     raw = warc_source(
-        spark, paths, record_types=("conversion",), parse_http=False, via=via
+        spark,
+        paths,
+        record_types=("conversion",),
+        parse_http=False,
+        via=via,
+        keep_payload=False,
     )
     return raw.select(
         F.col("record_id"),
@@ -610,7 +627,9 @@ def warc_html_documents_source(
     expressions (no UDF) — one pass, no shuffle."""
     from ..functions.html import extract_main_content, strip_html
 
-    raw = warc_source(spark, paths, record_types=("response",), via=via)
+    raw = warc_source(
+        spark, paths, record_types=("response",), via=via, keep_payload=False
+    )
     body_text = F.col("text")
     cleaner = extract_main_content if extract_main else strip_html
     is_html = F.lower(F.coalesce(F.col("http_content_type"), F.lit(""))).contains(
