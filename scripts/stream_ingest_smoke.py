@@ -167,7 +167,10 @@ def main() -> None:
     replay_counts = _read_epoch_counts(f"{WORK}/out")
     out["replay_idempotent"] = replay_counts == epoch_counts
 
-    # 4. strike: one archive that is 100% epoch-0 duplicates
+    # 4. strike: one archive that is 100% epoch-0 duplicates. A fully
+    # struck epoch writes NO output shards at all, so the "did the
+    # batch actually run" signal is the streaming checkpoint's offset
+    # log advancing — not an output dir appearing.
     stage = f"{WORK}/stage_dup"
     dup_docs = _epoch_docs(spark, 0).limit(50_000).select(
         F.concat(F.lit("https://smoke.test/replayed/"), F.col("url")).alias("url"),
@@ -176,17 +179,21 @@ def main() -> None:
     manifest = warc_sink(dup_docs.coalesce(1), stage)
     os.rename(manifest[0]["file"], f"{WORK}/watched/zz-dup.warc.gz")
     shutil.rmtree(stage, ignore_errors=True)
+    offsets_dir = f"{WORK}/state/ckpt/offsets"
+    n_batches_before = len(os.listdir(offsets_dir))
     t0 = time.time()
     assert cli_main(list(cli_args)) == 0
     out["strike_s"] = round(time.time() - t0, 1)
+    out["strike_batch_ran"] = len(os.listdir(offsets_dir)) > n_batches_before
     final_counts = _read_epoch_counts(f"{WORK}/out")
     new_epochs = {
         k: v for k, v in final_counts.items() if k not in epoch_counts
     }
     out["dup_epoch_survivors"] = new_epochs
-    out["dup_epoch_struck"] = all(
+    # empty new_epochs = every duplicate struck (no shards written)
+    out["dup_epoch_struck"] = out["strike_batch_ran"] and all(
         v <= 50_000 * 0.01 for v in new_epochs.values()
-    ) and len(new_epochs) >= 1
+    )
 
     out["total_s"] = round(
         out["gen_s"] + out["ingest_s"] + out["replay_s"] + out["strike_s"], 1
