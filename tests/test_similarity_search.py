@@ -1,5 +1,7 @@
 """ANN operators: LSH top-k recall against exact brute force."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -728,3 +730,29 @@ def test_ivf_opq_beats_pq_on_correlated_data(spark, tmp_path):
         ivf_build(emb, str(tmp_path / "bad"), n_lists=8,
                   compression="opq", pq_m=8, opq_iters=0)
     emb.unpersist(blocking=True)
+
+
+def test_ivf_index_memo_probe_only_and_rebuild(spark, sf_dir):
+    """The session-memoized index behind the probe-only headline legs
+    (queries._ivf_index): same path on repeat calls (probe-only), a
+    REBUILD when the temp dir vanishes mid-session (tmp cleaners), and
+    identical search results either way (the build is deterministic,
+    so memoizing changes WHEN it's built, never WHAT is probed)."""
+    import shutil
+
+    from dbd_datawarehouse_scraper_spark.queries import _IVF_INDEX_MEMO, _ivf_index
+    from dbd_datawarehouse_scraper_spark.queries import QUERIES
+
+    first = _ivf_index(spark, sf_dir)
+    assert _ivf_index(spark, sf_dir) == first  # memo hit
+    res_a = sorted(
+        map(tuple, QUERIES["ivf_persisted_search"].builder(spark, sf_dir).collect())
+    )
+    shutil.rmtree(os.path.dirname(first), ignore_errors=True)
+    second = _ivf_index(spark, sf_dir)
+    assert second != first  # vanished dir → fresh build, no stale path
+    res_b = sorted(
+        map(tuple, QUERIES["ivf_persisted_search"].builder(spark, sf_dir).collect())
+    )
+    assert res_a == res_b
+    _IVF_INDEX_MEMO.clear()
