@@ -4359,6 +4359,58 @@ def warc_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register("wat_roundtrip", None)
+def wat_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] WAT metadata round trip (sources/warc.py
+    wat_sink/wat_metadata_source — round 10, completing the Common
+    Crawl triple next to the WET and raw-WARC paths): synthesize
+    per-page metadata (title + outgoing links) from the documents
+    table, export as WAT-style ``metadata`` records in the published
+    envelope shape, parse back, and verify titles/link counts
+    survived value-exact. Rows-only by design (wire format);
+    test_warc.py pins the envelope path and the bad-JSON quarantine."""
+    import shutil
+    import tempfile
+
+    from .sources.warc import wat_metadata_source, wat_sink
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://corpus.test/doc/"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+            lambda i: F.concat(F.lit("https://corpus.test/link/"), i.cast("string")),
+        ).alias("links"),
+    )
+    work = tempfile.mkdtemp(prefix="wat_rt_")
+    try:
+        manifest = wat_sink(docs.repartition(4), f"{work}/wat")
+        back = wat_metadata_source(spark, f"{work}/wat/*.warc.gz")
+        joined = back.join(docs, "url", "full_outer")
+        out = joined.agg(
+            F.count("*").alias("n_joined"),
+            F.sum(
+                F.when(back["title"] == docs["title"], 1).otherwise(0)
+            ).alias("n_title_match"),
+            F.sum(
+                F.when(F.size(back["links"]) == F.size(docs["links"]), 1)
+                .otherwise(0)
+            ).alias("n_links_match"),
+            F.sum(F.when(back["error"].isNotNull(), 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        ).select(
+            "n_joined",
+            "n_title_match",
+            "n_links_match",
+            "n_errors",
+            F.lit(sum(m["n_records"] for m in manifest)).alias("n_written"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _reorder_registry() -> None:
     oracle = {k: v for k, v in QUERIES.items() if v.sql is not None}
     rows_only = {k: v for k, v in QUERIES.items() if v.sql is None}

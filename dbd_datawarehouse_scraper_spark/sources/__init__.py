@@ -26,6 +26,8 @@ from .http_client import (  # noqa: F401
 from .warc import (  # noqa: F401
     warc_source,
     warc_sink,
+    wat_metadata_source,
+    wat_sink,
     wet_documents_source,
 )
 from .layout import (  # noqa: F401

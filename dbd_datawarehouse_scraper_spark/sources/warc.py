@@ -367,6 +367,12 @@ def _records_to_rows(
                 text, cs_err = _decode_text(payload, _charset_of(http_ct))
                 if cs_err:
                     err = f"http: {cs_err}"
+            elif _is_textual_content_type(headers.get("content-type") or ""):
+                # textual WARC-level Content-Type on non-HTTP records —
+                # WAT metadata records (application/json) land here;
+                # application/http blocks match no textual marker, so
+                # un-split response payloads stay binary
+                text = payload.decode("utf-8", "replace")
         yield {
             "warc_file": path,
             "record_id": headers.get("warc-record-id"),
@@ -663,6 +669,182 @@ def warc_html_documents_source(
     )
 
 
+# The slice of Common Crawl's WAT envelope the metadata source reads
+# (the published WAT shape: Envelope → Payload-Metadata →
+# HTTP-Response-Metadata → HTML-Metadata → Head.Title / Links[]);
+# from_json ignores fields outside this schema, so real WAT files with
+# their full envelope parse with no schema churn.
+_WAT_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "Payload-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "HTTP-Response-Metadata",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "HTML-Metadata",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "Head",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "Title",
+                                                                        T.StringType(),
+                                                                    )
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "Links",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "url",
+                                                                            T.StringType(),
+                                                                        )
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
+                                                    ]
+                                                ),
+                                            )
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+        # PERMISSIVE from_json yields an all-null struct on malformed
+        # input (never a NULL struct), so corruption is only visible
+        # through the corrupt-record column
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+def wat_metadata_source(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    via: str = "stream",
+) -> DataFrame:
+    """WAT (``metadata``) records → per-page metadata: (record_id,
+    url, warc_date, title, links array<string>, error) — the third leg
+    of the Common Crawl triple (WARC raw captures, WET extracted text,
+    WAT metadata sidecars). The reader's kernel decodes the
+    ``application/json`` payload UTF-8-replace (never fatal); the
+    envelope parses JVM-side with ``from_json`` against the published
+    WAT shape (title + outgoing-link urls; extra envelope fields are
+    ignored). A metadata record whose payload is not valid JSON keeps
+    its row with ``error='bad WAT json'`` — quarantine, not a crash
+    (PERMISSIVE ``from_json`` + the corrupt-record column; a malformed
+    payload parses to an all-null struct, never a raised task).
+
+    Plan: partition-per-file kernel parse, then pure codegen'd JSON
+    path extraction — one pass, no shuffle, no UDF."""
+    raw = warc_source(
+        spark,
+        paths,
+        record_types=("metadata",),
+        parse_http=False,
+        via=via,
+        keep_payload=False,
+    )
+    parsed = F.from_json(
+        F.col("text"),
+        _WAT_ENVELOPE_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    html_meta = (
+        parsed.getField("Envelope")
+        .getField("Payload-Metadata")
+        .getField("HTTP-Response-Metadata")
+        .getField("HTML-Metadata")
+    )
+    return raw.select(
+        F.col("record_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        html_meta.getField("Head").getField("Title").alias("title"),
+        F.transform(
+            F.coalesce(
+                html_meta.getField("Links"),
+                F.array().cast("array<struct<url:string>>"),
+            ),
+            lambda l: l.getField("url"),
+        ).alias("links"),
+        F.coalesce(
+            F.col("error"),
+            F.when(
+                parsed.getField("_corrupt").isNotNull(),
+                F.lit("bad WAT json"),
+            ),
+        ).alias("error"),
+    )
+
+
+def wat_sink(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    title_col: str = "title",
+    links_col: str | None = "links",
+    date: str = "2000-01-01T00:00:00Z",
+    gzip_per_record: bool = True,
+    warcinfo: dict[str, str] | None = None,
+) -> list[dict]:
+    """Write per-page metadata as WAT-style ``metadata`` records: the
+    (title, links) relation serializes into the published envelope
+    shape with ``to_json`` (pure codegen) and rides
+    :func:`warc_sink`'s record writer — so :func:`wat_metadata_source`
+    round-trips it byte-exactly, and the archives interoperate with
+    WAT consumers that read the standard envelope path."""
+    links = (
+        F.transform(F.col(links_col), lambda u: F.struct(u.alias("url")))
+        if links_col
+        else F.array().cast("array<struct<url:string>>")
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            F.struct(
+                                F.col(title_col).cast("string").alias("Title")
+                            ).alias("Head"),
+                            links.alias("Links"),
+                        ).alias("HTML-Metadata")
+                    ).alias("HTTP-Response-Metadata")
+                ).alias("Payload-Metadata")
+            ).alias("Envelope")
+        )
+    )
+    return warc_sink(
+        df.select(F.col(url_col).alias("url"), envelope.alias("_wat_json")),
+        path,
+        record_type="metadata",
+        url_col="url",
+        text_col="_wat_json",
+        date=date,
+        gzip_per_record=gzip_per_record,
+        warcinfo=warcinfo,
+    )
+
+
 def warc_stream_source(
     spark: SparkSession,
     dir_path: str,
@@ -824,6 +1006,18 @@ def warc_sink(
         if text_col is None:
             raise ValueError("record_type='conversion' needs text_col")
         content_type = "text/plain; charset=utf-8"
+        src = df.select(
+            F.col(url_col).cast("string").alias("url"),
+            F.encode(F.col(text_col).cast("string"), "UTF-8").alias("block"),
+            status_col.alias("_status"),
+            http_ct_col.alias("_http_ct"),
+        )
+    elif record_type == "metadata":
+        # WAT convention: JSON metadata per record (text_col carries
+        # the serialized envelope)
+        if text_col is None:
+            raise ValueError("record_type='metadata' needs text_col")
+        content_type = "application/json"
         src = df.select(
             F.col(url_col).cast("string").alias("url"),
             F.encode(F.col(text_col).cast("string"), "UTF-8").alias("block"),

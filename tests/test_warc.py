@@ -709,3 +709,84 @@ def test_empty_partitions_write_no_files(spark, tmp_path):
 def test_missing_glob_raises(spark):
     with pytest.raises(FileNotFoundError):
         warc_source(spark, "/nonexistent/*.warc.gz")
+
+
+def _wat_record(url: bytes, json_block: bytes) -> bytes:
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000aa>\r\n"
+        b"WARC-Date: 2000-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: " + url + b"\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: " + str(len(json_block)).encode() + b"\r\n\r\n"
+        + json_block + b"\r\n\r\n"
+    )
+
+
+def test_wat_metadata_source_reads_published_envelope(spark, tmp_path):
+    """WAT — the third leg of the Common Crawl triple: a record in the
+    published envelope shape (with extra fields the schema ignores)
+    yields title + outgoing links; a non-JSON payload quarantines with
+    'bad WAT json' instead of crashing or passing silently."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import wat_metadata_source
+
+    good = (
+        b'{"Container":{"Offset":"0"},"Envelope":{'
+        b'"WARC-Header-Metadata":{"WARC-Type":"response"},'
+        b'"Payload-Metadata":{"Actual-Content-Type":"application/http",'
+        b'"HTTP-Response-Metadata":{"Headers":{"Server":"x"},'
+        b'"HTML-Metadata":{"Head":{"Title":"Example Page",'
+        b'"Metas":[{"name":"a","content":"b"}]},'
+        b'"Links":[{"path":"A@/href","url":"https://x.test/a"},'
+        b'{"path":"IMG@/src","url":"https://x.test/i.png"}]}}}}}'
+    )
+    raw = (
+        _wat_record(b"https://x.test/page", good)
+        + _wat_record(b"https://x.test/bad", b"not json {")
+    )
+    (tmp_path / "a.wat").write_bytes(raw)
+    rows = {
+        r.url: r
+        for r in wat_metadata_source(spark, f"{tmp_path}/a.wat").collect()
+    }
+    page = rows["https://x.test/page"]
+    assert page.error is None and page.title == "Example Page"
+    assert list(page.links) == ["https://x.test/a", "https://x.test/i.png"]
+    bad = rows["https://x.test/bad"]
+    assert bad.error == "bad WAT json" and bad.title is None
+
+
+def test_wat_sink_roundtrip(spark, tmp_path):
+    """wat_sink serializes (title, links) into the published envelope
+    path and wat_metadata_source reads it back value-exact — plus the
+    reader's kernel text decode covers metadata records (the WARC-level
+    application/json Content-Type, not an HTTP header)."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import (
+        wat_metadata_source,
+        wat_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("https://x.test/1", "Title One", ["https://a.test", "https://b.test"]),
+            ("https://x.test/2", "หน้าไทย", []),
+            ("https://x.test/3", None, ["https://c.test"]),
+        ],
+        "url string, title string, links array<string>",
+    )
+    out = str(tmp_path / "wat")
+    manifest = wat_sink(docs.coalesce(1), out)
+    assert sum(m["n_records"] for m in manifest) == 3
+    back = {
+        r.url: r
+        for r in wat_metadata_source(spark, f"{out}/*.warc.gz").collect()
+    }
+    assert all(r.error is None for r in back.values())
+    assert back["https://x.test/1"].title == "Title One"
+    assert list(back["https://x.test/1"].links) == [
+        "https://a.test", "https://b.test",
+    ]
+    assert back["https://x.test/2"].title == "หน้าไทย"
+    assert list(back["https://x.test/2"].links) == []
+    assert back["https://x.test/3"].title is None
