@@ -197,6 +197,147 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_out: str = "id",
+    rank_out: str = "rank",
+    damping: int = 85,
+    max_iter: int = 20,
+    tol_millionths: int = 1,
+) -> DataFrame:
+    """[EXT] PageRank over a directed link graph — the domain/page
+    quality prior corpus-curation pipelines weight by (Common Crawl
+    publishes exactly this signal per domain; with the WAT source the
+    engine can now derive the edge relation itself). Returns
+    ``(id_out, rank_out double, rank_q long)`` for every node.
+
+    BIT-DETERMINISTIC BY CONSTRUCTION: rank is carried as integer
+    micro-units (``rank_q``, 1e12 units = total mass 1), every
+    per-edge share is an integer floor-division of the source's rank
+    by its out-degree, and ``damping`` is an integer percentage — so
+    sums are order-invariant and the fixpoint is independent of
+    partitioning, scheduling, and retry (the module-wide contract;
+    float PageRank sums would drift in the last bits under AQE
+    reordering). Floor remainders and dangling-node mass land in one
+    per-iteration pot redistributed uniformly; total mass leaks at
+    most N+1 micro-units per iteration (documented, ranking-neutral).
+
+    The recurrence (integer form of the standard damped walk):
+        pot      = SCALE − Σ_edges (rank_q(src) DIV outdeg(src))
+        rank_q'  = ((100−d)·(SCALE DIV N)
+                    + d·(Σ_in contrib_q + pot DIV N)) DIV 100
+
+    Scale shape: each iteration is ONE key-shuffle join (ranks ⋈
+    out-degrees, then the pre-grouped edge relation) plus a map-side-
+    combining sum per destination and one scalar aggregate — nothing
+    quadratic; rounds are parquet-checkpointed with the ≤2-snapshot
+    lifecycle ``connected_components`` established (lineage truncation
+    + eager GC). Early exit when Σ|Δrank_q| ≤ tol_millionths·1e6
+    (exact integer test while both rounds' files exist).
+    """
+    if not 0 < damping < 100:
+        raise ValueError(f"damping must be an integer percent in (0,100), got {damping}")
+    SCALE = 10**12
+    spark = edges.sparkSession
+    base = scratch_base(spark)
+
+    def checkpoint_round(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{base}/round-{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = tracked_persist(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    )
+    outdeg = tracked_persist(
+        e.groupBy("_src").agg(F.count("*").cast("long").alias("_deg"))
+    )
+    nodes = tracked_persist(
+        e.select(F.col("_src").alias("_id"))
+        .unionByName(e.select(F.col("_dst").alias("_id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        release_these([e, outdeg, nodes])
+        fs_delete(spark, base)
+        return (
+            edges.sparkSession.createDataFrame([], f"{id_out} string")
+            .withColumn(rank_out, F.lit(0.0))
+            .withColumn("rank_q", F.lit(0).cast("long"))
+        )
+    base_q = SCALE // n
+    ranks = checkpoint_round(
+        nodes.withColumn("_rank_q", F.lit(base_q).cast("long")), 0
+    )
+    max_live_dirs = 1
+    tol_q = tol_millionths * 10**6
+    rnd = 0
+    for rnd in range(1, max_iter + 1):
+        shares = (
+            ranks.join(outdeg, ranks["_id"] == outdeg["_src"])
+            .select(
+                F.col("_src"),
+                # SQL `div` = exact integer floor division on longs —
+                # `/` is DOUBLE division whose rounding can cross the
+                # floor boundary at out-degrees past ~1/ULP(1e12)
+                F.expr("_rank_q div _deg").alias("_share_q"),
+                F.col("_deg"),
+            )
+        )
+        # Σ per-edge shares = Σ_src share·deg — computed BEFORE the
+        # edge fan-out, one narrow aggregate over |nodes-with-outlinks|
+        distributed = shares.agg(
+            F.sum(F.col("_share_q") * F.col("_deg")).alias("s")
+        ).collect()[0]["s"] or 0
+        pot_q = SCALE - int(distributed)
+        contribs = (
+            e.join(shares.select("_src", "_share_q"), "_src")
+            .groupBy("_dst")
+            .agg(F.sum("_share_q").alias("_in_q"))
+        )
+        new_ranks = checkpoint_round(
+            ranks.join(
+                contribs.select(F.col("_dst").alias("_id"), "_in_q"), "_id", "left"
+            ).select(
+                "_id",
+                F.expr(
+                    f"({(100 - damping) * base_q}L"
+                    f" + {damping}L * (coalesce(_in_q, 0L) + {pot_q // n}L))"
+                    " div 100"
+                ).alias("_rank_q"),
+            ),
+            rnd,
+        )
+        max_live_dirs = max(max_live_dirs, len(fs_list_names(spark, base)))
+        # exact integer convergence test while BOTH rounds exist
+        delta = (
+            new_ranks.join(
+                ranks.select("_id", F.col("_rank_q").alias("_old_q")), "_id"
+            )
+            .agg(F.sum(F.abs(F.col("_rank_q") - F.col("_old_q"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        fs_delete(spark, f"{base}/round-{rnd - 1}")
+        ranks = new_ranks
+        if delta is not None and int(delta) <= tol_q:
+            break
+
+    release_these([e, outdeg, nodes])
+    tracked_scratch_dir(spark, base)
+    last_run_stats.clear()
+    last_run_stats.update(
+        {"rounds": rnd, "max_live_round_dirs": max_live_dirs, "scratch_dir": base}
+    )
+    return ranks.select(
+        F.col("_id").alias(id_out),
+        (F.col("_rank_q").cast("double") / F.lit(float(SCALE))).alias(rank_out),
+        F.col("_rank_q").alias("rank_q"),
+    )
+
+
 def component_survivors(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -4411,6 +4411,45 @@ def wat_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register("link_graph_pagerank", None)
+def link_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PageRank over a link graph (operators/graph.py pagerank —
+    round 10): the domain/page quality prior curation pipelines weight
+    by (Common Crawl publishes exactly this per-domain signal; the WAT
+    source yields the (url, links) edge relation this consumes).
+    Synthesizes a deterministic link structure over the documents
+    table — every doc links to two successors plus every 37th doc
+    hub-links to doc 0 — and returns the top-20 pages by rank.
+    Rows-only: iterative checkpointed loop; rank_q is BIT-exact by
+    integer construction (pinned against a pure-Python replica of the
+    same recurrence in tests/test_graph.py, plus float-PageRank
+    agreement and partition invariance)."""
+    from .operators.graph import pagerank
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    fwd1 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % 500).alias("dst")
+    )
+    fwd2 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") + 1) % 500).alias("dst")
+    )
+    hub = d.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    edges = fwd1.unionByName(fwd2).unionByName(hub).filter(
+        F.col("src") != F.col("dst")
+    )
+    ranks = pagerank(edges, max_iter=15)
+    out = ranks.orderBy(F.col("rank_q").desc(), F.col("id").asc()).limit(20)
+    # materialize before release: the checkpoint parquet backing the
+    # result is reclaimed by the caller's release_caches()
+    res = spark.createDataFrame(out.collect(), out.schema)
+    from .caching import release_caches
+
+    release_caches()
+    return res
+
+
 def _reorder_registry() -> None:
     oracle = {k: v for k, v in QUERIES.items() if v.sql is not None}
     rows_only = {k: v for k, v in QUERIES.items() if v.sql is None}

@@ -207,3 +207,104 @@ def test_checkpoint_gc_bounded_and_reclaimed(spark):
     release_caches()
     assert live_scratch_count() == 0
     assert not os.path.exists(stats["scratch_dir"])
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _pagerank_reference(edges, damping=85, max_iter=20, tol_millionths=1):
+    """Pure-Python replica of the operator's EXACT integer recurrence
+    (same SCALE, same floor divisions, same pot) — equality is
+    bit-exact, not approximate."""
+    SCALE = 10**12
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    dedup = sorted(set(edges))
+    for s, _ in dedup:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base_q = SCALE // n
+    rank = {v: base_q for v in nodes}
+    tol_q = tol_millionths * 10**6
+    for _ in range(max_iter):
+        share = {v: rank[v] // outdeg[v] for v in outdeg}
+        distributed = sum(share[s] for s, _ in dedup)
+        pot = SCALE - distributed
+        incoming = {v: 0 for v in nodes}
+        for s, d in dedup:
+            incoming[d] += share[s]
+        new = {
+            v: ((100 - 85) * base_q + 85 * (incoming[v] + pot // n)) // 100
+            for v in nodes
+        }
+        delta = sum(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if delta <= tol_q:
+            break
+    return rank
+
+
+def test_pagerank_matches_integer_reference_exactly(spark):
+    """The operator's integer recurrence replicated in pure Python —
+    rank_q must match BIT-EXACTLY (the determinism contract), on a
+    graph with a hub, a cycle, and a dangling node."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),        # cycle
+        (4, 1), (5, 1), (6, 1),        # hub in-links
+        (1, 7),                         # 7 is dangling (no out-links)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.rank_q for r in pagerank(df).collect()}
+    release_caches()
+    want = _pagerank_reference(edges)
+    assert got == want
+    # sanity on the shape: the cycle+hub node 1 outranks everything
+    assert max(want, key=want.get) == 1
+
+
+def test_pagerank_partition_invariant_and_mass_bounded(spark):
+    """Same ranks from 1 and 7 input partitions (integer sums are
+    order-invariant), and total mass stays within the documented
+    N+1-micro-unit-per-iteration leak of 1.0."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    edges = [(i, (i * 7 + 1) % 23) for i in range(23)] + [
+        (i, (i + 1) % 23) for i in range(0, 23, 3)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = sorted(map(tuple, pagerank(df.repartition(1)).collect()))
+    release_caches()
+    b = sorted(map(tuple, pagerank(df.repartition(7)).collect()))
+    release_caches()
+    assert a == b
+    total = sum(r[2] for r in a)
+    n, iters = 23, 20
+    assert 10**12 - (n + 1) * iters <= total <= 10**12
+
+
+def test_pagerank_agrees_with_float_pagerank(spark):
+    """The integer form approximates the textbook damped walk: compare
+    against a float reference (same damping, dangling redistribution)
+    within 1e-6 of mass on every node."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.rank for r in pagerank(df, max_iter=50).collect()}
+    release_caches()
+    nodes = [1, 2, 3, 4]
+    outdeg = {1: 2, 2: 1, 3: 1, 4: 1}
+    rank = {v: 0.25 for v in nodes}
+    for _ in range(200):
+        pot = 1.0 - sum(rank[s] for s in outdeg)  # = 0: no dangling here
+        inc = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            inc[d] += rank[s] / outdeg[s]
+        rank = {v: 0.15 * 0.25 + 0.85 * (inc[v] + pot / 4) for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
