@@ -557,9 +557,15 @@ def _load_documents(spark, path: str, fmt: str, extract_main: bool = False):
             # isfile/glob/open can't resolve it — route through
             # Spark's binaryFile source, which speaks any Hadoop FS
             via = "binaryFile"
-            if any(ch in path for ch in "*?[") or ".warc" in os.path.basename(
-                path
-            ):
+            # A scheme path is a single file iff it has an explicit
+            # glob or ends with a known archive extension — a basename
+            # substring test misroutes s3://b/dump.gz (single file, no
+            # '.warc') and s3://b/x.warc.d/ (a directory).
+            base = os.path.basename(path.rstrip("/"))
+            is_file_like = not path.endswith("/") and base.endswith(
+                (".warc", ".wet", ".wat", ".gz", ".arc")
+            )
+            if any(ch in path for ch in "*?[") or is_file_like:
                 pattern = path
             else:
                 pattern = path.rstrip("/") + "/*.warc*"

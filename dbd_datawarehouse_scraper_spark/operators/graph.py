@@ -263,8 +263,13 @@ def pagerank(
     if n == 0:
         release_these([e, outdeg, nodes])
         fs_delete(spark, base)
+        # Empty result must carry the INPUT's id type (bigint edges →
+        # bigint ids), not a hardcoded string — otherwise unions/joins
+        # against the non-empty-case schema break only when the edge
+        # relation happens to be empty.
         return (
-            edges.sparkSession.createDataFrame([], f"{id_out} string")
+            edges.select(F.col(src).alias(id_out))
+            .limit(0)
             .withColumn(rank_out, F.lit(0.0))
             .withColumn("rank_q", F.lit(0).cast("long"))
         )

@@ -143,11 +143,21 @@ def write_minimal_xlsx(
     exists so the excel ingestion path can be driven end-to-end from
     oracle queries and tests without an Excel engine installed."""
     import zipfile
-    from xml.sax.saxutils import escape
+    from xml.sax.saxutils import escape, quoteattr
+
+    def col_letters(ci: int) -> str:
+        # proper base-26 bijective numeration — chr(65+ci) produces
+        # invalid refs ('[', '\\') past column Z
+        out = ""
+        ci += 1
+        while ci:
+            ci, rem = divmod(ci - 1, 26)
+            out = chr(65 + rem) + out
+        return out
 
     def row_xml(rn: int, values: list[str | None]) -> str:
         cells = "".join(
-            f'<c r="{chr(65 + ci)}{rn}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
+            f'<c r="{col_letters(ci)}{rn}" t="inlineStr"><is><t>{escape(v)}</t></is></c>'
             for ci, v in enumerate(values)
             if v is not None
         )
@@ -182,7 +192,7 @@ def write_minimal_xlsx(
         zf.writestr(
             "xl/workbook.xml",
             f'<?xml version="1.0"?><workbook xmlns="{ns}" xmlns:r="{rel_ns}">'
-            f'<sheets><sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>',
+            f"<sheets><sheet name={quoteattr(sheet)} sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>",
         )
         zf.writestr(
             "xl/_rels/workbook.xml.rels",

@@ -792,6 +792,14 @@ def wat_metadata_source(
                 parsed.getField("_corrupt").isNotNull(),
                 F.lit("bad WAT json"),
             ),
+            # text NULL means the record's Content-Type never matched a
+            # textual marker, so from_json saw NULL and _corrupt stayed
+            # null — without this leg such records would pass as 'good'
+            # empty rows (title NULL, links []) instead of quarantining
+            F.when(
+                F.col("text").isNull(),
+                F.lit("non-textual metadata payload"),
+            ),
         ).alias("error"),
     )
 

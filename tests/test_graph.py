@@ -234,7 +234,8 @@ def _pagerank_reference(edges, damping=85, max_iter=20, tol_millionths=1):
         for s, d in dedup:
             incoming[d] += share[s]
         new = {
-            v: ((100 - 85) * base_q + 85 * (incoming[v] + pot // n)) // 100
+            v: ((100 - damping) * base_q + damping * (incoming[v] + pot // n))
+            // 100
             for v in nodes
         }
         delta = sum(abs(new[v] - rank[v]) for v in nodes)
@@ -308,3 +309,41 @@ def test_pagerank_agrees_with_float_pagerank(spark):
         rank = {v: 0.15 * 0.25 + 0.85 * (inc[v] + pot / 4) for v in nodes}
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-6, (v, got[v], rank[v])
+
+
+def test_pagerank_nondefault_damping_bit_exact(spark):
+    """damping=60 must flow through both the operator AND the pure
+    reference (the reference used to hardcode 85, so this pin could
+    never catch a damping bug). Distinct from damping=85's fixpoint."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.rank_q for r in pagerank(df, damping=60).collect()}
+    release_caches()
+    want = _pagerank_reference(edges, damping=60)
+    assert got == want
+    assert want != _pagerank_reference(edges, damping=85)
+
+
+def test_pagerank_empty_graph_keeps_input_id_type(spark):
+    """Empty edge relation → empty result whose id column carries the
+    INPUT type (bigint here), so unions with the non-empty case don't
+    break only when a shard happens to be empty."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank(empty)
+    release_caches()
+    assert out.count() == 0
+    fields = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert fields == {"id": "bigint", "rank": "double", "rank_q": "bigint"}
+    # and string edges keep string ids
+    empty_s = spark.createDataFrame([], "src string, dst string")
+    out_s = pagerank(empty_s)
+    release_caches()
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in out_s.schema.fields
+    )["id"] == "string"

@@ -803,3 +803,30 @@ def test_epoch_fold_crash_windows_recover(spark):
     assert rows_of(store) == expect
     assert not os.path.exists(f"{store}.__fold_old__")
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_write_minimal_xlsx_wide_and_escaped_sheet(workdir):
+    """Past column Z, cell refs must be bijective base-26 (AA, AB, …) —
+    chr(65+ci) produced invalid refs ('[') at column 27 — and a sheet
+    name with XML-special characters must be attribute-escaped."""
+    from dbd_datawarehouse_scraper_spark.sources.files import (
+        _read_xlsx_minimal,
+        write_minimal_xlsx,
+    )
+
+    header = [f"col{i}" for i in range(30)]
+    row = [f"v{i}" for i in range(30)]
+    path = f"{workdir}/wide.xlsx"
+    sheet = 'A&B "quoted" <sheet>'
+    write_minimal_xlsx(path, header, [row], sheet=sheet)
+    pdf = _read_xlsx_minimal(path, sheet)
+    assert list(pdf.columns) == header
+    assert pdf.iloc[0].tolist() == row
+    # column-letter function itself: Z→AA boundary and two-letter refs
+    import re
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        xml = zf.read("xl/worksheets/sheet1.xml").decode()
+    refs = re.findall(r'<c r="([A-Z]+)1"', xml)
+    assert refs[25] == "Z" and refs[26] == "AA" and refs[29] == "AD"

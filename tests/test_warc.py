@@ -790,3 +790,41 @@ def test_wat_sink_roundtrip(spark, tmp_path):
     assert back["https://x.test/2"].title == "หน้าไทย"
     assert list(back["https://x.test/2"].links) == []
     assert back["https://x.test/3"].title is None
+
+
+def test_wat_non_textual_metadata_quarantines(spark, tmp_path):
+    """A metadata record whose Content-Type is missing or non-textual
+    never reaches from_json (text stays NULL, _corrupt stays null) —
+    it must quarantine as 'non-textual metadata payload', not pass as
+    a 'good' empty row with title NULL / links [] (ADVICE r10)."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import wat_metadata_source
+
+    def rec(url: bytes, ct: bytes | None, body: bytes) -> bytes:
+        ct_line = b"Content-Type: " + ct + b"\r\n" if ct is not None else b""
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n"
+            b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000bb>\r\n"
+            b"WARC-Date: 2000-01-01T00:00:00Z\r\n"
+            b"WARC-Target-URI: " + url + b"\r\n" + ct_line +
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body + b"\r\n\r\n"
+        )
+
+    good = b'{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"T"},"Links":[]}}}}}'
+    raw = (
+        rec(b"https://x.test/ok", b"application/json", good)
+        + rec(b"https://x.test/bin", b"application/octet-stream", b"\x00\x01")
+        + rec(b"https://x.test/noct", None, good)
+    )
+    (tmp_path / "q.wat").write_bytes(raw)
+    rows = {
+        r.url: r
+        for r in wat_metadata_source(spark, f"{tmp_path}/q.wat").collect()
+    }
+    assert rows["https://x.test/ok"].error is None
+    assert rows["https://x.test/ok"].title == "T"
+    assert rows["https://x.test/bin"].error == "non-textual metadata payload"
+    assert rows["https://x.test/noct"].error == "non-textual metadata payload"
+    # quarantined rows carry no phantom 'good' metadata
+    assert rows["https://x.test/bin"].title is None
