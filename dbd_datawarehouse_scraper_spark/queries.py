@@ -4200,12 +4200,22 @@ def thai_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm25_search",
     """
-    WITH docs AS (SELECT doc_id, text FROM documents),
+    WITH base AS (
+      SELECT doc_id, list_filter(
+               str_split_regex(trim(text), '\\s+'), w -> w != '') AS toks
+      FROM documents),
+    docs AS (
+      SELECT doc_id, array_to_string(list_concat(toks,
+               list_transform(toks,
+                 w -> w || '_' || CAST(doc_id % 97 AS VARCHAR))), ' ') AS text
+      FROM base),
     queries AS (
       SELECT doc_id AS query_id,
              array_to_string(list_slice(
-               str_split_regex(trim(text), '\\s+'), 2, 5), ' ') AS query
-      FROM documents WHERE doc_id % 100 = 19),
+               list_transform(toks,
+                 w -> w || '_' || CAST(doc_id % 97 AS VARCHAR)), 2, 5), ' ')
+               AS query
+      FROM base WHERE doc_id % 100 = 19),
     toks AS (
       SELECT doc_id, unnest(list_filter(
                str_split_regex(trim(text), '\\s+'), w -> w != '')) AS token
@@ -4223,7 +4233,8 @@ def thai_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / (CAST(tf.tf AS DOUBLE)
                      + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / (_tot / _nd))))
                * 1e6) AS BIGINT) AS score_q
-      FROM tf JOIN dl USING (doc_id) JOIN df USING (token), nd, tot),
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (token), nd, tot
+      WHERE CAST(df.df AS DOUBLE) <= 0.5 * _nd),
     qt AS (
       SELECT DISTINCT query_id,
              unnest(list_filter(
@@ -4243,34 +4254,49 @@ def thai_segmentation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] BM25 lexical search (operators/retrieval.py:49) promoted
-    to an oracle row in round 10 (the judge's rotation ask — its
-    mirror previously lived only in tests/test_retrieval.py, outside
-    the driver's hard signal). Every 100th document's tokens 2-5 form
-    its query; top-10 docs per query under Robertson BM25 with the
-    Lucene defaults k1=1.2, b=0.75, distinct-query-term (qtf=1) form,
-    term contributions quantized to bigints at 1e-6 BEFORE the
-    per-(query, doc) sum so scores and ranks are cross-engine exact
-    (doc-id tiebreak). Textbook form (max_df_frac=None) here: the
-    synthetic documents table has a 31-token vocabulary where nearly
-    every token saturates >50% of docs, so the stop-term guard would
-    empty the result — the guard itself stays pinned by
-    tests/test_retrieval.py and exercised by `hybrid_retrieval`.
-    Reference analog: the candidate-ranking semantics of
-    scraper_v2.py:1045-1059.
+    to an oracle row in round 10, and since round 11 running the
+    GUARDED scale plan (`max_df_frac=0.5` active) against the oracle:
+    the synthetic documents table's 31-token vocabulary saturates the
+    stop-term guard, so the corpus is expanded deterministically
+    in-query — every doc keeps its original tokens (df-saturating →
+    dropped by the guard, exactly as real stop words would be) plus a
+    rare suffixed copy of each (`token_<doc_id%97>`, df ≈ N/97 →
+    kept), giving ~3k distinct tokens. Every 100th document's rare
+    tokens 2-5 form its query, so the guarded inverted join produces
+    real hits and the DuckDB mirror reproduces the df cutoff
+    (`df <= 0.5·N`) exactly. Top-10 docs per query under Robertson
+    BM25 with the Lucene defaults k1=1.2, b=0.75, distinct-query-term
+    (qtf=1) form, term contributions quantized to bigints at 1e-6
+    BEFORE the per-(query, doc) sum so scores and ranks are
+    cross-engine exact (doc-id tiebreak). Reference analog: the
+    candidate-ranking semantics of scraper_v2.py:1045-1059.
 
     Plan: inverted term join — the query side is tiny and broadcast;
     the corpus term relation is built with one explode + map-side
-    combined groupBys and never shuffles for the join."""
+    combined groupBys, semi-join-prefiltered to query terms, and
+    never shuffles for the join. Guard + prefilter are both in the
+    timed plan (the plan that runs at 100 TB)."""
     from .operators.retrieval import bm25_search
 
-    docs = t(spark, sf_dir, "documents")
-    queries = docs.filter(F.col("doc_id") % 100 == 19).select(
-        F.col("doc_id").alias("query_id"),
-        F.concat_ws(
-            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 2, 4)
-        ).alias("query"),
+    base = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
     )
-    return bm25_search(docs, queries, topk=10, max_df_frac=None, persist=False)
+    rare = F.transform(
+        base,
+        lambda w: F.concat(
+            w, F.lit("_"), (F.col("doc_id") % 97).cast("string")
+        ),
+    )
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.concat(base, rare)).alias("text"),
+    )
+    queries = d.filter(F.col("doc_id") % 100 == 19).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(rare, 2, 4)).alias("query"),
+    )
+    return bm25_search(docs, queries, topk=10, max_df_frac=0.5, persist=False)
 
 
 @register("hybrid_retrieval", None)
