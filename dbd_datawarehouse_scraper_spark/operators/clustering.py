@@ -347,7 +347,9 @@ def semantic_dedup(
         assigned.join(F.broadcast(sizes), "cluster")
         .withColumn(
             "_n_sub",
-            F.ceil(F.col("_c_n") / F.lit(float(max_cluster_size))).cast("int"),
+            # long, not int: the sub-split count is bounded by |c| and
+            # an INT cast would be ANSI-fatal on pathological clusters
+            F.ceil(F.col("_c_n") / F.lit(float(max_cluster_size))).cast("long"),
         )
         .withColumn(
             "_sub",
@@ -650,12 +652,16 @@ def cluster_balanced_sample(
     totals = sizes.agg(F.sum("_c_n").alias("_total"))
     rates = sizes.crossJoin(F.broadcast(totals)).select(
         cluster_col,
+        # least() BEFORE the narrow cast: a tiny cluster in a huge
+        # corpus makes ceil(share·BP·total/|c|) exceed INT range, and
+        # under ANSI mode the cast is fatal (round-11 per_domain_cap
+        # finding — same pattern)
         F.least(
-            F.lit(_BP),
-            F.ceil(F.lit(max_share * _BP) * F.col("_total") / F.col("_c_n")).cast(
-                "int"
-            ),
-        ).alias("_rate_bp"),
+            F.lit(_BP).cast("long"),
+            F.ceil(F.lit(max_share * _BP) * F.col("_total") / F.col("_c_n")),
+        )
+        .cast("int")
+        .alias("_rate_bp"),
     )
     bucket = (
         F.conv(

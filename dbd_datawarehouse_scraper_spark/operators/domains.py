@@ -350,22 +350,27 @@ def per_domain_cap(
         aggs.append(F.sum(F.col(token_col).cast("long")).alias("_d_tok"))
     sizes = docs.groupBy(key.alias(domain_col)).agg(*aggs)
 
+    # clamp BEFORE narrowing: ceil(BP·cap/measure) exceeds INT range
+    # whenever cap/measure > ~2^31/BP (a generous token cap over a
+    # small domain), and under ANSI mode (Spark 4 default) the cast is
+    # FATAL, not wrapping — least() first, then the narrow cast is safe
+    # because the clamped value is <= BP
     rates = []
     if max_docs is not None:
         rates.append(
             F.least(
-                F.lit(_BP),
-                F.ceil(F.lit(_BP * max_docs) / F.col("_d_n")).cast("int"),
-            )
+                F.lit(_BP).cast("long"),
+                F.ceil(F.lit(_BP * max_docs) / F.col("_d_n")),
+            ).cast("int")
         )
     if max_tokens is not None:
         rates.append(
             F.least(
-                F.lit(_BP),
+                F.lit(_BP).cast("long"),
                 F.ceil(
                     F.lit(_BP * max_tokens) / F.greatest(F.col("_d_tok"), F.lit(1))
-                ).cast("int"),
-            )
+                ),
+            ).cast("int")
         )
     # Null-safe key: groupBy keeps a NULL-domain group, but a plain
     # equi-join would never match it back, silently dropping every

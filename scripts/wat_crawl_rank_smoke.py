@@ -237,6 +237,7 @@ def main() -> None:
     capped = per_domain_cap(
         survivors.withColumn("n_chars", F.length("title")),
         domain_col="domain",
+        id_col="url",
         max_docs=20,
         max_tokens=10**9,
         token_col="n_chars",

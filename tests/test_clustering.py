@@ -528,3 +528,14 @@ def test_centers_save_load_roundtrip_bit_exact(spark, two_blobs, tmp_path):
         empty = str(tmp_path / "empty")
         spark.createDataFrame([], "idx INT, center ARRAY<DOUBLE>").write.parquet(empty)
         load_centers(spark, empty)
+
+
+def test_cluster_balanced_sample_tiny_cluster_no_ansi_overflow(spark):
+    """One tiny cluster inside a large corpus drives
+    ceil(share*BP*total/|c|) past INT range; the rate must clamp to BP
+    before the narrow cast (same ANSI CAST_OVERFLOW class as
+    per_domain_cap, round 11). The tiny cluster keeps all its rows."""
+    rows = [(i, 0) for i in range(3_000_000)] + [(9_000_000, 1)]
+    d = spark.createDataFrame(rows, ["vec_id", "cluster"])
+    out = cluster_balanced_sample(d, max_share=0.9)
+    assert out.filter(F.col("cluster") == 1).count() == 1

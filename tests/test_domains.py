@@ -464,3 +464,16 @@ def test_cli_domain_quality_filter_mode(spark, tmp_path, capsys):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {0, 1, 2}  # subdomains of noise.com share the verdict
     assert "3 dropped with their domains" in capsys.readouterr().out
+
+
+def test_per_domain_cap_huge_cap_no_ansi_overflow(spark):
+    """A generous cap over a small domain makes ceil(BP*cap/measure)
+    exceed INT range; the rate must clamp to BP BEFORE the narrow cast
+    (ANSI mode makes the old post-least cast fatal: CAST_OVERFLOW on
+    46511627907L — the round-11 WAT smoke finding). Every row is under
+    cap, so everything is kept."""
+    docs = _cap_df(spark)
+    out = per_domain_cap(
+        docs, max_docs=10**7, max_tokens=10**12, token_col="n_tokens"
+    )
+    assert out.count() == docs.count()
