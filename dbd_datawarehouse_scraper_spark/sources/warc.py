@@ -60,7 +60,11 @@ _CRLF = b"\r\n"
 _RESYNC_LINE_CAP = 100_000  # bounded scan-forward after a corrupt record
 _LINE_CAP = 1 << 20  # longest header/version line read at once — a
 # corrupt binary region with no LF must not buffer unboundedly
-_EMIT_BATCH_ROWS = 256
+# rows bound is for SMALL records (WAT metadata ~400 B: 256-row
+# batches meant ~100 KB Arrow round-trips, measured +28%/core at 8192);
+# the BYTE bound is the executor-memory guard and flushes payload-heavy
+# WET/WARC batches long before the row bound
+_EMIT_BATCH_ROWS = 8192
 _EMIT_BATCH_BYTES = 32 << 20
 
 WARC_SCHEMA = T.StructType(
