@@ -21,3 +21,11 @@ from .substrings import stream_substring_dedup  # noqa: F401
 from .image_dedup import stream_image_dedup  # noqa: F401
 from .sharding import stream_pack_shards  # noqa: F401
 from .export import stream_export_training_set  # noqa: F401
+from .link_graph import (  # noqa: F401
+    current_ranks,
+    link_graph_epoch,
+    page_link_edges,
+    refresh_ranks,
+    stored_edges,
+    stream_link_graph,
+)

@@ -1,0 +1,156 @@
+"""Incremental link-graph epoch store (streaming/link_graph.py):
+cross-epoch edge striking, replay idempotence, reset-ahead refusal,
+rank refresh equal to batch PageRank over the union, commit-marker
+discipline, and the foreachBatch wrapper end-to-end."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbd_datawarehouse_scraper_spark.caching import release_caches
+from dbd_datawarehouse_scraper_spark.streaming import file_stream
+from dbd_datawarehouse_scraper_spark.streaming.link_graph import (
+    current_ranks,
+    link_graph_epoch,
+    page_link_edges,
+    refresh_ranks,
+    stored_edges,
+    stream_link_graph,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_epoch_striking_and_stored_union(spark):
+    work = tempfile.mkdtemp(prefix="lg_") + "/store"
+    e0 = [("a", "b"), ("b", "c"), ("a", "b")]          # dup inside epoch
+    e1 = [("a", "b"), ("c", "d"), ("c", None), ("x", "x")]  # seen + junk
+    s0 = link_graph_epoch(spark, _edges(spark, e0), 0, work)
+    assert s0 == {"n_batch_edges": 2, "n_new_edges": 2}
+    s1 = link_graph_epoch(spark, _edges(spark, e1), 1, work)
+    # null dst and self-loop dropped pre-count; (a,b) struck vs history
+    assert s1 == {"n_batch_edges": 2, "n_new_edges": 1}
+    got = sorted(
+        (r["src"], r["dst"]) for r in stored_edges(spark, work).collect()
+    )
+    assert got == [("a", "b"), ("b", "c"), ("c", "d")]
+
+
+def test_replay_idempotent(spark):
+    work = tempfile.mkdtemp(prefix="lg_replay_") + "/store"
+    link_graph_epoch(spark, _edges(spark, [("a", "b")]), 0, work)
+    link_graph_epoch(spark, _edges(spark, [("b", "c"), ("a", "b")]), 1, work)
+    before = sorted(map(tuple, stored_edges(spark, work).collect()))
+    # replay of the max epoch (the only legitimate replay) rewrites
+    # its own dir with identical content
+    link_graph_epoch(spark, _edges(spark, [("b", "c"), ("a", "b")]), 1, work)
+    after = sorted(map(tuple, stored_edges(spark, work).collect()))
+    assert before == after == [("a", "b"), ("b", "c")]
+
+
+def test_reset_ahead_refusal_and_missing_marker(spark):
+    work = tempfile.mkdtemp(prefix="lg_reset_") + "/store"
+    link_graph_epoch(spark, _edges(spark, [("a", "b")]), 5, work)
+    with pytest.raises(ValueError, match="above the current epoch"):
+        link_graph_epoch(spark, _edges(spark, [("c", "d")]), 1, work)
+    # a store dir without a format marker refuses instead of guessing
+    import os
+
+    bare = tempfile.mkdtemp(prefix="lg_bare_") + "/store"
+    os.makedirs(f"{bare}/edges/epoch=0")
+    with pytest.raises(ValueError, match="no format marker"):
+        link_graph_epoch(spark, _edges(spark, [("a", "b")]), 1, bare)
+    with pytest.raises(ValueError, match="missing format marker"):
+        stored_edges(spark, bare)
+
+
+def test_refresh_ranks_matches_batch_pagerank(spark):
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    work = tempfile.mkdtemp(prefix="lg_rank_") + "/store"
+    e0 = [("a", "b"), ("b", "c"), ("c", "a")]
+    e1 = [("d", "a"), ("e", "a"), ("a", "f")]
+    link_graph_epoch(spark, _edges(spark, e0), 0, work)
+    link_graph_epoch(spark, _edges(spark, e1), 1, work)
+    with pytest.raises(ValueError, match="refresh_ranks first"):
+        current_ranks(spark, work)
+    meta = refresh_ranks(spark, work, max_iter=12)
+    assert meta["as_of_epoch"] == 1 and meta["n_edges"] == 6
+    assert meta["n_nodes"] == 6 and meta["damping"] == 85
+
+    ranks, meta2 = current_ranks(spark, work)
+    assert meta2 == meta
+    got = {r["id"]: r["rank_q"] for r in ranks.collect()}
+    want_df = pagerank(_edges(spark, e0 + e1), max_iter=12)
+    want = {r["id"]: r["rank_q"] for r in want_df.collect()}
+    release_caches()
+    assert got == want  # bit-exact: refresh IS the batch rank
+
+
+def test_page_link_edges_by_domain_and_url(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.test/p/1",
+                ["https://b.test/x", "HTTPS://a.test/self", "https://c.test/"],
+            )
+        ],
+        "url string, links array<string>",
+    )
+    dom = sorted(
+        map(tuple, page_link_edges(pages).collect())
+    )
+    # host-keyed; scheme case does not leak into the host key
+    assert dom == [("a.test", "a.test"), ("a.test", "b.test"), ("a.test", "c.test")]
+    by_url = sorted(map(tuple, page_link_edges(pages, by_domain=False).collect()))
+    assert by_url[0] == ("https://a.test/p/1", "HTTPS://a.test/self")
+
+
+def test_stream_wrapper_two_epochs_strike(spark):
+    work = tempfile.mkdtemp(prefix="lg_stream_")
+    src, store, ckpt = f"{work}/src", f"{work}/store", f"{work}/ckpt"
+    schema = "url string, links array<string>"
+    p1 = spark.createDataFrame(
+        [("https://a.test/1", ["https://b.test/x", "https://c.test/y"])],
+        schema,
+    )
+    p2 = spark.createDataFrame(
+        [("https://a.test/2", ["https://b.test/z", "https://d.test/w"])],
+        schema,
+    )
+    p1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_link_graph(
+        file_stream(spark, src, p1.schema, max_files_per_trigger=1),
+        store, ckpt,
+    )
+    assert q.awaitTermination(180)
+    p2.coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_link_graph(
+        file_stream(spark, src, p1.schema, max_files_per_trigger=1),
+        store, ckpt,
+    )
+    assert q2.awaitTermination(180)
+    got = sorted(map(tuple, stored_edges(spark, store).collect()))
+    # (a.test, b.test) arrived in both epochs but is stored ONCE
+    assert got == [
+        ("a.test", "b.test"),
+        ("a.test", "c.test"),
+        ("a.test", "d.test"),
+    ]
+    e1 = sorted(
+        map(tuple, spark.read.parquet(f"{store}/edges/epoch=1").collect())
+    )
+    assert e1 == [("a.test", "d.test")]  # the dup edge was struck
+
+
+def test_refresh_on_empty_store_is_empty_not_crash(spark):
+    work = tempfile.mkdtemp(prefix="lg_empty_") + "/store"
+    link_graph_epoch(spark, _edges(spark, []), 0, work)
+    meta = refresh_ranks(spark, work, max_iter=3)
+    assert meta["n_edges"] == 0 and meta["n_nodes"] == 0
+    ranks, _ = current_ranks(spark, work)
+    assert ranks.count() == 0
+    release_caches()
