@@ -34,6 +34,11 @@ Phases, each timed:
 6. rank   — integer PageRank over the domain graph (10 rounds)
 7. gate   — broadcast rank join back onto the page relation, keep
             pages on above-median-rank domains, then per_domain_cap
+8. stream — the same corpus as 10 streamed epochs through the
+            incremental link-graph store (cross-epoch edge striking),
+            then refresh_ranks: stored edges must equal the batch
+            edge count and the refreshed ranks must be BIT-EQUAL to
+            phase 6's batch PageRank (lambda consistency at scale)
 
 Run:  SPARK_GRAFT_DRIVER_MEM=48g python scripts/wat_crawl_rank_smoke.py
 Emits ONE JSON line with per-phase seconds and counts.
@@ -260,9 +265,61 @@ def main() -> None:
     out["n_after_domain_cap"] = capped.count()
     out["gate_s"] = round(time.time() - t0, 1)
 
+    # 8. incremental store: the SAME corpus ingested as 10 streamed
+    # epochs through the link-graph epoch store (streaming/link_graph),
+    # then a rank refresh that must be BIT-EQUAL to phase 6's batch
+    # rank — the lambda-architecture consistency check at full scale
+    t0 = time.time()
+    from dbd_datawarehouse_scraper_spark.streaming import file_stream
+    from dbd_datawarehouse_scraper_spark.streaming.link_graph import (
+        refresh_ranks,
+        stored_edges,
+        stream_link_graph,
+    )
+
+    good.select("url", "links").repartition(10).write.mode(
+        "overwrite"
+    ).parquet(f"{WORK}/pages_stream")
+    stream = file_stream(
+        spark,
+        f"{WORK}/pages_stream",
+        spark.read.parquet(f"{WORK}/pages_stream").schema,
+        max_files_per_trigger=1,
+    )
+    q = stream_link_graph(
+        stream, f"{WORK}/lgstore", f"{WORK}/lgckpt"
+    )
+    assert q.awaitTermination(600)
+    out["stream_ingest_s"] = round(time.time() - t0, 1)
+    n_stored = stored_edges(spark, f"{WORK}/lgstore").count()
+    out["stream_edges_match_batch"] = bool(n_stored == out["n_edges"])
+    out["n_stream_edges"] = n_stored
+
+    t0 = time.time()
+    meta = refresh_ranks(spark, f"{WORK}/lgstore", max_iter=10)
+    out["stream_rank_refresh_s"] = round(time.time() - t0, 1)
+    batch_ranks = spark.read.parquet(f"{WORK}/ranks").select(
+        "id", F.col("rank_q").alias("batch_q")
+    )
+    inc_ranks = spark.read.parquet(f"{WORK}/lgstore/ranks/data").select(
+        "id", F.col("rank_q").alias("inc_q")
+    )
+    mism = (
+        batch_ranks.join(inc_ranks, "id", "full")
+        .filter(
+            F.col("batch_q").isNull()
+            | F.col("inc_q").isNull()
+            | (F.col("batch_q") != F.col("inc_q"))
+        )
+        .count()
+    )
+    out["stream_rank_bit_equal"] = bool(mism == 0)
+    out["stream_rank_meta"] = meta
+
     out["total_s"] = round(
         out["gen_s"] + out["write_s"] + out["read_s"] + out["materialize_s"]
-        + out["edges_s"] + out["rank_s"] + out["gate_s"], 1
+        + out["edges_s"] + out["rank_s"] + out["gate_s"]
+        + out["stream_ingest_s"] + out["stream_rank_refresh_s"], 1
     )
     print(json.dumps(out, ensure_ascii=False))
     shutil.rmtree(WORK, ignore_errors=True)
