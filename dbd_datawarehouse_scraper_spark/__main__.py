@@ -199,6 +199,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "trigger); rerun to pick up new files — state "
                         "and checkpoint under --stream-state make it "
                         "resume/replay-safe")
+    p.add_argument("--stream-link-graph", action="store_true",
+                   help="Run the INCREMENTAL link-graph ingest: watch "
+                        "--input (WAT metadata archives with "
+                        "--input-format wat, or a parquet dir of "
+                        "(url, links) pages) as a file stream, strike "
+                        "each epoch's (src, dst) edges against the "
+                        "store at --output, then exit (availableNow); "
+                        "rerun to pick up new archives — the store "
+                        "and checkpoint make it resume/replay-safe")
+    p.add_argument("--link-by-url", action="store_true",
+                   help="Key link-graph edges by full URL instead of "
+                        "host (default: host — the Common Crawl "
+                        "domain-rank granularity)")
+    p.add_argument("--refresh-link-ranks", action="store_true",
+                   help="After --stream-link-graph ingest (or alone, "
+                        "as a maintenance mode): recompute PageRank "
+                        "over the committed store at --output and "
+                        "commit it under <store>/ranks")
+    p.add_argument("--link-rank-iters", type=int, default=20,
+                   help="PageRank iterations for --refresh-link-ranks")
     p.add_argument("--optimize-output", type=str, default=None,
                    help="Maintenance mode: compact (and optionally "
                         "Z-order) the given parquet directory in place, "
@@ -253,7 +273,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-doc-tokens", type=int, default=None,
                    help="Curation token-count floor (default: 5)")
     p.add_argument("--input-format", type=str, default="parquet",
-                   choices=("parquet", "jsonl", "wet", "warc"),
+                   choices=("parquet", "jsonl", "wet", "warc", "wat"),
                    help="How --export-training-set / --gate-report / "
                         "--stream-export read "
                         "their documents input: parquet (default), "
@@ -609,7 +629,8 @@ def _load_documents(spark, path: str, fmt: str, extract_main: bool = False):
 
         return docs, finalize
     raise ValueError(
-        f"unknown --input-format {fmt!r} (valid: parquet, jsonl, wet, warc)"
+        f"--input-format {fmt!r} is not a documents format (valid here: "
+        "parquet, jsonl, wet, warc; 'wat' feeds --stream-link-graph only)"
     )
 
 
@@ -783,6 +804,56 @@ def main(argv: Sequence[str] | None = None) -> int:
                 spark, args.optimize_output, target_mb=args.target_file_mb
             )
             print(f"compacted {args.optimize_output}: {n} files")
+        return 0
+
+    if args.stream_link_graph or args.refresh_link_ranks:
+        from .streaming.link_graph import refresh_ranks, stream_link_graph
+
+        store = args.output
+        if args.stream_link_graph:
+            if args.input_format == "wat":
+                from .sources.warc import wat_metadata_stream
+
+                meta = wat_metadata_stream(
+                    spark, args.input, max_files_per_trigger=1
+                )
+                # quarantined records carry no usable links; the store
+                # ingests only parsed pages (the error channel is the
+                # batch source's concern — audit it there)
+                pages = meta.filter(F.col("error").isNull()).select(
+                    "url", "links"
+                )
+            elif args.input_format == "parquet":
+                from .streaming import file_stream
+
+                schema = spark.read.parquet(args.input).schema
+                pages = file_stream(
+                    spark, args.input, schema, max_files_per_trigger=1
+                )
+            else:
+                raise ValueError(
+                    "--stream-link-graph reads --input-format wat or "
+                    f"parquet (got {args.input_format!r})"
+                )
+            q = stream_link_graph(
+                pages,
+                store,
+                f"{store}/ckpt",
+                by_domain=not args.link_by_url,
+            )
+            q.awaitTermination()
+            print(f"link-graph store updated: {store}")
+        if args.refresh_link_ranks:
+            if args.link_rank_iters < 1:
+                raise ValueError(
+                    f"--link-rank-iters must be >= 1, got "
+                    f"{args.link_rank_iters}"
+                )
+            meta = refresh_ranks(spark, store, max_iter=args.link_rank_iters)
+            print(
+                f"ranks refreshed: as_of_epoch={meta['as_of_epoch']} "
+                f"n_edges={meta['n_edges']} n_nodes={meta['n_nodes']}"
+            )
         return 0
 
     if args.fit_lm:

@@ -767,6 +767,13 @@ def wat_metadata_source(
         via=via,
         keep_payload=False,
     )
+    return _wat_projection(raw)
+
+
+def _wat_projection(raw: DataFrame) -> DataFrame:
+    """The envelope-parse projection over a WARC_SCHEMA metadata
+    relation — shared verbatim by the batch source and the streaming
+    source, so the two can never drift."""
     parsed = F.from_json(
         F.col("text"),
         _WAT_ENVELOPE_SCHEMA,
@@ -806,6 +813,27 @@ def wat_metadata_source(
             ),
         ).alias("error"),
     )
+
+
+def wat_metadata_stream(
+    spark: SparkSession,
+    dir_path: str,
+    max_files_per_trigger: int | None = None,
+    glob: str = "*.{warc,warc.gz,wat,wat.gz}",
+) -> DataFrame:
+    """STREAMING WAT source: new metadata archives landing in
+    ``dir_path`` join the next micro-batch, parsed by the SAME
+    projection as :func:`wat_metadata_source` (continuous link-graph
+    ingest — the feeder for ``streaming.link_graph``)."""
+    raw = warc_stream_source(
+        spark,
+        dir_path,
+        record_types=("metadata",),
+        parse_http=False,
+        max_files_per_trigger=max_files_per_trigger,
+        glob=glob,
+    )
+    return _wat_projection(raw)
 
 
 def wat_sink(

@@ -1,6 +1,7 @@
 """CLI surface: flag parity with the reference argparse
 (scraper_v2.py:1568-1613) and end-to-end runs over the fake fetcher."""
 
+import os
 import random
 
 import pytest
@@ -1266,4 +1267,72 @@ def test_fit_classifier_and_gated_export_cli(spark, tmp_path):
             "--export-training-set", "--input", src, "--output", out,
             "--min-classifier-prob", "0.5",
             "--config", str(tmp_path / "none.yaml"),
+        ])
+
+
+def test_stream_link_graph_cli_wat_input(spark, tmp_path):
+    """--stream-link-graph --input-format wat: WAT archives landing in
+    a directory maintain the incremental link-graph store at --output;
+    a second run picks up only the NEW archive (checkpoint resume) and
+    re-crawled edges are struck; --refresh-link-ranks commits ranks
+    behind the meta marker."""
+    from dbd_datawarehouse_scraper_spark.sources.warc import wat_sink
+    from dbd_datawarehouse_scraper_spark.streaming.link_graph import (
+        current_ranks,
+        stored_edges,
+    )
+
+    src = str(tmp_path / "wat_in")
+    store = str(tmp_path / "lgstore")
+    os.makedirs(src)
+
+    def archive(n, rows):
+        stage = str(tmp_path / f"stage{n}")
+        m = wat_sink(
+            spark.createDataFrame(rows, "url string, title string, links array<string>")
+            .coalesce(1),
+            stage,
+        )
+        os.rename(m[0]["file"], f"{src}/e{n}.warc.gz")
+
+    archive(0, [("https://a.test/1", "t", ["https://b.test/x", "https://c.test/y"])])
+    args = [
+        "--stream-link-graph",
+        "--input", src,
+        "--input-format", "wat",
+        "--output", store,
+    ]
+    assert main(list(args)) == 0
+    got0 = sorted(map(tuple, stored_edges(spark, store).collect()))
+    assert got0 == [("a.test", "b.test"), ("a.test", "c.test")]
+
+    # second archive: one dup edge (struck), one new
+    archive(1, [("https://a.test/2", "t", ["https://b.test/z", "https://d.test/w"])])
+    assert main(list(args) + ["--refresh-link-ranks"]) == 0
+    got1 = sorted(map(tuple, stored_edges(spark, store).collect()))
+    assert got1 == [
+        ("a.test", "b.test"),
+        ("a.test", "c.test"),
+        ("a.test", "d.test"),
+    ]
+    e1 = sorted(
+        map(tuple, spark.read.parquet(f"{store}/edges/epoch=1").collect())
+    )
+    assert e1 == [("a.test", "d.test")]
+    ranks, meta = current_ranks(spark, store)
+    assert meta["n_edges"] == 3 and meta["n_nodes"] == 4
+    assert ranks.count() == 4
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+
+    release_caches()
+
+
+def test_stream_link_graph_refuses_wet_input(spark, tmp_path):
+    os.makedirs(tmp_path / "in")
+    with pytest.raises(ValueError, match="wat or\n?.*parquet|wat or parquet"):
+        main([
+            "--stream-link-graph",
+            "--input", str(tmp_path / "in"),
+            "--input-format", "wet",
+            "--output", str(tmp_path / "store"),
         ])
