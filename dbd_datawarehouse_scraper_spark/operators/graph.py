@@ -206,12 +206,24 @@ def pagerank(
     damping: int = 85,
     max_iter: int = 20,
     tol_millionths: int = 1,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """[EXT] PageRank over a directed link graph — the domain/page
     quality prior corpus-curation pipelines weight by (Common Crawl
     publishes exactly this signal per domain; with the WAT source the
     engine can now derive the edge relation itself). Returns
     ``(id_out, rank_out double, rank_q long)`` for every node.
+
+    ``seeds`` (optional, a one-column DataFrame of node ids) biases
+    the teleport to the seed set — PERSONALIZED PageRank, i.e. the
+    TrustRank recipe (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004):
+    rank mass originates at trusted seed domains and propagates along
+    links, so spam neighborhoods unreachable from the seeds score ~0
+    however densely they interlink — the curation counterpart to the
+    domain blocklist (demote instead of drop). Seed ids not present
+    in the graph are ignored; an empty effective seed set raises
+    (a silent uniform fallback would invert the operator's meaning).
+    ``None`` = the classic uniform walk (seeds = all nodes).
 
     BIT-DETERMINISTIC BY CONSTRUCTION: rank is carried as integer
     micro-units (``rank_q``, 1e12 units = total mass 1), every
@@ -221,13 +233,15 @@ def pagerank(
     partitioning, scheduling, and retry (the module-wide contract;
     float PageRank sums would drift in the last bits under AQE
     reordering). Floor remainders and dangling-node mass land in one
-    per-iteration pot redistributed uniformly; total mass leaks at
-    most N+1 micro-units per iteration (documented, ranking-neutral).
+    per-iteration pot redistributed over the seed set; total mass
+    leaks at most N+1 micro-units per iteration (documented,
+    ranking-neutral).
 
-    The recurrence (integer form of the standard damped walk):
+    The recurrence (integer form of the standard damped walk, with
+    p(v) = SCALE DIV |S| for v in the seed set S, else 0):
         pot      = SCALE − Σ_edges (rank_q(src) DIV outdeg(src))
-        rank_q'  = ((100−d)·(SCALE DIV N)
-                    + d·(Σ_in contrib_q + pot DIV N)) DIV 100
+        rank_q'  = ((100−d)·p(v)
+                    + d·(Σ_in contrib_q + [v∈S]·(pot DIV |S|))) DIV 100
 
     Scale shape: each iteration is ONE key-shuffle join (ranks ⋈
     out-degrees, then the pre-grouped edge relation) plus a map-side-
@@ -273,9 +287,34 @@ def pagerank(
             .withColumn(rank_out, F.lit(0.0))
             .withColumn("rank_q", F.lit(0).cast("long"))
         )
-    base_q = SCALE // n
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        seed_ids = seeds.select(F.col(seed_col).alias("_id")).distinct()
+        universe = tracked_persist(
+            nodes.join(
+                seed_ids.withColumn("_is_seed", F.lit(True)), "_id", "left"
+            ).select(
+                "_id", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed")
+            )
+        )
+        n_seeds = universe.filter(F.col("_is_seed")).count()
+        if n_seeds == 0:
+            release_these([e, outdeg, nodes, universe])
+            fs_delete(spark, base)
+            raise ValueError(
+                "pagerank seeds share no node with the edge relation — "
+                "a personalized walk with no seed mass is undefined "
+                "(check the seed id column/type)"
+            )
+    else:
+        universe = tracked_persist(nodes.withColumn("_is_seed", F.lit(True)))
+        n_seeds = n
+    base_q = SCALE // n_seeds
+    seed_base = F.when(F.col("_is_seed"), F.lit(base_q)).otherwise(
+        F.lit(0)
+    ).cast("long")
     ranks = checkpoint_round(
-        nodes.withColumn("_rank_q", F.lit(base_q).cast("long")), 0
+        universe.select("_id", seed_base.alias("_rank_q")), 0
     )
     max_live_dirs = 1
     tol_q = tol_millionths * 10**6
@@ -304,14 +343,19 @@ def pagerank(
             .agg(F.sum("_share_q").alias("_in_q"))
         )
         new_ranks = checkpoint_round(
-            ranks.join(
+            universe.join(
                 contribs.select(F.col("_dst").alias("_id"), "_in_q"), "_id", "left"
             ).select(
                 "_id",
+                # teleport (the (100−d)·p(v) term) and the pot both
+                # land on the seed set only; classic mode seeds every
+                # node, reducing to the uniform recurrence verbatim
                 F.expr(
-                    f"({(100 - damping) * base_q}L"
-                    f" + {damping}L * (coalesce(_in_q, 0L) + {pot_q // n}L))"
-                    " div 100"
+                    f"(CASE WHEN _is_seed THEN {(100 - damping) * base_q}L"
+                    " ELSE 0L END"
+                    f" + {damping}L * (coalesce(_in_q, 0L)"
+                    f" + CASE WHEN _is_seed THEN {pot_q // n_seeds}L"
+                    " ELSE 0L END)) div 100"
                 ).alias("_rank_q"),
             ),
             rnd,
@@ -330,7 +374,7 @@ def pagerank(
         if delta is not None and int(delta) <= tol_q:
             break
 
-    release_these([e, outdeg, nodes])
+    release_these([e, outdeg, nodes, universe])
     tracked_scratch_dir(spark, base)
     last_run_stats.clear()
     last_run_stats.update(

@@ -4476,6 +4476,54 @@ def link_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@register("trustrank_demotion", None)
+def trustrank_demotion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Seed-personalized PageRank (operators/graph.py pagerank
+    ``seeds=`` — the TrustRank recipe, Gyöngyi et al. VLDB 2004, round
+    11): rank mass originates at a trusted seed set and propagates
+    along links, so link neighborhoods unreachable from the seeds hold
+    EXACTLY zero rank however densely they interlink — the
+    spam-demotion counterpart to the domain blocklist. Same synthetic
+    link structure as `link_graph_pagerank` plus a deliberately
+    isolated 10-node clique (ids 9000+, fully interlinked, reachable
+    from nowhere trusted); seeds = every 50th linked-core id. Returns
+    the top-15 by rank plus the clique's (zero-mass) rows — the
+    demotion is IN the result. Rows-only: iterative checkpointed loop;
+    bit-exactness vs a pure-Python replica of the seeded recurrence is
+    pinned in tests/test_graph.py."""
+    from .operators.graph import pagerank
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    fwd1 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % 500).alias("dst")
+    )
+    fwd2 = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") + 1) % 500).alias("dst")
+    )
+    clique = spark.range(9000, 9010).alias("a").crossJoin(
+        spark.range(9000, 9010).alias("b")
+    ).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
+    )
+    edges = fwd1.unionByName(fwd2).unionByName(clique).filter(
+        F.col("src") != F.col("dst")
+    )
+    seeds = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    ranks = pagerank(edges, seeds=seeds, max_iter=15)
+    top = ranks.orderBy(F.col("rank_q").desc(), F.col("id").asc()).limit(15)
+    demoted = ranks.filter(F.col("id") >= 9000)
+    out = top.unionByName(demoted).orderBy(
+        F.col("rank_q").desc(), F.col("id").asc()
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    from .caching import release_caches
+
+    release_caches()
+    return res
+
+
 def _reorder_registry() -> None:
     oracle = {k: v for k, v in QUERIES.items() if v.sql is not None}
     rows_only = {k: v for k, v in QUERIES.items() if v.sql is None}

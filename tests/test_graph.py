@@ -212,19 +212,22 @@ def test_checkpoint_gc_bounded_and_reclaimed(spark):
 # ------------------------------------------------------------- pagerank
 
 
-def _pagerank_reference(edges, damping=85, max_iter=20, tol_millionths=1):
+def _pagerank_reference(
+    edges, damping=85, max_iter=20, tol_millionths=1, seeds=None
+):
     """Pure-Python replica of the operator's EXACT integer recurrence
-    (same SCALE, same floor divisions, same pot) — equality is
-    bit-exact, not approximate."""
+    (same SCALE, same floor divisions, same pot, same seed-set
+    personalization) — equality is bit-exact, not approximate."""
     SCALE = 10**12
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
-    n = len(nodes)
     outdeg = {}
     dedup = sorted(set(edges))
     for s, _ in dedup:
         outdeg[s] = outdeg.get(s, 0) + 1
-    base_q = SCALE // n
-    rank = {v: base_q for v in nodes}
+    seed_set = set(nodes) if seeds is None else set(seeds) & set(nodes)
+    ns = len(seed_set)
+    base_q = SCALE // ns
+    rank = {v: (base_q if v in seed_set else 0) for v in nodes}
     tol_q = tol_millionths * 10**6
     for _ in range(max_iter):
         share = {v: rank[v] // outdeg[v] for v in outdeg}
@@ -234,7 +237,11 @@ def _pagerank_reference(edges, damping=85, max_iter=20, tol_millionths=1):
         for s, d in dedup:
             incoming[d] += share[s]
         new = {
-            v: ((100 - damping) * base_q + damping * (incoming[v] + pot // n))
+            v: (
+                ((100 - damping) * base_q if v in seed_set else 0)
+                + damping
+                * (incoming[v] + (pot // ns if v in seed_set else 0))
+            )
             // 100
             for v in nodes
         }
@@ -347,3 +354,55 @@ def test_pagerank_empty_graph_keeps_input_id_type(spark):
     assert dict(
         (f.name, f.dataType.simpleString()) for f in out_s.schema.fields
     )["id"] == "string"
+
+
+def test_personalized_pagerank_bit_exact_and_classic_equivalence(spark):
+    """seeds biases the teleport (the TrustRank recipe): bit-exact vs
+    the extended pure-Python replica; seeding EVERY node reproduces
+    the classic walk verbatim (same fixpoint, bit for bit)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (1, 4), (5, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (4,)], "id bigint")
+    got = {r.id: r.rank_q for r in pagerank(df, seeds=seeds).collect()}
+    release_caches()
+    assert got == _pagerank_reference(edges, seeds={1, 4})
+
+    all_seeds = spark.createDataFrame([(i,) for i in range(1, 6)], "id bigint")
+    classic = {r.id: r.rank_q for r in pagerank(df).collect()}
+    release_caches()
+    seeded_all = {r.id: r.rank_q for r in pagerank(df, seeds=all_seeds).collect()}
+    release_caches()
+    assert classic == seeded_all
+
+
+def test_trustrank_demotes_unreachable_component(spark):
+    """A densely interlinked spam clique unreachable from the seeds
+    holds EXACTLY zero rank (integer construction: no seed mass ever
+    reaches it), while every trusted-component node scores positive —
+    the spam-demotion semantics the personalization exists for."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    trusted = [(1, 2), (2, 3), (3, 1)]
+    spam = [(10, 11), (11, 12), (12, 10), (10, 12), (12, 11), (11, 10)]
+    df = spark.createDataFrame(trusted + spam, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {r.id: r.rank_q for r in pagerank(df, seeds=seeds).collect()}
+    release_caches()
+    assert all(got[v] > 0 for v in (1, 2, 3))
+    assert all(got[v] == 0 for v in (10, 11, 12))
+    assert got == _pagerank_reference(trusted + spam, seeds={1})
+
+
+def test_pagerank_disjoint_seeds_raise(spark):
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(99,)], "id bigint")
+    with pytest.raises(ValueError, match="share no node"):
+        pagerank(df, seeds=seeds)
+    release_caches()
