@@ -219,6 +219,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "commit it under <store>/ranks")
     p.add_argument("--link-rank-iters", type=int, default=20,
                    help="PageRank iterations for --refresh-link-ranks")
+    p.add_argument("--link-rank-seeds", type=str, default=None,
+                   help="Parquet dir whose first column is trusted "
+                        "node ids: --refresh-link-ranks runs the "
+                        "personalized (TrustRank) walk — neighborhoods "
+                        "unreachable from the seeds rank exactly 0")
     p.add_argument("--optimize-output", type=str, default=None,
                    help="Maintenance mode: compact (and optionally "
                         "Z-order) the given parquet directory in place, "
@@ -849,7 +854,14 @@ def main(argv: Sequence[str] | None = None) -> int:
                     f"--link-rank-iters must be >= 1, got "
                     f"{args.link_rank_iters}"
                 )
-            meta = refresh_ranks(spark, store, max_iter=args.link_rank_iters)
+            seeds = (
+                spark.read.parquet(args.link_rank_seeds)
+                if args.link_rank_seeds
+                else None
+            )
+            meta = refresh_ranks(
+                spark, store, max_iter=args.link_rank_iters, seeds=seeds
+            )
             print(
                 f"ranks refreshed: as_of_epoch={meta['as_of_epoch']} "
                 f"n_edges={meta['n_edges']} n_nodes={meta['n_nodes']}"

@@ -157,12 +157,15 @@ def refresh_ranks(
     damping: int = 85,
     max_iter: int = 20,
     tol_millionths: int = 1,
+    seeds: DataFrame | None = None,
 ) -> dict:
     """Recompute PageRank over the committed store into
     ``<store>/ranks/data`` (+ ``ranks/_meta``, written LAST — the
     marker is the commit; a crash mid-refresh leaves the previous
     consistent generation's marker). Returns the meta dict. Cost is a
-    function of the CURRENT graph only — independent of epoch count."""
+    function of the CURRENT graph only — independent of epoch count.
+    ``seeds`` (one column of node ids) switches to the personalized /
+    TrustRank walk — see ``operators.graph.pagerank``."""
     from ..caching import release_caches
     from ..operators.graph import pagerank
 
@@ -183,6 +186,7 @@ def refresh_ranks(
         damping=damping,
         max_iter=max_iter,
         tol_millionths=tol_millionths,
+        seeds=seeds,
     )
     ranks.write.mode("overwrite").parquet(f"{store_path}/ranks/data")
     release_caches()

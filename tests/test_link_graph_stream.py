@@ -154,3 +154,20 @@ def test_refresh_on_empty_store_is_empty_not_crash(spark):
     ranks, _ = current_ranks(spark, work)
     assert ranks.count() == 0
     release_caches()
+
+
+def test_refresh_ranks_with_seeds_demotes_unreachable(spark):
+    """refresh_ranks(seeds=...) runs the TrustRank walk over the
+    committed store: the unreachable clique holds exactly zero."""
+    work = tempfile.mkdtemp(prefix="lg_seed_") + "/store"
+    trusted = [("a", "b"), ("b", "c"), ("c", "a")]
+    spam = [("x", "y"), ("y", "z"), ("z", "x")]
+    link_graph_epoch(spark, _edges(spark, trusted + spam), 0, work)
+    seeds = spark.createDataFrame([("a",)], "id string")
+    meta = refresh_ranks(spark, work, max_iter=12, seeds=seeds)
+    assert meta["n_nodes"] == 6
+    ranks, _ = current_ranks(spark, work)
+    got = {r["id"]: r["rank_q"] for r in ranks.collect()}
+    release_caches()
+    assert all(got[v] > 0 for v in ("a", "b", "c"))
+    assert all(got[v] == 0 for v in ("x", "y", "z"))
