@@ -814,6 +814,18 @@ def main(argv: Sequence[str] | None = None) -> int:
     if args.stream_link_graph or args.refresh_link_ranks:
         from .streaming.link_graph import refresh_ranks, stream_link_graph
 
+        # the link-graph store is a long-lived STATEFUL directory, not
+        # a one-shot output: running these modes against the untouched
+        # scrape default would silently initialize a store (format
+        # marker, ckpt, edges) under an unrelated-looking path
+        # (round-11 advice) — demand an explicit choice
+        if args.output == "revenue_data.parquet":
+            raise ValueError(
+                "--stream-link-graph / --refresh-link-ranks need an "
+                "explicit --output/-o naming the link-graph STORE "
+                "directory (the default scrape output path would "
+                "silently become a stateful store)"
+            )
         store = args.output
         if args.stream_link_graph:
             if args.input_format == "wat":

@@ -14,6 +14,7 @@ import shutil
 from datetime import datetime
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def batched_sink(
@@ -286,6 +287,7 @@ def fold_epoch_dirs(
     below_epoch: int,
     min_dirs: int = 8,
     target_files: int = 8,
+    partition_cols: tuple = (),
 ) -> bool:
     """[EXT] Fold committed ``epoch=K`` generations of a streaming
     store into ONE — the store-lifecycle counterpart of
@@ -355,9 +357,43 @@ def fold_epoch_dirs(
 
     def write_gen(group):
         kmax = max(group)
-        spark.read.parquet(*[f"{path}/epoch={e}" for e in group]).coalesce(
-            target_files
-        ).write.mode("overwrite").parquet(f"{tmp}/epoch={kmax}")
+        # hash-partitioned stores (the link-graph store's bucket= dirs)
+        # can hold fully-struck epochs whose dir carries only commit
+        # markers — no parquet files, unreadable; fold from the
+        # data-bearing members only, and when none exist the folded
+        # generation is just its markers (still one dir replacing many)
+        data = [
+            e
+            for e in group
+            if any(
+                not n.startswith("_")
+                for n in fs_list_names(spark, f"{path}/epoch={e}")
+            )
+        ]
+        if data:
+            if partition_cols:
+                # partitioned epoch dirs need the table root declared
+                # (basePath) for a multi-dir read; the epoch partition
+                # column that surfaces alongside is dropped before the
+                # rewrite. Repartition ON the partition values so each
+                # value lands in one task → one file per value per
+                # generation.
+                df = spark.read.option("basePath", path).parquet(
+                    *[f"{path}/epoch={e}" for e in data]
+                ).drop("epoch")
+                df.repartition(
+                    *[F.col(c) for c in partition_cols]
+                ).write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                    f"{tmp}/epoch={kmax}"
+                )
+            else:
+                spark.read.parquet(
+                    *[f"{path}/epoch={e}" for e in data]
+                ).coalesce(target_files).write.mode("overwrite").parquet(
+                    f"{tmp}/epoch={kmax}"
+                )
+        else:
+            fs_touch(spark, f"{tmp}/epoch={kmax}/_SUCCESS")
         fs_touch(spark, f"{tmp}/epoch={kmax}/_FOLDED_GEN")
         return kmax
 

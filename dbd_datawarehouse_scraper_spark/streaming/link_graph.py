@@ -14,26 +14,47 @@ exactly what rank needs (the deduped edge relation, never payloads):
   the union of committed dirs IS the deduped edge relation and the
   rank-time dedup cost never grows with re-crawled links (the same
   cross-epoch striking discipline as the near-dup signature store);
+- the store is HASH-BUCKETED on the edge key: every epoch dir is
+  partitioned by ``bucket = pmod(xxhash64(src, dst), n_buckets)``
+  (``n_buckets`` pinned in the format marker — a store written under
+  one bucketing can never be struck under another, or re-crawled
+  edges would silently duplicate). Striking reads only the store
+  buckets the batch occupies (directory-level partition pruning), and
+  for the common micro-batch case runs as a broadcast
+  semi-join-then-anti-join — the store side STREAMS through a
+  columnar scan probing the broadcast batch, never shuffled, never
+  sorted. Per-epoch cost is one unshuffled pruned scan of the store
+  plus two batch-sized hash joins, versus the round-11 layout's full
+  store-vs-batch sort-merge anti-join (the round-11 verdict's scale
+  caveat: folding bounded the file count, not the bytes shuffled);
 - :func:`refresh_ranks` runs the bit-deterministic integer PageRank
-  (operators/graph.py) over the committed store and lands
-  ``ranks/data`` plus a ``_meta`` marker carrying the as-of epoch —
-  the marker is the COMMIT (written last), so a crashed refresh
-  leaves a stale-but-consistent previous marker, never a torn one.
-  Rank refresh is deliberately decoupled from ingest (the standard
-  batch-layer cadence: rank every K epochs, not per batch);
+  (operators/graph.py) over the committed store and lands a NEW
+  generation directory ``ranks/gen=G`` before flipping ``ranks/_meta``
+  to name it — the marker is the COMMIT (written last), and because
+  every refresh writes a fresh generation (never overwriting the one
+  the current marker names), a crash mid-refresh leaves the previous
+  generation's data AND marker fully intact (round-11 advice: an
+  in-place ``ranks/data`` overwrite destroyed the old generation
+  before the new marker landed). Superseded generations are deleted
+  only after the new marker commits. Rank refresh is deliberately
+  decoupled from ingest (the standard batch-layer cadence: rank every
+  K epochs, not per batch);
 - store integrity follows the package protocol (streaming/_store.py):
-  format marker pinning the layout version, strictly-below history
-  reads, checkpoint-reset-ahead refusal, epoch-suffixed
-  replay-idempotent overwrites, tiered LSM-style folding
-  (sources/sinks.py fold_epoch_dirs) so the history probe never
-  degrades into a thousands-of-small-files scan.
+  format marker pinning the layout version AND the bucketing,
+  strictly-below history reads, checkpoint-reset-ahead refusal,
+  epoch-suffixed replay-idempotent overwrites, tiered LSM-style
+  folding (sources/sinks.py fold_epoch_dirs, bucket-partition-aware)
+  so the history probe never degrades into a
+  thousands-of-small-files scan.
 
 Scale shape (the 100 TB story): the per-epoch work is one distinct
-over the batch plus one left-anti join of the (small) batch against
-the store — a key shuffle whose store side is a columnar scan of two
-string columns, not the corpus. PageRank's per-round work is one
-key-shuffle join + one map-side-combined sum (see operators/graph.py);
-refresh cost is independent of how many epochs fed the store.
+over the batch plus one PRUNED, UNSHUFFLED columnar scan of the
+store's matching buckets probing a broadcast of the batch (micro-batch
+path) — or, for a batch too large to broadcast
+(``broadcast_strike_max_rows``), one key-shuffle anti-join whose keys
+include the bucket. PageRank's per-round work is one key-shuffle join
++ one map-side-combined sum (see operators/graph.py); refresh cost is
+independent of how many epochs fed the store.
 
 Reference analog: scraper_v2.py's resume protocol persists progress
 so re-runs never refetch (scraper_v2.py:1690-1720); this store applies
@@ -45,28 +66,97 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fsutil import fs_exists
-from ._store import committed_epochs_below, validate_or_init_marker
+from ..fsutil import fs_delete, fs_exists, fs_list_names
+from ._store import committed_epochs_below
 
-#: Bump when the edge layout changes incompatibly.
-LINK_STORE_FORMAT_VERSION = 1
+#: Bump when the edge layout changes incompatibly. v2 = hash-bucketed
+#: epoch dirs (round 12); v1 stores refuse with a wipe/re-ingest hint.
+LINK_STORE_FORMAT_VERSION = 2
 
-_MARKER_SCHEMA = "format_version INT, directed INT"
+#: Default edge-key bucket count for NEW stores. Local/test scale;
+#: a cluster-scale store wants enough buckets that one bucket of the
+#: largest epoch fits an executor's scan comfortably (the marker pins
+#: whatever the store was created with).
+DEFAULT_N_BUCKETS = 32
+
+#: Batches at or below this many distinct edges strike via the
+#: broadcast semi/anti path (store scanned, never shuffled); larger
+#: batches fall back to the bucketed sort-merge anti-join.
+BROADCAST_STRIKE_MAX_ROWS = 1_000_000
+
+_MARKER_SCHEMA = "format_version INT, directed INT, n_buckets INT"
 _META_SCHEMA = (
-    "as_of_epoch INT, n_edges BIGINT, n_nodes BIGINT, "
+    "gen INT, as_of_epoch INT, n_edges BIGINT, n_nodes BIGINT, "
     "damping INT, max_iter INT"
 )
 
 
-def _validate_or_init_store(spark: SparkSession, store_path: str) -> None:
-    validate_or_init_marker(
-        spark,
-        store_path,
+def _store_n_buckets(
+    spark: SparkSession, store_path: str, n_buckets_default: int
+) -> int:
+    """Read-or-init the format marker; returns the store's pinned
+    bucket count. Mirrors _store.validate_or_init_marker's handshake
+    but must RETURN a marker field (the bucketing is store state, not
+    caller input — a caller-supplied count only seeds a NEW store)."""
+    marker = f"{store_path}/format"
+    if fs_exists(spark, marker):
+        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
+        if row is None or row["format_version"] is None:
+            raise ValueError(
+                f"link-graph store marker at {marker} exists but is "
+                "unreadable — wipe the store before continuing."
+            )
+        if row["format_version"] != LINK_STORE_FORMAT_VERSION or (
+            row["directed"] != 1
+        ):
+            raise ValueError(
+                f"link-graph store at {store_path} has format "
+                f"(format_version, directed)=({row['format_version']}, "
+                f"{row['directed']}), but this build needs "
+                f"({LINK_STORE_FORMAT_VERSION}, 1). Edges written under "
+                "one layout cannot be read under another — wipe the "
+                "store and re-ingest."
+            )
+        if row["n_buckets"] is None or row["n_buckets"] < 1:
+            raise ValueError(
+                f"link-graph store marker at {marker} carries no valid "
+                "n_buckets — wipe the store and re-ingest."
+            )
+        return int(row["n_buckets"])
+    if fs_exists(spark, store_path):
+        raise ValueError(
+            f"link-graph store at {store_path} exists but has no format "
+            "marker — it predates store versioning or is corrupted. "
+            "Wipe it before continuing."
+        )
+    if n_buckets_default < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets_default}")
+    spark.createDataFrame(
+        [(LINK_STORE_FORMAT_VERSION, 1, int(n_buckets_default))],
         _MARKER_SCHEMA,
-        (LINK_STORE_FORMAT_VERSION, 1),
-        "link-graph store",
-        "Edges written under one layout cannot be read under another",
-    )
+    ).repartition(1).write.mode("overwrite").json(marker)
+    return int(n_buckets_default)
+
+
+def _bucket_of(src: F.Column, dst: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(src, dst), F.lit(n_buckets)).cast("int")
+
+
+def _epochs_with_data(
+    spark: SparkSession, root: str, epochs: list[int]
+) -> list[int]:
+    """Epoch dirs that actually hold bucket partitions. An epoch whose
+    every batch edge was struck writes only its _SUCCESS commit marker
+    (partitionBy emits no dirs for zero rows) — reading a file-less
+    dir fails schema inference, so every store read filters here."""
+    return [
+        e
+        for e in epochs
+        if any(
+            n.startswith("bucket=")
+            for n in fs_list_names(spark, f"{root}/epoch={e}")
+        )
+    ]
 
 
 def page_link_edges(
@@ -79,8 +169,17 @@ def page_link_edges(
     ``wat_metadata_source`` output): explode the links array and key
     both ends by host (``by_domain=True`` — the Common Crawl rank
     granularity) or by full URL. Purely declarative (explode +
-    regexp_extract), no shuffle; the store's epoch fold dedups."""
-    host = lambda c: F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)  # noqa: E731
+    regexp_extract), no shuffle; the store's epoch fold dedups.
+
+    Host extraction yielding nothing — relative and scheme-less links,
+    the COMMON case in real WAT data — maps to NULL, not ``''``, so
+    :func:`link_graph_epoch`'s null filter drops those edges (round-11
+    advice: a ``''`` phantom node passed the null filter and
+    accumulated rank mass from every domain emitting relative links)."""
+    host = lambda c: F.nullif(  # noqa: E731
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1),
+        F.lit(""),
+    )
     src = host(F.col(url_col)) if by_domain else F.col(url_col)
     link = F.explode(F.col(links_col)).alias("_link")
     out = pages.select(src.alias("src"), link)
@@ -96,19 +195,34 @@ def link_graph_epoch(
     src_col: str = "src",
     dst_col: str = "dst",
     fold_store_after: int | None = 16,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    broadcast_strike_max_rows: int = BROADCAST_STRIKE_MAX_ROWS,
 ) -> dict:
     """Fold one epoch's edges into the store. Normalizes (distinct;
     null endpoints and self-loops dropped — rank is undefined on
     either), strikes against every committed epoch below this one, and
-    overwrites ``edges/epoch=<epoch_id>`` with only the NEW pairs —
-    replay-idempotent by construction. Returns
-    ``{"n_batch_edges", "n_new_edges"}``."""
+    overwrites ``edges/epoch=<epoch_id>`` (bucket-partitioned) with
+    only the NEW pairs — replay-idempotent by construction. Returns
+    ``{"n_batch_edges", "n_new_edges"}``.
+
+    ``n_buckets`` seeds a NEW store's bucketing only; an existing
+    store's marker wins. Striking prunes the history scan to the
+    batch's buckets and, for batches at or below
+    ``broadcast_strike_max_rows`` distinct edges, runs broadcast
+    semi-then-anti (store side never shuffles); larger batches take
+    the bucketed sort-merge anti-join."""
     from ..sources.sinks import fold_epoch_dirs
 
-    _validate_or_init_store(spark, store_path)
+    b = _store_n_buckets(spark, store_path, n_buckets)
     root = f"{store_path}/edges"
     if fold_store_after is not None:
-        fold_epoch_dirs(spark, root, epoch_id, min_dirs=fold_store_after)
+        fold_epoch_dirs(
+            spark,
+            root,
+            epoch_id,
+            min_dirs=fold_store_after,
+            partition_cols=("bucket",),
+        )
     history_epochs = committed_epochs_below(
         spark,
         root,
@@ -128,27 +242,86 @@ def link_graph_epoch(
         .distinct()
     )
     n_batch = edges.count()
-    if history_epochs:
-        history = spark.read.parquet(
+    edges = edges.withColumn("bucket", _bucket_of(F.col("src"), F.col("dst"), b))
+    history_epochs = _epochs_with_data(spark, root, history_epochs)
+    if history_epochs and n_batch > 0:
+        # basePath: the epoch dirs hold bucket= partition subdirs, so a
+        # multi-dir read needs the table root declared (epoch itself
+        # also surfaces as a partition column; dropped by selection)
+        history = spark.read.option("basePath", root).parquet(
             *[f"{root}/epoch={e}" for e in history_epochs]
-        )
-        edges = edges.join(history, ["src", "dst"], "left_anti")
-    edges.write.mode("overwrite").parquet(f"{root}/epoch={epoch_id}")
-    n_new = spark.read.parquet(f"{root}/epoch={epoch_id}").count()
+        ).select("src", "dst", "bucket")
+        if n_batch <= broadcast_strike_max_rows:
+            # prune the store scan to the batch's buckets (directory-
+            # level partition pruning — a micro-batch of a few domains
+            # touches a few buckets), then stream it through a
+            # broadcast probe: `old` is the ≤|batch| store edges the
+            # batch re-crawled; anti-joining the batch against THAT
+            # (also broadcast) never shuffles anything store-sized.
+            bks = [
+                r[0] for r in edges.select("bucket").distinct().collect()
+            ]
+            if len(bks) < b:
+                history = history.filter(F.col("bucket").isin(bks))
+            old = history.join(
+                F.broadcast(edges.select("src", "dst")),
+                ["src", "dst"],
+                "left_semi",
+            ).select("src", "dst")
+            edges = edges.join(F.broadcast(old), ["src", "dst"], "left_anti")
+        else:
+            # batch too big to broadcast: bucketed key-shuffle anti-join
+            # (bucket in the key keeps the shuffle aligned with the
+            # store layout; exact because the marker pins n_buckets)
+            edges = edges.join(history, ["bucket", "src", "dst"], "left_anti")
+    # one file per bucket per epoch: repartition ON the bucket value so
+    # partitionBy doesn't fan every task out into every bucket dir
+    edges.repartition(b, F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{root}/epoch={epoch_id}")
+    if _epochs_with_data(spark, root, [epoch_id]):
+        n_new = spark.read.parquet(f"{root}/epoch={epoch_id}").count()
+    else:
+        n_new = 0
     return {"n_batch_edges": n_batch, "n_new_edges": n_new}
 
 
 def stored_edges(spark: SparkSession, store_path: str) -> DataFrame:
-    """The committed deduped edge relation (every ``epoch=K`` dir).
-    Raises if the store was never initialized."""
+    """The committed deduped edge relation (every ``epoch=K`` dir with
+    data; ``(src, dst)`` columns — the bucket partition column is an
+    internal layout detail and is dropped here). Raises if the store
+    was never initialized."""
     root = f"{store_path}/edges"
     if not fs_exists(spark, f"{store_path}/format"):
         raise ValueError(
             f"no link-graph store at {store_path} (missing format marker)"
         )
-    if not fs_exists(spark, root):
+    epochs = _committed_epochs(spark, root)
+    epochs = _epochs_with_data(spark, root, epochs)
+    if not epochs:
         return spark.createDataFrame([], "src string, dst string")
-    return spark.read.parquet(f"{root}/epoch=*")
+    return spark.read.option("basePath", root).parquet(
+        *[f"{root}/epoch={e}" for e in epochs]
+    ).select("src", "dst")
+
+
+def _committed_epochs(spark: SparkSession, root: str) -> list[int]:
+    """Epoch ids whose write COMMITTED (the dir carries Spark's
+    ``_SUCCESS`` marker — both direct epoch writes and fold-generation
+    rewrites produce one; a crash mid-write leaves a dir without it).
+    Only the MAX epoch can ever be torn (writes are sequential and a
+    torn epoch is replayed under its own id), so this differs from a
+    raw listing by at most that one dir — but a rank refresh taken
+    between the crash and the replay must not read, or advertise as
+    ``as_of``, a half-written epoch (round-11 advice)."""
+    if not fs_exists(spark, root):
+        return []
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_names(spark, root)
+        if n.startswith("epoch=")
+        and fs_exists(spark, f"{root}/{n}/_SUCCESS")
+    )
 
 
 def refresh_ranks(
@@ -159,28 +332,34 @@ def refresh_ranks(
     tol_millionths: int = 1,
     seeds: DataFrame | None = None,
 ) -> dict:
-    """Recompute PageRank over the committed store into
-    ``<store>/ranks/data`` (+ ``ranks/_meta``, written LAST — the
-    marker is the commit; a crash mid-refresh leaves the previous
-    consistent generation's marker). Returns the meta dict. Cost is a
-    function of the CURRENT graph only — independent of epoch count.
-    ``seeds`` (one column of node ids) switches to the personalized /
-    TrustRank walk — see ``operators.graph.pagerank``."""
+    """Recompute PageRank over the committed store into a fresh
+    generation ``<store>/ranks/gen=<G>`` and COMMIT it by rewriting
+    ``ranks/_meta`` (written last) to name generation ``G``. A crash
+    anywhere before the marker flip leaves the previous generation's
+    data and marker fully intact — never torn (round-11 advice: the
+    old in-place ``ranks/data`` overwrite destroyed the previous
+    generation's files while the stale marker still pointed at them).
+    Superseded generation dirs are deleted only AFTER the new marker
+    lands. Returns the meta dict. Cost is a function of the CURRENT
+    graph only — independent of epoch count. ``seeds`` (one column of
+    node ids) switches to the personalized / TrustRank walk — see
+    ``operators.graph.pagerank``. ``as_of_epoch`` is the max COMMITTED
+    epoch (same ``_SUCCESS`` discipline as the edge read itself), so
+    the meta never advertises a torn, not-yet-replayed ingest."""
     from ..caching import release_caches
     from ..operators.graph import pagerank
 
     edges = stored_edges(spark, store_path)
     root = f"{store_path}/edges"
-    as_of = -1
-    if fs_exists(spark, root):
-        from ..fsutil import fs_list_names
-
-        epochs = [
-            int(n.split("=", 1)[1])
-            for n in fs_list_names(spark, root)
-            if n.startswith("epoch=")
-        ]
-        as_of = max(epochs) if epochs else -1
+    committed = _committed_epochs(spark, root)
+    as_of = max(committed) if committed else -1
+    prev_gen = -1
+    meta_path = f"{store_path}/ranks/_meta"
+    if fs_exists(spark, meta_path):
+        prev = spark.read.schema(_META_SCHEMA).json(meta_path).head()
+        if prev is not None and prev["gen"] is not None:
+            prev_gen = int(prev["gen"])
+    gen = prev_gen + 1
     ranks = pagerank(
         edges,
         damping=damping,
@@ -188,10 +367,12 @@ def refresh_ranks(
         tol_millionths=tol_millionths,
         seeds=seeds,
     )
-    ranks.write.mode("overwrite").parquet(f"{store_path}/ranks/data")
+    gen_dir = f"{store_path}/ranks/gen={gen}"
+    ranks.write.mode("overwrite").parquet(gen_dir)
     release_caches()
-    written = spark.read.parquet(f"{store_path}/ranks/data")
+    written = spark.read.parquet(gen_dir)
     meta = {
+        "gen": int(gen),
         "as_of_epoch": int(as_of),
         "n_edges": int(edges.count()),
         "n_nodes": int(written.count()),
@@ -200,16 +381,21 @@ def refresh_ranks(
     }
     spark.createDataFrame(
         [tuple(meta[k] for k in (
-            "as_of_epoch", "n_edges", "n_nodes", "damping", "max_iter"
+            "gen", "as_of_epoch", "n_edges", "n_nodes", "damping", "max_iter"
         ))],
         _META_SCHEMA,
-    ).repartition(1).write.mode("overwrite").json(f"{store_path}/ranks/_meta")
+    ).repartition(1).write.mode("overwrite").json(meta_path)
+    # the new marker is down: superseded generations are garbage now
+    for name in fs_list_names(spark, f"{store_path}/ranks"):
+        if name.startswith("gen=") and name != f"gen={gen}":
+            fs_delete(spark, f"{store_path}/ranks/{name}")
     return meta
 
 
 def current_ranks(spark: SparkSession, store_path: str) -> tuple[DataFrame, dict]:
-    """(ranks DataFrame, meta dict) of the last COMMITTED refresh.
-    Raises if no refresh has committed (no ``ranks/_meta``)."""
+    """(ranks DataFrame, meta dict) of the last COMMITTED refresh —
+    the generation ``ranks/_meta`` names. Raises if no refresh has
+    committed (no ``ranks/_meta``)."""
     meta_path = f"{store_path}/ranks/_meta"
     if not fs_exists(spark, meta_path):
         raise ValueError(
@@ -218,9 +404,12 @@ def current_ranks(spark: SparkSession, store_path: str) -> tuple[DataFrame, dict
         )
     row = spark.read.schema(_META_SCHEMA).json(meta_path).head()
     meta = {f: row[f] for f in (
-        "as_of_epoch", "n_edges", "n_nodes", "damping", "max_iter"
+        "gen", "as_of_epoch", "n_edges", "n_nodes", "damping", "max_iter"
     )}
-    return spark.read.parquet(f"{store_path}/ranks/data"), meta
+    return (
+        spark.read.parquet(f"{store_path}/ranks/gen={meta['gen']}"),
+        meta,
+    )
 
 
 def stream_link_graph(
@@ -232,15 +421,19 @@ def stream_link_graph(
     by_domain: bool = True,
     fold_store_after: int | None = 16,
     available_now: bool = True,
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ):
     """Start the incremental link-graph ingest over a streaming page
     relation (``url_col``, ``links_col array<string>`` — e.g. a
     ``warc_stream_source`` of WAT shards piped through the metadata
-    projection). Each epoch's edges strike against history and land in
-    ``edges/epoch=N``. Rank refresh stays a separate batch call
-    (:func:`refresh_ranks`) on whatever cadence the pipeline wants."""
+    projection). Each epoch's edges strike against history (pruned to
+    the batch's buckets, broadcast-probed — see
+    :func:`link_graph_epoch`) and land in ``edges/epoch=N``. Rank
+    refresh stays a separate batch call (:func:`refresh_ranks`) on
+    whatever cadence the pipeline wants. ``n_buckets`` seeds a NEW
+    store only; an existing store's marker wins."""
     spark = stream_pages.sparkSession
-    _validate_or_init_store(spark, store_path)
+    _store_n_buckets(spark, store_path, n_buckets)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         link_graph_epoch(

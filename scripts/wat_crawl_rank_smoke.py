@@ -301,7 +301,11 @@ def main() -> None:
     batch_ranks = spark.read.parquet(f"{WORK}/ranks").select(
         "id", F.col("rank_q").alias("batch_q")
     )
-    inc_ranks = spark.read.parquet(f"{WORK}/lgstore/ranks/data").select(
+    from dbd_datawarehouse_scraper_spark.streaming.link_graph import (
+        current_ranks,
+    )
+
+    inc_ranks = current_ranks(spark, f"{WORK}/lgstore")[0].select(
         "id", F.col("rank_q").alias("inc_q")
     )
     mism = (

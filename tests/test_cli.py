@@ -1316,7 +1316,12 @@ def test_stream_link_graph_cli_wat_input(spark, tmp_path):
         ("a.test", "d.test"),
     ]
     e1 = sorted(
-        map(tuple, spark.read.parquet(f"{store}/edges/epoch=1").collect())
+        map(
+            tuple,
+            spark.read.parquet(f"{store}/edges/epoch=1")
+            .select("src", "dst")
+            .collect(),
+        )
     )
     assert e1 == [("a.test", "d.test")]
     ranks, meta = current_ranks(spark, store)
@@ -1325,6 +1330,15 @@ def test_stream_link_graph_cli_wat_input(spark, tmp_path):
     from dbd_datawarehouse_scraper_spark.caching import release_caches
 
     release_caches()
+
+
+def test_stream_link_graph_requires_explicit_output(spark, tmp_path):
+    """The link-graph store is long-lived state: running the modes
+    without -o must refuse rather than silently initializing a store
+    under the scrape default path (round-11 advice)."""
+    for mode in ("--stream-link-graph", "--refresh-link-ranks"):
+        with pytest.raises(ValueError, match="explicit --output"):
+            main([mode, "--input", str(tmp_path), "--input-format", "parquet"])
 
 
 def test_stream_link_graph_refuses_wet_input(spark, tmp_path):

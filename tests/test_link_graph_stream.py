@@ -109,6 +109,43 @@ def test_page_link_edges_by_domain_and_url(spark):
     assert by_url[0] == ("https://a.test/p/1", "HTTPS://a.test/self")
 
 
+def test_page_link_edges_relative_links_are_null_not_phantom(spark):
+    """Relative and scheme-less links (the common shape in real WAT
+    data) must NOT coin a '' phantom node — host extraction yields
+    NULL, and the epoch ingest's null filter drops the edge (round-11
+    advice: a '' node passed the filter and accumulated rank mass from
+    every domain emitting relative links)."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.test/p/1",
+                ["/about", "img/logo.png", "//b.test/x", "https://c.test/y"],
+            ),
+            ("not-a-url", ["https://d.test/z"]),
+        ],
+        "url string, links array<string>",
+    )
+    rows = page_link_edges(pages).collect()
+    # relative links → NULL dst; malformed page url → NULL src;
+    # protocol-relative (//host) has no scheme → NULL under this
+    # extractor too (the WAT source emits absolute URLs)
+    assert ("" not in {r["src"] for r in rows}) and (
+        "" not in {r["dst"] for r in rows}
+    )
+    resolved = sorted(
+        (r["src"], r["dst"])
+        for r in rows
+        if r["src"] is not None and r["dst"] is not None
+    )
+    assert resolved == [("a.test", "c.test")]
+    # and through the store: only the resolved edge lands
+    work = tempfile.mkdtemp(prefix="lg_rel_") + "/store"
+    s = link_graph_epoch(spark, page_link_edges(pages), 0, work)
+    assert s["n_new_edges"] == 1
+    got = sorted(map(tuple, stored_edges(spark, work).collect()))
+    assert got == [("a.test", "c.test")]
+
+
 def test_stream_wrapper_two_epochs_strike(spark):
     work = tempfile.mkdtemp(prefix="lg_stream_")
     src, store, ckpt = f"{work}/src", f"{work}/store", f"{work}/ckpt"
@@ -141,7 +178,12 @@ def test_stream_wrapper_two_epochs_strike(spark):
         ("a.test", "d.test"),
     ]
     e1 = sorted(
-        map(tuple, spark.read.parquet(f"{store}/edges/epoch=1").collect())
+        map(
+            tuple,
+            spark.read.parquet(f"{store}/edges/epoch=1")
+            .select("src", "dst")
+            .collect(),
+        )
     )
     assert e1 == [("a.test", "d.test")]  # the dup edge was struck
 
@@ -171,3 +213,93 @@ def test_refresh_ranks_with_seeds_demotes_unreachable(spark):
     release_caches()
     assert all(got[v] > 0 for v in ("a", "b", "c"))
     assert all(got[v] == 0 for v in ("x", "y", "z"))
+
+
+def test_refresh_generations_never_torn(spark):
+    """Each refresh lands a NEW ranks/gen=G dir and only then flips
+    _meta; the generation the PREVIOUS marker named is untouched until
+    the new marker commits (round-11 advice: the old in-place
+    ranks/data overwrite destroyed the prior generation under a stale
+    marker). Superseded generations are GC'd after commit."""
+    from dbd_datawarehouse_scraper_spark.fsutil import fs_exists, fs_list_names
+
+    work = tempfile.mkdtemp(prefix="lg_gen_") + "/store"
+    link_graph_epoch(spark, _edges(spark, [("a", "b"), ("b", "a")]), 0, work)
+    m0 = refresh_ranks(spark, work, max_iter=5)
+    assert m0["gen"] == 0
+    assert fs_exists(spark, f"{work}/ranks/gen=0")
+    link_graph_epoch(spark, _edges(spark, [("b", "c")]), 1, work)
+    m1 = refresh_ranks(spark, work, max_iter=5)
+    assert m1["gen"] == 1 and m1["as_of_epoch"] == 1
+    # superseded generation deleted AFTER the new marker committed
+    gens = [n for n in fs_list_names(spark, f"{work}/ranks") if n.startswith("gen=")]
+    assert gens == ["gen=1"]
+    ranks, meta = current_ranks(spark, work)
+    assert meta["gen"] == 1 and ranks.count() == 3
+    release_caches()
+
+
+def test_refresh_as_of_skips_uncommitted_epoch(spark):
+    """as_of_epoch reads only COMMITTED epoch dirs (_SUCCESS): a torn,
+    not-yet-replayed ingest dir is neither read nor advertised
+    (round-11 advice)."""
+    import os
+
+    work = tempfile.mkdtemp(prefix="lg_torn_") + "/store"
+    link_graph_epoch(spark, _edges(spark, [("a", "b")]), 0, work)
+    # simulate a crash mid-ingest of epoch 1: dir exists, no _SUCCESS
+    os.makedirs(f"{work}/edges/epoch=1/bucket=0")
+    meta = refresh_ranks(spark, work, max_iter=3)
+    assert meta["as_of_epoch"] == 0 and meta["n_edges"] == 1
+    release_caches()
+
+
+def test_big_batch_strike_path_matches_broadcast_path(spark):
+    """Forcing the sort-merge anti-join path (broadcast_strike_max_rows
+    = 0) yields the same stored relation as the default broadcast
+    semi/anti path — the two strike strategies are plan choices, not
+    semantics."""
+    e0 = [("a", "b"), ("b", "c"), ("c", "d")]
+    e1 = [("a", "b"), ("d", "e"), ("b", "c"), ("e", "f")]
+    stores = []
+    for rows_cap in (10**6, 0):
+        work = tempfile.mkdtemp(prefix=f"lg_path{rows_cap}_") + "/store"
+        link_graph_epoch(
+            spark, _edges(spark, e0), 0, work,
+            broadcast_strike_max_rows=rows_cap,
+        )
+        s = link_graph_epoch(
+            spark, _edges(spark, e1), 1, work,
+            broadcast_strike_max_rows=rows_cap,
+        )
+        assert s == {"n_batch_edges": 4, "n_new_edges": 2}
+        stores.append(sorted(map(tuple, stored_edges(spark, work).collect())))
+    assert stores[0] == stores[1] == [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+    ]
+
+
+def test_store_pins_n_buckets_and_refuses_v1_marker(spark):
+    """The marker pins the bucketing: a later epoch ingested with a
+    different n_buckets argument uses the STORE's count (bucket values
+    must agree across epochs or striking silently duplicates). A
+    pre-bucketing (v1) marker refuses with the wipe hint."""
+    import json
+    import os
+
+    work = tempfile.mkdtemp(prefix="lg_pin_") + "/store"
+    link_graph_epoch(spark, _edges(spark, [("a", "b")]), 0, work, n_buckets=8)
+    # different caller default later: store's 8 wins — the dup is struck
+    s = link_graph_epoch(
+        spark, _edges(spark, [("a", "b"), ("b", "c")]), 1, work, n_buckets=64
+    )
+    assert s["n_new_edges"] == 1
+    row = spark.read.json(f"{work}/format").head()
+    assert row["n_buckets"] == 8 and row["format_version"] == 2
+
+    old = tempfile.mkdtemp(prefix="lg_v1_") + "/store"
+    os.makedirs(old)
+    with open(f"{old}/format", "w") as f:
+        f.write(json.dumps({"format_version": 1, "directed": 1}) + "\n")
+    with pytest.raises(ValueError, match="wipe the store and re-ingest"):
+        link_graph_epoch(spark, _edges(spark, [("a", "b")]), 0, old)
