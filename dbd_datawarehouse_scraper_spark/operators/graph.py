@@ -205,8 +205,9 @@ def pagerank(
     rank_out: str = "rank",
     damping: int = 85,
     max_iter: int = 20,
-    tol_millionths: int = 1,
+    tol_millionths: int | None = 1,
     seeds: DataFrame | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """[EXT] PageRank over a directed link graph — the domain/page
     quality prior corpus-curation pipelines weight by (Common Crawl
@@ -245,14 +246,35 @@ def pagerank(
 
     Scale shape: each iteration is ONE key-shuffle join (ranks ⋈
     out-degrees, then the pre-grouped edge relation) plus a map-side-
-    combining sum per destination and one scalar aggregate — nothing
-    quadratic; rounds are parquet-checkpointed with the ≤2-snapshot
-    lifecycle ``connected_components`` established (lineage truncation
-    + eager GC). Early exit when Σ|Δrank_q| ≤ tol_millionths·1e6
-    (exact integer test while both rounds' files exist).
+    combining sum per destination — nothing quadratic; the
+    floor-remainder pot is a 1-row aggregate CROSS-JOINED back into
+    the plan (round 12: it was a per-round driver collect — two driver
+    actions per round gone, bit-identical arithmetic). Rounds are
+    parquet-checkpointed with the ≤2-snapshot lifecycle
+    ``connected_components`` established (lineage truncation + eager
+    GC); ``checkpoint_every`` spaces the materializations (a span of K
+    uncheckpointed rounds is a K-deep plan — fine for small K, and the
+    only driver action per span is the checkpoint write itself). Early
+    exit when Σ|Δrank_q| ≤ tol_millionths·1e6 (exact integer test
+    while both rounds' files exist). ``tol_millionths=None`` disables
+    the convergence test entirely: EXACTLY ``max_iter`` rounds run —
+    the fixed-iteration mode whose result a non-iterative engine can
+    replay as a K-step unrolled recurrence (the DuckDB oracle for
+    ``link_graph_pagerank`` does exactly that); a convergence test
+    with sparse checkpoints would compare round spans, not rounds, so
+    the combination is refused.
     """
     if not 0 < damping < 100:
         raise ValueError(f"damping must be an integer percent in (0,100), got {damping}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if tol_millionths is not None and checkpoint_every != 1:
+        raise ValueError(
+            "convergence testing (tol_millionths) requires "
+            "checkpoint_every=1 — a sparse-checkpoint delta would compare "
+            "spans of rounds, silently changing which iteration the walk "
+            "stops at; pass tol_millionths=None for fixed-iteration mode"
+        )
     SCALE = 10**12
     spark = edges.sparkSession
     base = scratch_base(spark)
@@ -317,8 +339,10 @@ def pagerank(
         universe.select("_id", seed_base.alias("_rank_q")), 0
     )
     max_live_dirs = 1
-    tol_q = tol_millionths * 10**6
+    tol_q = None if tol_millionths is None else tol_millionths * 10**6
     rnd = 0
+    last_ckpt = 0  # round number backing `ranks`'s parquet files
+    span_persists: list[DataFrame] = []
     for rnd in range(1, max_iter + 1):
         shares = (
             ranks.join(outdeg, ranks["_id"] == outdeg["_src"])
@@ -331,21 +355,38 @@ def pagerank(
                 F.col("_deg"),
             )
         )
-        # Σ per-edge shares = Σ_src share·deg — computed BEFORE the
-        # edge fan-out, one narrow aggregate over |nodes-with-outlinks|
-        distributed = shares.agg(
-            F.sum(F.col("_share_q") * F.col("_deg")).alias("s")
-        ).collect()[0]["s"] or 0
-        pot_q = SCALE - int(distributed)
+        # shares feeds the plan TWICE (the pot aggregate and the edge
+        # contribs join): under sparse checkpointing that doubles the
+        # unmaterialized subtree per round — 2^span evaluations at the
+        # span-ending write. Persisting each round's shares caps the
+        # span cost at linear (the checkpoint job fills the cache on
+        # first touch and the second reference reads it); released as
+        # soon as the span materializes.
+        shares = tracked_persist(shares)
+        span_persists.append(shares)
+        # pot = SCALE − Σ per-edge shares (= Σ_src share·deg, computed
+        # BEFORE the edge fan-out): a 1-row aggregate cross-joined back
+        # in — stays JVM-side, no driver round-trip, and the div
+        # arithmetic below is identical to the old collected scalar
+        pot = shares.agg(
+            (
+                F.lit(SCALE)
+                - F.coalesce(
+                    F.sum(F.col("_share_q") * F.col("_deg")), F.lit(0)
+                )
+            ).cast("long").alias("_pot_q")
+        )
         contribs = (
             e.join(shares.select("_src", "_share_q"), "_src")
             .groupBy("_dst")
             .agg(F.sum("_share_q").alias("_in_q"))
         )
-        new_ranks = checkpoint_round(
+        new_plan = (
             universe.join(
                 contribs.select(F.col("_dst").alias("_id"), "_in_q"), "_id", "left"
-            ).select(
+            )
+            .crossJoin(pot)
+            .select(
                 "_id",
                 # teleport (the (100−d)·p(v) term) and the pot both
                 # land on the seed set only; classic mode seeds every
@@ -354,24 +395,36 @@ def pagerank(
                     f"(CASE WHEN _is_seed THEN {(100 - damping) * base_q}L"
                     " ELSE 0L END"
                     f" + {damping}L * (coalesce(_in_q, 0L)"
-                    f" + CASE WHEN _is_seed THEN {pot_q // n_seeds}L"
+                    f" + CASE WHEN _is_seed THEN (_pot_q div {n_seeds}L)"
                     " ELSE 0L END)) div 100"
                 ).alias("_rank_q"),
-            ),
-            rnd,
-        )
-        max_live_dirs = max(max_live_dirs, len(fs_list_names(spark, base)))
-        # exact integer convergence test while BOTH rounds exist
-        delta = (
-            new_ranks.join(
-                ranks.select("_id", F.col("_rank_q").alias("_old_q")), "_id"
             )
-            .agg(F.sum(F.abs(F.col("_rank_q") - F.col("_old_q"))).alias("d"))
-            .collect()[0]["d"]
         )
-        fs_delete(spark, f"{base}/round-{rnd - 1}")
+        if rnd % checkpoint_every != 0 and rnd != max_iter:
+            # mid-span: extend the plan, no action fires this round
+            ranks = new_plan
+            continue
+        new_ranks = checkpoint_round(new_plan, rnd)
+        release_these(span_persists)
+        span_persists = []
+        max_live_dirs = max(max_live_dirs, len(fs_list_names(spark, base)))
+        if tol_q is not None:
+            # exact integer convergence test while BOTH rounds exist
+            # (checkpoint_every==1 here — enforced above)
+            delta = (
+                new_ranks.join(
+                    ranks.select("_id", F.col("_rank_q").alias("_old_q")),
+                    "_id",
+                )
+                .agg(F.sum(F.abs(F.col("_rank_q") - F.col("_old_q"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:
+            delta = None
+        fs_delete(spark, f"{base}/round-{last_ckpt}")
         ranks = new_ranks
-        if delta is not None and int(delta) <= tol_q:
+        last_ckpt = rnd
+        if tol_q is not None and delta is not None and int(delta) <= tol_q:
             break
 
     release_these([e, outdeg, nodes, universe])

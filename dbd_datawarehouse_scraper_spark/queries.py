@@ -171,11 +171,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "project_columns",
-    "SELECT c_custkey AS custkey, c_name AS company_name, c_mktsegment AS segment FROM customer",
-)
+@register("project_columns", None)
 def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 column projection. Rotated OUT of the oracle window in
+    round 12 (the 50-slot recipe) to make room for
+    ``link_graph_pagerank``: the full projection result — every row,
+    all three columns — still rides the oracle hash as
+    ``counting_suite``'s ``proj`` leg, so the cross-engine check is
+    unchanged in substance; this standalone row keeps the rows-only
+    driver check."""
     return t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_name").alias("company_name"),
@@ -2651,6 +2655,10 @@ def ivf_build_maintenance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_orderstatus) o,
       LATERAL (VALUES ('n_customers', n_customers),
                       ('n_orders', n_orders)) AS m(metric, value)
+    UNION ALL
+    SELECT 'proj' AS leg, c_mktsegment AS grp, c_name AS metric,
+           c_custkey AS value
+    FROM customer
     """,
 )
 def counting_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2663,7 +2671,12 @@ def counting_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       the financial long relation. Both sides aggregate to one row, so
       the cross join is 1×1 — never a scale concern.
     - ``orders`` leg — count_distinct_agg: COUNT(DISTINCT) + COUNT(*)
-      per group (native, map-side partial)."""
+      per group (native, map-side partial).
+    - ``proj`` leg (round-12 rotation) — the former standalone
+      ``project_columns`` oracle row folded in whole: every customer
+      row's 3-column projection rides this suite's hash under
+      (grp=segment, metric=name, value=custkey), freeing its window
+      slot for ``link_graph_pagerank``."""
     from .operators.unpivot import unpivot_financials
 
     c = t(spark, sf_dir, "customer")
@@ -2720,7 +2733,17 @@ def counting_suite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric"),
         "value",
     )
-    return loaded.unionByName(orders_leg).select("leg", "grp", "metric", "value")
+    proj_leg = t(spark, sf_dir, "customer").select(
+        F.lit("proj").alias("leg"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("c_name").alias("metric"),
+        F.col("c_custkey").alias("value"),
+    )
+    return (
+        loaded.unionByName(orders_leg)
+        .unionByName(proj_leg)
+        .select("leg", "grp", "metric", "value")
+    )
 
 
 @register(
@@ -4437,7 +4460,76 @@ def wat_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@register("link_graph_pagerank", None)
+_PAGERANK_ITERS = 15
+
+
+def _pagerank_oracle_sql(k_iters: int = _PAGERANK_ITERS, damping: int = 85) -> str:
+    """DuckDB replay of the integer PageRank recurrence as a K-step
+    UNROLLED chain of CTEs — one (shares, pot, contribs, ranks)
+    quadruple per iteration, mirroring operators/graph.py's div-based
+    arithmetic term for term (SCALE=1e12 micro-units, floor division
+    everywhere, floor-remainder + dangling mass pot redistributed
+    uniformly). Every operand is non-negative, so DuckDB's `//` and
+    Spark's `div` agree exactly and the unroll is BIT-equal to the
+    iterative operator run in fixed-iteration mode
+    (tol_millionths=None — exactly K rounds, no early exit). CTEs are
+    MATERIALIZED: inlining re-expands each round's chain into the
+    next and the plan (and parquet re-opens) grow exponentially."""
+    SCALE = 10**12
+    parts = [f"""
+    WITH edges_raw AS MATERIALIZED (
+        SELECT doc_id AS src, (doc_id*7+1)%500 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, (doc_id+1)%500 AS dst FROM documents
+        UNION ALL
+        SELECT doc_id AS src, CAST(0 AS BIGINT) AS dst FROM documents
+        WHERE doc_id % 37 = 0
+    ),
+    edges AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM edges_raw WHERE src <> dst
+    ),
+    outdeg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ),
+    nodes AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    params AS MATERIALIZED (
+        SELECT COUNT(*) AS n, {SCALE} // COUNT(*) AS base_q FROM nodes
+    ),
+    r0 AS MATERIALIZED (
+        SELECT id, (SELECT base_q FROM params) AS rank_q FROM nodes
+    )"""]
+    for k in range(1, k_iters + 1):
+        parts.append(f""",
+    s{k} AS MATERIALIZED (
+        SELECT o.src, r.rank_q // o.deg AS share_q, o.deg
+        FROM r{k - 1} r JOIN outdeg o ON r.id = o.src
+    ),
+    pot{k} AS MATERIALIZED (
+        SELECT {SCALE} - COALESCE(SUM(share_q * deg), 0) AS pot FROM s{k}
+    ),
+    c{k} AS MATERIALIZED (
+        SELECT e.dst AS id, SUM(s.share_q) AS in_q
+        FROM edges e JOIN s{k} s ON e.src = s.src GROUP BY e.dst
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT n.id,
+               ({100 - damping} * p.base_q
+                + {damping} * (COALESCE(c.in_q, 0)
+                               + (SELECT pot FROM pot{k}) // p.n)) // 100
+                   AS rank_q
+        FROM nodes n CROSS JOIN params p LEFT JOIN c{k} c ON n.id = c.id
+    )""")
+    parts.append(f"""
+    SELECT id, CAST(rank_q AS DOUBLE) / {float(SCALE)} AS rank, rank_q
+    FROM r{k_iters}
+    ORDER BY rank_q DESC, id ASC LIMIT 20
+    """)
+    return "".join(parts)
+
+
+@register("link_graph_pagerank", _pagerank_oracle_sql())
 def link_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] PageRank over a link graph (operators/graph.py pagerank —
     round 10): the domain/page quality prior curation pipelines weight
@@ -4446,10 +4538,20 @@ def link_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Synthesizes a deterministic link structure over the documents
     table — every doc links to two successors plus every 37th doc
     hub-links to doc 0 — and returns the top-20 pages by rank.
-    Rows-only: iterative checkpointed loop; rank_q is BIT-exact by
-    integer construction (pinned against a pure-Python replica of the
-    same recurrence in tests/test_graph.py, plus float-PageRank
-    agreement and partition invariance)."""
+
+    ORACLE-BACKED since round 12 (the r11 verdict's #1): the walk runs
+    in fixed-iteration mode (``tol_millionths=None`` — exactly
+    ``_PAGERANK_ITERS`` rounds, early exit disabled) so the DuckDB
+    twin (:func:`_pagerank_oracle_sql`) can replay it as a K-step
+    unrolled chain of CTEs over the same div-based integer recurrence
+    — the hash covers ``rank_q`` BIT-for-bit against an independent
+    engine, not just the pure-Python replica in tests/test_graph.py
+    (which still pins the convergence-tested mode).
+    ``checkpoint_every=3`` spaces the lineage-truncation writes (5
+    materializations instead of 15, same bits) — measured optimum:
+    spans of 5 make Catalyst optimization of the nested round plans
+    itself the bottleneck (~2× slower than per-round writes), spans
+    of 3 beat both."""
     from .operators.graph import pagerank
 
     d = t(spark, sf_dir, "documents").select("doc_id")
@@ -4465,7 +4567,12 @@ def link_graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd1.unionByName(fwd2).unionByName(hub).filter(
         F.col("src") != F.col("dst")
     )
-    ranks = pagerank(edges, max_iter=15)
+    ranks = pagerank(
+        edges,
+        max_iter=_PAGERANK_ITERS,
+        tol_millionths=None,
+        checkpoint_every=3,
+    )
     out = ranks.orderBy(F.col("rank_q").desc(), F.col("id").asc()).limit(20)
     # materialize before release: the checkpoint parquet backing the
     # result is reclaimed by the caller's release_caches()

@@ -397,6 +397,44 @@ def test_trustrank_demotes_unreachable_component(spark):
     assert got == _pagerank_reference(trusted + spam, seeds={1})
 
 
+def test_pagerank_fixed_iteration_sparse_checkpoints_bit_exact(spark):
+    """tol_millionths=None runs EXACTLY max_iter rounds (the mode the
+    DuckDB K-step unrolled oracle replays), and checkpoint_every only
+    spaces the materializations — bit-identical results at every
+    spacing, and the ≤2-live-dirs GC invariant still holds."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import (
+        last_run_stats,
+        pagerank,
+    )
+
+    edges = [(i, (i * 7 + 1) % 23) for i in range(23)] + [
+        (i, (i + 1) % 23) for i in range(0, 23, 3)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    want = _pagerank_reference(edges, max_iter=7, tol_millionths=-1)
+    for every in (1, 3, 7):
+        got = {
+            r.id: r.rank_q
+            for r in pagerank(
+                df, max_iter=7, tol_millionths=None, checkpoint_every=every
+            ).collect()
+        }
+        stats = dict(last_run_stats)
+        release_caches()
+        assert got == want, f"checkpoint_every={every} diverged"
+        assert stats["rounds"] == 7
+        assert stats["max_live_round_dirs"] <= 2
+
+
+def test_pagerank_tol_with_sparse_checkpoints_refused(spark):
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="checkpoint_every=1"):
+        pagerank(df, checkpoint_every=3)
+
+
 def test_pagerank_disjoint_seeds_raise(spark):
     from dbd_datawarehouse_scraper_spark.caching import release_caches
     from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
