@@ -142,6 +142,10 @@ HEADLINE = [
     # build cost is now this separate maintenance row — a fresh
     # uncached build per run, by construction
     "ivf_build_maintenance",
+    # round 12: the composed WAT-write→parse→edges→pagerank→domain-gate
+    # DAG as a hermetic fixture row (r11 verdict Missing #3) —
+    # rows-only, so the oracle-backed ratio subset is UNCHANGED
+    "crawl_rank_curation_hermetic",
 ]
 
 

@@ -230,7 +230,9 @@ def link_graph_epoch(
         "link-graph store",
         "edges re-ingested after a wipe are struck from scratch",
     )
-    edges = (
+    from ..caching import release_these, tracked_persist
+
+    batch_p = tracked_persist(
         batch_edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
@@ -240,9 +242,13 @@ def link_graph_epoch(
             & (F.col("src") != F.col("dst"))
         )
         .distinct()
+        .withColumn("bucket", _bucket_of(F.col("src"), F.col("dst"), b))
     )
+    # the persisted batch is referenced up to three times below (count,
+    # broadcast probe, anti-join left side) — one distinct shuffle, not
+    # three; released before returning
+    edges = batch_p
     n_batch = edges.count()
-    edges = edges.withColumn("bucket", _bucket_of(F.col("src"), F.col("dst"), b))
     history_epochs = _epochs_with_data(spark, root, history_epochs)
     if history_epochs and n_batch > 0:
         # basePath: the epoch dirs hold bucket= partition subdirs, so a
@@ -254,15 +260,19 @@ def link_graph_epoch(
         if n_batch <= broadcast_strike_max_rows:
             # prune the store scan to the batch's buckets (directory-
             # level partition pruning — a micro-batch of a few domains
-            # touches a few buckets), then stream it through a
-            # broadcast probe: `old` is the ≤|batch| store edges the
-            # batch re-crawled; anti-joining the batch against THAT
-            # (also broadcast) never shuffles anything store-sized.
-            bks = [
-                r[0] for r in edges.select("bucket").distinct().collect()
-            ]
-            if len(bks) < b:
-                history = history.filter(F.col("bucket").isin(bks))
+            # touches a few buckets; a batch comfortably larger than
+            # the bucket count occupies nearly all of them, so skip
+            # the probe job rather than pay a collect to learn
+            # nothing), then stream it through a broadcast probe:
+            # `old` is the ≤|batch| store edges the batch re-crawled;
+            # anti-joining the batch against THAT (also broadcast)
+            # never shuffles anything store-sized.
+            if n_batch < 32 * b:
+                bks = [
+                    r[0] for r in edges.select("bucket").distinct().collect()
+                ]
+                if len(bks) < b:
+                    history = history.filter(F.col("bucket").isin(bks))
             old = history.join(
                 F.broadcast(edges.select("src", "dst")),
                 ["src", "dst"],
@@ -283,6 +293,7 @@ def link_graph_epoch(
         n_new = spark.read.parquet(f"{root}/epoch={epoch_id}").count()
     else:
         n_new = 0
+    release_these([batch_p])
     return {"n_batch_edges": n_batch, "n_new_edges": n_new}
 
 
