@@ -288,6 +288,7 @@ def fold_epoch_dirs(
     min_dirs: int = 8,
     target_files: int = 8,
     partition_cols: tuple = (),
+    merge=None,
 ) -> bool:
     """[EXT] Fold committed ``epoch=K`` generations of a streaming
     store into ONE — the store-lifecycle counterpart of
@@ -296,7 +297,19 @@ def fold_epoch_dirs(
     epoch; after thousands of epochs every history probe is a
     small-files scan. This folds committed ``epoch=K`` dirs
     (``K < below_epoch``) into ``epoch=<max folded K>`` generations
-    of ~``target_files`` files each, preserving rows exactly.
+    of ~``target_files`` files each, preserving rows exactly — unless
+    the caller passes ``merge`` (a ``DataFrame -> DataFrame`` reducer),
+    in which case each folded generation is the MERGE of its members.
+    For delta stores whose consumers re-aggregate the whole history per
+    epoch (the segment/substring frequency stores: union of deltas →
+    groupBy-sum), an ASSOCIATIVE merge shrinks every folded generation
+    to one row per key while every downstream total is bit-unchanged —
+    without it, folding bounds the store's file count but not its ROW
+    count, and the per-epoch re-aggregation still shuffles every delta
+    ever written (the round-11 verdict's striking-cost class, round
+    12). ``merge`` must be associative and idempotent over regrouping
+    (groupBy-sum / min / max are; averages and raw counts of rows are
+    NOT — keep sums and derive ratios downstream).
 
     Replay safety: ``foreachBatch`` can replay at most the CURRENT
     epoch, so callers pass ``below_epoch=<current epoch_id>`` — a
@@ -371,7 +384,14 @@ def fold_epoch_dirs(
             )
         ]
         if data:
-            if partition_cols:
+            if merge is not None:
+                merged = merge(
+                    spark.read.parquet(*[f"{path}/epoch={e}" for e in data])
+                )
+                merged.coalesce(target_files).write.mode("overwrite").parquet(
+                    f"{tmp}/epoch={kmax}"
+                )
+            elif partition_cols:
                 # partitioned epoch dirs need the table root declared
                 # (basePath) for a multi-dir read; the epoch partition
                 # column that surfaces alongside is dropped before the

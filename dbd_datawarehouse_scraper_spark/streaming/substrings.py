@@ -37,10 +37,16 @@ Store integrity mirrors streaming/segments.py: format marker pins
 ``min_len`` (window hashes of a different width never combine),
 history reads strictly-below epochs, checkpoint-reset-ahead epochs
 refuse loudly, epoch-suffixed overwrites keep replays idempotent,
-committed generations fold via ``fold_epoch_dirs`` (row-preserving —
-the cumulative groupBy re-aggregates folded rows to the same sums and
-mins). ``min_docs`` / ``keep_first`` / ``within_doc`` are read-time
-parameters (not baked into stored rows), so they may vary per run.
+committed generations fold via ``fold_epoch_dirs`` with an
+AGGREGATING merge (round 12): each folded generation is the
+groupBy-sum/min of its member deltas — one row per window hash instead
+of one per (epoch, hash). Without the merge, folding bounded the
+store's FILE count but not its ROW count, and the per-epoch cumulative
+re-aggregation still shuffled every delta ever written; sums and the
+(min_id, min_pos) struct-min are associative, so every downstream
+total is bit-unchanged. ``min_docs`` / ``keep_first`` / ``within_doc``
+are read-time parameters (not baked into stored rows), so they may
+vary per run.
 """
 
 from __future__ import annotations
@@ -55,6 +61,32 @@ from ..caching import pool_mark, release_since, tracked_persist
 STORE_FORMAT_VERSION = 1
 
 _MARKER_SCHEMA = "format_version INT, min_len INT"
+
+
+def _merge_stats(df: DataFrame) -> DataFrame:
+    """Associative reducer for window-stat deltas: summed doc/occ
+    counts and the earliest (min_id, min_pos) occurrence per window
+    hash. Used by the per-epoch cumulative total AND as the fold merge
+    — one definition so they cannot drift."""
+    from ..operators.substrings import _H
+
+    return (
+        df.groupBy(_H)
+        .agg(
+            F.sum("doc_count").alias("doc_count"),
+            F.sum("occ_count").alias("occ_count"),
+            F.min(F.struct(F.col("min_id"), F.col("min_pos"))).alias(
+                "_min_occ"
+            ),
+        )
+        .select(
+            _H,
+            "doc_count",
+            "occ_count",
+            F.col("_min_occ.min_id").alias("min_id"),
+            F.col("_min_occ.min_pos").alias("min_pos"),
+        )
+    )
 
 
 def _validate_or_init_store(
@@ -141,8 +173,11 @@ def substring_dedup_epoch(
 
     stats_root = f"{store_path}/winstats"
     if fold_store_after:
+        # the aggregating merge keeps folded generations at one row per
+        # window hash
         fold_epoch_dirs(
-            spark, stats_root, below_epoch=epoch_id, min_dirs=fold_store_after
+            spark, stats_root, below_epoch=epoch_id,
+            min_dirs=fold_store_after, merge=_merge_stats,
         )
     else:
         recover_epoch_fold(spark, stats_root)
@@ -195,24 +230,7 @@ def substring_dedup_epoch(
             hist = spark.read.parquet(
                 *[f"{stats_root}/epoch={e}" for e in hist_epochs]
             )
-            total = (
-                epoch_stats.unionByName(hist)
-                .groupBy(_H)
-                .agg(
-                    F.sum("doc_count").alias("doc_count"),
-                    F.sum("occ_count").alias("occ_count"),
-                    F.min(F.struct(F.col("min_id"), F.col("min_pos"))).alias(
-                        "_min_occ"
-                    ),
-                )
-                .select(
-                    _H,
-                    "doc_count",
-                    "occ_count",
-                    F.col("_min_occ.min_id").alias("min_id"),
-                    F.col("_min_occ.min_pos").alias("min_pos"),
-                )
-            )
+            total = _merge_stats(epoch_stats.unionByName(hist))
         cond = F.col("doc_count") >= min_docs
         if within_doc:
             cond = cond | (F.col("occ_count") >= 2)

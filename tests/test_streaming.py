@@ -1028,8 +1028,10 @@ def test_stream_export_with_segment_dedup_stage(spark):
 def test_stream_segment_dedup_store_folding_keeps_decisions(spark):
     """With fold_store_after=2, committed freq generations fold into
     one while epoch decisions stay identical to the unfolded store
-    (summed deltas are row-preserved by fold_epoch_dirs), and the
-    store never holds more than ~2 generations."""
+    (since round 12 the fold MERGES deltas — groupBy-sum per segment
+    hash, one row per hash per generation — and summed sums equal the
+    unfolded sum), and the store never holds more than ~2
+    generations."""
     from dbd_datawarehouse_scraper_spark.fsutil import fs_list_names
     from dbd_datawarehouse_scraper_spark.streaming.segments import (
         segment_dedup_epoch,
@@ -1066,6 +1068,13 @@ def test_stream_segment_dedup_store_folding_keeps_decisions(spark):
         assert folded == unfolded, "folding changed dedup decisions"
         assert len(gens_folded) <= 3, gens_folded   # folded gen + recent
         assert len(gens_unfolded) == 5
+        # the aggregating merge (r12): a folded generation holds ONE row
+        # per segment hash, not one per (epoch, hash) delta
+        for gen in gens_folded:
+            df = spark.read.parquet(f"{w1}/store/freq/{gen}")
+            n_rows = df.count()
+            n_keys = df.select(df.columns[0]).distinct().count()
+            assert n_rows == n_keys, (gen, n_rows, n_keys)
         # the boiler (3 docs/epoch) crosses min_docs=6 at epoch 2: later
         # epochs strip it, via SUMMED deltas that span the folded gen
         by_id = {t[0]: t[1] for t in folded}

@@ -107,6 +107,56 @@ def test_epoch_function_replay_and_keep_first_false(spark):
     )
 
 
+def test_store_folding_merges_deltas_and_keeps_decisions(spark):
+    """fold_store_after=2 with the aggregating merge (round 12): epoch
+    decisions identical to the unfolded store, generation count
+    bounded, and every folded generation holds ONE row per window hash
+    (the merge actually aggregated — without it a generation carried
+    one delta row per member epoch per hash)."""
+    import shutil
+
+    from dbd_datawarehouse_scraper_spark.fsutil import fs_exists, fs_list_names
+
+    def run(workdir, fold):
+        out, store = f"{workdir}/out", f"{workdir}/store"
+        for e in range(5):
+            rows = [
+                (e * 100, f"{SPAN} a{e}b a{e}c"),   # span recurs every epoch
+                (e * 100 + 1, f"n{e}1 n{e}2 n{e}3 n{e}4 n{e}5 n{e}6 n{e}7 n{e}8"),
+            ]
+            substring_dedup_epoch(
+                spark, _docs(spark, rows), e, out, store,
+                min_len=8, min_docs=3, fold_store_after=fold,
+            )
+        cleaned = sorted(
+            map(tuple, spark.read.parquet(f"{out}/epoch=*").collect())
+        )
+        gens = [
+            n for n in fs_list_names(spark, f"{store}/winstats")
+            if n.startswith("epoch=")
+        ]
+        return cleaned, gens, store
+
+    w1 = tempfile.mkdtemp(prefix="ss_fold_")
+    w2 = tempfile.mkdtemp(prefix="ss_nofold_")
+    try:
+        folded, gens_f, store_f = run(w1, fold=2)
+        unfolded, gens_u, _ = run(w2, fold=None)
+        assert folded == unfolded, "folding changed strike decisions"
+        assert len(gens_f) <= 3 and len(gens_u) == 5
+        merged_gens = [
+            g for g in gens_f
+            if fs_exists(spark, f"{store_f}/winstats/{g}/_FOLDED_GEN")
+        ]
+        assert merged_gens, "no folded generation produced"
+        for g in merged_gens:
+            df = spark.read.parquet(f"{store_f}/winstats/{g}")
+            assert df.count() == df.select(df.columns[0]).distinct().count()
+    finally:
+        shutil.rmtree(w1, ignore_errors=True)
+        shutil.rmtree(w2, ignore_errors=True)
+
+
 def test_store_integrity_refusals(spark):
     work = tempfile.mkdtemp(prefix="ss_store_")
     out, store = f"{work}/out", f"{work}/store"
