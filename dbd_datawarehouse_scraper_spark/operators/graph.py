@@ -64,11 +64,22 @@ def connected_components(
     id_out: str = "id",
     comp_out: str = "component",
     max_iter: int = 50,
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``;
     ``component`` is the minimum id reachable in the node's connected
-    component. Min-label propagation: converges after O(diameter)
-    checkpointed join rounds with early exit at the fixpoint.
+    component. ``algorithm="label"`` (default) is min-label
+    propagation: converges after O(diameter) checkpointed join rounds
+    with early exit at the fixpoint — the right choice for dedup
+    graphs (tiny-diameter clusters, 2-4 rounds).
+    ``algorithm="star"`` is the alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14): O(log² n) rounds REGARDLESS of diameter —
+    the round-12 promotion of what earlier rounds documented as an
+    escape hatch; use it when the pair graph can chain (e.g.
+    URL-provenance graphs, co-citation paths), where label
+    propagation's O(diameter) would exhaust ``max_iter``. Both
+    algorithms return the identical (id, min-reachable-id) relation.
 
     The result is small relative to the corpus (only docs that appear
     in at least one near-dup pair) and is already materialized by the
@@ -79,6 +90,14 @@ def connected_components(
     deleted inside the loop: at most 2 round snapshots exist at any
     moment.
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(
+            f"algorithm must be 'label' or 'star', got {algorithm!r}"
+        )
+    if algorithm == "star":
+        return _connected_components_star(
+            pairs, id_a, id_b, id_out, comp_out, max_iter
+        )
     spark = pairs.sparkSession
     base = scratch_base(spark)
 
@@ -181,7 +200,8 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "the pair graph has pathological diameter — raise max_iter or "
-            "switch to large-star/small-star contraction"
+            "rerun with algorithm='star' (large-star/small-star "
+            "contraction: O(log² n) rounds regardless of diameter)"
         )
 
     release_these([edges])
@@ -193,6 +213,142 @@ def connected_components(
         {"rounds": rnd, "max_live_round_dirs": max_live_dirs, "scratch_dir": base}
     )
     return labels.select(
+        F.col("_id").alias(id_out), F.col("_comp").alias(comp_out)
+    )
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    id_out: str,
+    comp_out: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14 Theorem 1: converges in O(log² n) rounds on ANY graph —
+    in practice a handful). Each round is two (groupBy-min + join)
+    passes over the current edge set; at the fixpoint the edge set is
+    a forest of stars, every node pointing directly at its component's
+    minimum id:
+
+    - LARGE-STAR, per node u over the symmetrized neighborhood Γ(u):
+      connect every STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u});
+    - SMALL-STAR, per node u over edges oriented (u > v): connect u
+      and every smaller neighbor to their minimum.
+
+    Both steps only ever link a node to something ≤ its smallest
+    known neighbor, and neither disconnects a component, so the
+    fixpoint's stars carry exactly the min-reachable-id relation —
+    identical output to the label-propagation form (property-pinned
+    against it in tests/test_graph.py). Works for any orderable id
+    type (``least``/``greatest``/``min`` are lexicographic on
+    strings, same as label propagation's ``F.min``).
+
+    Scale shape: same discipline as the label loop — parquet-
+    checkpointed rounds (lineage truncation, ≤2 snapshots live), one
+    map-side-combined min-aggregate + one key-shuffle join per star
+    step, exact symmetric-difference convergence test while both
+    rounds' files exist (edge COUNTS can tie across non-equal rounds,
+    so counting is not a fixpoint test).
+    """
+    spark = pairs.sparkSession
+    base = scratch_base(spark)
+
+    def checkpoint_round(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{base}/round-{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
+        )
+        mins = sym.groupBy("_src").agg(F.min("_dst").alias("_mn"))
+        mins = mins.select(
+            "_src", F.least(F.col("_mn"), F.col("_src")).alias("_m")
+        )
+        return (
+            sym.join(mins, "_src")
+            .filter(F.col("_dst") > F.col("_src"))
+            .select(F.col("_dst").alias("_src"), F.col("_m").alias("_dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = (
+            e.select(
+                F.greatest("_src", "_dst").alias("_u"),
+                F.least("_src", "_dst").alias("_v"),
+            )
+            .filter(F.col("_u") != F.col("_v"))
+            .distinct()
+        )
+        mins = o.groupBy("_u").agg(F.min("_v").alias("_m"))
+        ev = (
+            o.join(mins, "_u")
+            .filter(F.col("_v") != F.col("_m"))
+            .select(F.col("_v").alias("_src"), F.col("_m").alias("_dst"))
+        )
+        eu = mins.select(F.col("_u").alias("_src"), F.col("_m").alias("_dst"))
+        return ev.unionByName(eu).distinct()
+
+    nodes = tracked_persist(
+        pairs.select(F.col(id_a).alias("_id"))
+        .unionByName(pairs.select(F.col(id_b).alias("_id")))
+        .distinct()
+    )
+    edges = checkpoint_round(
+        pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
+        .filter(F.col("_src") != F.col("_dst"))
+        .distinct(),
+        0,
+    )
+    max_live_dirs = 1
+    rnd = 0
+    for rnd in range(1, max_iter + 1):
+        new_edges = checkpoint_round(small_star(large_star(edges)), rnd)
+        max_live_dirs = max(max_live_dirs, len(fs_list_names(spark, base)))
+        # exact fixpoint: empty symmetric difference while BOTH rounds'
+        # files exist (an equal count does NOT imply an equal set)
+        n_diff = (
+            new_edges.join(edges, ["_src", "_dst"], "left_anti").count()
+            + edges.join(new_edges, ["_src", "_dst"], "left_anti").count()
+        )
+        fs_delete(spark, f"{base}/round-{rnd - 1}")
+        edges = new_edges
+        if n_diff == 0:
+            break
+    else:
+        release_these([nodes])
+        fs_delete(spark, base)
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds — "
+            "this exceeds the O(log² n) bound and indicates a bug or an "
+            "id type whose ordering is inconsistent"
+        )
+
+    # stars: every non-root points at its component min; roots (the
+    # minima themselves) and isolated self-loop-only nodes map to self.
+    # The groupBy-min is a fixpoint no-op (each leaf holds exactly one
+    # edge in a star) kept as cheap insurance against emitting
+    # duplicate (id, comp) rows.
+    comps = nodes.join(
+        edges.groupBy("_src").agg(F.min("_dst").alias("_comp")).select(
+            F.col("_src").alias("_id"), "_comp"
+        ),
+        "_id",
+        "left",
+    ).select("_id", F.coalesce("_comp", F.col("_id")).alias("_comp"))
+    out = checkpoint_round(comps, rnd + 1)
+    fs_delete(spark, f"{base}/round-{rnd}")
+    release_these([nodes])
+    tracked_scratch_dir(spark, base)
+    last_run_stats.clear()
+    last_run_stats.update(
+        {"rounds": rnd, "max_live_round_dirs": max_live_dirs, "scratch_dir": base}
+    )
+    return out.select(
         F.col("_id").alias(id_out), F.col("_comp").alias(comp_out)
     )
 

@@ -209,6 +209,78 @@ def test_checkpoint_gc_bounded_and_reclaimed(spark):
     assert not os.path.exists(stats["scratch_dir"])
 
 
+# ------------------------------------------------- star contraction (r12)
+
+
+def test_star_matches_label_on_random_graphs(spark):
+    """algorithm='star' (large-star/small-star contraction) returns the
+    IDENTICAL (id, min-reachable-id) relation as label propagation, on
+    deterministic pseudo-random multi-component graphs."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import (
+        connected_components,
+    )
+
+    for seed in (1, 2, 3):
+        edges = [
+            ((i * 7919 + seed) % 400, (i * 104729 + seed * 31) % 400)
+            for i in range(180)
+        ]
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        label = sorted(map(tuple, connected_components(df).collect()))
+        release_caches()
+        star = sorted(
+            map(tuple, connected_components(df, algorithm="star").collect())
+        )
+        release_caches()
+        assert star == label, f"seed {seed} diverged"
+
+
+def test_star_converges_on_path_where_label_exhausts(spark):
+    """A 300-node path graph has diameter 299: label propagation at the
+    default max_iter=50 must raise its documented escape-hatch error,
+    and algorithm='star' must solve the same graph in O(log² n) rounds
+    — the exact scenario the contraction exists for."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import (
+        connected_components,
+        last_run_stats,
+    )
+
+    path = [(i, i + 1) for i in range(299)]
+    df = spark.createDataFrame(path, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="algorithm='star'"):
+        connected_components(df)
+    release_caches()
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    stats = dict(last_run_stats)
+    release_caches()
+    assert got == {i: 0 for i in range(300)}
+    assert stats["rounds"] <= 12, stats  # O(log² n), not O(diameter)
+    assert stats["max_live_round_dirs"] <= 2
+
+
+def test_star_string_ids_and_isolated_selfloops(spark):
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = [("b", "c"), ("c", "d"), ("x", "x"), ("a", "d")]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    release_caches()
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x"}
+    with pytest.raises(ValueError, match="label.*star|star.*label"):
+        connected_components(df, algorithm="bogus")
+
+
 # ------------------------------------------------------------- pagerank
 
 
