@@ -44,7 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-filter", action="store_true",
                    help="Include all companies, not just Thai (จำกัด/มหาชน)")
     # output (1592-1597)
-    p.add_argument("--output", "-o", type=str, default="revenue_data.parquet")
+    # default=None so "unset" is distinguishable from an explicit
+    # '-o revenue_data.parquet' (the link-graph guard below must refuse
+    # only the former); resolved to the scrape default after parsing
+    p.add_argument("--output", "-o", type=str, default=None,
+                   help="output path (default: revenue_data.parquet)")
     p.add_argument("--not-found-output", type=str, default="not_found.parquet")
     p.add_argument("--force", "-f", action="store_true",
                    help="Overwrite outputs without creating backups")
@@ -780,6 +784,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         args.config if os.path.exists(args.config) else None, overrides
     )
     spark = get_spark(master=args.master)
+    output_defaulted = args.output is None
+    if output_defaulted:
+        args.output = "revenue_data.parquet"
     fmt = "csv" if args.output.endswith(".csv") else "parquet"
 
     if args.optimize_output:
@@ -818,8 +825,9 @@ def main(argv: Sequence[str] | None = None) -> int:
         # a one-shot output: running these modes against the untouched
         # scrape default would silently initialize a store (format
         # marker, ckpt, edges) under an unrelated-looking path
-        # (round-11 advice) — demand an explicit choice
-        if args.output == "revenue_data.parquet":
+        # (round-11 advice) — demand an explicit choice; an explicitly
+        # typed '-o revenue_data.parquet' IS a choice and passes
+        if output_defaulted:
             raise ValueError(
                 "--stream-link-graph / --refresh-link-ranks need an "
                 "explicit --output/-o naming the link-graph STORE "

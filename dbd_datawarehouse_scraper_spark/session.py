@@ -33,6 +33,14 @@ _DEFAULTS = {
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # The epoch stores' replay-idempotence contract assumes overwrite of
+    # a partitioned dir TRUNCATES it (static mode, Spark's default).
+    # Pin it: under a cluster-wide dynamic default, a replayed epoch
+    # occupying fewer partitions would leave stale partition dirs in
+    # place — phantom rows surviving in a committed store. The
+    # truncation-dependent writes also set this per-write (a session
+    # not built by this factory gets the same guarantee).
+    "spark.sql.sources.partitionOverwriteMode": "static",
     # ContextCleaner only reclaims shuffle files / broadcast blocks after
     # their driver-side handles are GARBAGE-COLLECTED — and on a large
     # heap a long-running driver may not GC for ages, so state from

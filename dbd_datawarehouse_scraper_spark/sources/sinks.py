@@ -401,9 +401,15 @@ def fold_epoch_dirs(
                 df = spark.read.option("basePath", path).parquet(
                     *[f"{path}/epoch={e}" for e in data]
                 ).drop("epoch")
+                # static overwrite: a crashed fold's partial generation
+                # dir must be truncated on replay, not merged with (a
+                # cluster-wide dynamic partitionOverwriteMode would
+                # keep partitions the rewrite no longer produces)
                 df.repartition(
                     *[F.col(c) for c in partition_cols]
-                ).write.mode("overwrite").partitionBy(*partition_cols).parquet(
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "static"
+                ).partitionBy(*partition_cols).parquet(
                     f"{tmp}/epoch={kmax}"
                 )
             else:

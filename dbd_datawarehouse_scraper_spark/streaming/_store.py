@@ -29,12 +29,23 @@ def validate_or_init_marker(
     want: tuple,
     noun: str,
     mismatch_hint: str,
-) -> None:
+    free_fields: tuple = (),
+    init: bool = True,
+) -> dict:
     """Read-or-write the store's format marker. ``schema`` is the
     marker's DDL (first field MUST be ``format_version INT``); ``want``
     is the full value tuple in schema order. An existing marker must
-    match ``want`` exactly; a store directory without a marker refuses
-    (pre-versioning or corrupted); a fresh path writes the marker."""
+    match ``want`` exactly on every field NOT named in ``free_fields``;
+    a store directory without a marker refuses (pre-versioning or
+    corrupted); a fresh path writes the marker (unless ``init=False``
+    — the read-only handshake for paths that must never create a
+    store, which raises on a missing marker instead).
+
+    ``free_fields`` names fields that are STORE STATE rather than
+    caller input (e.g. a bucket count fixed at store creation): an
+    existing marker's value wins and is returned; the ``want`` value
+    only seeds a fresh store. Returns the marker's field dict (the
+    existing marker's values, or ``want`` for a fresh store)."""
     marker = f"{store_path}/format"
     fields = [f.split()[0] for f in schema.split(",")]
     if fs_exists(spark, marker):
@@ -44,24 +55,33 @@ def validate_or_init_marker(
                 f"{noun} marker at {marker} exists but is unreadable — "
                 "wipe the store before continuing."
             )
-        found = tuple(row[f] for f in fields)
-        if found != tuple(want):
+        pinned = [f for f in fields if f not in free_fields]
+        found = tuple(row[f] for f in pinned)
+        need = tuple(
+            w for f, w in zip(fields, want) if f not in free_fields
+        )
+        if found != need:
             raise ValueError(
                 f"{noun} at {store_path} has format "
-                f"({', '.join(fields)})={found}, but this run needs "
-                f"{tuple(want)}. {mismatch_hint} — wipe the store or "
+                f"({', '.join(pinned)})={found}, but this run needs "
+                f"{need}. {mismatch_hint} — wipe the store or "
                 "rerun with its parameters."
             )
-        return
+        return {f: row[f] for f in fields}
     if fs_exists(spark, store_path):
         raise ValueError(
             f"{noun} at {store_path} exists but has no format marker — "
             "it predates store versioning or is corrupted. Wipe it "
             "before continuing."
         )
+    if not init:
+        raise ValueError(
+            f"no {noun} at {store_path} (missing format marker)"
+        )
     spark.createDataFrame([tuple(want)], schema).repartition(1).write.mode(
         "overwrite"
     ).json(marker)
+    return dict(zip(fields, want))
 
 
 def committed_epochs_below(
@@ -95,6 +115,26 @@ def committed_epochs_below(
             f"outputs) to start over; {overwrite_consequence}."
         )
     return [e for e in all_epochs if e < epoch_id]
+
+
+def epochs_with_partition_data(
+    spark: SparkSession, root: str, epochs: list, prefix: str
+) -> list:
+    """Of ``epochs``, those whose ``epoch=N`` dir actually holds
+    ``<prefix>…`` partition subdirs. An epoch all of whose rows were
+    struck/dropped writes only its ``_SUCCESS`` commit marker
+    (``partitionBy`` emits no files for zero rows) — reading a
+    file-less dir fails schema inference, so every read of a
+    bucket-partitioned store filters here (hoisted from the link-graph
+    store when the sig store adopted the same layout, round 12)."""
+    return [
+        e
+        for e in epochs
+        if any(
+            n.startswith(prefix)
+            for n in fs_list_names(spark, f"{root}/epoch={e}")
+        )
+    ]
 
 
 _OUT_MARKER_SCHEMA = "out_version INT, columns STRING"

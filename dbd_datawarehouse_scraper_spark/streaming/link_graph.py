@@ -67,7 +67,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..fsutil import fs_delete, fs_exists, fs_list_names
-from ._store import committed_epochs_below
+from ._store import (
+    committed_epochs_below,
+    epochs_with_partition_data,
+    validate_or_init_marker,
+)
 
 #: Bump when the edge layout changes incompatibly. v2 = hash-bucketed
 #: epoch dirs (round 12); v1 stores refuse with a wipe/re-ingest hint.
@@ -92,50 +96,44 @@ _META_SCHEMA = (
 
 
 def _store_n_buckets(
-    spark: SparkSession, store_path: str, n_buckets_default: int
+    spark: SparkSession,
+    store_path: str,
+    n_buckets_default: int | None = None,
 ) -> int:
-    """Read-or-init the format marker; returns the store's pinned
-    bucket count. Mirrors _store.validate_or_init_marker's handshake
-    but must RETURN a marker field (the bucketing is store state, not
-    caller input — a caller-supplied count only seeds a NEW store)."""
-    marker = f"{store_path}/format"
-    if fs_exists(spark, marker):
-        row = spark.read.schema(_MARKER_SCHEMA).json(marker).head()
-        if row is None or row["format_version"] is None:
-            raise ValueError(
-                f"link-graph store marker at {marker} exists but is "
-                "unreadable — wipe the store before continuing."
-            )
-        if row["format_version"] != LINK_STORE_FORMAT_VERSION or (
-            row["directed"] != 1
-        ):
-            raise ValueError(
-                f"link-graph store at {store_path} has format "
-                f"(format_version, directed)=({row['format_version']}, "
-                f"{row['directed']}), but this build needs "
-                f"({LINK_STORE_FORMAT_VERSION}, 1). Edges written under "
-                "one layout cannot be read under another — wipe the "
-                "store and re-ingest."
-            )
-        if row["n_buckets"] is None or row["n_buckets"] < 1:
-            raise ValueError(
-                f"link-graph store marker at {marker} carries no valid "
-                "n_buckets — wipe the store and re-ingest."
-            )
-        return int(row["n_buckets"])
-    if fs_exists(spark, store_path):
-        raise ValueError(
-            f"link-graph store at {store_path} exists but has no format "
-            "marker — it predates store versioning or is corrupted. "
-            "Wipe it before continuing."
-        )
-    if n_buckets_default < 1:
+    """Marker handshake via the shared _store protocol, with
+    ``n_buckets`` as a FREE field (store state fixed at creation, not
+    caller input — a caller-supplied count only seeds a NEW store).
+    Returns the store's pinned bucket count.
+    ``n_buckets_default=None`` is the read-only form for the read
+    paths (stored_edges / refresh_ranks / current_ranks): a v1 or
+    unversioned store must refuse there exactly as on ingest —
+    round-12 review finding: a v1 store slipped past a bare existence
+    check and read as an EMPTY edge relation (then committed an empty
+    rank generation advertising the real max epoch)."""
+    init = n_buckets_default is not None
+    if init and n_buckets_default < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets_default}")
-    spark.createDataFrame(
-        [(LINK_STORE_FORMAT_VERSION, 1, int(n_buckets_default))],
+    row = validate_or_init_marker(
+        spark,
+        store_path,
         _MARKER_SCHEMA,
-    ).repartition(1).write.mode("overwrite").json(marker)
-    return int(n_buckets_default)
+        (
+            LINK_STORE_FORMAT_VERSION,
+            1,
+            int(n_buckets_default) if init else None,
+        ),
+        "link-graph store",
+        "Edges written under one layout cannot be read under another; "
+        "wipe the store and re-ingest",
+        free_fields=("n_buckets",),
+        init=init,
+    )
+    if row["n_buckets"] is None or row["n_buckets"] < 1:
+        raise ValueError(
+            f"link-graph store marker at {store_path}/format carries no "
+            "valid n_buckets — wipe the store and re-ingest."
+        )
+    return int(row["n_buckets"])
 
 
 def _bucket_of(src: F.Column, dst: F.Column, n_buckets: int) -> F.Column:
@@ -145,18 +143,9 @@ def _bucket_of(src: F.Column, dst: F.Column, n_buckets: int) -> F.Column:
 def _epochs_with_data(
     spark: SparkSession, root: str, epochs: list[int]
 ) -> list[int]:
-    """Epoch dirs that actually hold bucket partitions. An epoch whose
-    every batch edge was struck writes only its _SUCCESS commit marker
-    (partitionBy emits no dirs for zero rows) — reading a file-less
-    dir fails schema inference, so every store read filters here."""
-    return [
-        e
-        for e in epochs
-        if any(
-            n.startswith("bucket=")
-            for n in fs_list_names(spark, f"{root}/epoch={e}")
-        )
-    ]
+    """Epoch dirs that actually hold bucket partitions (shared
+    partitioned-store rule — see _store.epochs_with_partition_data)."""
+    return epochs_with_partition_data(spark, root, epochs, "bucket=")
 
 
 def page_link_edges(
@@ -246,54 +235,73 @@ def link_graph_epoch(
     )
     # the persisted batch is referenced up to three times below (count,
     # broadcast probe, anti-join left side) — one distinct shuffle, not
-    # three; released before returning
-    edges = batch_p
-    n_batch = edges.count()
-    history_epochs = _epochs_with_data(spark, root, history_epochs)
-    if history_epochs and n_batch > 0:
-        # basePath: the epoch dirs hold bucket= partition subdirs, so a
-        # multi-dir read needs the table root declared (epoch itself
-        # also surfaces as a partition column; dropped by selection)
-        history = spark.read.option("basePath", root).parquet(
-            *[f"{root}/epoch={e}" for e in history_epochs]
-        ).select("src", "dst", "bucket")
-        if n_batch <= broadcast_strike_max_rows:
-            # prune the store scan to the batch's buckets (directory-
-            # level partition pruning — a micro-batch of a few domains
-            # touches a few buckets; a batch comfortably larger than
-            # the bucket count occupies nearly all of them, so skip
-            # the probe job rather than pay a collect to learn
-            # nothing), then stream it through a broadcast probe:
-            # `old` is the ≤|batch| store edges the batch re-crawled;
-            # anti-joining the batch against THAT (also broadcast)
-            # never shuffles anything store-sized.
-            if n_batch < 32 * b:
-                bks = [
-                    r[0] for r in edges.select("bucket").distinct().collect()
-                ]
-                if len(bks) < b:
-                    history = history.filter(F.col("bucket").isin(bks))
-            old = history.join(
-                F.broadcast(edges.select("src", "dst")),
-                ["src", "dst"],
-                "left_semi",
-            ).select("src", "dst")
-            edges = edges.join(F.broadcast(old), ["src", "dst"], "left_anti")
+    # three; released in the finally (a throwing strike join or epoch
+    # write must not leave the batch pinned in executor storage —
+    # round-12 review: repeated failing batches in a long-running
+    # stream would accumulate dead cached blocks)
+    try:
+        edges = batch_p
+        n_batch = edges.count()
+        history_epochs = _epochs_with_data(spark, root, history_epochs)
+        if history_epochs and n_batch > 0:
+            # basePath: the epoch dirs hold bucket= partition subdirs,
+            # so a multi-dir read needs the table root declared (epoch
+            # itself also surfaces as a partition column; dropped by
+            # selection)
+            history = spark.read.option("basePath", root).parquet(
+                *[f"{root}/epoch={e}" for e in history_epochs]
+            ).select("src", "dst", "bucket")
+            if n_batch <= broadcast_strike_max_rows:
+                # prune the store scan to the batch's buckets
+                # (directory-level partition pruning — a micro-batch of
+                # a few domains touches a few buckets; a batch
+                # comfortably larger than the bucket count occupies
+                # nearly all of them, so skip the probe job rather than
+                # pay a collect to learn nothing), then stream it
+                # through a broadcast probe: `old` is the ≤|batch|
+                # store edges the batch re-crawled; anti-joining the
+                # batch against THAT (also broadcast) never shuffles
+                # anything store-sized.
+                if n_batch < 32 * b:
+                    bks = [
+                        r[0]
+                        for r in edges.select("bucket").distinct().collect()
+                    ]
+                    if len(bks) < b:
+                        history = history.filter(F.col("bucket").isin(bks))
+                old = history.join(
+                    F.broadcast(edges.select("src", "dst")),
+                    ["src", "dst"],
+                    "left_semi",
+                ).select("src", "dst")
+                edges = edges.join(
+                    F.broadcast(old), ["src", "dst"], "left_anti"
+                )
+            else:
+                # batch too big to broadcast: bucketed key-shuffle
+                # anti-join (bucket in the key keeps the shuffle
+                # aligned with the store layout; exact because the
+                # marker pins n_buckets)
+                edges = edges.join(
+                    history, ["bucket", "src", "dst"], "left_anti"
+                )
+        # one file per bucket per epoch: repartition ON the bucket value
+        # so partitionBy doesn't fan every task out into every bucket
+        # dir. Static overwrite per-write: a replayed epoch occupying
+        # fewer buckets must TRUNCATE the dir, not merge into it (a
+        # session with a dynamic partitionOverwriteMode default would
+        # otherwise leave stale bucket dirs — phantom committed edges)
+        edges.repartition(b, F.col("bucket")).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy(
+            "bucket"
+        ).parquet(f"{root}/epoch={epoch_id}")
+        if _epochs_with_data(spark, root, [epoch_id]):
+            n_new = spark.read.parquet(f"{root}/epoch={epoch_id}").count()
         else:
-            # batch too big to broadcast: bucketed key-shuffle anti-join
-            # (bucket in the key keeps the shuffle aligned with the
-            # store layout; exact because the marker pins n_buckets)
-            edges = edges.join(history, ["bucket", "src", "dst"], "left_anti")
-    # one file per bucket per epoch: repartition ON the bucket value so
-    # partitionBy doesn't fan every task out into every bucket dir
-    edges.repartition(b, F.col("bucket")).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(f"{root}/epoch={epoch_id}")
-    if _epochs_with_data(spark, root, [epoch_id]):
-        n_new = spark.read.parquet(f"{root}/epoch={epoch_id}").count()
-    else:
-        n_new = 0
-    release_these([batch_p])
+            n_new = 0
+    finally:
+        release_these([batch_p])
     return {"n_batch_edges": n_batch, "n_new_edges": n_new}
 
 
@@ -307,6 +315,10 @@ def stored_edges(spark: SparkSession, store_path: str) -> DataFrame:
         raise ValueError(
             f"no link-graph store at {store_path} (missing format marker)"
         )
+    # full read-only handshake, not just existence: a v1 store's epoch
+    # dirs carry no bucket= partitions, so without this it would read
+    # as an EMPTY edge relation instead of refusing (round-12 review)
+    _store_n_buckets(spark, store_path)
     epochs = _committed_epochs(spark, root)
     epochs = _epochs_with_data(spark, root, epochs)
     if not epochs:
@@ -407,6 +419,11 @@ def current_ranks(spark: SparkSession, store_path: str) -> tuple[DataFrame, dict
     """(ranks DataFrame, meta dict) of the last COMMITTED refresh —
     the generation ``ranks/_meta`` names. Raises if no refresh has
     committed (no ``ranks/_meta``)."""
+    if fs_exists(spark, f"{store_path}/format"):
+        # refuse a v1/unversioned store here, not deep in the gen read
+        # (a pre-generation _meta has gen=NULL and would otherwise fail
+        # with a baffling 'ranks/gen=None' path error — round-12 review)
+        _store_n_buckets(spark, store_path)
     meta_path = f"{store_path}/ranks/_meta"
     if not fs_exists(spark, meta_path):
         raise ValueError(
@@ -417,6 +434,11 @@ def current_ranks(spark: SparkSession, store_path: str) -> tuple[DataFrame, dict
     meta = {f: row[f] for f in (
         "gen", "as_of_epoch", "n_edges", "n_nodes", "damping", "max_iter"
     )}
+    if meta["gen"] is None:
+        raise ValueError(
+            f"rank meta at {meta_path} names no generation — it predates "
+            "the generation-committed layout. Re-run refresh_ranks."
+        )
     return (
         spark.read.parquet(f"{store_path}/ranks/gen={meta['gen']}"),
         meta,

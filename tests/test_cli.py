@@ -1341,6 +1341,24 @@ def test_stream_link_graph_requires_explicit_output(spark, tmp_path):
             main([mode, "--input", str(tmp_path), "--input-format", "parquet"])
 
 
+def test_stream_link_graph_explicit_default_path_is_a_choice(
+    spark, tmp_path, monkeypatch
+):
+    """An explicitly typed '-o revenue_data.parquet' IS an explicit
+    choice: the guard keys off unset-vs-set, not the literal value
+    (round-12 review: comparing against the default literal made the
+    deliberate case indistinguishable and refused it)."""
+    monkeypatch.chdir(tmp_path)
+    # passes the guard, then fails for the RIGHT reason: no store there
+    with pytest.raises(ValueError, match="missing format marker"):
+        main([
+            "--refresh-link-ranks",
+            "--input", str(tmp_path),
+            "--input-format", "parquet",
+            "-o", "revenue_data.parquet",
+        ])
+
+
 def test_stream_link_graph_refuses_wet_input(spark, tmp_path):
     os.makedirs(tmp_path / "in")
     with pytest.raises(ValueError, match="wat or\n?.*parquet|wat or parquet"):

@@ -303,3 +303,58 @@ def test_store_pins_n_buckets_and_refuses_v1_marker(spark):
         f.write(json.dumps({"format_version": 1, "directed": 1}) + "\n")
     with pytest.raises(ValueError, match="wipe the store and re-ingest"):
         link_graph_epoch(spark, _edges(spark, [("a", "b")]), 0, old)
+
+
+def test_read_paths_refuse_v1_store(spark):
+    """The READ paths run the same marker handshake as ingest: a v1
+    (pre-bucketing) store must refuse loudly from stored_edges /
+    refresh_ranks / current_ranks too — its epoch dirs carry no
+    bucket= partitions, so a bare existence check read it as an EMPTY
+    edge relation (and refresh then committed an empty rank generation
+    advertising the real max epoch) — round-12 review finding."""
+    import json
+    import os
+
+    old = tempfile.mkdtemp(prefix="lg_v1read_") + "/store"
+    os.makedirs(f"{old}/edges/epoch=0")
+    with open(f"{old}/edges/epoch=0/_SUCCESS", "w"):
+        pass
+    with open(f"{old}/format", "w") as f:
+        f.write(json.dumps({"format_version": 1, "directed": 1}) + "\n")
+    for fn in (stored_edges, refresh_ranks, current_ranks):
+        with pytest.raises(ValueError, match="wipe the store and re-ingest"):
+            fn(spark, old)
+
+
+def test_replay_truncates_under_dynamic_overwrite_mode(spark):
+    """Replaying an epoch whose corrected batch occupies FEWER buckets
+    must truncate the old epoch dir, even when the ambient session
+    default is partitionOverwriteMode=dynamic (a common cluster-wide
+    setting for other jobs): the write pins static mode per-write, or
+    stale bucket dirs would survive as phantom committed edges
+    (round-12 review finding)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    work = tempfile.mkdtemp(prefix="lg_dyn_") + "/store"
+    wide = [(f"s{i}", f"d{i}") for i in range(20)]
+    try:
+        spark.conf.set(key, "dynamic")
+        link_graph_epoch(spark, _edges(spark, wide), 0, work, n_buckets=4)
+        # precondition: the wide batch occupies strictly more buckets
+        # than the single-edge replay, so dynamic overwrite WOULD keep
+        # at least one stale bucket dir
+        buckets = {
+            r[0]
+            for r in _edges(spark, wide)
+            .select(F.pmod(F.xxhash64("src", "dst"), F.lit(4)).cast("int"))
+            .distinct()
+            .collect()
+        }
+        assert len(buckets) > 1
+        link_graph_epoch(
+            spark, _edges(spark, [("s0", "d0")]), 0, work, n_buckets=4
+        )
+        got = sorted(map(tuple, stored_edges(spark, work).collect()))
+        assert got == [("s0", "d0")]
+    finally:
+        spark.conf.set(key, prev)
