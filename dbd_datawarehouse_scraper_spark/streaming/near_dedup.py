@@ -50,6 +50,18 @@ Store integrity (round-4 hardening):
   mid-first-epoch replays cleanly (marker present, no bands yet →
   no history, rewrite).
 
+Store layout v2 (round 12 — the round-11 verdict's striking-cost
+caveat, applied here after the link store): the sigs store — the HEAVY
+side, ~1 KB of signature per historical doc vs the band index's three
+narrow columns — is hash-bucket-partitioned on the doc id
+(``sigs/epoch=N/sbucket=B``, bucket count pinned in the format
+marker), and the per-epoch verify reads ONLY the buckets the epoch's
+candidates fall in: sig bytes scanned per epoch track the candidate
+set, not the accumulated store. The band-index scan stays full (its
+buckets are data-dependent and dense) but streams through a broadcast
+probe of the batch for micro-batches — never shuffled. See
+:func:`near_dedup_epoch`.
+
 State is bounded by the store on disk, not the streaming state store —
 the foreachBatch body is ordinary batch Spark, so AQE, broadcast, and
 the tracked-cache pool all apply.
@@ -68,25 +80,68 @@ from ..operators.graph import component_survivors
 
 #: Bump when the signature encoding (hash family, band hashing, or
 #: store layout) changes incompatibly; stores refuse to mix formats.
-STORE_FORMAT_VERSION = 1
+#: v2 = the sigs store is hash-bucket-partitioned on the doc id
+#: (round 12); v1 stores refuse — wipe and re-ingest.
+STORE_FORMAT_VERSION = 2
 
-_MARKER_SCHEMA = "format_version INT, num_hashes INT, bands INT, k INT"
+#: The survivor OUT layout is unchanged since v1 — deliberately
+#: decoupled from the store version so a store-layout bump doesn't
+#: refuse resuming a perfectly valid out_path.
+OUT_SCHEMA_VERSION = 1
+
+#: Default doc-id bucket count for NEW sig stores (the marker pins
+#: whatever the store was created with). Sized so one bucket of a
+#: folded generation stays a comfortable single-executor scan; a
+#: cluster-scale store wants more.
+DEFAULT_SIG_BUCKETS = 32
+
+#: Batches whose banded projection (rows × bands) stays at or below
+#: this broadcast-probe the band index (store side streams through a
+#: columnar scan, never shuffled); larger batches take the plain
+#: shuffle join (AQE may still convert it).
+BROADCAST_PROBE_MAX_BAND_ROWS = 4_000_000
+
+#: Candidate sets at or below this many rows broadcast into the
+#: signature-verify join (the pruned sig scan streams, never shuffles).
+BROADCAST_CAND_MAX_ROWS = 1_000_000
+
+_MARKER_SCHEMA = (
+    "format_version INT, num_hashes INT, bands INT, k INT, n_buckets INT"
+)
 
 
 def _validate_or_init_store(
-    spark: SparkSession, store_path: str, num_hashes: int, bands: int, k: int
-) -> None:
+    spark: SparkSession,
+    store_path: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    n_buckets: int = DEFAULT_SIG_BUCKETS,
+) -> int:
     """Ensure ``store_path`` carries a compatible format marker, writing
-    one iff the store does not exist yet (the shared _store protocol)."""
+    one iff the store does not exist yet (the shared _store protocol).
+    ``n_buckets`` is STORE STATE (a free marker field): it seeds a NEW
+    store only — an existing store's pinned bucketing wins, because sig
+    partition dirs written under one bucketing would be silently missed
+    by pruned reads under another. Returns the store's bucket count."""
     from ._store import validate_or_init_marker
 
-    validate_or_init_marker(
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    row = validate_or_init_marker(
         spark, store_path, _MARKER_SCHEMA,
-        (STORE_FORMAT_VERSION, num_hashes, bands, k),
+        (STORE_FORMAT_VERSION, num_hashes, bands, k, int(n_buckets)),
         "signature store",
         "Signatures from different MinHash/band configurations never "
         "collide or estimate correctly",
+        free_fields=("n_buckets",),
     )
+    if row["n_buckets"] is None or row["n_buckets"] < 1:
+        raise ValueError(
+            f"signature store marker at {store_path}/format carries no "
+            "valid n_buckets — wipe the store and re-ingest."
+        )
+    return int(row["n_buckets"])
 
 
 def _validate_or_init_out(spark: SparkSession, out_path: str, columns: list) -> None:
@@ -98,10 +153,17 @@ def _validate_or_init_out(spark: SparkSession, out_path: str, columns: list) -> 
     from ._store import validate_or_init_out_schema
 
     validate_or_init_out_schema(
-        spark, out_path, columns, STORE_FORMAT_VERSION,
+        spark, out_path, columns, OUT_SCHEMA_VERSION,
         legacy_hint="it predates output versioning (the all-columns "
         "build)",
     )
+
+
+def _sbucket_of(id_col: F.Column, n_buckets: int) -> F.Column:
+    """The sigs store's partition key: a stable hash bucket of the doc
+    id. Pinned by the marker — pruned reads under a different bucketing
+    would silently miss stored signatures."""
+    return F.pmod(F.xxhash64(id_col), F.lit(n_buckets)).cast("int")
 
 
 def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -147,6 +209,7 @@ def stream_near_dedup(
     threshold: float = 0.8,
     available_now: bool = True,
     fold_store_after: int | None = 16,
+    n_buckets: int = DEFAULT_SIG_BUCKETS,
 ) -> StreamingQuery:
     """Start the incremental near-dedup stream. Survivor rows land in
     ``out_path/epoch=N``; the signature store grows under
@@ -180,9 +243,13 @@ def stream_near_dedup(
     the history probe stays a bounded-file-count scan instead of
     degrading into a thousands-of-small-files read. Only epochs below
     the current one fold (the replay window is never touched); ``None``
-    disables folding."""
+    disables folding.
+
+    ``n_buckets`` seeds a NEW store's sig bucketing only (store state,
+    pinned by the marker — an existing store's count wins); see
+    :func:`near_dedup_epoch` for what the bucketing buys."""
     spark = stream_docs.sparkSession
-    _validate_or_init_store(spark, store_path, num_hashes, bands, k)
+    _validate_or_init_store(spark, store_path, num_hashes, bands, k, n_buckets)
     _validate_or_init_out(spark, out_path, [id_col, text_col])
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -195,7 +262,7 @@ def stream_near_dedup(
             out_path, store_path,
             id_col=id_col, text_col=text_col, num_hashes=num_hashes,
             bands=bands, k=k, threshold=threshold,
-            fold_store_after=fold_store_after,
+            fold_store_after=fold_store_after, n_buckets=n_buckets,
         )
 
     writer = stream_docs.writeStream.foreachBatch(process).option(
@@ -219,6 +286,10 @@ def near_dedup_epoch(
     k: int = 3,
     threshold: float = 0.8,
     fold_store_after: int | None = 16,
+    n_buckets: int = DEFAULT_SIG_BUCKETS,
+    broadcast_probe_max_band_rows: int = BROADCAST_PROBE_MAX_BAND_ROWS,
+    broadcast_cand_max_rows: int = BROADCAST_CAND_MAX_ROWS,
+    prune_sig_buckets: bool = True,
 ) -> bool:
     """One epoch of the incremental near-dedup, as a plain function so
     composed incremental pipelines (streaming/export.py) can run it
@@ -228,11 +299,31 @@ def near_dedup_epoch(
     signatures/bands to the store. Epoch-suffixed overwrites keep
     replays idempotent. Releases exactly the caches it pins
     (pool-scoped; a caller's live barriers are untouched). Returns True iff
-    the epoch had rows (False epochs write nothing)."""
+    the epoch had rows (False epochs write nothing).
+
+    Scale shape of the history leg (round 12 — the round-11 verdict's
+    striking-cost caveat, closed for the link store first): the sigs
+    store (the HEAVY side — ~1 KB of signature per historical doc,
+    vs the band index's three narrow columns) is hash-bucketed on the
+    doc id (``sigs/epoch=N/sbucket=B``, ``n_buckets`` pinned in the
+    marker), and the verify join reads ONLY the buckets the epoch's
+    candidates fall in — per-epoch sig bytes scanned track the
+    candidate set, not the store. Candidate generation scans the full
+    band index (unavoidable: the batch's band buckets are
+    data-dependent and dense), but for micro-batches
+    (``broadcast_probe_max_band_rows``) the batch side broadcasts so
+    the store side STREAMS through the scan — never shuffled, never
+    sorted; likewise the candidate set broadcasts into the verify join
+    (``broadcast_cand_max_rows``). Larger batches fall back to plain
+    shuffle joins. ``prune_sig_buckets=False`` disables the pruned
+    read (A/B hook for the scale smoke; results are identical)."""
     # idempotent per-epoch validation: direct callers (composed
     # pipelines) get the same format-marker protection the stream
-    # wrapper establishes at start
-    _validate_or_init_store(spark, store_path, num_hashes, bands, k)
+    # wrapper establishes at start. The STORE's pinned bucketing wins
+    # over the argument (free marker field).
+    b = _validate_or_init_store(
+        spark, store_path, num_hashes, bands, k, n_buckets
+    )
     # crash recovery runs UNCONDITIONALLY: a crash mid fold-swap leaves
     # the store moved aside (bands.__fold_old__), and if the next run
     # disabled folding, the history-existence check would read genuine
@@ -240,12 +331,15 @@ def near_dedup_epoch(
     # defect-#1 class this store exists to prevent (round-5 review).
     from ..sources.sinks import fold_epoch_dirs, recover_epoch_fold
 
-    for sub in ("sigs", "bands"):
+    for sub, pcols in (("sigs", ("sbucket",)), ("bands", ())):
         if fold_store_after:
-            # fold runs recovery itself, first thing
+            # fold runs recovery itself, first thing; the sigs fold is
+            # partition-aware so folded generations keep the bucket
+            # layout pruned reads depend on
             fold_epoch_dirs(
                 spark, f"{store_path}/{sub}",
                 below_epoch=epoch_id, min_dirs=fold_store_after,
+                partition_cols=pcols,
             )
         else:
             recover_epoch_fold(spark, f"{store_path}/{sub}")
@@ -255,7 +349,8 @@ def near_dedup_epoch(
     mark = pool_mark()
     try:
         batch = tracked_persist(batch_df)
-        if batch.count() == 0:
+        n_batch = batch.count()
+        if n_batch == 0:
             return False
 
         # within-batch: exact-verified pairs, component-min survivors
@@ -301,35 +396,78 @@ def near_dedup_epoch(
             hist_bands = spark.read.parquet(
                 *[f"{store_path}/bands/epoch={e}" for e in hist_epochs]
             )
-            hist_sigs = spark.read.parquet(
-                *[f"{store_path}/sigs/epoch={e}" for e in hist_epochs]
-            )
-            cand = (
-                new_banded.join(
-                    hist_bands.select(
-                        F.col("_id").alias("_old"), "_band", "_bucket"
-                    ),
-                    ["_band", "_bucket"],
+            # micro-batch path: broadcast the batch's banded projection
+            # so the band index STREAMS through its scan probing the
+            # broadcast — never shuffled (n_batch bounds |kept|, so
+            # n_batch*bands bounds the broadcast's rows). Explicit
+            # rather than AQE-converted: AQE may materialize the
+            # store-sized shuffle map stage before it learns the batch
+            # side is small.
+            probe = new_banded
+            if n_batch * bands <= broadcast_probe_max_band_rows:
+                probe = F.broadcast(new_banded)
+            cand = tracked_persist(
+                hist_bands.select(
+                    F.col("_id").alias("_old"), "_band", "_bucket"
                 )
+                .join(probe, ["_band", "_bucket"])
                 .select("_id", "_old")
                 .dropDuplicates(["_id", "_old"])
             )
-            dup_ids = (
-                cand.join(sig, "_id")
-                .join(
-                    hist_sigs.select(
-                        F.col("_id").alias("_old"), F.col("_sig").alias("_osig")
-                    ),
-                    "_old",
+            n_cand = cand.count()
+            if n_cand == 0:
+                survivors = kept
+            else:
+                # verify against ONLY the sig-store buckets the
+                # candidates fall in: directory-level partition pruning
+                # on the heavy side of the store (the _old set is the
+                # exact key set the join needs, so the pruned read is
+                # exact by construction). Epochs whose every row was
+                # struck hold only _SUCCESS (partitionBy writes no
+                # files for zero rows) — filtered before the read.
+                from ._store import epochs_with_partition_data
+
+                sig_root = f"{store_path}/sigs"
+                sig_epochs = epochs_with_partition_data(
+                    spark, sig_root, hist_epochs, "sbucket="
                 )
-                .filter(
-                    _estimated_jaccard(F.col("_sig"), F.col("_osig"), num_hashes)
-                    >= threshold
+                hist_sigs = spark.read.option("basePath", sig_root).parquet(
+                    *[f"{sig_root}/epoch={e}" for e in sig_epochs]
                 )
-                .select(F.col("_id").alias(id_col))
-                .distinct()
-            )
-            survivors = kept.join(dup_ids, id_col, "left_anti")
+                if prune_sig_buckets:
+                    bks = [
+                        r[0]
+                        for r in cand.select(
+                            _sbucket_of(F.col("_old"), b).alias("_sb")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    if len(bks) < b:
+                        hist_sigs = hist_sigs.filter(
+                            F.col("sbucket").isin(bks)
+                        )
+                old_sigs = hist_sigs.select(
+                    F.col("_id").alias("_old"), F.col("_sig").alias("_osig")
+                )
+                cjoin = (
+                    F.broadcast(cand)
+                    if n_cand <= broadcast_cand_max_rows
+                    else cand
+                )
+                dup_ids = (
+                    old_sigs.join(cjoin, "_old")
+                    .join(sig, "_id")
+                    .filter(
+                        _estimated_jaccard(
+                            F.col("_sig"), F.col("_osig"), num_hashes
+                        )
+                        >= threshold
+                    )
+                    .select(F.col("_id").alias(id_col))
+                    .distinct()
+                )
+                survivors = kept.join(dup_ids, id_col, "left_anti")
         else:
             survivors = kept
 
@@ -339,7 +477,16 @@ def near_dedup_epoch(
         surv_sig = sig.join(
             survivors.select(F.col(id_col).alias("_id")), "_id"
         )
-        surv_sig.write.mode("overwrite").parquet(
+        # bucket-partitioned on the doc id so future epochs' verify
+        # joins prune their sig reads; repartition ON the bucket value
+        # (one file per bucket per epoch), static overwrite so a
+        # replayed epoch occupying fewer buckets truncates rather than
+        # merging under an ambient dynamic partitionOverwriteMode
+        surv_sig.withColumn(
+            "sbucket", _sbucket_of(F.col("_id"), b)
+        ).repartition(b, F.col("sbucket")).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("sbucket").parquet(
             f"{store_path}/sigs/epoch={epoch_id}"
         )
         _banded(surv_sig, num_hashes, bands).write.mode("overwrite").parquet(

@@ -1808,3 +1808,172 @@ def test_stream_export_shuffle_salt(spark):
         assert a and a == b  # same salt -> identical shard layout
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_near_dedup_store_v2_bucketed_layout(spark):
+    """Store v2 (round 12): sigs epoch dirs are sbucket= partitioned,
+    the marker pins (format v2, n_buckets), a later epoch's different
+    n_buckets ARGUMENT loses to the store's pinned count (bucket
+    values must agree across epochs or pruned verify reads silently
+    miss signatures), and a v1 marker refuses."""
+    import json as _json
+
+    from dbd_datawarehouse_scraper_spark.streaming.near_dedup import (
+        near_dedup_epoch,
+    )
+
+    work = tempfile.mkdtemp(prefix="nd_v2_")
+    out, store = f"{work}/out", f"{work}/store"
+    docs = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    uniq = lambda e, i: " ".join(  # noqa: E731
+        f"w{j}e{e}d{i}" for j in range(30)
+    )
+    try:
+        near_dedup_epoch(
+            spark, docs([(1, uniq(0, 1)), (2, uniq(0, 2))]), 0, out, store,
+            n_buckets=8,
+        )
+        row = spark.read.json(f"{store}/format").head()
+        assert row["format_version"] == 2 and row["n_buckets"] == 8
+        subdirs = os.listdir(f"{store}/sigs/epoch=0")
+        assert any(n.startswith("sbucket=") for n in subdirs)
+        # the layout INVARIANT pruned reads depend on: every sbucket=K
+        # dir holds exactly the ids hashing to K (sbucket is a
+        # partition column — it exists only as directory metadata, so
+        # a filter on it can only ever be satisfied by directory
+        # pruning; write-side placement is the whole correctness story)
+        placed = spark.read.option("basePath", f"{store}/sigs").parquet(
+            f"{store}/sigs/epoch=0"
+        ).select(
+            "sbucket",
+            F.pmod(F.xxhash64("_id"), F.lit(8)).cast("int").alias("want"),
+        )
+        assert placed.filter(F.col("sbucket") != F.col("want")).count() == 0
+        assert placed.count() == 2
+        # epoch 1 under a DIFFERENT caller bucket count: store wins,
+        # and the re-crawled doc 1 text is struck against history
+        near_dedup_epoch(
+            spark, docs([(10, uniq(0, 1)), (11, uniq(1, 11))]), 1, out,
+            store, n_buckets=64,
+        )
+        row = spark.read.json(f"{store}/format").head()
+        assert row["n_buckets"] == 8
+        s1 = {r["doc_id"] for r in
+              spark.read.parquet(f"{out}/epoch=1").collect()}
+        assert s1 == {11}
+
+        old = tempfile.mkdtemp(prefix="nd_v1_")
+        with open(f"{old}/format", "w") as f:
+            f.write(_json.dumps({
+                "format_version": 1, "num_hashes": 128, "bands": 32, "k": 3,
+            }) + "\n")
+        with pytest.raises(ValueError, match="wipe the store"):
+            near_dedup_epoch(
+                spark, docs([(1, uniq(0, 1))]), 0, f"{work}/out2", old
+            )
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_near_dedup_prune_and_join_paths_identical(spark):
+    """The four history-leg strategies — pruned vs full sig read ×
+    broadcast vs shuffle joins — must produce identical survivors
+    (the pruned read is exact by construction: the bucket list is
+    derived from the candidate keys themselves; the broadcast
+    thresholds only pick physical plans)."""
+    from dbd_datawarehouse_scraper_spark.streaming.near_dedup import (
+        near_dedup_epoch,
+    )
+
+    uniq = lambda e, i: " ".join(  # noqa: E731
+        f"w{j}e{e}d{i}" for j in range(30)
+    )
+    base = tempfile.mkdtemp(prefix="nd_paths_")
+    docs0 = spark.createDataFrame(
+        [(i, uniq(0, i)) for i in range(20)], "doc_id long, text string"
+    )
+    # epoch 1: 4 re-crawls of epoch-0 texts + 6 new docs
+    docs1 = spark.createDataFrame(
+        [(100 + i, uniq(0, i)) for i in range(4)]
+        + [(200 + i, uniq(1, i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    try:
+        near_dedup_epoch(
+            spark, docs0, 0, f"{base}/out", f"{base}/store", n_buckets=8
+        )
+        got = {}
+        for label, kw in {
+            "pruned_bcast": dict(prune_sig_buckets=True),
+            "full_bcast": dict(prune_sig_buckets=False),
+            "pruned_shuffle": dict(
+                prune_sig_buckets=True,
+                broadcast_probe_max_band_rows=0,
+                broadcast_cand_max_rows=0,
+            ),
+            "full_shuffle": dict(
+                prune_sig_buckets=False,
+                broadcast_probe_max_band_rows=0,
+                broadcast_cand_max_rows=0,
+            ),
+        }.items():
+            work = f"{base}/{label}"
+            shutil.copytree(f"{base}/store", f"{work}/store")
+            shutil.copytree(f"{base}/out", f"{work}/out")
+            near_dedup_epoch(
+                spark, docs1, 1, f"{work}/out", f"{work}/store",
+                n_buckets=8, **kw,
+            )
+            got[label] = {
+                r["doc_id"]
+                for r in spark.read.parquet(f"{work}/out/epoch=1").collect()
+            }
+        want = {200 + i for i in range(6)}
+        assert all(v == want for v in got.values()), got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_near_dedup_all_struck_epoch_sigs_dir_is_fileless_and_skipped(spark):
+    """An epoch whose every doc is struck writes a FILE-LESS sigs dir
+    (partitionBy emits nothing for zero rows) — later epochs must skip
+    it when assembling history (reading it would fail schema
+    inference) while still striking against the epochs that do have
+    data."""
+    from dbd_datawarehouse_scraper_spark.streaming.near_dedup import (
+        near_dedup_epoch,
+    )
+
+    uniq = lambda e, i: " ".join(  # noqa: E731
+        f"w{j}e{e}d{i}" for j in range(30)
+    )
+    work = tempfile.mkdtemp(prefix="nd_empty_")
+    out, store = f"{work}/out", f"{work}/store"
+    docs = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    try:
+        near_dedup_epoch(
+            spark, docs([(1, uniq(0, 1)), (2, uniq(0, 2))]), 0, out, store,
+            n_buckets=8,
+        )
+        # epoch 1: all re-crawls -> zero survivors -> file-less sigs dir
+        near_dedup_epoch(
+            spark, docs([(10, uniq(0, 1)), (11, uniq(0, 2))]), 1, out,
+            store, n_buckets=8,
+        )
+        names = os.listdir(f"{store}/sigs/epoch=1")
+        assert not any(n.startswith("sbucket=") for n in names)
+        # epoch 2 still strikes against epoch 0 and admits the new doc
+        near_dedup_epoch(
+            spark, docs([(20, uniq(0, 1)), (21, uniq(2, 21))]), 2, out,
+            store, n_buckets=8,
+        )
+        s2 = {r["doc_id"] for r in
+              spark.read.parquet(f"{out}/epoch=2").collect()}
+        assert s2 == {21}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
