@@ -55,8 +55,10 @@ from ..caching import pool_mark, release_since, tracked_persist
 from ..fsutil import fs_exists
 
 #: Bump when the store layout, assignment kernel, or sweep semantics
-#: change incompatibly; stores refuse to mix formats.
-STORE_FORMAT_VERSION = 1
+#: change incompatibly; stores refuse to mix formats. v2 = vecs epoch
+#: dirs are cluster-partitioned (round 12); v1 stores refuse with the
+#: wipe hint.
+STORE_FORMAT_VERSION = 2
 
 _MARKER_SCHEMA = (
     "format_version INT, threshold DOUBLE, dim INT, n_centers INT, "
@@ -198,6 +200,7 @@ def semantic_dedup_epoch(
         fold_epoch_dirs(
             spark, f"{store_path}/vecs",
             below_epoch=epoch_id, min_dirs=fold_store_after,
+            partition_cols=("cluster",),
         )
     else:
         recover_epoch_fold(spark, f"{store_path}/vecs")
@@ -234,14 +237,29 @@ def semantic_dedup_epoch(
 
         union = assigned
         if hist_epochs:
+            from ._store import epochs_with_partition_data
+
+            # epochs whose every row was struck hold only _SUCCESS
+            # (partitionBy emits no files for zero rows) — filter
+            # before the multi-dir read or schema inference fails
+            vecs_root = f"{store_path}/vecs"
+            hist_epochs = epochs_with_partition_data(
+                spark, vecs_root, hist_epochs, "cluster="
+            )
+        if hist_epochs:
             # bounded driver collect: ≤ n_centers ints (a store parameter)
             needed = [
                 r["cluster"]
                 for r in assigned.select("cluster").distinct().collect()
             ]
+            # cluster is the store's PARTITION column (v2): it exists
+            # only as directory metadata, so this filter is satisfied
+            # by directory-level pruning — the epoch reads exactly the
+            # vector bytes of the clusters the batch touched, however
+            # many epochs the store has accumulated
             hist = (
-                spark.read.parquet(
-                    *[f"{store_path}/vecs/epoch={e}" for e in hist_epochs]
+                spark.read.option("basePath", vecs_root).parquet(
+                    *[f"{vecs_root}/epoch={e}" for e in hist_epochs]
                 )
                 .filter(F.col("cluster").isin(needed))
                 .select(
@@ -292,19 +310,24 @@ def semantic_dedup_epoch(
             union.groupBy("cluster", "_sub").applyInPandas(_sweep, out_schema)
         )
         survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-        # cluster-clustered store layout: the history read filters on the
-        # batch's clusters, so packing each cluster's rows contiguously
-        # makes the parquet row-group min/max statistics prune the scan
-        # (folds rewrite rows, not layout guarantees — keep the sort cheap
-        # enough that losing it after a fold only costs pruning, never
-        # correctness)
+        # cluster-PARTITIONED store layout (v2): the history read
+        # filters on the batch's clusters, and as a partition column
+        # that filter can only be satisfied by directory pruning (v1's
+        # sortWithinPartitions row-group-stats layout was a soft
+        # guarantee a fold could lose). Repartition ON the cluster so
+        # partitionBy doesn't fan every task into every cluster dir;
+        # static overwrite so a replayed epoch occupying fewer clusters
+        # truncates rather than merging under an ambient dynamic
+        # partitionOverwriteMode.
         survivors.select(
             "cluster",
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_vec"),
-        ).repartition("cluster").sortWithinPartitions("cluster").write.mode(
-            "overwrite"
-        ).parquet(f"{store_path}/vecs/epoch={epoch_id}")
+        ).repartition(F.col("cluster")).write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("cluster").parquet(
+            f"{store_path}/vecs/epoch={epoch_id}"
+        )
         return True
     finally:
         release_since(mark)

@@ -91,7 +91,11 @@ def test_epochs_match_batch_semantic_dedup(spark, blobs):
         # store holds exactly the survivors' vectors
         stored = sorted(
             r["_id"]
-            for r in spark.read.parquet(f"{store}/vecs/epoch=*").collect()
+            # v2: epoch dirs are cluster-partitioned roots — a
+            # multi-root read needs the store root declared
+            for r in spark.read.option("basePath", f"{store}/vecs")
+            .parquet(f"{store}/vecs/epoch=*")
+            .collect()
         )
         assert stored == got
     finally:
@@ -233,7 +237,9 @@ def test_store_folding_keeps_decisions(spark):
         ]
         assert len(dirs) < 4
         n_surv = spark.read.parquet(f"{out}/epoch=*").count()
-        assert spark.read.parquet(f"{store}/vecs/epoch=*").count() == n_surv
+        assert spark.read.option("basePath", f"{store}/vecs").parquet(
+            f"{store}/vecs/epoch=*"
+        ).count() == n_surv
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -271,5 +277,68 @@ def test_stream_wrapper_end_to_end(spark, blobs):
         assert sorted(rows.columns) == ["cluster", "embedding", "vec_id"]
         got = {r["vec_id"] for r in rows.collect()}
         assert 2000 not in got and 2001 in got
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_store_v2_cluster_partitioned_layout_and_v1_refusal(spark):
+    """Store v2 (round 12): vecs epoch dirs are cluster= partitioned
+    (the history read's cluster filter is a partition filter — only
+    directory pruning can satisfy it), an all-struck epoch's file-less
+    dir is skipped by later history reads, and a v1 marker refuses
+    with the wipe hint."""
+    import json
+    import os
+
+    work = tempfile.mkdtemp(prefix="sem_v2_")
+    out, store = f"{work}/out", f"{work}/store"
+    centers = [[1.0, 0.0], [0.0, 1.0]]
+    try:
+        semantic_dedup_epoch(
+            spark,
+            _vec_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])]),
+            0, out, store, centers=centers, threshold=0.99,
+        )
+        subdirs = os.listdir(f"{store}/vecs/epoch=0")
+        assert any(n.startswith("cluster=") for n in subdirs)
+        # epoch 1: both rows duplicate epoch 0 -> zero survivors ->
+        # file-less vecs dir (only the commit marker)
+        semantic_dedup_epoch(
+            spark,
+            _vec_df(spark, [(10, [1.0, 0.0]), (11, [0.0, 1.0])]),
+            1, out, store, threshold=0.99,
+        )
+        names = os.listdir(f"{store}/vecs/epoch=1")
+        assert not any(n.startswith("cluster=") for n in names)
+        # epoch 2 still strikes against epoch 0 and keeps the new row
+        semantic_dedup_epoch(
+            spark,
+            _vec_df(spark, [(20, [1.0, 0.0]), (21, [0.7, 0.7])]),
+            2, out, store, threshold=0.99,
+        )
+        s2 = {r["vec_id"] for r in
+              spark.read.parquet(f"{out}/epoch=2").collect()}
+        assert s2 == {21}
+
+        # v1 marker on an otherwise-valid store: refuse
+        with open(f"{store}/format/part-v1.json", "w") as f:
+            pass
+        import glob as _glob
+
+        marker_files = _glob.glob(f"{store}/format/*.json")
+        rows = [json.loads(line)
+                for p in marker_files if os.path.getsize(p)
+                for line in open(p) if line.strip()]
+        rows[0]["format_version"] = 1
+        for p in marker_files:
+            os.remove(p)
+        with open(f"{store}/format/part-v1.json", "w") as f:
+            f.write(json.dumps(rows[0]) + "\n")
+        with pytest.raises(ValueError, match="Wipe the store"):
+            semantic_dedup_epoch(
+                spark,
+                _vec_df(spark, [(30, [1.0, 0.0])]),
+                3, out, store, threshold=0.99,
+            )
     finally:
         shutil.rmtree(work, ignore_errors=True)
