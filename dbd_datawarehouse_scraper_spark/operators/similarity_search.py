@@ -900,9 +900,14 @@ def ivf_build(
     # (tasks × n_lists small files at scale, and a measured 4× slower
     # single-node write). Parallelism is bounded by n_lists, which is
     # sized to the cluster anyway.
+    # static overwrite: a rebuild with fewer lists must truncate the
+    # lists dir, not merge with the previous build's stale list dirs
+    # under an ambient dynamic partitionOverwriteMode
     assigned.repartition("_list").write.partitionBy("_list").mode(
         "overwrite"
-    ).parquet(f"{index_path}/lists")
+    ).option("partitionOverwriteMode", "static").parquet(
+        f"{index_path}/lists"
+    )
     if compression == "sq8":
         spark.createDataFrame(
             [(d, quant[0][d], quant[1][d]) for d in range(dim)],

@@ -31,7 +31,12 @@ def batched_sink(
     out = df.coalesce(target_files) if target_files else df
     writer = out.write.mode(mode)
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # static overwrite: replays must truncate the target, not merge
+        # with stale partitions under an ambient dynamic default (no-op
+        # for non-overwrite modes)
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "static"
+        )
     if fmt == "csv":
         writer.option("header", True).csv(path)
     else:
@@ -467,7 +472,13 @@ def jsonl_sink(
     out = df.coalesce(target_files) if target_files else df
     writer = out.write.mode(mode)
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # static overwrite: a replayed epoch whose repack emits fewer
+        # shard= dirs must truncate the epoch dir, not merge with the
+        # stale shards under an ambient dynamic default (round-12
+        # review — the same phantom-partition class as the stores)
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "static"
+        )
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)

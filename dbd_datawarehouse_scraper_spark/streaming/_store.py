@@ -117,6 +117,19 @@ def committed_epochs_below(
     return [e for e in all_epochs if e < epoch_id]
 
 
+def marker_positive_int(row: dict, field: str, store_path: str, noun: str) -> int:
+    """Validate a free marker field that must be a positive int (the
+    bucketed stores' bucket counts): free fields are store state the
+    exact-match handshake doesn't cover, so each reader re-checks them
+    — this is the one copy of that check (round-12 review)."""
+    if row[field] is None or row[field] < 1:
+        raise ValueError(
+            f"{noun} marker at {store_path}/format carries no valid "
+            f"{field} — wipe the store and re-ingest."
+        )
+    return int(row[field])
+
+
 def epochs_with_partition_data(
     spark: SparkSession, root: str, epochs: list, prefix: str
 ) -> list:

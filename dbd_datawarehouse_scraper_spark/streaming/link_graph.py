@@ -128,12 +128,9 @@ def _store_n_buckets(
         free_fields=("n_buckets",),
         init=init,
     )
-    if row["n_buckets"] is None or row["n_buckets"] < 1:
-        raise ValueError(
-            f"link-graph store marker at {store_path}/format carries no "
-            "valid n_buckets — wipe the store and re-ingest."
-        )
-    return int(row["n_buckets"])
+    from ._store import marker_positive_int
+
+    return marker_positive_int(row, "n_buckets", store_path, "link-graph store")
 
 
 def _bucket_of(src: F.Column, dst: F.Column, n_buckets: int) -> F.Column:
@@ -419,11 +416,14 @@ def current_ranks(spark: SparkSession, store_path: str) -> tuple[DataFrame, dict
     """(ranks DataFrame, meta dict) of the last COMMITTED refresh —
     the generation ``ranks/_meta`` names. Raises if no refresh has
     committed (no ``ranks/_meta``)."""
-    if fs_exists(spark, f"{store_path}/format"):
-        # refuse a v1/unversioned store here, not deep in the gen read
-        # (a pre-generation _meta has gen=NULL and would otherwise fail
-        # with a baffling 'ranks/gen=None' path error — round-12 review)
-        _store_n_buckets(spark, store_path)
+    # full read-only handshake UNCONDITIONALLY, same as the other read
+    # paths: an absent store, a store dir missing its marker, and a
+    # v1/unversioned store all refuse here, not deep in the gen read
+    # (a pre-generation _meta has gen=NULL and would otherwise fail
+    # with a baffling 'ranks/gen=None' path error — round-12 review,
+    # twice: the marker-missing-but-dir-present case initially kept
+    # serving ranks every other path declared corrupt)
+    _store_n_buckets(spark, store_path)
     meta_path = f"{store_path}/ranks/_meta"
     if not fs_exists(spark, meta_path):
         raise ValueError(
@@ -431,6 +431,11 @@ def current_ranks(spark: SparkSession, store_path: str) -> tuple[DataFrame, dict
             "refresh_ranks first"
         )
     row = spark.read.schema(_META_SCHEMA).json(meta_path).head()
+    if row is None:
+        raise ValueError(
+            f"rank meta at {meta_path} exists but holds no parseable "
+            "row — the marker is torn. Re-run refresh_ranks."
+        )
     meta = {f: row[f] for f in (
         "gen", "as_of_epoch", "n_edges", "n_nodes", "damping", "max_iter"
     )}

@@ -136,12 +136,9 @@ def _validate_or_init_store(
         "collide or estimate correctly",
         free_fields=("n_buckets",),
     )
-    if row["n_buckets"] is None or row["n_buckets"] < 1:
-        raise ValueError(
-            f"signature store marker at {store_path}/format carries no "
-            "valid n_buckets — wipe the store and re-ingest."
-        )
-    return int(row["n_buckets"])
+    from ._store import marker_positive_int
+
+    return marker_positive_int(row, "n_buckets", store_path, "signature store")
 
 
 def _validate_or_init_out(spark: SparkSession, out_path: str, columns: list) -> None:
@@ -434,7 +431,11 @@ def near_dedup_epoch(
                 hist_sigs = spark.read.option("basePath", sig_root).parquet(
                     *[f"{sig_root}/epoch={e}" for e in sig_epochs]
                 )
-                if prune_sig_buckets:
+                # skip the bucket-probe job when the candidate count
+                # guarantees near-all buckets are hit (the link store's
+                # guard for the identical pattern — don't pay a collect
+                # to learn nothing)
+                if prune_sig_buckets and n_cand < 32 * b:
                     bks = [
                         r[0]
                         for r in cand.select(
