@@ -549,6 +549,7 @@ def hamming_pairs(
     hash_col: str,
     max_hamming: int = 3,
     against: DataFrame | None = None,
+    broadcast_probe: bool = False,
 ) -> DataFrame:
     """Block-permutation Hamming join over ANY 64-bit hash column —
     the shared machinery behind :func:`simhash_pairs` (text) and
@@ -565,7 +566,15 @@ def hamming_pairs(
     (``against`` = a second relation with the SAME id/hash columns —
     the incremental-dedup probe-vs-history shape): every qualifying
     (hashed row, against row) pair, id_a from ``hashed``, id_b from
-    ``against``, no ordering constraint."""
+    ``against``, no ordering constraint.
+
+    ``broadcast_probe`` (cross form only): broadcast the ``hashed``
+    side's blocked relation so ``against`` STREAMS through its scan —
+    never shuffled or sorted. The incremental micro-batch path: the
+    probe is batch-sized ((d+1) rows per hash) while the history is
+    corpus-sized; the caller asserts the probe is small enough. The
+    default merge hint remains correct for both forms and for large
+    probes."""
     if not (0 <= max_hamming <= 31):
         raise ValueError(
             f"max_hamming must be in [0, 31] (need >= 2-bit chunks of a "
@@ -603,8 +612,13 @@ def hamming_pairs(
         F.col("_id").alias("_id2"), F.col("_h").alias("_h2"), "_blk", "_val"
     )
     # merge hint: same exchange-free-build-side broadcast hazard as
-    # ngram_jaccard_pairs above (the blocked relation is corpus-sized)
-    joined = blocked.join(right.hint("merge"), ["_blk", "_val"])
+    # ngram_jaccard_pairs above (the blocked relation is corpus-sized).
+    # The hazard is broadcasting the CORPUS side; broadcasting a small
+    # PROBE side (cross form, caller-asserted) is the safe direction.
+    if broadcast_probe and against is not None:
+        joined = F.broadcast(blocked).join(right, ["_blk", "_val"])
+    else:
+        joined = blocked.join(right.hint("merge"), ["_blk", "_val"])
     if against is None:
         joined = joined.filter(F.col("_id") < F.col("_id2"))
     return (

@@ -49,6 +49,17 @@ from ..operators.graph import component_survivors
 #: layout changes incompatibly; stores refuse to mix formats.
 STORE_FORMAT_VERSION = 1
 
+#: Batches at or below this many hashed rows probe the history via a
+#: broadcast of the batch's blocked relation ((max_hamming+1) rows per
+#: hash) — the history side streams through its scan, never shuffled
+#: or sorted. Larger batches take the merge join. The history stays
+#: un-bucketed deliberately: directory pruning would need the store
+#: replicated per pigeonhole block (each hash joins on d+1 block
+#: keys), a (d+1)x storage trade the 8-byte rows don't justify — the
+#: per-epoch scan is ~16 B/stored image, the cheapest history in the
+#: package.
+BROADCAST_PROBE_MAX_HASHES = 1_000_000
+
 _MARKER_SCHEMA = (
     "format_version INT, codec STRING, max_hamming INT, "
     "hash_w INT, hash_h INT"
@@ -169,7 +180,8 @@ def image_dedup_epoch(
     mark = pool_mark()
     try:
         batch = tracked_persist(batch_df)
-        if batch.count() == 0:
+        n_batch = batch.count()
+        if n_batch == 0:
             return False
         sel = batch.select(
             F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
@@ -197,7 +209,11 @@ def image_dedup_epoch(
             )
             dup_ids = (
                 hamming_pairs(
-                    kept_h, "media_id", "dhash", max_hamming, against=hist
+                    kept_h, "media_id", "dhash", max_hamming, against=hist,
+                    # micro-batch path: the history streams through a
+                    # broadcast probe of the batch instead of a
+                    # two-sided sort-merge of the accumulated store
+                    broadcast_probe=n_batch <= BROADCAST_PROBE_MAX_HASHES,
                 )
                 .select(F.col("id_a").alias("media_id"))
                 .distinct()

@@ -232,3 +232,37 @@ def test_out_schema_marker_refuses_column_drift(spark, tmp_path):
             out, str(tmp_path / "s3"), str(tmp_path / "c2"),
             id_col="img_id", codec="png",
         )
+
+
+def test_history_probe_broadcast_and_merge_paths_identical(spark, tmp_path):
+    """The cross-form history probe's two physical plans — broadcast
+    of the batch's blocked relation (micro-batch default) vs the merge
+    join (past BROADCAST_PROBE_MAX_HASHES) — must drop identical ids
+    (the threshold only picks a plan; round-12 discipline shared with
+    the near-dup and link stores)."""
+    import shutil
+
+    from dbd_datawarehouse_scraper_spark.streaming import image_dedup as mod
+
+    e0 = _media(spark, [(1, _png(1)), (2, _png(2)), (3, _png(3))])
+    # epoch 1: re-encodes of 1 and 2 (history near-dups) + one new
+    e1 = _media(
+        spark,
+        [(10, _png(1, filter_type=1)), (11, _png(2, shift=1)),
+         (12, _png(9))],
+    )
+    got = {}
+    for label, thr in (("broadcast", 1_000_000), ("merge", 0)):
+        out = str(tmp_path / f"out_{label}")
+        store = str(tmp_path / f"store_{label}")
+        orig = mod.BROADCAST_PROBE_MAX_HASHES
+        mod.BROADCAST_PROBE_MAX_HASHES = thr
+        try:
+            image_dedup_epoch(spark, e0, 0, out, store, codec="png")
+            image_dedup_epoch(spark, e1, 1, out, store, codec="png")
+        finally:
+            mod.BROADCAST_PROBE_MAX_HASHES = orig
+        got[label] = _epoch_ids(spark, out, 1)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+    assert got["broadcast"] == got["merge"] == {12}
