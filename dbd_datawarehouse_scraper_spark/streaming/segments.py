@@ -58,6 +58,12 @@ from ..caching import pool_mark, release_since, tracked_persist
 #: Bump when the segment hashing or store layout changes incompatibly.
 STORE_FORMAT_VERSION = 1
 
+#: Batches whose distinct-hash relation stays at or below this many
+#: rows broadcast it into the history-prefilter semi join (8-byte
+#: hashes — ~32 MB at the bound), so the history scan streams through
+#: unshuffled; larger batches take the plain semi join.
+BROADCAST_KEYS_MAX_ROWS = 4_000_000
+
 _MARKER_SCHEMA = "format_version INT, mode STRING, k INT"
 
 
@@ -195,6 +201,19 @@ def segment_dedup_epoch(
             hist = spark.read.parquet(
                 *[f"{freq_root}/epoch={e}" for e in hist_epochs]
             )
+            # only hashes present in THIS batch can affect the epoch's
+            # output (the verdict joins back against the batch's
+            # exploded segments, and the store delta below is
+            # epoch-only): prefilter history with a semi join on the
+            # batch's key set — broadcast for micro-batches so the
+            # history scan STREAMS — and the cumulative merge
+            # aggregates O(batch keys), not O(every key the store has
+            # ever seen) (round 12; the aggregating folds bounded the
+            # history's ROW count, this bounds the per-epoch shuffle)
+            keys = epoch_freq.select(_HS)
+            if epoch_freq.count() <= BROADCAST_KEYS_MAX_ROWS:
+                keys = F.broadcast(keys)
+            hist = hist.join(keys, _HS, "left_semi")
             total = _merge_freq(epoch_freq.unionByName(hist))
         frequent = total.filter(F.col("doc_count") >= min_docs).select(
             _HS, F.lit(True).alias("_sd_dup")

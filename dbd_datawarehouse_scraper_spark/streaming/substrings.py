@@ -60,6 +60,12 @@ from ..caching import pool_mark, release_since, tracked_persist
 #: Bump when the window hashing or store layout changes incompatibly.
 STORE_FORMAT_VERSION = 1
 
+#: Batches whose distinct-hash relation stays at or below this many
+#: rows broadcast it into the history-prefilter semi join (the
+#: segments-store bound; hash-only rows), so the history scan streams
+#: through unshuffled; larger batches take the plain semi join.
+BROADCAST_KEYS_MAX_ROWS = 4_000_000
+
 _MARKER_SCHEMA = "format_version INT, min_len INT"
 
 
@@ -230,6 +236,17 @@ def substring_dedup_epoch(
             hist = spark.read.parquet(
                 *[f"{stats_root}/epoch={e}" for e in hist_epochs]
             )
+            # only hashes present in THIS batch can affect the epoch's
+            # output (the dup verdicts join back against the batch's
+            # occurrences, and the store delta below is epoch-only):
+            # prefilter history with a semi join on the batch's key
+            # set — broadcast for micro-batches so the history scan
+            # STREAMS — and the cumulative merge aggregates O(batch
+            # keys), not O(every key the store has ever seen)
+            keys = epoch_stats.select(_H)
+            if epoch_stats.count() <= BROADCAST_KEYS_MAX_ROWS:
+                keys = F.broadcast(keys)
+            hist = hist.join(keys, _H, "left_semi")
             total = _merge_stats(epoch_stats.unionByName(hist))
         cond = F.col("doc_count") >= min_docs
         if within_doc:
