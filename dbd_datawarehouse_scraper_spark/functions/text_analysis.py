@@ -85,7 +85,13 @@ def quality_score(col: Column, word_count: Column | None = None) -> Column:
         "double"
     )
     n_chars = F.length(col).cast("double")
-    n_punct = F.regexp_count(col, F.lit(r"[.,;:!?]")).cast("double")
+    # punct counter via translate (opt r12): deleting the 6-char class
+    # and differencing lengths counts exactly the same matches as
+    # regexp_count('[.,;:!?]') — single chars, no overlap — without a
+    # regex-engine pass per document
+    n_punct = (F.length(col) - F.length(F.translate(col, ".,;:!?", ""))).cast(
+        "double"
+    )
     n_stop = F.regexp_count(F.lower(col), F.lit(_STOPWORDS)).cast("double")
     len_score = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
     punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 10, F.lit(1.0))

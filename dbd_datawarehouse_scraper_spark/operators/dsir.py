@@ -51,11 +51,15 @@ _MARKER_VERSION = 1
 _DEFAULT_BUCKETS = 10_000
 
 
-def _hashed_grams(docs: DataFrame, id_col, text_col: str, n_buckets: int):
-    """(id, _bucket) — one row per unigram AND bigram occurrence,
-    hashed into ``n_buckets`` via the sha256-prefix convention. The
-    outer-explode + output-attribute null filter form (the
-    InferFiltersFromGenerate trap)."""
+def _hashed_grams(
+    docs: DataFrame, id_col, text_col: str, n_buckets: int, carry: list | None = None
+):
+    """(id[, *carry], _bucket) — one row per unigram AND bigram
+    occurrence, hashed into ``n_buckets`` via the sha256-prefix
+    convention. ``carry`` names extra per-document columns to thread
+    through unchanged (the single-pass fit+score path carries the
+    target flag). The outer-explode + output-attribute null filter
+    form (the InferFiltersFromGenerate trap)."""
     # stage the tokenize once (the repetition_stats precedent: without
     # the projection barrier the split/filter tree is re-inlined into
     # every consumer), and build bigrams with THE shared builder —
@@ -63,19 +67,20 @@ def _hashed_grams(docs: DataFrame, id_col, text_col: str, n_buckets: int):
     # drop the unigrams with it)
     from ..functions.text_analysis import word_bigrams
 
+    carry = carry or []
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
-    staged = docs.select(id_col, words.alias("_w"))
+    staged = docs.select(id_col, *carry, words.alias("_w"))
     w = F.col("_w")
     bigrams = F.coalesce(word_bigrams(w), F.array().cast("array<string>"))
     exploded = staged.select(
-        id_col, F.explode_outer(F.concat(w, bigrams)).alias("_gram")
+        id_col, *carry, F.explode_outer(F.concat(w, bigrams)).alias("_gram")
     ).filter(F.col("_gram").isNotNull())
     bucket = (
         F.conv(F.substring(F.sha2(F.col("_gram"), 256), 1, 8), 16, 10)
         .cast("long")
         % n_buckets
     )
-    return exploded.select(id_col, bucket.alias("_bucket"))
+    return exploded.select(id_col, *carry, bucket.alias("_bucket"))
 
 
 def dsir_fit(
@@ -149,6 +154,86 @@ def dsir_fit(
         "n_target": int(totals["t"]),
         "n_raw": int(totals["r"]),
     }
+
+
+def dsir_fit_score(
+    docs: DataFrame,
+    target_flag,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Single-pass DSIR for the self-referential selection shape
+    ("score every document by how target-like it is, target = a flagged
+    subset of the same corpus"). The two-step composition —
+    ``dsir_fit(docs.filter(flag), docs)`` then ``dsir_score(docs,
+    model)`` — featurizes the corpus THREE times (target counts, raw
+    counts, scoring). Here the hashed-gram relation is computed ONCE,
+    persisted, and consumed by one fused count aggregate (both
+    corpora's bucket counts in a single shuffle: the target count is a
+    conditional sum over the carried flag) and the score join.
+    Bit-identical output to the composition — same bucketing, Laplace
+    smoothing, quantization and integer sums — pinned in
+    tests/test_dsir.py. Caller releases with ``release_caches()`` after
+    the consuming action (the package persist contract)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    spark = docs.sparkSession
+    from ..caching import tracked_persist
+
+    grams = tracked_persist(
+        _hashed_grams(
+            docs.withColumn("_is_t", target_flag.cast("boolean")),
+            id_col,
+            text_col,
+            n_buckets,
+            carry=["_is_t"],
+        )
+    )
+    counts = tracked_persist(
+        grams.groupBy("_bucket").agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("_tc"),
+            F.count("*").cast("long").alias("_rc"),
+        )
+    )
+    row = counts.agg(F.sum("_tc").alias("t"), F.sum("_rc").alias("r")).collect()[0]
+    totals = {"t": row["t"] or 0, "r": row["r"] or 0}
+    if totals["t"] == 0:
+        raise ValueError("target corpus has no tokens — cannot fit DSIR")
+    if totals["r"] == 0:
+        raise ValueError("raw corpus has no tokens — cannot fit DSIR")
+    all_b = spark.range(n_buckets).select(F.col("id").alias("_bucket"))
+    joined = all_b.join(counts, "_bucket", "left").select(
+        "_bucket",
+        F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
+        F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+    )
+    lr = F.log(
+        (F.col("_tc") + 1).cast("double") / F.lit(float(totals["t"] + n_buckets))
+    ) - F.log(
+        (F.col("_rc") + 1).cast("double") / F.lit(float(totals["r"] + n_buckets))
+    )
+    buckets = joined.select(
+        "_bucket", F.round(lr * _QUANT).cast("long").alias("_lrq")
+    )
+    scored = grams.select(id_col, "_bucket").join(F.broadcast(buckets), "_bucket")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_lrq").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("_s").cast("double") / _QUANT, 6).alias("log_weight"),
+            F.round(
+                F.col("_s").cast("double") / F.col("n_grams") / _QUANT, 6
+            ).alias("avg_log_weight"),
+        )
+    )
 
 
 def save_dsir(spark: SparkSession, model: dict, path: str) -> None:

@@ -56,6 +56,115 @@ from ..fsutil import fs_delete, fs_list_names, scratch_base
 #: test asserts max_live_round_dirs ≤ 2 without instrumenting the loop.
 last_run_stats: dict = {}
 
+#: Edge-count ceiling for the driver-local small-graph fast path shared
+#: by :func:`connected_components` (label mode) and :func:`pagerank`
+#: (opt round r12). A distributed iterative loop pays O(rounds) of
+#: fixed stage/checkpoint overhead — measured locally at 3-4 s for a
+#: 17-node, 3-round PageRank whose arithmetic is microseconds — so a
+#: graph whose DEDUPLICATED edge relation fits comfortably on the
+#: driver (64k edges ≈ ~2 MB collected, bounded like the package's
+#: other driver fits: classifier_fit's 2k-doc sample, kmeans' bounded
+#: sample) runs the IDENTICAL integer recurrence / min-label fixpoint
+#: in-process instead. Results are bit-equal by construction (pinned
+#: against the forced-distributed path in tests/test_graph.py); at
+#: 100 TB the gate never fires and the checkpointed loop runs
+#: unchanged. Pass ``local_max_edges=0`` to force the distributed
+#: path (the distributed-mechanics tests do).
+LOCAL_MAX_EDGES = 65536
+
+#: Id types the local path accepts: Python's ordering for these agrees
+#: exactly with Spark's ``F.min``/``F.least`` (codepoint order for
+#: strings, numeric for integrals). Fractional/decimal ids keep the
+#: distributed path rather than risk a float-compare divergence.
+_LOCAL_ID_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _union_find_components(edge_list: list) -> dict:
+    """Exact min-reachable-id labels for a collected (symmetric or
+    directed — orientation is irrelevant) edge list. Classic
+    union-find with path compression, then one pass replacing each
+    root by its component's minimum member — identical output to the
+    distributed min-label fixpoint by definition."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_list:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    return {v: comp_min[find(v)] for v in parent}
+
+
+def _pagerank_local_rounds(
+    edge_list: list,
+    seed_set: set | None,
+    damping: int,
+    max_iter: int,
+    tol_q: int | None,
+    scale: int,
+) -> tuple[dict, int]:
+    """Driver-local replica of the distributed integer recurrence —
+    the same floor divisions, per-round pot, and seed teleport, so the
+    result is bit-equal by construction (pinned against the forced-
+    distributed path in tests/test_graph.py). All quantities are
+    non-negative, so Python ``//`` equals SQL ``div`` exactly.
+    ``seed_set=None`` = classic mode (every node a seed)."""
+    outdeg: dict = {}
+    nodes = set()
+    for s, d in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        nodes.add(s)
+        nodes.add(d)
+    n_seeds = len(nodes) if seed_set is None else len(seed_set)
+    base_q = scale // n_seeds
+    if seed_set is None:
+        rank = dict.fromkeys(nodes, base_q)
+    else:
+        rank = {v: (base_q if v in seed_set else 0) for v in nodes}
+    rounds = 0
+    for rnd in range(1, max_iter + 1):
+        share = {v: rank[v] // dv for v, dv in outdeg.items()}
+        pot = scale - sum(share[v] * dv for v, dv in outdeg.items())
+        incoming: dict = {}
+        for s, d in edge_list:
+            incoming[d] = incoming.get(d, 0) + share[s]
+        pot_share = pot // n_seeds
+        new_rank = {}
+        for v in nodes:
+            if seed_set is None or v in seed_set:
+                new_rank[v] = (
+                    (100 - damping) * base_q
+                    + damping * (incoming.get(v, 0) + pot_share)
+                ) // 100
+            else:
+                new_rank[v] = (damping * incoming.get(v, 0)) // 100
+        rounds = rnd
+        if tol_q is not None:
+            delta = sum(abs(new_rank[v] - rank[v]) for v in nodes)
+            rank = new_rank
+            if delta <= tol_q:
+                break
+        else:
+            rank = new_rank
+    return rank, rounds
+
 
 def connected_components(
     pairs: DataFrame,
@@ -65,6 +174,7 @@ def connected_components(
     comp_out: str = "component",
     max_iter: int = 50,
     algorithm: str = "label",
+    local_max_edges: int = LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``;
     ``component`` is the minimum id reachable in the node's connected
@@ -99,12 +209,6 @@ def connected_components(
             pairs, id_a, id_b, id_out, comp_out, max_iter
         )
     spark = pairs.sparkSession
-    base = scratch_base(spark)
-
-    def checkpoint_round(df: DataFrame, rnd: int) -> DataFrame:
-        path = f"{base}/round-{rnd}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
 
     edges = pairs.select(F.col(id_a).alias("_src"), F.col(id_b).alias("_dst"))
     edges = tracked_persist(
@@ -112,6 +216,53 @@ def connected_components(
             edges.select(F.col("_dst").alias("_src"), F.col("_src").alias("_dst"))
         ).distinct()
     )
+
+    # Driver-local fast path (see LOCAL_MAX_EDGES): the count below
+    # materializes the persist — work the distributed path's round-0
+    # checkpoint would have paid anyway — and the collected relation is
+    # bounded, so this is the bounded-driver-fit pattern, not a
+    # corpus collect.
+    id_type = dict(pairs.dtypes).get(id_a, "")
+    if local_max_edges and id_type in _LOCAL_ID_TYPES:
+        edge_list = None
+        if edges.count() <= local_max_edges:
+            edge_list = [(r["_src"], r["_dst"]) for r in edges.collect()]
+            if any(a is None or b is None for a, b in edge_list):
+                # NULL ids are not Python-orderable — keep the
+                # distributed path's NULL semantics verbatim
+                edge_list = None
+        if edge_list is not None:
+            from pyspark.sql.types import StructField, StructType
+
+            labels_map = _union_find_components(edge_list)
+            release_these([edges])
+            dtype = edges.schema["_src"].dataType
+            out = spark.createDataFrame(
+                list(labels_map.items()),
+                StructType(
+                    [
+                        StructField(id_out, dtype, True),
+                        StructField(comp_out, dtype, True),
+                    ]
+                ),
+            )
+            last_run_stats.clear()
+            last_run_stats.update(
+                {
+                    "rounds": 0,
+                    "max_live_round_dirs": 0,
+                    "scratch_dir": None,
+                    "mode": "local",
+                }
+            )
+            return out
+
+    base = scratch_base(spark)
+
+    def checkpoint_round(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{base}/round-{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     labels = edges.select(F.col("_src").alias("_id")).distinct().withColumn(
         "_comp", F.col("_id")
@@ -364,6 +515,7 @@ def pagerank(
     tol_millionths: int | None = 1,
     seeds: DataFrame | None = None,
     checkpoint_every: int = 1,
+    local_max_edges: int = LOCAL_MAX_EDGES,
 ) -> DataFrame:
     """[EXT] PageRank over a directed link graph — the domain/page
     quality prior corpus-curation pipelines weight by (Common Crawl
@@ -433,18 +585,9 @@ def pagerank(
         )
     SCALE = 10**12
     spark = edges.sparkSession
-    base = scratch_base(spark)
-
-    def checkpoint_round(df: DataFrame, rnd: int) -> DataFrame:
-        path = f"{base}/round-{rnd}"
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
 
     e = tracked_persist(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
-    )
-    outdeg = tracked_persist(
-        e.groupBy("_src").agg(F.count("*").cast("long").alias("_deg"))
     )
     nodes = tracked_persist(
         e.select(F.col("_src").alias("_id"))
@@ -453,8 +596,7 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        release_these([e, outdeg, nodes])
-        fs_delete(spark, base)
+        release_these([e, nodes])
         # Empty result must carry the INPUT's id type (bigint edges →
         # bigint ids), not a hardcoded string — otherwise unions/joins
         # against the non-empty-case schema break only when the edge
@@ -465,6 +607,86 @@ def pagerank(
             .withColumn(rank_out, F.lit(0.0))
             .withColumn("rank_q", F.lit(0).cast("long"))
         )
+
+    # Driver-local fast path (see LOCAL_MAX_EDGES): bit-equal integer
+    # recurrence on the collected, deduplicated, bounded edge relation.
+    # The count materializes the persist — work the distributed path's
+    # round-0 checkpoint would have paid anyway.
+    id_type = dict(e.dtypes)["_src"]
+    if local_max_edges and id_type in _LOCAL_ID_TYPES:
+        edge_list = None
+        if e.count() <= local_max_edges:
+            edge_list = [(r["_src"], r["_dst"]) for r in e.collect()]
+            if any(a is None or b is None for a, b in edge_list):
+                # NULL ids are not Python-orderable/hashable-consistent
+                # with the distributed join semantics — keep those
+                # verbatim on the distributed path
+                edge_list = None
+        if edge_list is not None:
+            if seeds is not None:
+                seed_col = seeds.columns[0]
+                sset = {
+                    r["_id"]
+                    for r in seeds.select(F.col(seed_col).alias("_id"))
+                    .distinct()
+                    .join(nodes, "_id", "left_semi")
+                    .collect()
+                }
+                if not sset:
+                    release_these([e, nodes])
+                    raise ValueError(
+                        "pagerank seeds share no node with the edge "
+                        "relation — a personalized walk with no seed mass "
+                        "is undefined (check the seed id column/type)"
+                    )
+            else:
+                sset = None
+            tol_q_local = (
+                None if tol_millionths is None else tol_millionths * 10**6
+            )
+            rank_map, rounds = _pagerank_local_rounds(
+                edge_list, sset, damping, max_iter, tol_q_local, SCALE
+            )
+            dtype = e.schema["_src"].dataType
+            release_these([e, nodes])
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            out = spark.createDataFrame(
+                [(v, q / float(SCALE), q) for v, q in rank_map.items()],
+                StructType(
+                    [
+                        StructField(id_out, dtype, True),
+                        StructField(rank_out, DoubleType(), True),
+                        StructField("rank_q", LongType(), True),
+                    ]
+                ),
+            )
+            last_run_stats.clear()
+            last_run_stats.update(
+                {
+                    "rounds": rounds,
+                    "max_live_round_dirs": 0,
+                    "scratch_dir": None,
+                    "mode": "local",
+                }
+            )
+            return out
+
+    outdeg = tracked_persist(
+        e.groupBy("_src").agg(F.count("*").cast("long").alias("_deg"))
+    )
+    base = scratch_base(spark)
+
+    def checkpoint_round(df: DataFrame, rnd: int) -> DataFrame:
+        path = f"{base}/round-{rnd}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     if seeds is not None:
         seed_col = seeds.columns[0]
         seed_ids = seeds.select(F.col(seed_col).alias("_id")).distinct()

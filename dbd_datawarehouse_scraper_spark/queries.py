@@ -3417,13 +3417,19 @@ def dsir_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant). Rows-only: bucket log-ratios pass through libm log;
     the sha256 bucketing and scoring arithmetic are pinned against a
     DuckDB mirror in tests/test_dsir.py."""
-    from .operators.dsir import dsir_fit, dsir_score
+    # opt r12: single-pass fit+score — the fit/score composition
+    # featurized the corpus three times (target counts, raw counts,
+    # scoring); dsir_fit_score computes the hashed-gram relation once
+    # and fuses both corpora's bucket counts into one aggregate.
+    # Bit-identical output (tests/test_dsir.py pins it against the
+    # composition).
+    from .operators.dsir import dsir_fit_score
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    model = dsir_fit(
-        d.filter(F.col("lang") == "en"), d, text_col="text", n_buckets=2048
+    return dsir_fit_score(
+        d, F.col("lang") == "en", id_col="doc_id", text_col="text",
+        n_buckets=2048,
     )
-    return dsir_score(d, model, id_col="doc_id", text_col="text")
 
 
 def _gopher_oracle_sql() -> str:
@@ -3751,10 +3757,28 @@ def domain_curation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").rlike("[05]$"),
         F.lit("!!! ### $$$ %%% ^^^ &&& *** ((( ))) !!!"),
     ).otherwise(F.col("text"))
+    # opt r12: the funnel's gate aggregate, gate anti join, cap
+    # aggregate and cap join each re-evaluated the whole
+    # canonicalize→extract→registrable→quality expression tree from
+    # its own parquet scan (4 scans in the before-plan). Stage the
+    # per-document work ONCE behind a persist — url/domain keys plus
+    # the quality score as a column (domain_quality_filter's
+    # score_col path quantizes it identically to its internal
+    # computation) — and every funnel stage reads the cache. Released
+    # by the bench/CLI release_caches() after the consuming action.
+    from .caching import tracked_persist
+    from .functions.text_analysis import quality_score
+
+    staged = tracked_persist(
+        kept.withColumn("text", noisy)
+        .withColumn("_score", quality_score(F.col("text")))
+        .select("doc_id", "url", "domain", "reg_domain", "n_chars", "_score")
+    )
     gated = domain_quality_filter(
-        kept.withColumn("text", noisy),
+        staged,
         domain_col="reg_domain",
         min_domain_score=0.3,  # the noise scores exactly 0.25
+        score_col="_score",
         registrable=False,
     )
     return per_domain_cap(
@@ -4680,7 +4704,16 @@ def crawl_rank_curation_hermetic_q(spark: SparkSession, sf_dir: str) -> DataFram
     work = tempfile.mkdtemp(prefix="crawl_rank_cur_")
     try:
         wat_sink(pages.repartition(2), f"{work}/wat")
-        parsed = wat_metadata_source(spark, f"{work}/wat/*.warc.gz")
+        # opt r12: the summary's six aggregate branches and the
+        # rank/gate/cap lineages each re-ran the gzip WAT parse (a
+        # Python mapInArrow source) — persist the parsed relation once
+        # and every branch reads the cache; released with the query's
+        # existing release_caches() after the collect
+        from .caching import tracked_persist
+
+        parsed = tracked_persist(
+            wat_metadata_source(spark, f"{work}/wat/*.warc.gz")
+        )
         good = parsed.filter(F.col("error").isNull())
         edges = page_link_edges(good).filter(
             F.col("src").isNotNull()

@@ -279,3 +279,39 @@ def test_stream_export_dsir_gate(spark, tmp_path):
             ids |= {json.loads(l)["doc_id"] for l in fh if l.strip()}
     assert 100 in ids or 101 in ids
     assert 102 not in ids and 103 not in ids
+
+
+def test_fit_score_single_pass_matches_composition(spark):
+    """dsir_fit_score (opt r12: one featurize pass, fused counts) is
+    bit-identical to dsir_fit + dsir_score when the target is a
+    flagged subset of the scored corpus — including unscoreable docs
+    (absent either way) and a NULL flag (treated as non-target, like
+    the filter it replaces)."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dsir import (
+        dsir_fit,
+        dsir_fit_score,
+        dsir_score,
+    )
+
+    rows = [
+        (i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else None), tx)
+        for i, (_, tx) in enumerate(RAW * 3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    flag = F.col("lang") == "en"
+    model = dsir_fit(docs.filter(flag), docs, text_col="text", n_buckets=B)
+    want = sorted(
+        map(tuple, dsir_score(docs, model, id_col="doc_id").collect())
+    )
+    release_caches()
+    got = sorted(
+        map(
+            tuple,
+            dsir_fit_score(
+                docs, flag, id_col="doc_id", text_col="text", n_buckets=B
+            ).collect(),
+        )
+    )
+    release_caches()
+    assert got == want

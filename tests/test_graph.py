@@ -193,7 +193,10 @@ def test_checkpoint_gc_bounded_and_reclaimed(spark):
     from dbd_datawarehouse_scraper_spark.operators.graph import last_run_stats
 
     edges = [(i, i + 1) for i in range(100, 116)]
-    comps = connected_components(_pairs(spark, edges))
+    # force the distributed loop: the driver-local fast path (opt r12)
+    # would otherwise intercept this tiny graph and the checkpoint
+    # lifecycle under test would never run
+    comps = connected_components(_pairs(spark, edges), local_max_edges=0)
     assert comps.count() == 17
 
     stats = dict(last_run_stats)
@@ -250,7 +253,7 @@ def test_star_converges_on_path_where_label_exhausts(spark):
     path = [(i, i + 1) for i in range(299)]
     df = spark.createDataFrame(path, "id_a bigint, id_b bigint")
     with pytest.raises(RuntimeError, match="algorithm='star'"):
-        connected_components(df)
+        connected_components(df, local_max_edges=0)
     release_caches()
     got = {
         r["id"]: r["component"]
@@ -489,7 +492,8 @@ def test_pagerank_fixed_iteration_sparse_checkpoints_bit_exact(spark):
         got = {
             r.id: r.rank_q
             for r in pagerank(
-                df, max_iter=7, tol_millionths=None, checkpoint_every=every
+                df, max_iter=7, tol_millionths=None, checkpoint_every=every,
+                local_max_edges=0,
             ).collect()
         }
         stats = dict(last_run_stats)
@@ -515,4 +519,101 @@ def test_pagerank_disjoint_seeds_raise(spark):
     seeds = spark.createDataFrame([(99,)], "id bigint")
     with pytest.raises(ValueError, match="share no node"):
         pagerank(df, seeds=seeds)
+    release_caches()
+
+
+# --------------------------------------- driver-local fast path (opt r12)
+
+
+def test_cc_local_fast_path_matches_distributed(spark):
+    """The driver-local small-graph fast path (LOCAL_MAX_EDGES gate)
+    returns the IDENTICAL (id, min-reachable-id) relation as the
+    forced-distributed label loop — numeric and string ids, multiple
+    components, self-loops."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import (
+        connected_components,
+        last_run_stats,
+    )
+
+    num = [(i * 7919 % 97, i * 104729 % 97) for i in range(60)] + [(500, 500)]
+    sdf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in num], "id_a string, id_b string"
+    )
+    for df in (_pairs(spark, num), sdf):
+        local = _comp_map(connected_components(df))
+        assert dict(last_run_stats).get("mode") == "local"
+        release_caches()
+        dist = _comp_map(connected_components(df, local_max_edges=0))
+        assert "mode" not in dict(last_run_stats)
+        release_caches()
+        assert local == dist
+
+
+def test_pagerank_local_fast_path_matches_distributed(spark):
+    """Local fast-path PageRank is bit-equal to the forced-distributed
+    integer loop: classic and seeded walks, convergence and
+    fixed-iteration modes, and the double `rank` column."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import (
+        last_run_stats,
+        pagerank,
+    )
+
+    edges = [(i, (i * 7 + 1) % 29) for i in range(29)] + [
+        (i, (i + 2) % 29) for i in range(0, 29, 3)
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,), (7,), (999,)], "id bigint")
+    for kw in (
+        {"max_iter": 6, "tol_millionths": None, "checkpoint_every": 6},
+        {"max_iter": 25, "tol_millionths": 1},
+        {"max_iter": 6, "tol_millionths": None, "seeds": seeds,
+         "checkpoint_every": 2},
+    ):
+        local = {
+            r["id"]: (r["rank"], r["rank_q"])
+            for r in pagerank(df, **kw).collect()
+        }
+        stats_local = dict(last_run_stats)
+        assert stats_local.get("mode") == "local"
+        release_caches()
+        dist = {
+            r["id"]: (r["rank"], r["rank_q"])
+            for r in pagerank(df, local_max_edges=0, **kw).collect()
+        }
+        stats_dist = dict(last_run_stats)
+        release_caches()
+        assert local == dist, f"diverged for {kw}"
+        # convergence mode must stop at the same round either way
+        assert stats_local["rounds"] == stats_dist["rounds"]
+
+
+def test_pagerank_local_string_ids_and_disjoint_seeds(spark):
+    """String-id (host-graph) walks take the local path with results
+    equal to distributed; a disjoint seed set raises the same error
+    locally."""
+    import pytest as _pytest
+
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.graph import pagerank
+
+    edges = [(f"h{i % 7}.test", f"h{(i * 3 + 1) % 7}.test") for i in range(25)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    local = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(df, max_iter=4, tol_millionths=None,
+                          checkpoint_every=4).collect()
+    }
+    release_caches()
+    dist = {
+        r["id"]: r["rank_q"]
+        for r in pagerank(df, max_iter=4, tol_millionths=None,
+                          checkpoint_every=4, local_max_edges=0).collect()
+    }
+    release_caches()
+    assert local == dist
+    bad = spark.createDataFrame([("nope.test",)], "id string")
+    with _pytest.raises(ValueError, match="share no node"):
+        pagerank(df, seeds=bad)
     release_caches()
