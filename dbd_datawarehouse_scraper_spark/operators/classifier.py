@@ -61,14 +61,19 @@ _SAMPLE_PER_CLASS = 10_000
 _HASH_SPAN = 1 << 61  # pmod(xxhash64, 2^61): label bit + hash fit a long
 
 
-def _class_sample(hashed: DataFrame, sample_size: int) -> DataFrame:
+def _class_sample(
+    hashed: DataFrame, sample_size: int, n_total: int | None = None
+) -> DataFrame:
     """The ``sample_size`` rows of ONE class with the smallest content
     hash — the kmeans_fit `_fit_sample_rows` discipline: a stateless
     hash-threshold pre-filter bounds the orderBy/limit merge (which
     otherwise funnels sample_size × num_partitions rows into one
     task), ordering and filtering on the SAME hash so the selected
-    set is unchanged."""
-    n_total = hashed.count()
+    set is unchanged. ``n_total`` skips the sizing count when the
+    caller already aggregated it (classifier_fit fuses both classes'
+    counts into one job)."""
+    if n_total is None:
+        n_total = hashed.count()
     if n_total > 1.25 * sample_size:
         thresh = max(1, int(1.25 * sample_size / n_total * _HASH_SPAN))
         hashed = hashed.filter(F.col("_h") < thresh)
@@ -188,8 +193,19 @@ def classifier_fit(
                 "_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN))
             )
         )
-        pos = _class_sample(hashed.filter(F.col("_y") == 1), sample_per_class)
-        neg = _class_sample(hashed.filter(F.col("_y") == 0), sample_per_class)
+        # one fused count job for both classes (opt r12; was two)
+        class_n = {
+            r["_y"]: r["n"]
+            for r in hashed.groupBy("_y").agg(F.count("*").alias("n")).collect()
+        }
+        pos = _class_sample(
+            hashed.filter(F.col("_y") == 1), sample_per_class,
+            n_total=int(class_n.get(1, 0)),
+        )
+        neg = _class_sample(
+            hashed.filter(F.col("_y") == 0), sample_per_class,
+            n_total=int(class_n.get(0, 0)),
+        )
         # label bit above the hash: _cid = y·2^61 + h keys the per-doc
         # aggregate AND carries the label through it in one long
         sampled = tracked_persist(
@@ -227,6 +243,9 @@ def classifier_fit(
         "n_buckets": int(n_buckets),
         "n_pos": n_pos,
         "n_neg": n_neg,
+        # dense bucket-ordered weights for the literal-array score path
+        # (same integers the buckets relation holds)
+        "weights_q": [int(q) for q in wq],
     }
 
 
@@ -290,6 +309,29 @@ def load_classifier(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _model_weight_list(model: dict) -> list:
+    """The model's per-bucket quantized weights as a dense
+    bucket-ordered Python list (index b = bucket b), memoized in the
+    model dict. classifier_fit pre-fills it from the driver-side fit;
+    loaded/hand-built models collect their (n_buckets-row, validated)
+    buckets relation once. The values are exactly the relation's
+    ``_wq`` column — the literal-array score path cannot drift from
+    the join path."""
+    ws = model.get("weights_q")
+    if ws is None:
+        ws = [
+            r["_wq"] for r in model["buckets"].orderBy("_bucket").collect()
+        ]
+        if len(ws) != int(model["n_buckets"]):
+            raise ValueError(
+                f"classifier model buckets relation has {len(ws)} rows, "
+                f"expected n_buckets={model['n_buckets']} — torn or "
+                "hand-built model"
+            )
+        model["weights_q"] = ws
+    return ws
+
+
 def classifier_score(
     docs: DataFrame,
     model: dict,
@@ -303,10 +345,21 @@ def classifier_score(
     integer — partition/rerun-invariant. Gram-less documents
     (empty/whitespace/NULL text) produce no rows and are ABSENT
     (:func:`classifier_filter` decides their fate explicitly). One
-    explode, ONE broadcast join against the n_buckets-row model, one
-    per-doc sum — the dsir_score plan exactly."""
+    explode, one per-doc sum, and a LITERAL-ARRAY weight lookup — the
+    model is a dense n_buckets-row relation, so ``element_at`` over an
+    array literal replaces the broadcast hash join (opt r12: the
+    broadcast exchange job + per-row hash probe cost ~3x the whole
+    aggregate at bench scale; values are identical — the array is
+    collected from the same relation the join consumed, pinned in
+    tests/test_classifier.py)."""
     grams = _hashed_grams(docs, id_col, text_col, model["n_buckets"])
-    scored = grams.join(F.broadcast(model["buckets"]), "_bucket")
+    scored = grams.withColumn(
+        "_wq",
+        F.element_at(
+            F.lit(_model_weight_list(model)),
+            (F.col("_bucket") + 1).cast("int"),
+        ),
+    )
     logit = (
         F.lit(model["bias_q"] / _QUANT)
         + F.col("_s").cast("double") / F.col("n_grams") / _QUANT

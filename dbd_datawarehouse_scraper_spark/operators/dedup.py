@@ -543,6 +543,52 @@ def simhash64(text: Column) -> Column:
     return simhash_pack(simhash_counters(text))
 
 
+#: Hash-count ceiling for hamming_pairs' driver-local self-join fast
+#: path (opt r12, the graph.LOCAL_MAX_EDGES discipline): at/below,
+#: the (id, hash) relation is collected (~16 B/row) and the pairs are
+#: computed by exact chunked numpy XOR+popcount — the block-permutation
+#: join is pigeonhole-EXACT, so brute force returns the identical pair
+#: set without the explode + self-join + dedup exchanges (measured
+#: ~1 s of fixed overhead for 420 hashes). Above the gate — every real
+#: corpus — the blocked join runs unchanged. 0 disables.
+LOCAL_MAX_HASHES = 4096
+
+
+def _hamming_pairs_local(rows: list, max_hamming: int) -> list:
+    """Exact (id_a, id_b, hamming) triples for collected (id, hash)
+    rows: chunked 64-bit XOR + byte-LUT popcount, value-ordered ids,
+    self/duplicate/NULL-id pairs dropped — the distributed join's
+    semantics verbatim (duplicate-id inputs keep the min hamming per
+    pair, a deterministic refinement of dropDuplicates' arbitrary
+    pick)."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    h = np.array([r[1] for r in rows], dtype=np.int64).view(np.uint64)
+    n = len(ids)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    best: dict = {}
+    for i0 in range(0, n, 1024):
+        x = h[i0 : i0 + 1024][:, None] ^ h[None, :]
+        pc = (
+            lut[x.view(np.uint8)]
+            .reshape(x.shape[0], n, 8)
+            .sum(axis=2, dtype=np.int16)
+        )
+        for a, b in zip(*np.nonzero(pc <= max_hamming)):
+            gi, gj = i0 + int(a), int(b)
+            if gi >= gj:
+                continue
+            da, db = ids[gi], ids[gj]
+            if da is None or db is None or da == db:
+                continue
+            key = (da, db) if da < db else (db, da)
+            hm = int(pc[a, b])
+            if key not in best or hm < best[key]:
+                best[key] = hm
+    return [(a, b, hm) for (a, b), hm in best.items()]
+
+
 def hamming_pairs(
     hashed: DataFrame,
     id_col: str,
@@ -550,6 +596,7 @@ def hamming_pairs(
     max_hamming: int = 3,
     against: DataFrame | None = None,
     broadcast_probe: bool = False,
+    local_max_rows: int = LOCAL_MAX_HASHES,
 ) -> DataFrame:
     """Block-permutation Hamming join over ANY 64-bit hash column —
     the shared machinery behind :func:`simhash_pairs` (text) and
@@ -605,9 +652,49 @@ def hamming_pairs(
             ).alias("_blk", "_val"),
         )
 
-    blocked = _blocked(hashed, id_col, hash_col)
+    base = hashed
+    if against is None and local_max_rows:
+        from ..caching import release_these, tracked_persist
+        from .graph import _LOCAL_ID_TYPES
+
+        # persist the filtered (id, hash) projection: the self-join's
+        # two sides otherwise each re-run the upstream hash pass (a
+        # Python decode for dHash); the count gates the local path and
+        # fills the cache either way
+        hp = tracked_persist(
+            hashed.select(
+                F.col(id_col).alias(id_col), F.col(hash_col).alias(hash_col)
+            ).filter(F.col(hash_col).isNotNull())
+        )
+        n_rows = hp.count()
+        if (
+            n_rows <= local_max_rows
+            and dict(hp.dtypes)[id_col] in _LOCAL_ID_TYPES
+        ):
+            rows = [(r[0], r[1]) for r in hp.collect()]
+            dtype = hp.schema[id_col].dataType
+            release_these([hp])
+            from pyspark.sql.types import (
+                IntegerType,
+                StructField,
+                StructType,
+            )
+
+            return hashed.sparkSession.createDataFrame(
+                _hamming_pairs_local(rows, max_hamming),
+                StructType(
+                    [
+                        StructField("id_a", dtype, True),
+                        StructField("id_b", dtype, True),
+                        StructField("hamming", IntegerType(), True),
+                    ]
+                ),
+            )
+        base = hp
+
+    blocked = _blocked(base, id_col, hash_col)
     right = _blocked(
-        hashed if against is None else against, id_col, hash_col
+        base if against is None else against, id_col, hash_col
     ).select(
         F.col("_id").alias("_id2"), F.col("_h").alias("_h2"), "_blk", "_val"
     )

@@ -218,7 +218,14 @@ def dsir_fit_score(
     buckets = joined.select(
         "_bucket", F.round(lr * _QUANT).cast("long").alias("_lrq")
     )
-    scored = grams.select(id_col, "_bucket").join(F.broadcast(buckets), "_bucket")
+    # literal-array ratio lookup instead of the broadcast join (see
+    # dsir_score): the collect evaluates the same JVM expressions the
+    # join would have broadcast — identical integers, no exchange job
+    ws = [r["_lrq"] for r in buckets.orderBy("_bucket").collect()]
+    scored = grams.select(id_col, "_bucket").withColumn(
+        "_lrq",
+        F.element_at(F.lit(ws), (F.col("_bucket") + 1).cast("int")),
+    )
     return (
         scored.groupBy(id_col)
         .agg(
@@ -289,6 +296,24 @@ def load_dsir(spark: SparkSession, path: str) -> dict:
     }
 
 
+def _model_ratio_list(model: dict) -> list:
+    """The model's per-bucket quantized log ratios as a dense
+    bucket-ordered Python list, memoized in the model dict. The values
+    come from collecting the SAME buckets relation the broadcast join
+    consumed (the log/round/cast stay JVM expressions), so the
+    literal-array score path is bit-identical to the join path."""
+    ws = model.get("_lrq_list")
+    if ws is None:
+        ws = [r["_lrq"] for r in model["buckets"].orderBy("_bucket").collect()]
+        if len(ws) != int(model["n_buckets"]):
+            raise ValueError(
+                f"DSIR model buckets relation has {len(ws)} rows, expected "
+                f"n_buckets={model['n_buckets']} — torn or hand-built model"
+            )
+        model["_lrq_list"] = ws
+    return ws
+
+
 def dsir_score(
     docs: DataFrame,
     model: dict,
@@ -300,10 +325,21 @@ def dsir_score(
     per-gram (length-normalized) log importance weight. Gram-less
     documents (empty/whitespace/NULL text) produce no rows and are
     ABSENT (callers decide their fate — :func:`dsir_filter` does so
-    explicitly). One explode, ONE broadcast join against the
-    n_buckets-row model, one per-doc sum of quantized bigints."""
+    explicitly). One explode, one per-doc sum of quantized bigints,
+    and a LITERAL-ARRAY ratio lookup — the model is a dense
+    n_buckets-row relation, so ``element_at`` over an array literal
+    replaces the broadcast hash join (opt r12: the broadcast exchange
+    job + per-row hash probe cost ~3x the aggregate itself at bench
+    scale; the array is collected from the same relation the join
+    consumed — JVM-computed values, so the scores cannot drift)."""
     grams = _hashed_grams(docs, id_col, text_col, model["n_buckets"])
-    scored = grams.join(F.broadcast(model["buckets"]), "_bucket")
+    scored = grams.withColumn(
+        "_lrq",
+        F.element_at(
+            F.lit(_model_ratio_list(model)),
+            (F.col("_bucket") + 1).cast("int"),
+        ),
+    )
     return (
         scored.groupBy(id_col)
         .agg(

@@ -199,3 +199,37 @@ def test_cli_image_dedup_mode(spark, tmp_path, capsys):
     kept = {r["media_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {10, 20}
     assert "1 perceptual duplicates dropped" in capsys.readouterr().out
+
+
+def test_hamming_pairs_local_matches_distributed(spark):
+    """The bounded driver-local hamming_pairs fast path (opt r12)
+    returns the identical pair set as the forced-distributed blocked
+    join — long and string ids, including hashes with the sign bit
+    set and singleton/NULL hashes."""
+    from dbd_datawarehouse_scraper_spark.caching import release_caches
+    from dbd_datawarehouse_scraper_spark.operators.dedup import hamming_pairs
+
+    rows = [
+        (i, ((i * 0x9E3779B97F4A7C15) ^ (i << 7)) % (1 << 63) * (1 if i % 2 else -1))
+        for i in range(80)
+    ] + [(200 + i, (i // 3) * 16) for i in range(30)] + [(300, None)]
+    df = spark.createDataFrame(rows, "mid bigint, h bigint")
+    sdf = spark.createDataFrame(
+        [(f"m{a}", h) for a, h in rows], "mid string, h bigint"
+    )
+    for d in (0, 3, 7):
+        for src in (df, sdf):
+            local = sorted(
+                map(tuple, hamming_pairs(src, "mid", "h", d).collect())
+            )
+            release_caches()
+            dist = sorted(
+                map(
+                    tuple,
+                    hamming_pairs(
+                        src, "mid", "h", d, local_max_rows=0
+                    ).collect(),
+                )
+            )
+            release_caches()
+            assert local == dist, f"d={d} diverged"
