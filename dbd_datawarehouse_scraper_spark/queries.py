@@ -766,14 +766,24 @@ def broadcast_dim_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # opt r12 (guide §2.3 "aggregate before you shuffle"): pre-sum the
+    # fact side per order key BEFORE the join — dsum's per-row
+    # quantized integers sum associatively, so per-order partial sums
+    # then a final sum produce the identical revenue, while the join
+    # carries |orders| narrow rows instead of |lineitem| wide ones
+    # (and the per-order relation joins orders under the broadcast
+    # threshold instead of a 600k-row sort-merge)
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(rev * F.lit(1e6)).cast("long")).alias("_rev_q")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            dsum(rev).alias("revenue"),
+            (F.sum("_rev_q").cast("double") / F.lit(1e6)).alias("revenue"),
             F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
         )
     )
