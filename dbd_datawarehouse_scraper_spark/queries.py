@@ -4578,7 +4578,8 @@ def _pagerank_oracle_sql(k_iters: int = _PAGERANK_ITERS, damping: int = 85) -> s
         FROM nodes n CROSS JOIN params p LEFT JOIN c{k} c ON n.id = c.id
     )""")
     parts.append(f"""
-    SELECT id, CAST(rank_q AS DOUBLE) / {float(SCALE)} AS rank, rank_q
+    SELECT id, CAST(rank_q AS DOUBLE) / {float(SCALE)} AS rank,
+           CAST(rank_q AS BIGINT) AS rank_q
     FROM r{k_iters}
     ORDER BY rank_q DESC, id ASC LIMIT 20
     """)

@@ -114,6 +114,17 @@ def test_rows_only_queries_run(spark, sf_dir):
             _assert_caches_released(spark, baseline)
 
 
+def test_pagerank_oracle_dtype_integral(con):
+    """The driver hashes oracle results via pandas. DuckDB widens
+    SUM(BIGINT) to HUGEINT, which pandas materializes as float64 —
+    that dtype drift (not a value difference) was r12's one red row.
+    Pin the final SELECT's rank_q to an integral pandas dtype."""
+    import pandas as pd
+
+    df = con.execute(QUERIES["link_graph_pagerank"].sql).fetchdf()
+    assert pd.api.types.is_integer_dtype(df["rank_q"]), df.dtypes
+
+
 def test_driver_window_invariant():
     """The driver's correctness gate checks EXACTLY the first 50
     registered queries — every oracle-backed entry must sit inside the
