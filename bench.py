@@ -382,7 +382,13 @@ def main() -> None:
             ratio_draws.append(round(s / o, 3) if o else None)
 
     load_end = _load_fraction()
-    ncores = os.cpu_count() or 1
+    # `ncores` (captured above as the session's defaultParallelism)
+    # is the EFFECTIVE parallelism — on a $SPARK_GRAFT_CPUS=8 run it
+    # reads 8, so scaling records are self-describing (r12 verdict
+    # item 8: it used to read os.cpu_count() and printed 32 on the
+    # 8-core run). The machine's physical core count is recorded
+    # separately; loadavg fractions stay normalized by it.
+    cpu_count = os.cpu_count() or 1
     load_flagged = (
         load_start > LOAD_FRACTION_THRESHOLD
         or load_end > LOAD_FRACTION_THRESHOLD
@@ -408,9 +414,10 @@ def main() -> None:
         "ratio_draws": ratio_draws,
         "spark_run_matrix": spark_run_matrix,
         "oracle_run_matrix": oracle_run_matrix,
-        "load_start": round(load_start * ncores, 2),
-        "load_end": round(load_end * ncores, 2),
+        "load_start": round(load_start * cpu_count, 2),
+        "load_end": round(load_end * cpu_count, 2),
         "ncores": ncores,
+        "cpu_count": cpu_count,
         "load_flagged": load_flagged,
     }
     detail_path = os.path.join(
@@ -443,9 +450,10 @@ def main() -> None:
                     "rows_only_slow_prior": 5,
                 },
                 "drift_flags": drift_flags,
-                "load_start": round(load_start * ncores, 2),
-                "load_end": round(load_end * ncores, 2),
+                "load_start": round(load_start * cpu_count, 2),
+                "load_end": round(load_end * cpu_count, 2),
                 "ncores": ncores,
+                "cpu_count": cpu_count,
                 "load_flagged": load_flagged,
                 "detail": "BENCH_DETAIL.json",
             }

@@ -587,9 +587,17 @@ def bm25_term_scores(
             "token",
             "left_semi",
         )
-    # N counts ALL docs (empty included); Σdl comes off the dl relation
-    totals = docs.agg(F.count("*").cast("double").alias("_nd")).crossJoin(
-        dl.agg(F.sum("dl").cast("double").alias("_tot"))
+    # N counts ALL docs (empty included); Σdl == Σ token_count(text)
+    # (token_count counts exactly the tokens ws_token_relation explodes
+    # — the keyword_topk_suite equivalence), so BOTH totals come from
+    # ONE 1-row aggregate off the docs scan. The old form
+    # (docs.agg(count) ⋈ dl.agg(sum)) re-evaluated the whole
+    # tokenize+tf+dl subtree a second time under persist=False — the
+    # r12 before-plan of bm25_search carried four independent copies
+    # of that subtree (opt r13, guide §2.4).
+    totals = docs.agg(
+        F.count("*").cast("double").alias("_nd"),
+        F.sum(token_count(F.col(text_col))).cast("double").alias("_tot"),
     )
     scored = (
         tf.join(dl, id_col)

