@@ -447,6 +447,18 @@ def minhash_lsh_pairs(
     # the banded self-join's sides are both |corpus|·bands rows — same
     # compile-time-broadcast hazard as the verification leg below
     # (merge, not shuffle_hash: per-partition hash maps OOM at scale)
+    #
+    # Probed and DECLINED (opt r13, r12 verdict item 6): dropping
+    # singleton band buckets before this self-join (groupBy count +
+    # semi-join keep-list) returns the identical pair set — a
+    # singleton bucket cannot produce an (_id < _id2) match — but
+    # measured 2.75 s → 2.96 s min-of-3 noop-isolated at sf0.1: the
+    # sorted-merge join already skips unmatched singleton runs nearly
+    # free, so the extra aggregate + semi-join shuffle + barrier cost
+    # more than the skipped rows saved. At cluster scale the same
+    # trade re-balances only if most banded bytes are singletons AND
+    # the shuffle is network-bound; revisit with a real-corpus profile
+    # before adding a knob.
     cand = (
         banded.join(right.hint("merge"), ["_band", "_bucket"])
         .filter(F.col("_id") < F.col("_id2"))

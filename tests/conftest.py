@@ -12,7 +12,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 def spark():
     from dbd_datawarehouse_scraper_spark import get_spark
 
-    spark = get_spark(app_name="tests", master="local[4]")
+    spark = get_spark(app_name="tests", master="local[4]", **{"spark.sql.shuffle.partitions": "8"})
     yield spark
 
 

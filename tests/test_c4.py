@@ -140,6 +140,7 @@ def test_clean_semantics(spark):
         c4_clean(docs, min_sentences=-1)
 
 
+@pytest.mark.slow
 def test_funnel_and_stream_wiring(spark, tmp_path):
     from dbd_datawarehouse_scraper_spark.plans import curate_documents
     from dbd_datawarehouse_scraper_spark.streaming import file_stream

@@ -626,6 +626,7 @@ def test_export_cli_domain_and_decontamination_flags(spark, tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_stream_export_cli_end_to_end_and_rerun(spark, tmp_path):
     """--stream-export drains available input files epoch by epoch into
     gzip JSONL shards; a second invocation picks up only NEW files
@@ -747,6 +748,7 @@ def test_export_cli_registrable_domain_keying(spark, tmp_path):
     assert any(i % 3 == 0 for i in ids2) and any(i % 3 == 1 for i in ids2)
 
 
+@pytest.mark.slow
 def test_export_cli_html_cleanup_flags(spark, tmp_path):
     """--html-strip / --html-extract-main reach the funnel: exported
     text is visible prose, and extract-main drops link-chrome."""
@@ -1064,6 +1066,7 @@ def test_cli_ivf_stats_mode(spark, tmp_path, capsys):
     assert out.count("list ") == 4 and "rebuild_advised=" in out
 
 
+@pytest.mark.slow
 def test_stream_export_cli_wet_input(spark, tmp_path):
     """--stream-export --input-format wet: WET archives landing in a
     directory drive the incremental exporter — the continuous Common

@@ -530,6 +530,7 @@ def test_centers_save_load_roundtrip_bit_exact(spark, two_blobs, tmp_path):
         load_centers(spark, empty)
 
 
+@pytest.mark.slow
 def test_cluster_balanced_sample_tiny_cluster_no_ansi_overflow(spark):
     """One tiny cluster inside a large corpus drives
     ceil(share*BP*total/|c|) past INT range; the rate must clamp to BP

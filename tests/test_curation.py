@@ -250,6 +250,7 @@ def test_funnel_segment_dedup_stage_strips_boilerplate(spark):
     assert all(f"number {r['doc_id']}" in r["text"] for r in out)
 
 
+@pytest.mark.slow
 def test_funnel_quality_sample_stage_monotonic(spark, docs):
     """quality_sample_rates: full rates reproduce the unsampled funnel;
     harsher rates keep strictly fewer docs; zero rates keep none."""
@@ -536,6 +537,7 @@ def test_export_manifest_write_and_verify(spark, sf_dir, tmp_path):
     release_caches()
 
 
+@pytest.mark.slow
 def test_export_shuffle_salt(spark, sf_dir, tmp_path):
     """shuffle_salt packs shards in sha256(salt||id) order: same docs
     exported, shard CONTENTS decorrelated from id order, bit-stable
@@ -587,6 +589,7 @@ def test_export_shuffle_salt(spark, sf_dir, tmp_path):
     assert "_shuffle_key" not in cols
 
 
+@pytest.mark.slow
 def test_full_stack_export_batch_stream_parity(spark, tmp_path):
     """EVERY optional stage composed at once — domain blocklist, HTML
     cleanup, C4 line rules, segment dedup, contamination screen,
@@ -756,6 +759,7 @@ def test_curation_gate_report(spark):
                if k != "corpus_size")
 
 
+@pytest.mark.slow
 def test_export_token_counter_bpe_ish(spark, tmp_path):
     """token_counter='bpe_ish' meters the export in sub-word-ish
     units: the exported n_tokens equals the bpe_ish count of each

@@ -239,6 +239,7 @@ def test_star_matches_label_on_random_graphs(spark):
         assert star == label, f"seed {seed} diverged"
 
 
+@pytest.mark.slow
 def test_star_converges_on_path_where_label_exhausts(spark):
     """A 300-node path graph has diameter 299: label propagation at the
     default max_iter=50 must raise its documented escape-hatch error,
@@ -472,6 +473,7 @@ def test_trustrank_demotes_unreachable_component(spark):
     assert got == _pagerank_reference(trusted + spam, seeds={1})
 
 
+@pytest.mark.slow
 def test_pagerank_fixed_iteration_sparse_checkpoints_bit_exact(spark):
     """tol_millionths=None runs EXACTLY max_iter rounds (the mode the
     DuckDB K-step unrolled oracle replays), and checkpoint_every only
@@ -550,6 +552,7 @@ def test_cc_local_fast_path_matches_distributed(spark):
         assert local == dist
 
 
+@pytest.mark.slow
 def test_pagerank_local_fast_path_matches_distributed(spark):
     """Local fast-path PageRank is bit-equal to the forced-distributed
     integer loop: classic and seeded walks, convergence and

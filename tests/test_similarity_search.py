@@ -653,6 +653,7 @@ def test_ivf_pq_size_recall_append_and_stats(spark, emb, probes, tmp_path):
                   compression="pq", pq_m=7)  # 7 does not divide 64
 
 
+@pytest.mark.slow
 def test_ivf_opq_beats_pq_on_correlated_data(spark, tmp_path):
     """OPQ (Ge et al. 2013): a learned orthogonal rotation before the
     subspace split. On CORRELATED embeddings (decaying spectrum mixed
