@@ -47,8 +47,11 @@ def main() -> None:
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
     plan = buf.getvalue()
-    n_scans = plan.count("Scan parquet")
-    n_python = plan.count("EvalPython") + plan.count("MapInArrow")
+    # count operators in the plan TREE only — the formatted details
+    # section repeats each operator name once more
+    tree = plan.split("\n\n")[0]
+    n_scans = tree.count("Scan parquet")
+    n_python = tree.count("EvalPython") + tree.count("MapInArrow")
     print(f"assignment-write plan: {n_scans} embeddings scan(s), "
           f"{n_python} Python node(s)")
     out = os.path.join(
